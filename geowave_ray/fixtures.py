@@ -1,0 +1,356 @@
+"""Deterministic synthetic fixtures per FIXTURES.md (seed=42, pure
+function of row index — no external data, no RNG state).
+
+Tables generated under ``/tmp/geowave_fixtures/<sf_name>/``:
+
+- ``pages``         — the north-rule input shape (url, warc_ts, html,
+                      text, lang) + ``row_id`` and the ORACLE-ONLY
+                      derived ``lon``/``lat`` columns (engine pipelines
+                      re-derive lon/lat from url/lang and never read the
+                      stored ones; tests assert both agree bit-for-bit).
+- ``regions``       — convex CCW polygons (WKB + bbox columns) for the
+                      PIP join (plays the role of the reference's
+                      tornado_tracks/filter shapes,
+                      ``AbstractGeoWaveBasicVectorIT.java:100-128``).
+- ``region_edges``  — exploded directed CCW edges (x1,y1,x2,y2) so the
+                      DuckDB oracle can do the exact half-plane PIP test.
+- ``queries``       — golden bbox/polygon (± temporal) query shapes.
+- ``knn_queries``   — kNN probe points with k ∈ {1,5,20}.
+- ``raster_chunks`` — overlapping raster chunks with closed-form pixel
+                      values ((i+p) % 97) for tile-merge oracles
+                      (``GeoWaveBasicRasterIT.java:573-640`` analogue).
+
+Scale is keyed off the testdata sf directory name:
+sf0.001 → 10k pages, sf0.01 → 100k, sf0.1 → 1M.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .geom import polygon_wkb
+from .geotag import derive_lonlat
+
+FIXTURE_VERSION = "v1"
+FIXTURE_ROOT = "/tmp/geowave_fixtures"
+
+LANGS = ["en", "de", "fr", "es", "zh", "ru", "pt", "ja"]
+LANG_CUM = np.cumsum([40, 10, 10, 10, 10, 8, 7, 5])
+
+SCALES = {
+    "sf0.001": dict(pages=10_000, regions=512, chunks=128),
+    "sf0.01": dict(pages=100_000, regions=1024, chunks=256),
+    "sf0.1": dict(pages=1_000_000, regions=2048, chunks=512),
+}
+ROWS_PER_FILE = 50_000
+
+
+def fixture_dir(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    if name not in SCALES:
+        name = "sf0.01"
+    return os.path.join(FIXTURE_ROOT, name)
+
+
+def _h(s: str) -> bytes:
+    return hashlib.sha256(s.encode()).digest()
+
+
+def _u(tag: str, lo: float, hi: float) -> float:
+    """Deterministic uniform in [lo, hi) from a string tag."""
+    v = int.from_bytes(_h(tag)[:8], "big") / 2**64
+    return lo + v * (hi - lo)
+
+
+# ---------------------------------------------------------------------------
+# pages
+# ---------------------------------------------------------------------------
+
+
+def gen_pages(n_rows: int) -> pa.Table:
+    return gen_pages_slice(0, n_rows, n_rows)
+
+
+# ---------------------------------------------------------------------------
+# regions (convex CCW polygons)
+# ---------------------------------------------------------------------------
+
+from .geotag import CLUSTER_CENTERS
+
+
+def _region_ring(j: int) -> np.ndarray:
+    k = 4 + j % 5
+    radius = 0.1 + (j % 20) * 0.25
+    if j % 16 == 0:
+        cx, cy = CLUSTER_CENTERS[(j // 16) % 4]
+    else:
+        cx = _u(f"regioncx{j}", -170.0, 170.0)
+        cy = _u(f"regioncy{j}", -80.0, 80.0)
+    angles = sorted(_u(f"regionang{j}.{m}", 0.0, 2 * np.pi) for m in range(k))
+    xs = cx + radius * np.cos(angles)
+    ys = cy + radius * np.sin(angles)
+    return np.column_stack([xs, ys])  # sorted angles about center => CCW convex
+
+
+def gen_regions(n_regions: int) -> tuple[pa.Table, pa.Table]:
+    rids, wkbs, cats, xmins, ymins, xmaxs, ymaxs, vfrom, vto = [], [], [], [], [], [], [], [], []
+    e_rid, e_x1, e_y1, e_x2, e_y2 = [], [], [], [], []
+    month_us = 31 * 24 * 3600 * 1_000_000
+    t0 = 1704067200 * 1_000_000
+    for j in range(n_regions):
+        ring = _region_ring(j)
+        rid = f"r{j:06d}"
+        rids.append(rid)
+        wkbs.append(polygon_wkb(ring))
+        cats.append(f"cat{j % 8}")
+        xmins.append(ring[:, 0].min())
+        ymins.append(ring[:, 1].min())
+        xmaxs.append(ring[:, 0].max())
+        ymaxs.append(ring[:, 1].max())
+        w = j % 12
+        vfrom.append(t0 + w * month_us)
+        vto.append(t0 + (w + 1) * month_us)
+        n = len(ring)
+        for m in range(n):
+            x1, y1 = ring[m]
+            x2, y2 = ring[(m + 1) % n]
+            e_rid.append(rid)
+            e_x1.append(x1)
+            e_y1.append(y1)
+            e_x2.append(x2)
+            e_y2.append(y2)
+    regions = pa.table(
+        {
+            "region_id": pa.array(rids),
+            "geometry_wkb": pa.array(wkbs, pa.binary()),
+            "category": pa.array(cats),
+            "xmin": pa.array(xmins, pa.float64()),
+            "ymin": pa.array(ymins, pa.float64()),
+            "xmax": pa.array(xmaxs, pa.float64()),
+            "ymax": pa.array(ymaxs, pa.float64()),
+            "valid_from": pa.array(vfrom, pa.timestamp("us")),
+            "valid_to": pa.array(vto, pa.timestamp("us")),
+        }
+    )
+    edges = pa.table(
+        {
+            "region_id": pa.array(e_rid),
+            "x1": pa.array(e_x1, pa.float64()),
+            "y1": pa.array(e_y1, pa.float64()),
+            "x2": pa.array(e_x2, pa.float64()),
+            "y2": pa.array(e_y2, pa.float64()),
+        }
+    )
+    return regions, edges
+
+
+# ---------------------------------------------------------------------------
+# query shapes + knn probes
+# ---------------------------------------------------------------------------
+
+
+def gen_queries() -> pa.Table:
+    qid, kind, xmin, ymin, xmax, ymax, wkbs, ts, te = [], [], [], [], [], [], [], [], []
+    t0 = 1704067200 * 1_000_000
+    for q in range(20):
+        size = 0.5 + (q % 10) * 3.0
+        if q < 2:  # near-antimeridian edge cases
+            cx = 179.5 if q == 0 else -179.5
+            cy = _u(f"qcy{q}", -60.0, 60.0)
+        elif q < 4:  # hot clusters
+            cx, cy = CLUSTER_CENTERS[q - 2]
+        else:
+            cx = _u(f"qcx{q}", -150.0, 150.0)
+            cy = _u(f"qcy{q}", -70.0, 70.0)
+        x0, x1 = max(-180.0, cx - size / 2), min(180.0, cx + size / 2)
+        y0, y1 = max(-90.0, cy - size / 2), min(90.0, cy + size / 2)
+        qid.append(f"q{q:03d}")
+        kind.append("bbox")
+        xmin.append(x0)
+        ymin.append(y0)
+        xmax.append(x1)
+        ymax.append(y1)
+        wkbs.append(None)
+        has_t = q % 3 == 0
+        ts.append(t0 + q * 10 * 86400 * 1_000_000 if has_t else None)
+        te.append(t0 + (q * 10 + 120) * 86400 * 1_000_000 if has_t else None)
+    for q in range(20):
+        size = 0.5 + (q % 10) * 3.0
+        if q < 2:
+            cx, cy = CLUSTER_CENTERS[q + 2]
+        else:
+            cx = _u(f"qpx{q}", -150.0, 150.0)
+            cy = _u(f"qpy{q}", -70.0, 70.0)
+        k = 5 + q % 4
+        angles = sorted(_u(f"qpang{q}.{m}", 0.0, 2 * np.pi) for m in range(k))
+        ring = np.column_stack(
+            [cx + size / 2 * np.cos(angles), cy + size / 2 * np.sin(angles)]
+        )
+        qid.append(f"p{q:03d}")
+        kind.append("polygon")
+        xmin.append(ring[:, 0].min())
+        ymin.append(ring[:, 1].min())
+        xmax.append(ring[:, 0].max())
+        ymax.append(ring[:, 1].max())
+        wkbs.append(polygon_wkb(ring))
+        ts.append(None)
+        te.append(None)
+    return pa.table(
+        {
+            "query_id": pa.array(qid),
+            "kind": pa.array(kind),
+            "xmin": pa.array(xmin, pa.float64()),
+            "ymin": pa.array(ymin, pa.float64()),
+            "xmax": pa.array(xmax, pa.float64()),
+            "ymax": pa.array(ymax, pa.float64()),
+            "geometry_wkb": pa.array(wkbs, pa.binary()),
+            "t_start": pa.array(ts, pa.timestamp("us")),
+            "t_end": pa.array(te, pa.timestamp("us")),
+        }
+    )
+
+
+def gen_knn_queries(n: int = 200) -> pa.Table:
+    qids, lons, lats, ks = [], [], [], []
+    for q in range(n):
+        if q < 50:
+            cx, cy = CLUSTER_CENTERS[q % 4]
+            lon = cx + _u(f"knnlon{q}", -0.05, 0.05)
+            lat = cy + _u(f"knnlat{q}", -0.05, 0.05)
+        else:
+            lon = _u(f"knnlon{q}", -180.0, 180.0)
+            lat = _u(f"knnlat{q}", -90.0, 90.0)
+        qids.append(f"k{q:04d}")
+        lons.append(lon)
+        lats.append(lat)
+        ks.append([1, 5, 20][q % 3])
+    return pa.table(
+        {
+            "query_id": pa.array(qids),
+            "lon": pa.array(lons, pa.float64()),
+            "lat": pa.array(lats, pa.float64()),
+            "k": pa.array(ks, pa.int32()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# raster chunks
+# ---------------------------------------------------------------------------
+
+
+def gen_raster_chunks(n_chunks: int) -> pa.Table:
+    cid, xmins, ymins, xmaxs, ymaxs, w, h, pix = [], [], [], [], [], [], [], []
+    for i in range(n_chunks):
+        if i % 2 == 1:  # overlap pair: shift previous box by half its width
+            base = i - 1
+            bw = 1.0 + (base % 4)
+            cx = _u(f"chunkx{base}", -170.0, 166.0) + bw / 2
+            cy = _u(f"chunky{base}", -80.0, 76.0)
+        else:
+            bw = 1.0 + (i % 4)
+            cx = _u(f"chunkx{i}", -170.0, 166.0)
+            cy = _u(f"chunky{i}", -80.0, 76.0)
+        cid.append(f"c{i:05d}")
+        xmins.append(cx)
+        ymins.append(cy)
+        xmaxs.append(cx + bw)
+        ymaxs.append(cy + bw)
+        w.append(64)
+        h.append(64)
+        p = (np.int64(i) + np.arange(64 * 64, dtype=np.int64)) % 97
+        pix.append(p.astype(np.float64))
+    return pa.table(
+        {
+            "chunk_id": pa.array(cid),
+            "xmin": pa.array(xmins, pa.float64()),
+            "ymin": pa.array(ymins, pa.float64()),
+            "xmax": pa.array(xmaxs, pa.float64()),
+            "ymax": pa.array(ymaxs, pa.float64()),
+            "width": pa.array(w, pa.int32()),
+            "height": pa.array(h, pa.int32()),
+            "pixels": pa.array(pix, pa.list_(pa.float64())),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+
+def ensure_fixtures(sf_dir: str) -> str:
+    """Generate (once, cached) the fixture tables for this sf; return dir."""
+    out = fixture_dir(sf_dir)
+    marker = os.path.join(out, f"_DONE_{FIXTURE_VERSION}")
+    if os.path.exists(marker):
+        return out
+    name = os.path.basename(os.path.normpath(out))
+    cfg = SCALES[name]
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "pages"), exist_ok=True)
+    n = cfg["pages"]
+    for start in range(0, n, ROWS_PER_FILE):
+        stop = min(start + ROWS_PER_FILE, n)
+        t = gen_pages_slice(start, stop, n)
+        pq.write_table(t, os.path.join(tmp, "pages", f"part-{start:09d}.parquet"))
+    regions, edges = gen_regions(cfg["regions"])
+    pq.write_table(regions, os.path.join(tmp, "regions.parquet"))
+    pq.write_table(edges, os.path.join(tmp, "region_edges.parquet"))
+    pq.write_table(gen_queries(), os.path.join(tmp, "queries.parquet"))
+    pq.write_table(gen_knn_queries(), os.path.join(tmp, "knn_queries.parquet"))
+    pq.write_table(gen_raster_chunks(cfg["chunks"]), os.path.join(tmp, "raster_chunks.parquet"))
+    os.replace(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+def gen_pages_slice(start: int, stop: int, n_total: int) -> pa.Table:
+    """Rows [start, stop) of the pages table of total size n_total
+    (url depends on n_hosts which depends on n_total)."""
+    n_hosts = max(16, n_total // 1000)
+    i = np.arange(start, stop, dtype=np.int64)
+    urls = [f"https://site{k % n_hosts}.example/{k:012d}" for k in range(start, stop)]
+    warc_ts = (np.int64(1704067200) + (i * 1337) % 31_536_000) * 1_000_000
+    html = [
+        (f"<html><body>doc {k} " + "x" * (k % 512) + "</body></html>").encode()
+        for k in range(start, stop)
+    ]
+    url_digests = [hashlib.sha256(u.encode()).digest() for u in urls]
+    texts = [
+        f"doc {k} body {url_digests[k - start][:8].hex()}" for k in range(start, stop)
+    ]
+    lang_idx = np.array([d[0] % 100 for d in url_digests], dtype=np.int64)
+    lang_pos = np.searchsorted(LANG_CUM, lang_idx, side="right")
+    langs = [LANGS[p] for p in lang_pos]
+    lon, lat = derive_lonlat(urls, langs, i)
+    return pa.table(
+        {
+            "row_id": pa.array(i, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(warc_ts, pa.timestamp("us")),
+            "html": pa.array(html, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+        }
+    )
+
+
+def pages_path(sf_dir: str) -> str:
+    return os.path.join(ensure_fixtures(sf_dir), "pages")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    base = ensure_fixtures(sf_dir)
+    return os.path.join(base, "pages") if name == "pages" else os.path.join(base, f"{name}.parquet")

@@ -1,0 +1,257 @@
+"""Geometry kernels (pure numpy — no shapely/JTS in this environment).
+
+Capability parity with the reference's geometry layer:
+
+- WKB encode/decode for Point / Polygon (subset of
+  ``core/geotime/.../util/GeometryUtils.java`` — WKB at full precision).
+- Vectorized point-in-polygon: generic even-odd ray casting plus an
+  exact convex half-plane test (the fine filter of
+  ``core/geotime/.../store/query/filter/SpatialQueryFilter.java``).
+- A bucketed spatial grid index (``GridIndex``) standing in for
+  JTS STRtree as the broadcast probe-side structure of the PIP join
+  (north-rule actor-pool state; reference keeps prepared geometries
+  per worker, ``SpatialQueryFilter.java:38``).
+- Haversine + planar distances for kNN
+  (``analytics/api/.../distance/``).
+
+The convex half-plane test uses the exact expression
+``(x2-x1)*(py-y1) - (y2-y1)*(px-x1) >= 0`` per edge so the DuckDB
+oracle SQL can reproduce it bit-for-bit on the same float64 inputs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# WKB (little-endian; Point=1, Polygon=3)
+# ---------------------------------------------------------------------------
+
+
+def point_wkb(lon: float, lat: float) -> bytes:
+    return struct.pack("<BIdd", 1, 1, lon, lat)
+
+
+def polygon_wkb(coords: np.ndarray) -> bytes:
+    """Exterior-ring-only polygon WKB from an (N, 2) array.
+
+    The ring is closed automatically if the last vertex != first.
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    if not np.array_equal(coords[0], coords[-1]):
+        coords = np.vstack([coords, coords[:1]])
+    header = struct.pack("<BIII", 1, 3, 1, len(coords))
+    return header + coords.astype("<f8").tobytes()
+
+
+def parse_wkb_polygon(wkb: bytes) -> np.ndarray:
+    """Parse a (multi-ring ignored: exterior only) polygon WKB -> (N, 2)."""
+    byte_order = wkb[0]
+    fmt = "<" if byte_order == 1 else ">"
+    geom_type = struct.unpack_from(fmt + "I", wkb, 1)[0]
+    if geom_type != 3:
+        raise ValueError(f"not a polygon WKB (type={geom_type})")
+    n_pts = struct.unpack_from(fmt + "I", wkb, 9)[0]
+    arr = np.frombuffer(wkb, dtype=fmt + "f8", count=2 * n_pts, offset=13)
+    return arr.reshape(-1, 2).copy()
+
+
+def parse_wkb_point(wkb: bytes) -> tuple[float, float]:
+    fmt = "<" if wkb[0] == 1 else ">"
+    x, y = struct.unpack_from(fmt + "dd", wkb, 5)
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon
+# ---------------------------------------------------------------------------
+
+
+def pip_convex(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Exact convex containment: all edge cross products >= 0.
+
+    ``ring`` is (N, 2), CCW, closed or open. Boundary points count as
+    inside (cross == 0 passes). The per-edge expression matches the
+    oracle SQL term-for-term so float results agree bit-exactly.
+    """
+    r = np.asarray(ring, dtype=np.float64)
+    if np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    inside = np.ones(len(px), dtype=bool)
+    n = len(r)
+    for i in range(n):
+        x1, y1 = r[i]
+        x2, y2 = r[(i + 1) % n]
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        inside &= cross >= 0.0
+    return inside
+
+
+def pip_raycast(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Generic even-odd ray casting (handles concave rings).
+
+    Points exactly on a vertex/edge may land either way (standard
+    even-odd caveat); use :func:`pip_convex` when exact boundary
+    semantics are required against the SQL oracle.
+    """
+    r = np.asarray(ring, dtype=np.float64)
+    if np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    n = len(r)
+    inside = np.zeros(len(px), dtype=bool)
+    x1, y1 = r[-1]
+    for i in range(n):
+        x2, y2 = r[i]
+        cond = (y1 > py) != (y2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        inside ^= cond & (px < xint)
+        x1, y1 = x2, y2
+    return inside
+
+
+def ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
+    r = np.asarray(ring, dtype=np.float64)
+    return float(r[:, 0].min()), float(r[:, 1].min()), float(r[:, 0].max()), float(r[:, 1].max())
+
+
+# ---------------------------------------------------------------------------
+# distances
+# ---------------------------------------------------------------------------
+
+EARTH_RADIUS_M = 6_371_008.8
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters (vectorized, broadcasts)."""
+    rlon1, rlat1, rlon2, rlat2 = map(np.radians, (lon1, lat1, lon2, lat2))
+    dlon = rlon2 - rlon1
+    dlat = rlat2 - rlat1
+    a = np.sin(dlat / 2.0) ** 2 + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+
+
+def planar_sqdist(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Squared planar distance in degrees^2 — uses only * - + so the SQL
+    oracle reproduces it exactly (kNN ordering oracle)."""
+    dx = lon2 - lon1
+    dy = lat2 - lat1
+    return dx * dx + dy * dy
+
+
+# ---------------------------------------------------------------------------
+# GridIndex — broadcast probe-side spatial index (STRtree stand-in)
+# ---------------------------------------------------------------------------
+
+
+class GridIndex:
+    """Uniform-grid spatial index over a set of polygons.
+
+    Built once (driver side or in an actor-pool ``__init__`` from a
+    ``ray.put`` object ref) and probed per batch with
+    :meth:`query_points`. Cells at ``tier`` bits/dim; each cell holds
+    the ids of polygons whose bbox overlaps it.
+
+    This plays the role the north rule assigns to "stateful actor pools
+    hold R-tree/STRtree polygon indexes": build cost O(P * cells_per_poly),
+    probe cost O(1) cell lookup + candidate PIP tests, fully vectorized
+    per candidate polygon.
+    """
+
+    def __init__(self, rings: list[np.ndarray], tier: int = 7, convex: bool = True):
+        from .sfc import grid_coords
+
+        self.rings = [np.asarray(r, dtype=np.float64) for r in rings]
+        self.tier = tier
+        self.convex = convex
+        n = 1 << tier
+        self.n = n
+        buckets: dict[int, list[int]] = {}
+        bboxes = np.array([ring_bbox(r) for r in self.rings], dtype=np.float64).reshape(-1, 4)
+        self.bboxes = bboxes
+        for pid in range(len(self.rings)):
+            xmin, ymin, xmax, ymax = bboxes[pid]
+            x0, y0 = grid_coords(np.array([xmin]), np.array([ymin]), tier)
+            x1, y1 = grid_coords(np.array([xmax]), np.array([ymax]), tier)
+            for cx in range(int(x0[0]), int(x1[0]) + 1):
+                for cy in range(int(y0[0]), int(y1[0]) + 1):
+                    buckets.setdefault(cx * n + cy, []).append(pid)
+        # freeze to arrays for cheap serialization + lookup
+        self._bucket_keys = np.array(sorted(buckets.keys()), dtype=np.int64)
+        self._bucket_off = np.zeros(len(buckets) + 1, dtype=np.int64)
+        vals = []
+        for i, k in enumerate(self._bucket_keys):
+            v = buckets[int(k)]
+            vals.extend(v)
+            self._bucket_off[i + 1] = len(vals)
+        self._bucket_vals = np.array(vals, dtype=np.int64)
+
+    def candidates(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(point_idx, poly_id) candidate pairs from bucket lookup."""
+        from .sfc import grid_coords
+
+        cx, cy = grid_coords(px, py, self.tier)
+        keys = cx * self.n + cy
+        pos = np.searchsorted(self._bucket_keys, keys)
+        pos = np.clip(pos, 0, len(self._bucket_keys) - 1)
+        hit = self._bucket_keys[pos] == keys
+        pt_idx = np.nonzero(hit)[0]
+        if len(pt_idx) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        starts = self._bucket_off[pos[pt_idx]]
+        ends = self._bucket_off[pos[pt_idx] + 1]
+        counts = ends - starts
+        rep_pts = np.repeat(pt_idx, counts)
+        # gather candidate poly ids
+        idx = _ranges_concat(starts, ends)
+        polys = self._bucket_vals[idx]
+        return rep_pts, polys
+
+    def query_points(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """All (point_idx, poly_id) pairs where polygon contains point.
+
+        Vectorized per candidate polygon: bbox prefilter then exact PIP.
+        """
+        rep_pts, polys = self.candidates(px, py)
+        if len(rep_pts) == 0:
+            return rep_pts, polys
+        # bbox prefilter
+        bb = self.bboxes[polys]
+        m = (
+            (px[rep_pts] >= bb[:, 0])
+            & (px[rep_pts] <= bb[:, 2])
+            & (py[rep_pts] >= bb[:, 1])
+            & (py[rep_pts] <= bb[:, 3])
+        )
+        rep_pts, polys = rep_pts[m], polys[m]
+        if len(rep_pts) == 0:
+            return rep_pts, polys
+        out_mask = np.zeros(len(rep_pts), dtype=bool)
+        order = np.argsort(polys, kind="stable")
+        rep_pts_s, polys_s = rep_pts[order], polys[order]
+        bounds = np.nonzero(np.diff(polys_s))[0] + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(polys_s)]))
+        test = pip_convex if self.convex else pip_raycast
+        mask_s = np.zeros(len(rep_pts_s), dtype=bool)
+        for s, e in zip(starts, ends):
+            pid = int(polys_s[s])
+            sel = slice(s, e)
+            mask_s[sel] = test(px[rep_pts_s[sel]], py[rep_pts_s[sel]], self.rings[pid])
+        out_mask[order] = mask_s
+        return rep_pts[out_mask], polys[out_mask]
+
+
+def _ranges_concat(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Concatenate np.arange(s, e) for each pair — vectorized."""
+    counts = ends - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    out[offs] = starts
+    out[offs[1:]] -= starts[:-1] + counts[:-1] - 1
+    return np.cumsum(out)

@@ -1,0 +1,76 @@
+import numpy as np
+
+from geowave_ray import geom
+
+
+def square(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)  # CCW
+
+
+def test_wkb_roundtrip():
+    ring = square(0, 0, 2, 3)
+    wkb = geom.polygon_wkb(ring)
+    back = geom.parse_wkb_polygon(wkb)
+    assert np.array_equal(back[:-1], ring)  # closed on write
+    x, y = geom.parse_wkb_point(geom.point_wkb(1.5, -2.5))
+    assert (x, y) == (1.5, -2.5)
+
+
+def test_pip_convex_square():
+    ring = square(0, 0, 2, 2)
+    px = np.array([1.0, 3.0, 0.0, 2.0, -0.001])
+    py = np.array([1.0, 1.0, 0.0, 2.0, 1.0])
+    got = geom.pip_convex(px, py, ring)
+    assert got.tolist() == [True, False, True, True, False]  # boundary inclusive
+
+
+def test_pip_raycast_concave():
+    # concave "L" shape
+    ring = np.array(
+        [[0, 0], [4, 0], [4, 4], [3, 4], [3, 1], [0, 1]], dtype=np.float64
+    )
+    px = np.array([0.5, 3.5, 2.0, 2.0])
+    py = np.array([0.5, 2.0, 0.5, 2.0])
+    got = geom.pip_raycast(px, py, ring)
+    assert got.tolist() == [True, True, True, False]
+
+
+def test_pip_convex_matches_raycast_random():
+    rng = np.random.default_rng(7)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, 7))
+    ring = np.column_stack([10 + 5 * np.cos(angles), -3 + 5 * np.sin(angles)])
+    px = rng.uniform(0, 20, 2000)
+    py = rng.uniform(-13, 7, 2000)
+    a = geom.pip_convex(px, py, ring)
+    b = geom.pip_raycast(px, py, ring)
+    # interior points agree (boundary measure-zero for random floats)
+    assert (a == b).mean() > 0.999
+
+
+def test_haversine_known():
+    # London -> Paris ~ 343.5 km
+    d = geom.haversine_m(np.array([-0.1276]), np.array([51.5072]),
+                         np.array([2.3522]), np.array([48.8566]))
+    assert abs(d[0] - 343_500) < 2_000
+
+
+def test_grid_index_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    rings = []
+    for j in range(50):
+        k = 4 + j % 4
+        angles = np.sort(rng.uniform(0, 2 * np.pi, k))
+        cx, cy = rng.uniform(-150, 150), rng.uniform(-70, 70)
+        r = rng.uniform(1, 8)
+        rings.append(np.column_stack([cx + r * np.cos(angles), cy + r * np.sin(angles)]))
+    idx = geom.GridIndex(rings, tier=6, convex=True)
+    px = rng.uniform(-180, 180, 5000)
+    py = rng.uniform(-90, 90, 5000)
+    pi, pj = idx.query_points(px, py)
+    got = set(zip(pi.tolist(), pj.tolist()))
+    expect = set()
+    for j, ring in enumerate(rings):
+        m = geom.pip_convex(px, py, ring)
+        for i in np.nonzero(m)[0]:
+            expect.add((int(i), j))
+    assert got == expect

