@@ -63,6 +63,10 @@ class GeotagStage:
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # always re-derive: drop any stored (oracle-only) lon/lat columns
+        for col in ("lon", "lat"):
+            if col in batch.column_names:
+                batch = batch.drop_columns([col])
         urls = batch.column("url").to_pylist()
         langs = batch.column("lang").to_pylist()
         idx = batch.column("row_id").to_numpy() if "row_id" in batch.column_names else None

@@ -1,0 +1,114 @@
+"""Spatial query path: constraint -> coarse cell ranges -> pruned read
+-> vectorized fine filter.
+
+Reference lifecycle (``core/store/.../base/BaseDataStore.java:298-345``):
+constraint decomposition to per-tier QueryRanges, backend range scans,
+then client-side fine filtering (BasicQueryFilter coarse numeric +
+SpatialQueryFilter PIP + DedupeFilter). Ray-Data shape: the driver
+computes the bbox's cell ranges (``sfc.bbox_cell_ranges``) and pushes a
+partition/row-group predicate into ``read_parquet``; the fine filter is
+a vectorized mask inside ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..geom import parse_wkb_polygon, pip_convex, pip_raycast
+from ..sfc import MAX_TIER, bbox_cell_ranges
+
+
+def bbox_filter_batch(
+    batch: pa.Table, xmin: float, ymin: float, xmax: float, ymax: float,
+    t_start=None, t_end=None,
+) -> pa.Table:
+    """Coarse+exact bbox (± time) filter, boundary-inclusive on the
+    low/left edge and inclusive on the high edge (matches the SQL
+    oracle's BETWEEN semantics)."""
+    lon = batch.column("lon").to_numpy()
+    lat = batch.column("lat").to_numpy()
+    m = (lon >= xmin) & (lon <= xmax) & (lat >= ymin) & (lat <= ymax)
+    if t_start is not None:
+        ts = batch.column("warc_ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        m &= (ts >= t_start) & (ts < t_end)
+    return batch.filter(pa.array(m))
+
+
+def polygon_filter_batch(batch: pa.Table, ring: np.ndarray, convex: bool = True) -> pa.Table:
+    lon = batch.column("lon").to_numpy()
+    lat = batch.column("lat").to_numpy()
+    x0, y0 = ring[:, 0].min(), ring[:, 1].min()
+    x1, y1 = ring[:, 0].max(), ring[:, 1].max()
+    m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+    if m.any():
+        test = pip_convex if convex else pip_raycast
+        mm = test(lon[m], lat[m], ring)
+        out = np.zeros(len(lon), dtype=bool)
+        out[np.nonzero(m)[0]] = mm
+        m = out
+    return batch.filter(pa.array(m))
+
+
+def read_pages_pruned(
+    ingested_dir_or_files,
+    xmin: float, ymin: float, xmax: float, ymax: float,
+    columns=None,
+    tier: int = MAX_TIER,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Read an INGESTED pages layout, pruning partitions whose
+    cell_bucket can't intersect the query bbox (the QueryRanges
+    push-down analogue). Falls back to a plain read for raw layouts."""
+    import pyarrow.compute as pc
+
+    ranges = bbox_cell_ranges(xmin, ymin, xmax, ymax, tier=tier, max_ranges=32)
+    shift = 2 * tier - 8
+    bucket_set: set[int] = set()
+    for lo, hi in ranges:
+        b0 = int(np.uint64(lo) >> np.uint64(shift))
+        b1 = int(np.uint64(hi) >> np.uint64(shift))
+        for b in range(b0, b1 + 1):
+            bucket_set.add(b % n_buckets)
+    buckets = sorted(bucket_set)
+    try:
+        flt = pc.field("cell_bucket").isin(buckets)
+        return ray.data.read_parquet(ingested_dir_or_files, columns=columns, filter=flt)
+    except Exception:
+        return ray.data.read_parquet(ingested_dir_or_files, columns=columns)
+
+
+def bbox_query(
+    pages: ray.data.Dataset,
+    xmin: float, ymin: float, xmax: float, ymax: float,
+    t_start=None, t_end=None,
+) -> ray.data.Dataset:
+    return pages.map_batches(
+        bbox_filter_batch,
+        fn_kwargs=dict(
+            xmin=xmin, ymin=ymin, xmax=xmax, ymax=ymax,
+            t_start=t_start, t_end=t_end,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def polygon_query(pages: ray.data.Dataset, wkb: bytes, convex: bool = True) -> ray.data.Dataset:
+    ring = parse_wkb_polygon(wkb)
+    return pages.map_batches(
+        polygon_filter_batch, fn_kwargs=dict(ring=ring, convex=convex),
+        batch_format="pyarrow",
+    )
+
+
+def subsample_by_cell(pages_with_cells: ray.data.Dataset, id_col: str = "url") -> ray.data.Dataset:
+    """Resolution subsampling: one representative row per coarse cell
+    (min id — deterministic), the reference's
+    FixedResolutionSubsampleQueryFilter."""
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="mergesort").head(1)
+
+    return pages_with_cells.groupby("cell_id").map_groups(first, batch_format="pandas")

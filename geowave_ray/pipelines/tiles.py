@@ -1,0 +1,164 @@
+"""Raster ↔ vector tile assignment and tile merge.
+
+Reference semantics: ``extensions/adapters/raster/.../RasterDataAdapter.java``
+``convertToIndex:444-650`` — a coverage chunk picks a pyramid level by
+resolution ratio, is assigned to every tile of that level its extent
+overlaps, each tile is resampled/mosaicked, and overlapping tiles are
+merged (``SummingMergeStrategy`` / ``SumAndAveragingMergeStrategy``,
+asserted per-pixel by ``GeoWaveBasicRasterIT.java:573-640``).
+
+Our grid: square tiles of ``TILE_SIZE`` px; level L tiles span
+``360 / 2**L`` degrees, world origin (-180, -90), x tiles 0..2**L*?,
+y rows up to ``ceil(180/tile_deg)``. Level selection: finest L whose
+tile resolution is >= the chunk's native resolution
+(L = floor(log2(360 / chunk_width_deg)) when width==TILE_SIZE px).
+Assignment is a pure function of (extent) so N and 4N runs agree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+TILE_SIZE = 64
+MAX_LEVEL = 16
+
+
+def assign_tiles_batch(batch: pa.Table) -> pa.Table:
+    """chunks -> one row per (chunk_id, level, tile_x, tile_y).
+
+    Half-open boxes [xmin, xmax) x [ymin, ymax): a chunk whose edge
+    lands exactly on a tile boundary does not claim the next tile.
+    """
+    xmin = batch.column("xmin").to_numpy()
+    ymin = batch.column("ymin").to_numpy()
+    xmax = batch.column("xmax").to_numpy()
+    ymax = batch.column("ymax").to_numpy()
+    width = batch.column("width").to_numpy()
+    cids = batch.column("chunk_id").to_pylist()
+    res = (xmax - xmin) / width  # deg per px
+    level = np.floor(np.log2(360.0 / (res * TILE_SIZE))).astype(np.int64)
+    np.clip(level, 0, MAX_LEVEL, out=level)
+    out_cid, out_l, out_tx, out_ty = [], [], [], []
+    for i in range(len(cids)):
+        td = 360.0 / float(1 << level[i])
+        tx0 = int(np.floor((xmin[i] + 180.0) / td))
+        tx1 = int(np.ceil((xmax[i] + 180.0) / td)) - 1
+        ty0 = int(np.floor((ymin[i] + 90.0) / td))
+        ty1 = int(np.ceil((ymax[i] + 90.0) / td)) - 1
+        for tx in range(tx0, tx1 + 1):
+            for ty in range(ty0, ty1 + 1):
+                out_cid.append(cids[i])
+                out_l.append(int(level[i]))
+                out_tx.append(tx)
+                out_ty.append(ty)
+    return pa.table(
+        {
+            "chunk_id": pa.array(out_cid, pa.string()),
+            "level": pa.array(out_l, pa.int64()),
+            "tile_x": pa.array(out_tx, pa.int64()),
+            "tile_y": pa.array(out_ty, pa.int64()),
+        }
+    )
+
+
+def assign_tiles(chunks: ray.data.Dataset) -> ray.data.Dataset:
+    return chunks.map_batches(assign_tiles_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# resample + merge (SummingMergeStrategy / SumAndAveraging analogues)
+# ---------------------------------------------------------------------------
+
+
+def _resample_to_tiles(batch: pa.Table) -> pa.Table:
+    """Nearest-neighbor resample each chunk onto each overlapped tile's
+    TILE_SIZE^2 grid -> rows (level, tile_x, tile_y, pixels, counts)."""
+    xmin = batch.column("xmin").to_numpy()
+    ymin = batch.column("ymin").to_numpy()
+    xmax = batch.column("xmax").to_numpy()
+    ymax = batch.column("ymax").to_numpy()
+    width = batch.column("width").to_numpy()
+    height = batch.column("height").to_numpy()
+    pixels = batch.column("pixels")
+    rows = {"level": [], "tile_x": [], "tile_y": [], "pixels": [], "counts": []}
+    for i in range(len(xmin)):
+        w, h = int(width[i]), int(height[i])
+        px = np.asarray(pixels[i].as_py(), dtype=np.float64).reshape(h, w)
+        res = (xmax[i] - xmin[i]) / w
+        level = int(np.clip(np.floor(np.log2(360.0 / (res * TILE_SIZE))), 0, MAX_LEVEL))
+        td = 360.0 / float(1 << level)
+        tx0 = int(np.floor((xmin[i] + 180.0) / td))
+        tx1 = int(np.ceil((xmax[i] + 180.0) / td)) - 1
+        ty0 = int(np.floor((ymin[i] + 90.0) / td))
+        ty1 = int(np.ceil((ymax[i] + 90.0) / td)) - 1
+        for tx in range(tx0, tx1 + 1):
+            for ty in range(ty0, ty1 + 1):
+                # tile pixel centers in world coords
+                gx = -180.0 + (tx + (np.arange(TILE_SIZE) + 0.5) / TILE_SIZE) * td
+                gy = -90.0 + (ty + (np.arange(TILE_SIZE) + 0.5) / TILE_SIZE) * td
+                ix = np.floor((gx - xmin[i]) / res).astype(np.int64)
+                iy = np.floor((gy - ymin[i]) / ((ymax[i] - ymin[i]) / h)).astype(np.int64)
+                okx = (ix >= 0) & (ix < w)
+                oky = (iy >= 0) & (iy < h)
+                tile = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.float64)
+                cnt = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.float64)
+                if okx.any() and oky.any():
+                    sub = px[np.ix_(iy[oky], ix[okx])]
+                    block = np.zeros_like(tile)
+                    block[np.ix_(oky, okx)] = sub
+                    tile = block
+                    cblock = np.zeros_like(cnt)
+                    cblock[np.ix_(oky, okx)] = 1.0
+                    cnt = cblock
+                rows["level"].append(level)
+                rows["tile_x"].append(tx)
+                rows["tile_y"].append(ty)
+                rows["pixels"].append(tile.ravel())
+                rows["counts"].append(cnt.ravel())
+    return pa.table(
+        {
+            "level": pa.array(rows["level"], pa.int64()),
+            "tile_x": pa.array(rows["tile_x"], pa.int64()),
+            "tile_y": pa.array(rows["tile_y"], pa.int64()),
+            "pixels": pa.array([p for p in rows["pixels"]], pa.list_(pa.float64())),
+            "counts": pa.array([c for c in rows["counts"]], pa.list_(pa.float64())),
+        }
+    )
+
+
+def merge_tiles(
+    chunks: ray.data.Dataset, strategy: str = "sum"
+) -> ray.data.Dataset:
+    """Mosaic overlapping chunks per tile.
+
+    strategy='sum'  -> per-pixel sum of contributions (SummingMergeStrategy)
+    strategy='avg'  -> per-pixel sum / contribution count
+                       (SumAndAveragingMergeStrategy)
+    """
+    contrib = chunks.map_batches(_resample_to_tiles, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(TILE_SIZE * TILE_SIZE, dtype=np.float64)
+        cnt = np.zeros(TILE_SIZE * TILE_SIZE, dtype=np.float64)
+        for p, c in zip(g["pixels"], g["counts"]):
+            acc += np.asarray(p, dtype=np.float64)
+            cnt += np.asarray(c, dtype=np.float64)
+        if strategy == "avg":
+            with np.errstate(invalid="ignore", divide="ignore"):
+                acc = np.where(cnt > 0, acc / cnt, 0.0)
+        return pd.DataFrame(
+            {
+                "level": [int(g["level"].iloc[0])],
+                "tile_x": [int(g["tile_x"].iloc[0])],
+                "tile_y": [int(g["tile_y"].iloc[0])],
+                "n_contrib": [len(g)],
+                "pixels": [acc],
+            }
+        )
+
+    return contrib.groupby(["level", "tile_x", "tile_y"]).map_groups(
+        merge, batch_format="pandas"
+    )

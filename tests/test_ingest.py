@@ -1,0 +1,56 @@
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from geowave_ray import fixtures
+from geowave_ray.pipelines import ingest
+from geowave_ray.state import manifest as mf
+
+
+@pytest.fixture()
+def pages_dir(tmp_path):
+    d = tmp_path / "pages"
+    d.mkdir()
+    for start in (0, 1000, 2000):
+        t = fixtures.gen_pages_slice(start, start + 1000, 3000)
+        pq.write_table(t, str(d / f"part-{start:06d}.parquet"))
+    return str(d)
+
+
+def test_ingest_writes_partitioned_layout_and_manifest(ray_session, pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    res = ingest.ingest_pages(pages_dir, out, files_per_group=2)
+    assert res["rows"] == 3000
+    assert res["skipped"] == 0
+    parts = glob.glob(os.path.join(out, "group=*", "cell_bucket=*", "*.parquet"))
+    assert parts
+    # text byte-identical invariant survives ingest
+    t = pq.read_table(os.path.join(out, "group=000000"))
+    orig = pq.read_table(pages_dir)
+    got = dict(zip(t["url"].to_pylist(), t["text"].to_pylist()))
+    for u, txt in zip(orig["url"].to_pylist(), orig["text"].to_pylist()):
+        if u in got:
+            assert got[u] == txt
+    # manifest complete for every input file; histogram totals match
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    for f in files:
+        assert mf.is_complete(os.path.join(out, "_manifest"), f)
+    hist = mf.merged_cell_histogram(os.path.join(out, "_manifest"))
+    assert sum(hist.values()) == 3000
+
+
+def test_ingest_resume_skips_complete(ray_session, pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ingest.ingest_pages(pages_dir, out, files_per_group=2)
+    res2 = ingest.ingest_pages(pages_dir, out, files_per_group=2)
+    assert res2["skipped"] == 3
+    assert res2["rows"] == 0
+    # partial completion: drop one manifest entry -> only its group reruns
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    path = mf._entry_path(os.path.join(out, "_manifest"), files[-1])
+    os.remove(path)
+    res3 = ingest.ingest_pages(pages_dir, out, files_per_group=2)
+    assert res3["skipped"] == 2
+    assert res3["rows"] == 1000

@@ -1,0 +1,183 @@
+"""End-to-end pipeline tests vs brute-force oracles (the
+GeoWaveSparkSpatialJoinIT / AbstractGeoWaveBasicVectorIT model:
+exact count + id-set equality)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from geowave_ray import fixtures
+from geowave_ray.geom import parse_wkb_polygon, pip_convex, planar_sqdist
+from geowave_ray.pipelines import kde, knn, query, spatial_join, tiles
+
+
+@pytest.fixture(scope="module")
+def small(ray_session):
+    pages = fixtures.gen_pages_slice(0, 2000, 2000)
+    regions, edges = fixtures.gen_regions(96)
+    return pages, regions, edges
+
+
+def brute_force_pairs(pages: pa.Table, regions: pa.Table) -> set:
+    lon = pages["lon"].to_numpy()
+    lat = pages["lat"].to_numpy()
+    urls = pages["url"].to_pylist()
+    out = set()
+    for j in range(regions.num_rows):
+        ring = parse_wkb_polygon(regions["geometry_wkb"][j].as_py())
+        m = pip_convex(lon, lat, ring)
+        rid = regions["region_id"][j].as_py()
+        for i in np.nonzero(m)[0]:
+            out.add((urls[i], rid))
+    return out
+
+
+def test_broadcast_join_matches_bruteforce(small):
+    pages, regions, _ = small
+    ds = ray.data.from_arrow(pages)
+    got = spatial_join.broadcast_pip_join(ds, regions, concurrency=2).to_pandas()
+    got_set = set(zip(got["url"], got["region_id"]))
+    expect = brute_force_pairs(pages, regions)
+    assert got_set == expect
+    assert len(got) == len(got_set)  # no duplicate pairs
+
+
+def test_cogroup_join_matches_broadcast(small):
+    pages, regions, _ = small
+    pds = ray.data.from_arrow(pages)
+    rds = ray.data.from_arrow(regions)
+    got = spatial_join.cogroup_pip_join(pds, rds).to_pandas()
+    got_set = set(zip(got["url"], got["region_id"]))
+    assert got_set == brute_force_pairs(pages, regions)
+    assert len(got) == len(got_set)
+
+
+def test_anti_join(small):
+    pages, regions, _ = small
+    ds = ray.data.from_arrow(pages)
+    got = spatial_join.broadcast_pip_join(ds, regions, mode="anti", concurrency=2).to_pandas()
+    matched = {u for (u, r) in brute_force_pairs(pages, regions)}
+    expect = set(pages["url"].to_pylist()) - matched
+    assert set(got["url"]) == expect
+
+
+def test_knn_matches_bruteforce(small):
+    pages, _, _ = small
+    qt = fixtures.gen_knn_queries(30)
+    ds = ray.data.from_arrow(pages)
+    got = knn.knn(ds, qt, concurrency=2).to_pandas()
+    lon = pages["lon"].to_numpy()
+    lat = pages["lat"].to_numpy()
+    urls = np.asarray(pages["url"].to_pylist(), dtype=object)
+    for qi in range(qt.num_rows):
+        qid = qt["query_id"][qi].as_py()
+        k = qt["k"][qi].as_py()
+        d = planar_sqdist(qt["lon"][qi].as_py(), qt["lat"][qi].as_py(), lon, lat)
+        order = np.lexsort((urls, d))[:k]
+        expect = urls[order].tolist()
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert sub["url"].tolist() == expect, qid
+
+
+def test_bbox_and_polygon_query(small):
+    pages, _, _ = small
+    ds = ray.data.from_arrow(pages)
+    qt = fixtures.gen_queries()
+    lon = pages["lon"].to_numpy()
+    lat = pages["lat"].to_numpy()
+    # bbox
+    r = qt.slice(4, 1)
+    x0, y0, x1, y1 = (r[c][0].as_py() for c in ["xmin", "ymin", "xmax", "ymax"])
+    got = query.bbox_query(ds, x0, y0, x1, y1).to_pandas()
+    m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+    assert set(got["url"]) == set(np.asarray(pages["url"].to_pylist(), object)[m])
+    # polygon
+    polys = qt.filter(pa.compute.equal(qt["kind"], "polygon"))
+    wkb = polys["geometry_wkb"][0].as_py()  # hot-cluster polygon -> non-empty
+    ring = parse_wkb_polygon(wkb)
+    got = query.polygon_query(ds, wkb).to_pandas()
+    mm = pip_convex(lon, lat, ring)
+    assert mm.sum() > 0
+    assert set(got["url"]) == set(np.asarray(pages["url"].to_pylist(), object)[mm])
+
+
+def test_tile_assignment_closed_form(small, ray_session):
+    chunks = fixtures.gen_raster_chunks(32)
+    ds = ray.data.from_arrow(chunks)
+    got = tiles.assign_tiles(ds).to_pandas()
+    for i in range(chunks.num_rows):
+        cid = chunks["chunk_id"][i].as_py()
+        xmin = chunks["xmin"][i].as_py()
+        xmax = chunks["xmax"][i].as_py()
+        ymin = chunks["ymin"][i].as_py()
+        ymax = chunks["ymax"][i].as_py()
+        w = chunks["width"][i].as_py()
+        res = (xmax - xmin) / w
+        level = int(np.clip(np.floor(np.log2(360.0 / (res * 64))), 0, 16))
+        td = 360.0 / (1 << level)
+        n_tiles = (
+            (int(np.ceil((xmax + 180) / td)) - int(np.floor((xmin + 180) / td)))
+            * (int(np.ceil((ymax + 90) / td)) - int(np.floor((ymin + 90) / td)))
+        )
+        sub = got[got["chunk_id"] == cid]
+        assert len(sub) == n_tiles
+        assert (sub["level"] == level).all()
+
+
+def test_tile_merge_sum_and_avg(ray_session):
+    # two identical fully-aligned chunks: sum doubles, avg equals single
+    td = 360.0 / (1 << 8)  # level 8 tile
+    chunk = dict(
+        xmin=-180.0, ymin=-90.0, xmax=-180.0 + td, ymax=-90.0 + td,
+        width=64, height=64,
+    )
+    pix = ((np.arange(64 * 64) % 97).astype(np.float64))
+    t = pa.table(
+        {
+            "chunk_id": ["a", "b"],
+            "xmin": [chunk["xmin"]] * 2,
+            "ymin": [chunk["ymin"]] * 2,
+            "xmax": [chunk["xmax"]] * 2,
+            "ymax": [chunk["ymax"]] * 2,
+            "width": pa.array([64, 64], pa.int32()),
+            "height": pa.array([64, 64], pa.int32()),
+            "pixels": pa.array([pix, pix], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    merged = tiles.merge_tiles(ds, strategy="sum").to_pandas()
+    assert len(merged) == 1
+    got = np.asarray(merged["pixels"].iloc[0])
+    assert np.allclose(got, 2 * pix)
+    avg = tiles.merge_tiles(ds, strategy="avg").to_pandas()
+    assert np.allclose(np.asarray(avg["pixels"].iloc[0]), pix)
+
+
+def test_cell_histogram_and_rank(small):
+    pages, _, _ = small
+    ds = ray.data.from_arrow(pages)
+    hist = kde.cell_histogram(ds, tier=6).to_pandas()
+    assert hist["n"].sum() == pages.num_rows
+    ranked = kde.cell_histogram_ranked(ds, tier=6).to_pandas()
+    assert ranked["rank"].iloc[0] == 1
+    assert (ranked.sort_values("rank")["n"].diff().dropna() <= 0).all()
+    # hot clusters dominate: top-4 cells hold ~30% of rows
+    assert ranked.nlargest(4, "n")["n"].sum() >= 0.29 * pages.num_rows
+
+
+def test_subsample_by_cell(small):
+    pages, _, _ = small
+    from geowave_ray.stages.cell_encode import encode_points
+
+    ds = ray.data.from_arrow(pages).map_batches(
+        lambda b: encode_points(b, tier=4), batch_format="pyarrow"
+    )
+    sub = query.subsample_by_cell(ds).to_pandas()
+    # one row per distinct cell, each the min-url representative
+    full = encode_points(pages, tier=4).to_pandas()
+    expect = full.sort_values("url").groupby("cell_id").first()
+    assert len(sub) == full["cell_id"].nunique()
+    got = sub.set_index("cell_id")["url"].sort_index()
+    assert got.equals(expect["url"].sort_index())
