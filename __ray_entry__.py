@@ -1,16 +1,20 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per-operator pipelines,
+oracle_sql() DuckDB equivalents (run side-by-side at sf=0.01).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+ray.init/shutdown anywhere in this module or the library.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Geospatial pipelines run over the deterministic synthetic ``pages`` /
+``regions`` / ``queries`` / ``knn_queries`` / ``raster_chunks``
+fixtures (FIXTURES.md; generated on demand under /tmp/geowave_fixtures
+keyed by sf — the north-rule input shape). The fixture stores
+oracle-only ``lon``/``lat`` columns derived by the same pure sha256
+function the engine's geotag stage computes, so the DuckDB oracle can
+reference them while the engine re-derives from (url, lang); equality
+is itself an oracle-checked query (``geotag_derive``).
+
+Text/dedup/ANN/window operators run over the driver's testdata tables
+(documents/embeddings/events/lineitem).
 """
 
 from __future__ import annotations
@@ -18,27 +22,789 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF01 = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _fx(sf_dir: str) -> str:
+    from geowave_ray.fixtures import ensure_fixtures
+
+    return ensure_fixtures(sf_dir)
+
+
+def _pages(sf_dir: str, columns=None):
+    """Engine-facing pages Dataset: lon/lat RE-DERIVED from (url, lang)
+    via the geotag stage (stored oracle columns are dropped)."""
+    import ray.data
+
+    from geowave_ray.geotag import geotag_batch
+
+    cols = columns or ["row_id", "url", "warc_ts", "lang"]
+    need = [c for c in set(cols) | {"row_id", "url", "lang"} if c not in ("lon", "lat")]
+    ds = ray.data.read_parquet(f"{_fx(sf_dir)}/pages", columns=sorted(need))
+    return ds.map_batches(geotag_batch, batch_format="pyarrow")
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data
+
+    from geowave_ray.fixtures import table_path
+
+    return ray.data.read_parquet(table_path(sf_dir, name), columns=columns)
+
+
+def _read_testdata(sf_dir: str, name: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _regions_table(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{_fx(sf_dir)}/regions.parquet")
+
+
+# ---------------------------------------------------------------------------
+# geospatial queries (pages/regions fixtures)
+# ---------------------------------------------------------------------------
+
+
+def q_geotag_derive(sf_dir: str):
+    return _pages(sf_dir).select_columns(["url", "lon", "lat"])
+
+
+def q_cell_encode(sf_dir: str):
+    from geowave_ray.stages.cell_encode import encode_points
+
+    ds = _pages(sf_dir).map_batches(
+        lambda b: encode_points(b, tier=12), batch_format="pyarrow"
+    )
+    return ds.select_columns(["url", "cell_x", "cell_y"])
+
+
+def q_cell_hist(sf_dir: str):
+    from geowave_ray.pipelines.kde import cell_histogram
+
+    return cell_histogram(_pages(sf_dir), tier=8)
+
+
+def q_cell_rank(sf_dir: str):
+    from geowave_ray.pipelines.kde import cell_histogram_ranked
+
+    ds = cell_histogram_ranked(_pages(sf_dir), tier=7)
+    return ds.select_columns(["rank", "cell_x", "cell_y", "n"])
+
+
+def q_pip_join(sf_dir: str):
+    from geowave_ray.pipelines.spatial_join import broadcast_pip_join
+
+    return broadcast_pip_join(_pages(sf_dir), _regions_table(sf_dir), concurrency=4)
+
+
+def q_pip_join_cogroup(sf_dir: str):
+    import ray.data
+
+    from geowave_ray.pipelines.spatial_join import cogroup_pip_join
+
+    regions = ray.data.read_parquet(f"{_fx(sf_dir)}/regions.parquet")
+    return cogroup_pip_join(_pages(sf_dir), regions)
+
+
+def q_pip_join_count(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from geowave_ray.pipelines.spatial_join import broadcast_pip_join
+
+    pairs = broadcast_pip_join(
+        _pages(sf_dir),
+        _regions_table(sf_dir),
+        region_cols=("region_id", "category"),
+        concurrency=4,
+    )
+    return pairs.groupby("category").aggregate(Count(alias_name="n_pages"))
+
+
+def q_pip_join_anti(sf_dir: str):
+    from geowave_ray.pipelines.spatial_join import broadcast_pip_join
+
+    return broadcast_pip_join(
+        _pages(sf_dir), _regions_table(sf_dir), mode="anti", concurrency=4
+    )
+
+
+def q_pip_join_temporal(sf_dir: str):
+    from geowave_ray.pipelines.spatial_join import broadcast_pip_join
+
+    pairs = broadcast_pip_join(
+        _pages(sf_dir),
+        _regions_table(sf_dir),
+        keep_cols=("url", "warc_ts"),
+        temporal=True,
+        concurrency=4,
+    )
+    return pairs.select_columns(["url", "region_id"])
+
+
+def q_bbox_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    qt = pq.read_table(f"{_fx(sf_dir)}/queries.parquet")
+    import pyarrow.compute as pc
+
+    qt = qt.filter(pc.equal(qt["kind"], "bbox"))
+    boxes = {
+        "qid": np.asarray(qt["query_id"].to_pylist(), object),
+        "xmin": qt["xmin"].to_numpy(),
+        "ymin": qt["ymin"].to_numpy(),
+        "xmax": qt["xmax"].to_numpy(),
+        "ymax": qt["ymax"].to_numpy(),
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        qids, ns = [], []
+        for i in range(len(boxes["qid"])):
+            n = int(
+                (
+                    (lon >= boxes["xmin"][i])
+                    & (lon <= boxes["xmax"][i])
+                    & (lat >= boxes["ymin"][i])
+                    & (lat <= boxes["ymax"][i])
+                ).sum()
+            )
+            if n:
+                qids.append(boxes["qid"][i])
+                ns.append(n)
+        return pa.table(
+            {"query_id": pa.array(qids, pa.string()), "n": pa.array(ns, pa.int64())}
+        )
+
+    return (
+        _pages(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def q_bbox_temporal(sf_dir: str):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    qt = pq.read_table(f"{_fx(sf_dir)}/queries.parquet")
+    qt = qt.filter(
+        pc.and_(pc.equal(qt["kind"], "bbox"), pc.is_valid(qt["t_start"]))
+    )
+    boxes = {
+        "qid": np.asarray(qt["query_id"].to_pylist(), object),
+        "xmin": qt["xmin"].to_numpy(),
+        "ymin": qt["ymin"].to_numpy(),
+        "xmax": qt["xmax"].to_numpy(),
+        "ymax": qt["ymax"].to_numpy(),
+        "t0": qt["t_start"].to_numpy().astype("datetime64[us]").astype(np.int64),
+        "t1": qt["t_end"].to_numpy().astype("datetime64[us]").astype(np.int64),
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        ts = batch.column("warc_ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        qids, ns = [], []
+        for i in range(len(boxes["qid"])):
+            n = int(
+                (
+                    (lon >= boxes["xmin"][i])
+                    & (lon <= boxes["xmax"][i])
+                    & (lat >= boxes["ymin"][i])
+                    & (lat <= boxes["ymax"][i])
+                    & (ts >= boxes["t0"][i])
+                    & (ts < boxes["t1"][i])
+                ).sum()
+            )
+            if n:
+                qids.append(boxes["qid"][i])
+                ns.append(n)
+        return pa.table(
+            {"query_id": pa.array(qids, pa.string()), "n": pa.array(ns, pa.int64())}
+        )
+
+    return (
+        _pages(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def q_polygon_queries(sf_dir: str):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from geowave_ray.geom import parse_wkb_polygon, pip_convex
+
+    qt = pq.read_table(f"{_fx(sf_dir)}/queries.parquet")
+    qt = qt.filter(pc.equal(qt["kind"], "polygon"))
+    polys = [
+        (
+            qt["query_id"][i].as_py(),
+            parse_wkb_polygon(qt["geometry_wkb"][i].as_py()),
+            (
+                qt["xmin"][i].as_py(),
+                qt["ymin"][i].as_py(),
+                qt["xmax"][i].as_py(),
+                qt["ymax"][i].as_py(),
+            ),
+        )
+        for i in range(qt.num_rows)
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        qids, ns = [], []
+        for qid, ring, (x0, y0, x1, y1) in polys:
+            m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+            if m.any():
+                n = int(pip_convex(lon[m], lat[m], ring).sum())
+                if n:
+                    qids.append(qid)
+                    ns.append(n)
+        return pa.table(
+            {"query_id": pa.array(qids, pa.string()), "n": pa.array(ns, pa.int64())}
+        )
+
+    return (
+        _pages(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def q_knn(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from geowave_ray.pipelines.knn import knn
+
+    qt = pq.read_table(f"{_fx(sf_dir)}/knn_queries.parquet")
+    return knn(_pages(sf_dir), qt, metric="planar", concurrency=4)
+
+
+def q_knn_haversine(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from geowave_ray.pipelines.knn import knn
+
+    qt = pq.read_table(f"{_fx(sf_dir)}/knn_queries.parquet")
+    return knn(_pages(sf_dir), qt, metric="haversine", concurrency=4)
+
+
+def q_tile_assign(sf_dir: str):
+    from geowave_ray.pipelines.tiles import assign_tiles
+
+    return assign_tiles(_read(sf_dir, "raster_chunks"))
+
+
+def q_tile_pixel_sum(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from geowave_ray.pipelines.tiles import assign_tiles_batch
+
+    def with_sums(batch: pa.Table) -> pa.Table:
+        sums = np.array(
+            [float(np.sum(np.asarray(p.as_py()))) for p in batch.column("pixels")]
+        )
+        assigned = assign_tiles_batch(batch)
+        csum = dict(zip(batch.column("chunk_id").to_pylist(), sums.tolist()))
+        vals = [csum[c] for c in assigned.column("chunk_id").to_pylist()]
+        return assigned.append_column("chunk_sum", pa.array(vals, pa.float64()))
+
+    ds = _read(sf_dir, "raster_chunks").map_batches(with_sums, batch_format="pyarrow")
+    return ds.groupby(["level", "tile_x", "tile_y"]).aggregate(
+        Sum("chunk_sum", alias_name="pixel_sum"), Count(alias_name="n_chunks")
+    )
+
+
+def q_tile_merge_sum(sf_dir: str):
+    from geowave_ray.pipelines.tiles import merge_tiles
+
+    merged = merge_tiles(_read(sf_dir, "raster_chunks"), strategy="sum")
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        tot = np.array(
+            [float(np.sum(np.asarray(p.as_py()))) for p in batch.column("pixels")]
+        )
+        return pa.table(
+            {
+                "level": batch.column("level"),
+                "tile_x": batch.column("tile_x"),
+                "tile_y": batch.column("tile_y"),
+                "n_contrib": batch.column("n_contrib"),
+                "pixel_total": pa.array(tot, pa.float64()),
+            }
+        )
+
+    return merged.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_subsample_cells(sf_dir: str):
+    from geowave_ray.pipelines.query import subsample_by_cell
+    from geowave_ray.stages.cell_encode import encode_points
+
+    ds = _pages(sf_dir).map_batches(
+        lambda b: encode_points(b, tier=6), batch_format="pyarrow"
+    )
+    return subsample_by_cell(ds).select_columns(["cell_x", "cell_y", "url"])
+
+
+def q_bbox_agg(sf_dir: str):
+    from geowave_ray.stats import dataset_bbox
+
+    row = dataset_bbox(_pages(sf_dir))
+    return pd.DataFrame([row])[["xmin", "ymin", "xmax", "ymax"]]
+
+
+def q_kde_gaussian(sf_dir: str):
+    from geowave_ray.pipelines.kde import kde
+
+    return kde(_pages(sf_dir), tier=7)
+
+
+# ---------------------------------------------------------------------------
+# document / embedding / events operators (driver testdata tables)
+# ---------------------------------------------------------------------------
+
+
+def q_docs_dedup_exact(sf_dir: str):
+    from geowave_ray.dedup import exact_dedup
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id", "text"])
+
+
+def q_docs_lang_count(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read_testdata(sf_dir, "documents", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def q_docs_token_stats(sf_dir: str):
+    from geowave_ray.text import token_stats_batch
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+def q_docs_quality(sf_dir: str):
+    from geowave_ray.text import QualityScorer
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "n_tokens", "n_stopwords", "n_punct"])
+
+
+def q_docs_fingerprint(sf_dir: str):
+    from geowave_ray.text import fingerprint_batch
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def q_docs_minhash_pairs(sf_dir: str):
+    from geowave_ray.dedup import minhash_lsh_pairs
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, jaccard_threshold=0.35).select_columns(
+        ["doc_a", "doc_b"]
+    )
+
+
+def q_docs_simhash(sf_dir: str):
+    from geowave_ray.dedup import simhash_batch
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def q_events_window(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read_testdata(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        w = ts // 3_600_000_000
+        return batch.append_column("window_id", pa.array(w, pa.int64()))
+
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="vmin"),
+            Max("value", alias_name="vmax"),
+        )
+    )
+
+
+def q_lineitem_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read_testdata(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_discount"],
+    )
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="n"),
+        Max("l_discount", alias_name="max_disc"),
+    )
+
+
+def q_expr_filter(sf_dir: str):
+    import ray.data
+
+    from geowave_ray.expr import col
+
+    e = (col("lang") == "en") & col("n_chars").between(100, 400)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+        filter=e.to_arrow(),
+    )
+    return ds.select_columns(["doc_id"])
+
+
+def q_ann_cosine(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from geowave_ray.ann import ann_bruteforce_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qmask = np.asarray([v < 5 for v in t["vec_id"].to_pylist()])
+    qvecs = np.array(
+        [t["embedding"][i].as_py() for i in np.nonzero(qmask)[0]], dtype=np.float64
+    )
+    qids = np.asarray(t["vec_id"].to_numpy()[qmask])
+    ds = _read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_bruteforce_topk(ds, qvecs, qids, k=10, concurrency=2)
+
+
+def q_ann_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from geowave_ray.ann import ann_lsh_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qmask = np.asarray([v < 5 for v in t["vec_id"].to_pylist()])
+    qvecs = np.array(
+        [t["embedding"][i].as_py() for i in np.nonzero(qmask)[0]], dtype=np.float64
+    )
+    qids = np.asarray(t["vec_id"].to_numpy()[qmask])
+    ds = _read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_lsh_topk(ds, qvecs, qids, k=10, concurrency=2)
+
+
+def q_hll_distinct(sf_dir: str):
+    from geowave_ray.stats import dataset_hll_distinct
+
+    ds = _read_testdata(sf_dir, "events", columns=["user_id"])
+    est = dataset_hll_distinct(ds, "user_id")
+    return pd.DataFrame({"distinct_users_est": [float(est)]})
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: geotag -> cell encode -> broadcast PIP spatial join at
+    sf0.001, returning matched (url, region_id, category) pairs."""
+    sf = "/root/testdata/sf0.001"
+    from geowave_ray.pipelines.spatial_join import broadcast_pip_join
+
+    pairs = broadcast_pip_join(
+        _pages(sf),
+        _regions_table(sf),
+        region_cols=("region_id", "category"),
+        concurrency=4,
+    )
+    return pairs
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SFC / cell encoding
+        "geotag_derive": q_geotag_derive,
+        "cell_encode": q_cell_encode,
+        "cell_hist": q_cell_hist,
+        "cell_rank": q_cell_rank,
+        # spatial joins
+        "pip_join": q_pip_join,
+        "pip_join_cogroup": q_pip_join_cogroup,
+        "pip_join_count": q_pip_join_count,
+        "pip_join_anti": q_pip_join_anti,
+        "pip_join_temporal": q_pip_join_temporal,
+        # spatial queries
+        "bbox_queries": q_bbox_queries,
+        "bbox_temporal": q_bbox_temporal,
+        "polygon_queries": q_polygon_queries,
+        "subsample_cells": q_subsample_cells,
+        "bbox_agg": q_bbox_agg,
+        # kNN
+        "knn": q_knn,
+        "knn_haversine": q_knn_haversine,
+        # raster tiles
+        "tile_assign": q_tile_assign,
+        "tile_pixel_sum": q_tile_pixel_sum,
+        "tile_merge_sum": q_tile_merge_sum,
+        # KDE
+        "kde_gaussian": q_kde_gaussian,
+        # documents / text
+        "docs_dedup_exact": q_docs_dedup_exact,
+        "docs_lang_count": q_docs_lang_count,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_minhash_pairs": q_docs_minhash_pairs,
+        "docs_simhash": q_docs_simhash,
+        # events / relational
+        "events_window": q_events_window,
+        "lineitem_agg": q_lineitem_agg,
+        "expr_filter": q_expr_filter,
+        # embeddings
+        "ann_cosine": q_ann_cosine,
+        "ann_lsh": q_ann_lsh,
+        # sketches
+        "hll_distinct": q_hll_distinct,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    fx = _fx(SF01)  # fixtures must exist before the oracle runs
+    PAGES = f"read_parquet('{fx}/pages/*.parquet')"
+    REGIONS = f"read_parquet('{fx}/regions.parquet')"
+    REDGES = f"read_parquet('{fx}/region_edges.parquet')"
+    QUERIES = f"read_parquet('{fx}/queries.parquet')"
+    QEDGES = f"read_parquet('{fx}/query_edges.parquet')"
+    KNNQ = f"read_parquet('{fx}/knn_queries.parquet')"
+    CHUNKS = f"read_parquet('{fx}/raster_chunks.parquet')"
+
+    pip_pairs = f"""
+        SELECT p.url, r.region_id, r.category
+        FROM {PAGES} p
+        JOIN {REGIONS} r
+          ON p.lon >= r.xmin AND p.lon <= r.xmax
+         AND p.lat >= r.ymin AND p.lat <= r.ymax
+        JOIN {REDGES} e ON e.region_id = r.region_id
+        GROUP BY p.url, r.region_id, r.category
+        HAVING bool_and((e.x2 - e.x1) * (p.lat - e.y1)
+                      - (e.y2 - e.y1) * (p.lon - e.x1) >= 0)
     """
-    return {}
+    tile_assign = f"""
+        WITH c AS (
+          SELECT chunk_id, xmin, ymin, xmax, ymax,
+                 LEAST(GREATEST(CAST(floor(log2(360.0 / ((xmax - xmin) / width * 64.0))) AS BIGINT), 0), 16) AS level
+          FROM {CHUNKS}
+        ), t AS (
+          SELECT *, 360.0 / power(2.0, level) AS td FROM c
+        )
+        SELECT chunk_id, level,
+               unnest(generate_series(CAST(floor((xmin + 180.0) / td) AS BIGINT),
+                                      CAST(ceil((xmax + 180.0) / td) AS BIGINT) - 1)) AS tile_x,
+               ty AS tile_y
+        FROM (
+          SELECT chunk_id, level, td, xmin, xmax,
+                 unnest(generate_series(CAST(floor((ymin + 90.0) / td) AS BIGINT),
+                                        CAST(ceil((ymax + 90.0) / td) AS BIGINT) - 1)) AS ty
+          FROM t
+        )
+    """
+    return {
+        "geotag_derive": f"SELECT url, lon, lat FROM {PAGES}",
+        "cell_encode": f"""
+            SELECT url,
+                   CAST(floor((lon + 180.0) / 360.0 * 4096.0) AS BIGINT) AS cell_x,
+                   CAST(floor((lat + 90.0) / 180.0 * 4096.0) AS BIGINT) AS cell_y
+            FROM {PAGES}
+        """,
+        "cell_hist": f"""
+            SELECT CAST(floor((lon + 180.0) / 360.0 * 256.0) AS BIGINT) AS cell_x,
+                   CAST(floor((lat + 90.0) / 180.0 * 256.0) AS BIGINT) AS cell_y,
+                   count(*) AS n
+            FROM {PAGES}
+            GROUP BY 1, 2
+        """,
+        "cell_rank": f"""
+            WITH h AS (
+              SELECT CAST(floor((lon + 180.0) / 360.0 * 128.0) AS BIGINT) AS cell_x,
+                     CAST(floor((lat + 90.0) / 180.0 * 128.0) AS BIGINT) AS cell_y,
+                     count(*) AS n
+              FROM {PAGES} GROUP BY 1, 2
+            )
+            SELECT row_number() OVER (ORDER BY n DESC, cell_x, cell_y) AS rank,
+                   cell_x, cell_y, n
+            FROM h
+        """,
+        "pip_join": f"SELECT url, region_id FROM ({pip_pairs})",
+        "pip_join_cogroup": f"SELECT url, region_id FROM ({pip_pairs})",
+        "pip_join_count": f"""
+            SELECT category, count(*) AS n_pages FROM ({pip_pairs}) GROUP BY category
+        """,
+        "pip_join_anti": f"""
+            SELECT url FROM {PAGES}
+            WHERE url NOT IN (SELECT url FROM ({pip_pairs}))
+        """,
+        "pip_join_temporal": f"""
+            SELECT p.url, r.region_id
+            FROM {PAGES} p
+            JOIN {REGIONS} r
+              ON p.lon >= r.xmin AND p.lon <= r.xmax
+             AND p.lat >= r.ymin AND p.lat <= r.ymax
+             AND p.warc_ts >= r.valid_from AND p.warc_ts < r.valid_to
+            JOIN {REDGES} e ON e.region_id = r.region_id
+            GROUP BY p.url, r.region_id
+            HAVING bool_and((e.x2 - e.x1) * (p.lat - e.y1)
+                          - (e.y2 - e.y1) * (p.lon - e.x1) >= 0)
+        """,
+        "bbox_queries": f"""
+            SELECT q.query_id, count(*) AS n
+            FROM {QUERIES} q
+            JOIN {PAGES} p
+              ON p.lon >= q.xmin AND p.lon <= q.xmax
+             AND p.lat >= q.ymin AND p.lat <= q.ymax
+            WHERE q.kind = 'bbox'
+            GROUP BY q.query_id
+        """,
+        "bbox_temporal": f"""
+            SELECT q.query_id, count(*) AS n
+            FROM {QUERIES} q
+            JOIN {PAGES} p
+              ON p.lon >= q.xmin AND p.lon <= q.xmax
+             AND p.lat >= q.ymin AND p.lat <= q.ymax
+             AND p.warc_ts >= q.t_start AND p.warc_ts < q.t_end
+            WHERE q.kind = 'bbox' AND q.t_start IS NOT NULL
+            GROUP BY q.query_id
+        """,
+        "polygon_queries": f"""
+            SELECT query_id, count(*) AS n FROM (
+              SELECT p.url, q.query_id
+              FROM {QUERIES} q
+              JOIN {PAGES} p
+                ON p.lon >= q.xmin AND p.lon <= q.xmax
+               AND p.lat >= q.ymin AND p.lat <= q.ymax
+              JOIN {QEDGES} e ON e.query_id = q.query_id
+              WHERE q.kind = 'polygon'
+              GROUP BY p.url, q.query_id
+              HAVING bool_and((e.x2 - e.x1) * (p.lat - e.y1)
+                            - (e.y2 - e.y1) * (p.lon - e.x1) >= 0)
+            ) GROUP BY query_id
+        """,
+        "subsample_cells": f"""
+            SELECT CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS cell_x,
+                   CAST(floor((lat + 90.0) / 180.0 * 64.0) AS BIGINT) AS cell_y,
+                   min(url) AS url
+            FROM {PAGES}
+            GROUP BY 1, 2
+        """,
+        "bbox_agg": f"""
+            SELECT min(lon) AS xmin, min(lat) AS ymin,
+                   max(lon) AS xmax, max(lat) AS ymax
+            FROM {PAGES}
+        """,
+        "knn": f"""
+            WITH d AS (
+              SELECT q.query_id, q.k, p.url,
+                     (p.lon - q.lon) * (p.lon - q.lon)
+                   + (p.lat - q.lat) * (p.lat - q.lat) AS d2
+              FROM {KNNQ} q CROSS JOIN {PAGES} p
+            ), r AS (
+              SELECT query_id, k, url,
+                     row_number() OVER (PARTITION BY query_id ORDER BY d2, url) AS rank
+              FROM d
+            )
+            SELECT query_id, rank, url FROM r WHERE rank <= k
+        """,
+        "tile_assign": tile_assign,
+        "tile_pixel_sum": f"""
+            WITH a AS ({tile_assign}),
+            s AS (
+              SELECT chunk_id, sum(px) AS chunk_sum
+              FROM (SELECT chunk_id, unnest(pixels) AS px FROM {CHUNKS})
+              GROUP BY chunk_id
+            )
+            SELECT a.level, a.tile_x, a.tile_y,
+                   sum(s.chunk_sum) AS pixel_sum, count(*) AS n_chunks
+            FROM a JOIN s USING (chunk_id)
+            GROUP BY a.level, a.tile_x, a.tile_y
+        """,
+        "docs_dedup_exact": """
+            SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "docs_lang_count": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "docs_token_stats": """
+            SELECT doc_id,
+                   len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tokens,
+                   length(text) AS n_chars_calc,
+                   len(list_filter(str_split(text, ' '),
+                       x -> x IN ('the','and','of','a','to','in','is','it'))) AS n_stopwords
+            FROM documents
+        """,
+        "docs_quality": """
+            SELECT doc_id,
+                   len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tokens,
+                   len(list_filter(str_split(text, ' '),
+                       x -> x IN ('the','and','of','a','to','in','is','it'))) AS n_stopwords,
+                   length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+            FROM documents
+        """,
+        "events_window": """
+            SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,
+                   count(*) AS n, min(value) AS vmin, max(value) AS vmax
+            FROM events GROUP BY 1, 2
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty, count(*) AS n,
+                   max(l_discount) AS max_disc
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "expr_filter": """
+            SELECT doc_id FROM documents
+            WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
+        """,
+        "ann_cosine": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            d AS (
+              SELECT q.qid AS query_vec_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.qid
+            ), r AS (
+              SELECT query_vec_id, vec_id,
+                     row_number() OVER (PARTITION BY query_vec_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM d
+            )
+            SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= 10
+        """,
+        # knn_haversine / tile_merge_sum / kde_gaussian / docs_fingerprint /
+        # docs_minhash_pairs / docs_simhash / ann_lsh / hll_distinct /
+        # pip: intentionally no SQL (non-SQL-expressible or approximate);
+        # the driver records rows-only checks, pytest carries the oracle.
+    }

@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`ann_bruteforce_topk` — exact cosine top-k: broadcast query
+  matrix (``ray.put`` once), per-batch numpy matmul partials, global
+  merge. The baseline.
+- :func:`ann_lsh_topk` — scale path: random-hyperplane LSH buckets;
+  only pages sharing a bucket with a query are scored (approximate,
+  recall measured in tests).
+
+Mirrors the kNN shape (``pipelines/knn.py``) on vector distance
+instead of geodesic distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class CosinePartial:
+    """Per-batch exact partial top-k for each broadcast query vector."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = q["qids"]
+        self.qmat = q["qmat"]  # already normalized (nq, d)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = _normalize(emb)
+        sims = self.qmat @ emb.T  # (nq, nb)
+        take = min(self.k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            s = sims[qi]
+            thr = np.partition(s, len(s) - take)[len(s) - take] if len(s) > take else -np.inf
+            sel = np.nonzero(s >= thr)[0]
+            out_q.extend([int(self.qids[qi])] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_s.extend(s[sel].tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _merge_topk(k: int):
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        return pd.DataFrame(
+            {
+                "query_vec_id": g["query_vec_id"].to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "vec_id": g["vec_id"].to_numpy(),
+            }
+        )
+
+    return merge
+
+
+def ann_bruteforce_topk(
+    embeddings: ray.data.Dataset,
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    concurrency: int | tuple = 4,
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """Exact cosine top-k -> (query_vec_id, rank, vec_id)."""
+    q = {"qids": np.asarray(query_ids), "qmat": _normalize(np.asarray(query_vecs, np.float64))}
+    ref = ray.put(q)
+    partials = embeddings.map_batches(
+        CosinePartial,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k + (1 if exclude_self else 0)),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    if exclude_self:
+        import pyarrow.compute as pc
+
+        partials = partials.map_batches(
+            lambda b: b.filter(pc.invert(pc.equal(b["query_vec_id"], b["vec_id"]))),
+            batch_format="pyarrow",
+        )
+    return partials.groupby("query_vec_id").map_groups(
+        _merge_topk(k), batch_format="pandas"
+    )
+
+
+def ann_lsh_topk(
+    embeddings: ray.data.Dataset,
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+    concurrency: int | tuple = 4,
+) -> ray.data.Dataset:
+    """Random-hyperplane LSH pre-filter then exact scoring of survivors.
+
+    Each vector lands in ``n_tables`` buckets (one per plane set); rows
+    sharing no bucket with any query are dropped before the matmul —
+    at scale this is the IVF-style pruned path.
+    """
+    qmat = _normalize(np.asarray(query_vecs, np.float64))
+    d = dim or qmat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, d))
+    qcodes = set()
+    for t in range(n_tables):
+        bits = (qmat @ planes[t].T) > 0
+        codes = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+        for c in codes.tolist():
+            qcodes.add((t, int(c)))
+    wanted = ray.put(qcodes)
+    planes_ref = ray.put(planes)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        want = ray.get(wanted)
+        emb = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        keep = np.zeros(len(emb), dtype=bool)
+        for t in range(pl.shape[0]):
+            bits = (emb @ pl[t].T) > 0
+            codes = (bits.astype(np.uint64) << np.arange(pl.shape[1], dtype=np.uint64)).sum(axis=1)
+            for i, c in enumerate(codes.tolist()):
+                if (t, int(c)) in want:
+                    keep[i] = True
+        return batch.filter(pa.array(keep))
+
+    survivors = embeddings.map_batches(prefilter, batch_format="pyarrow")
+    return ann_bruteforce_topk(
+        survivors, query_vecs, query_ids, k=k, concurrency=concurrency
+    )

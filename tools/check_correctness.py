@@ -1,0 +1,129 @@
+"""Local stand-in for the driver's correctness gate: runs every
+queries() entry at sf0.01 and compares against oracle_sql() via DuckDB
+(row count + schema + order-insensitive value comparison).
+
+Usage: python tools/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(ray_df) != len(sql_df):
+        problems.append(f"row count: ray={len(ray_df)} sql={len(sql_df)}")
+    rc = sorted(ray_df.columns)
+    sc = sorted(sql_df.columns)
+    if rc != sc:
+        problems.append(f"schema: ray={rc} sql={sc}")
+        return problems
+    a = normalize(ray_df)
+    b = normalize(sql_df)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                eq = np.array_equal(av.astype(np.float64), bv.astype(np.float64))
+            else:
+                eq = (pd.Series(av).astype(str) == pd.Series(bv).astype(str)).all()
+            if not eq:
+                bad = np.nonzero(
+                    ~(pd.Series(av).astype(str) == pd.Series(bv).astype(str)).to_numpy()
+                )[0][:3]
+                problems.append(
+                    f"values differ in column {c}: e.g. rows {bad.tolist()} "
+                    f"ray={[av[i] for i in bad]} sql={[bv[i] for i in bad]}"
+                )
+    return problems
+
+
+def main():
+    import ray
+
+    ray.init(
+        address="local", num_cpus=8, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+
+    only = set(sys.argv[1:])
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            ray_df = to_pandas(fn(SF))
+        except Exception as e:
+            print(f"FAIL {name}: ray raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only {name}: {len(ray_df)} rows ({dt:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            sql_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: sql raised {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, ray_df, sql_df)
+        if problems:
+            print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(ray_df)} rows ({dt:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    ray.shutdown()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
