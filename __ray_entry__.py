@@ -34,6 +34,12 @@ SF01 = "/root/testdata/sf0.01"
 # ---------------------------------------------------------------------------
 
 
+def _pool():
+    from geowave_ray.util import pool_size
+
+    return pool_size()
+
+
 def _fx(sf_dir: str) -> str:
     from geowave_ray.fixtures import ensure_fixtures
 
@@ -47,10 +53,15 @@ def _pages(sf_dir: str, columns=None):
 
     from geowave_ray.geotag import geotag_batch
 
+    from geowave_ray.util import read_blocks
+
     cols = columns or ["row_id", "url", "warc_ts", "lang"]
     need = [c for c in set(cols) | {"row_id", "url", "lang"} if c not in ("lon", "lat")]
-    ds = ray.data.read_parquet(f"{_fx(sf_dir)}/pages", columns=sorted(need))
-    return ds.map_batches(geotag_batch, batch_format="pyarrow")
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/pages", columns=sorted(need),
+        override_num_blocks=read_blocks(),
+    )
+    return ds.map_batches(geotag_batch, batch_format="pyarrow", batch_size=None)
 
 
 def _read(sf_dir: str, name: str, columns=None):
@@ -86,7 +97,7 @@ def q_cell_encode(sf_dir: str):
     from geowave_ray.stages.cell_encode import encode_points
 
     ds = _pages(sf_dir).map_batches(
-        lambda b: encode_points(b, tier=12), batch_format="pyarrow"
+        lambda b: encode_points(b, tier=12), batch_format="pyarrow", batch_size=None
     )
     return ds.select_columns(["url", "cell_x", "cell_y"])
 
@@ -107,7 +118,7 @@ def q_cell_rank(sf_dir: str):
 def q_pip_join(sf_dir: str):
     from geowave_ray.pipelines.spatial_join import broadcast_pip_join
 
-    return broadcast_pip_join(_pages(sf_dir), _regions_table(sf_dir), concurrency=4)
+    return broadcast_pip_join(_pages(sf_dir), _regions_table(sf_dir), concurrency=_pool())
 
 
 def q_pip_join_cogroup(sf_dir: str):
@@ -128,7 +139,7 @@ def q_pip_join_count(sf_dir: str):
         _pages(sf_dir),
         _regions_table(sf_dir),
         region_cols=("region_id", "category"),
-        concurrency=4,
+        concurrency=_pool(),
     )
     return pairs.groupby("category").aggregate(Count(alias_name="n_pages"))
 
@@ -137,7 +148,7 @@ def q_pip_join_anti(sf_dir: str):
     from geowave_ray.pipelines.spatial_join import broadcast_pip_join
 
     return broadcast_pip_join(
-        _pages(sf_dir), _regions_table(sf_dir), mode="anti", concurrency=4
+        _pages(sf_dir), _regions_table(sf_dir), mode="anti", concurrency=_pool()
     )
 
 
@@ -149,7 +160,7 @@ def q_pip_join_temporal(sf_dir: str):
         _regions_table(sf_dir),
         keep_cols=("url", "warc_ts"),
         temporal=True,
-        concurrency=4,
+        concurrency=_pool(),
     )
     return pairs.select_columns(["url", "region_id"])
 
@@ -192,7 +203,7 @@ def q_bbox_queries(sf_dir: str):
 
     return (
         _pages(sf_dir)
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("query_id")
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -242,7 +253,7 @@ def q_bbox_temporal(sf_dir: str):
 
     return (
         _pages(sf_dir)
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("query_id")
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -288,7 +299,7 @@ def q_polygon_queries(sf_dir: str):
 
     return (
         _pages(sf_dir)
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("query_id")
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -300,7 +311,7 @@ def q_knn(sf_dir: str):
     from geowave_ray.pipelines.knn import knn
 
     qt = pq.read_table(f"{_fx(sf_dir)}/knn_queries.parquet")
-    return knn(_pages(sf_dir), qt, metric="planar", concurrency=4)
+    return knn(_pages(sf_dir), qt, metric="planar", concurrency=_pool())
 
 
 def q_knn_haversine(sf_dir: str):
@@ -309,7 +320,7 @@ def q_knn_haversine(sf_dir: str):
     from geowave_ray.pipelines.knn import knn
 
     qt = pq.read_table(f"{_fx(sf_dir)}/knn_queries.parquet")
-    return knn(_pages(sf_dir), qt, metric="haversine", concurrency=4)
+    return knn(_pages(sf_dir), qt, metric="haversine", concurrency=_pool())
 
 
 def q_tile_assign(sf_dir: str):
@@ -332,7 +343,7 @@ def q_tile_pixel_sum(sf_dir: str):
         vals = [csum[c] for c in assigned.column("chunk_id").to_pylist()]
         return assigned.append_column("chunk_sum", pa.array(vals, pa.float64()))
 
-    ds = _read(sf_dir, "raster_chunks").map_batches(with_sums, batch_format="pyarrow")
+    ds = _read(sf_dir, "raster_chunks").map_batches(with_sums, batch_format="pyarrow", batch_size=None)
     return ds.groupby(["level", "tile_x", "tile_y"]).aggregate(
         Sum("chunk_sum", alias_name="pixel_sum"), Count(alias_name="n_chunks")
     )
@@ -357,7 +368,7 @@ def q_tile_merge_sum(sf_dir: str):
             }
         )
 
-    return merged.map_batches(summarize, batch_format="pyarrow")
+    return merged.map_batches(summarize, batch_format="pyarrow", batch_size=None)
 
 
 def q_subsample_cells(sf_dir: str):
@@ -365,7 +376,7 @@ def q_subsample_cells(sf_dir: str):
     from geowave_ray.stages.cell_encode import encode_points
 
     ds = _pages(sf_dir).map_batches(
-        lambda b: encode_points(b, tier=6), batch_format="pyarrow"
+        lambda b: encode_points(b, tier=6), batch_format="pyarrow", batch_size=None
     )
     return subsample_by_cell(ds).select_columns(["cell_x", "cell_y", "url"])
 
@@ -406,14 +417,14 @@ def q_docs_token_stats(sf_dir: str):
     from geowave_ray.text import token_stats_batch
 
     ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(token_stats_batch, batch_format="pyarrow")
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow", batch_size=None)
 
 
 def q_docs_quality(sf_dir: str):
     from geowave_ray.text import QualityScorer
 
     ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=_pool())
     return out.select_columns(["doc_id", "n_tokens", "n_stopwords", "n_punct"])
 
 
@@ -421,7 +432,7 @@ def q_docs_fingerprint(sf_dir: str):
     from geowave_ray.text import fingerprint_batch
 
     ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow", batch_size=None)
 
 
 def q_docs_minhash_pairs(sf_dir: str):
@@ -437,7 +448,7 @@ def q_docs_simhash(sf_dir: str):
     from geowave_ray.dedup import simhash_batch
 
     ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(simhash_batch, batch_format="pyarrow")
+    return ds.map_batches(simhash_batch, batch_format="pyarrow", batch_size=None)
 
 
 def q_events_window(sf_dir: str):
@@ -451,7 +462,7 @@ def q_events_window(sf_dir: str):
         return batch.append_column("window_id", pa.array(w, pa.int64()))
 
     return (
-        ds.map_batches(add_window, batch_format="pyarrow")
+        ds.map_batches(add_window, batch_format="pyarrow", batch_size=None)
         .groupby(["event_type", "window_id"])
         .aggregate(
             Count(alias_name="n"),
@@ -501,7 +512,7 @@ def q_ann_cosine(sf_dir: str):
     )
     qids = np.asarray(t["vec_id"].to_numpy()[qmask])
     ds = _read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ann_bruteforce_topk(ds, qvecs, qids, k=10, concurrency=2)
+    return ann_bruteforce_topk(ds, qvecs, qids, k=10, concurrency=_pool())
 
 
 def q_ann_lsh(sf_dir: str):
@@ -516,7 +527,7 @@ def q_ann_lsh(sf_dir: str):
     )
     qids = np.asarray(t["vec_id"].to_numpy()[qmask])
     ds = _read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ann_lsh_topk(ds, qvecs, qids, k=10, concurrency=2)
+    return ann_lsh_topk(ds, qvecs, qids, k=10, concurrency=_pool())
 
 
 def q_hll_distinct(sf_dir: str):
@@ -542,7 +553,7 @@ def entry() -> Any:
         _pages(sf),
         _regions_table(sf),
         region_cols=("region_id", "category"),
-        concurrency=4,
+        concurrency=_pool(),
     )
     return pairs
 

@@ -87,6 +87,7 @@ def ann_bruteforce_topk(
         CosinePartial,
         fn_constructor_kwargs=dict(queries_ref=ref, k=k + (1 if exclude_self else 0)),
         batch_format="pyarrow",
+        batch_size=None,
         concurrency=concurrency,
     )
     if exclude_self:
@@ -94,10 +95,17 @@ def ann_bruteforce_topk(
 
         partials = partials.map_batches(
             lambda b: b.filter(pc.invert(pc.equal(b["query_vec_id"], b["vec_id"]))),
-            batch_format="pyarrow",
+            batch_format="pyarrow", batch_size=None,
         )
-    return partials.groupby("query_vec_id").map_groups(
-        _merge_topk(k), batch_format="pandas"
+    from .agg import grouped_topk
+
+    return grouped_topk(
+        partials,
+        group_col="query_vec_id",
+        sort_cols=["sim", "vec_id"],
+        ascending=[False, True],
+        k_of=lambda q: k,
+        out_cols=["vec_id"],
     )
 
 
@@ -144,7 +152,7 @@ def ann_lsh_topk(
                     keep[i] = True
         return batch.filter(pa.array(keep))
 
-    survivors = embeddings.map_batches(prefilter, batch_format="pyarrow")
+    survivors = embeddings.map_batches(prefilter, batch_format="pyarrow", batch_size=None)
     return ann_bruteforce_topk(
         survivors, query_vecs, query_ids, k=k, concurrency=concurrency
     )

@@ -65,7 +65,7 @@ def exact_dedup(docs: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Data
     Hash-partitioned groupby on the 64-bit content hash (not the full
     text) so the shuffle moves 8-byte keys; the group fn re-checks the
     actual text to be collision-safe."""
-    hashed = docs.map_batches(content_hash_batch, batch_format="pyarrow")
+    hashed = docs.map_batches(content_hash_batch, batch_format="pyarrow", batch_size=None)
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -109,7 +109,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     sigs = docs.map_batches(
         minhash_batch, fn_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -136,7 +136,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    banded = sigs.map_batches(to_bands, batch_format="pyarrow")
+    banded = sigs.map_batches(to_bands, batch_format="pyarrow", batch_size=None)
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

@@ -36,14 +36,19 @@ def derive_lonlat(urls, langs, row_index=None) -> tuple[np.ndarray, np.ndarray]:
     remap; when None, no remap is applied.
     """
     n = len(urls)
-    lon = np.empty(n, dtype=np.float64)
-    lat = np.empty(n, dtype=np.float64)
-    frac = np.empty(n, dtype=np.float64)
+    # hash loop is the only per-row python; the float math is vectorized
+    # over the packed digests. uint64->float64 then /2**64 is bit-equal
+    # to python's int/2**64 (scaling by a power of two is exact).
+    blob = bytearray(24 * n)
+    sha256 = hashlib.sha256
     for k in range(n):
-        h = _hash_bytes(urls[k], langs[k])
-        lon[k] = (int.from_bytes(h[0:8], "big") / 2**64) * 360 - 180
-        lat[k] = (int.from_bytes(h[8:16], "big") / 2**64) * 180 - 90
-        frac[k] = int.from_bytes(h[16:24], "big") / 2**64
+        blob[24 * k : 24 * k + 24] = sha256(
+            (urls[k] + "|" + langs[k]).encode()
+        ).digest()[:24]
+    arr = np.frombuffer(bytes(blob), dtype=">u8").reshape(n, 3).astype(np.float64)
+    lon = (arr[:, 0] / 2**64) * 360 - 180
+    lat = (arr[:, 1] / 2**64) * 180 - 90
+    frac = arr[:, 2] / 2**64
     if row_index is not None:
         i = np.asarray(row_index, dtype=np.int64)
         hot = (i % 10) < 3

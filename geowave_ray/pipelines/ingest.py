@@ -70,6 +70,7 @@ def ingest_pages(
             _encode_stage,
             fn_kwargs=dict(tier=tier, n_buckets=n_buckets),
             batch_format="pyarrow",
+            batch_size=None,
         )
         dest = os.path.join(out_dir, f"group={gi:06d}")
         tmp = dest + ".tmp"

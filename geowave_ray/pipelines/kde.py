@@ -39,13 +39,15 @@ def cell_counts_batch(batch: pa.Table, tier: int) -> pa.Table:
 
 
 def cell_histogram(pages: ray.data.Dataset, tier: int = 8) -> ray.data.Dataset:
-    """Exact per-cell counts: batch-local combine then a small groupby."""
-    from ray.data.aggregate import Sum
+    """Exact per-cell counts: batch-local combine then a shuffle-free
+    tree combine (keyspace <= 4^tier is small; a hash groupby would
+    move the same partials through a full exchange for nothing)."""
+    from ..agg import tree_aggregate
 
     partial = pages.map_batches(
-        cell_counts_batch, fn_kwargs=dict(tier=tier), batch_format="pyarrow"
+        cell_counts_batch, fn_kwargs=dict(tier=tier), batch_format="pyarrow", batch_size=None
     )
-    return partial.groupby(["cell_x", "cell_y"]).aggregate(Sum("n", alias_name="n"))
+    return tree_aggregate(partial, ["cell_x", "cell_y"], {"n": "sum"})
 
 
 def cell_histogram_ranked(pages: ray.data.Dataset, tier: int = 8) -> ray.data.Dataset:
@@ -67,21 +69,23 @@ def gaussian_splat_batch(batch: pa.Table, tier: int, radius_cells: int = 1) -> p
     cx, cy = grid_coords(
         batch.column("lon").to_numpy(), batch.column("lat").to_numpy(), tier
     )
-    acc: dict[int, float] = {}
-    offsets = [
-        (dx, dy, float(np.exp(-(dx * dx + dy * dy) / 2.0)))
-        for dx in range(-radius_cells, radius_cells + 1)
-        for dy in range(-radius_cells, radius_cells + 1)
-    ]
-    for dx, dy, w in offsets:
-        gx = cx + dx
-        gy = cy + dy
-        ok = (gx >= 0) & (gx < n) & (gy >= 0) & (gy < n)
-        keys, counts = np.unique(gx[ok] * np.int64(n) + gy[ok], return_counts=True)
-        for k, c in zip(keys.tolist(), counts.tolist()):
-            acc[k] = acc.get(k, 0.0) + w * c
-    keys = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
-    vals = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
+    # fully vectorized: concatenate all offset contributions, then one
+    # sort-based segmented sum (no python dict in the hot path)
+    key_parts, w_parts = [], []
+    for dx in range(-radius_cells, radius_cells + 1):
+        for dy in range(-radius_cells, radius_cells + 1):
+            w = float(np.exp(-(dx * dx + dy * dy) / 2.0))
+            gx = cx + dx
+            gy = cy + dy
+            ok = (gx >= 0) & (gx < n) & (gy >= 0) & (gy < n)
+            key_parts.append(gx[ok] * np.int64(n) + gy[ok])
+            w_parts.append(np.full(int(ok.sum()), w))
+    all_keys = np.concatenate(key_parts)
+    all_w = np.concatenate(w_parts)
+    order = np.argsort(all_keys, kind="stable")
+    sk, sw = all_keys[order], all_w[order]
+    keys, starts = np.unique(sk, return_index=True)
+    vals = np.add.reduceat(sw, starts) if len(sk) else np.empty(0)
     return pa.table(
         {
             "cell_x": pa.array(keys // n, pa.int64()),
@@ -92,12 +96,10 @@ def gaussian_splat_batch(batch: pa.Table, tier: int, radius_cells: int = 1) -> p
 
 
 def kde(pages: ray.data.Dataset, tier: int = 8, radius_cells: int = 1) -> ray.data.Dataset:
-    from ray.data.aggregate import Sum
+    from ..agg import tree_aggregate
 
     partial = pages.map_batches(
         gaussian_splat_batch, fn_kwargs=dict(tier=tier, radius_cells=radius_cells),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
-    return partial.groupby(["cell_x", "cell_y"]).aggregate(
-        Sum("density", alias_name="density")
-    )
+    return tree_aggregate(partial, ["cell_x", "cell_y"], {"density": "sum"})

@@ -49,8 +49,7 @@ class KNNPartial:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch.column("lon").to_numpy()
         lat = batch.column("lat").to_numpy()
-        urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
-        out_qid, out_url, out_d = [], [], []
+        urls = batch.column("url")
         if self.metric == "haversine":
             dmat = haversine_m(
                 lon[None, :], lat[None, :], self.qlon[:, None], self.qlat[:, None]
@@ -61,20 +60,19 @@ class KNNPartial:
             )
         nb = len(lon)
         take = min(self.kmax, nb)
-        for qi in range(len(self.qid)):
-            d = dmat[qi]
-            # threshold selection keeps ALL ties at the k-th distance so the
-            # final (distance, url) tie-break is globally exact
-            thr = np.partition(d, take - 1)[take - 1] if nb > take else np.inf
-            sel = np.nonzero(d <= thr)[0]
-            out_qid.extend([self.qid[qi]] * len(sel))
-            out_url.extend(urls[sel].tolist())
-            out_d.extend(d[sel].tolist())
+        # one vectorized threshold per query; keeping ALL ties at the
+        # k-th distance makes the final (distance, url) tie-break
+        # globally exact
+        if nb > take:
+            thr = np.partition(dmat, take - 1, axis=1)[:, take - 1 : take]
+        else:
+            thr = np.full((dmat.shape[0], 1), np.inf)
+        qi, pi = np.nonzero(dmat <= thr)
         return pa.table(
             {
-                "query_id": pa.array(out_qid, pa.string()),
-                "url": pa.array(out_url, pa.string()),
-                "dist": pa.array(out_d, pa.float64()),
+                "query_id": pa.array(self.qid[qi].tolist(), pa.string()),
+                "url": urls.take(pa.array(pi)),
+                "dist": pa.array(dmat[qi, pi], pa.float64()),
             }
         )
 
@@ -84,7 +82,7 @@ def knn(
     knn_queries: pa.Table,
     metric: str = "planar",
     concurrency: int | tuple = 4,
-    batch_size: int = 16384,
+    batch_size: int | None = 32768,
 ) -> ray.data.Dataset:
     """Exact global top-k(q) per query -> (query_id, rank, url)."""
     q = {
@@ -95,27 +93,32 @@ def knn(
     }
     k_by_qid = dict(zip(q["query_id"].tolist(), q["k"].tolist()))
     queries_ref = ray.put(q)
+
+    from ..util import cached_state
+
+    key = ("knn", queries_ref.hex(), metric)
+
+    def partial_fn(batch: pa.Table) -> pa.Table:
+        st = cached_state(key, queries_ref, builder=lambda obj: KNNPartial(obj, metric))
+        return st(batch)
+
     partials = pages.map_batches(
-        KNNPartial,
-        fn_constructor_kwargs=dict(queries_ref=queries_ref, metric=metric),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+        partial_fn, batch_format="pyarrow", batch_size=batch_size
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        k = int(k_by_qid[g["query_id"].iloc[0]])
-        g = g.sort_values(["dist", "url"], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"],
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "url": g["url"],
-            }
-        )
+    # two-level shuffle-free top-k merge (partials are tiny, bounded by
+    # n_queries * k per batch; a per-query map_groups would pay a hash
+    # shuffle + per-group task overhead for 200 micro-groups)
+    from ..agg import grouped_topk
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return grouped_topk(
+        partials,
+        group_col="query_id",
+        sort_cols=["dist", "url"],
+        ascending=[True, True],
+        k_of=lambda q: int(k_by_qid[q]),
+        out_cols=["url"],
+    )
 
 
 def knn_cell_pruned(
@@ -158,5 +161,5 @@ def knn_cell_pruned(
         pos = np.clip(pos, 0, len(w) - 1)
         return batch.filter(pa.array(w[pos] == keys))
 
-    survivors = pages.map_batches(prefilter, batch_format="pyarrow")
+    survivors = pages.map_batches(prefilter, batch_format="pyarrow", batch_size=None)
     return knn(survivors, knn_queries, concurrency=concurrency)

@@ -90,7 +90,7 @@ def bbox_query(
             xmin=xmin, ymin=ymin, xmax=xmax, ymax=ymax,
             t_start=t_start, t_end=t_end,
         ),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
 
 
@@ -98,7 +98,7 @@ def polygon_query(pages: ray.data.Dataset, wkb: bytes, convex: bool = True) -> r
     ring = parse_wkb_polygon(wkb)
     return pages.map_batches(
         polygon_filter_batch, fn_kwargs=dict(ring=ring, convex=convex),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
 
 

@@ -44,8 +44,11 @@ def build_region_index(regions: pa.Table, tier: int = 7, convex: bool = True):
     rings = [parse_wkb_polygon(w.as_py()) for w in regions["geometry_wkb"]]
     idx = GridIndex(rings, tier=tier, convex=convex)
     aux = {
-        "region_id": np.asarray(regions["region_id"].to_pylist(), dtype=object),
-        "category": np.asarray(regions["category"].to_pylist(), dtype=object)
+        # arrow arrays: matched-pair columns are emitted with zero-copy
+        # .take() instead of python-list round-trips (hot at millions
+        # of output pairs per second)
+        "region_id": regions["region_id"].combine_chunks(),
+        "category": regions["category"].combine_chunks()
         if "category" in regions.column_names
         else None,
         "valid_from": regions["valid_from"].to_numpy() if "valid_from" in regions.column_names else None,
@@ -93,10 +96,11 @@ class PIPJoiner:
             keep = np.ones(len(px), dtype=bool)
             keep[pi] = False
             return batch.select(self.keep_cols).filter(pa.array(keep))
-        out = batch.select(self.keep_cols).take(pa.array(pi))
+        idx = pa.array(pi)
+        out = batch.select(self.keep_cols).take(idx)
+        pj_arr = pa.array(pj)
         for rc in self.region_cols:
-            vals = self.aux[rc][pj]
-            out = out.append_column(rc, pa.array(vals.tolist()))
+            out = out.append_column(rc, self.aux[rc].take(pj_arr))
         return out
 
 
@@ -108,24 +112,43 @@ def broadcast_pip_join(
     temporal: bool = False,
     region_cols=("region_id",),
     concurrency: int | tuple = 4,
-    batch_size: int = 16384,
+    batch_size: int | None = None,
     index_tier: int = 7,
+    use_actors: bool = False,
 ) -> ray.data.Dataset:
-    """pages Dataset (lon/lat columns present) x regions -> pair Dataset."""
+    """pages Dataset (lon/lat columns present) x regions -> pair Dataset.
+
+    Default runs as STATELESS tasks with the GridIndex broadcast via
+    ``ray.put`` and memoized per worker process (zero actor-spawn
+    latency; the index unpickles once per worker). ``use_actors=True``
+    switches to a fixed actor pool — the right mode when the index is
+    heavy enough that spawn cost amortizes.
+    """
     index_ref = ray.put(build_region_index(regions, tier=index_tier))
-    return pages.map_batches(
-        PIPJoiner,
-        fn_constructor_kwargs=dict(
-            index_ref=index_ref,
-            keep_cols=keep_cols,
-            mode=mode,
-            temporal=temporal,
-            region_cols=region_cols,
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    params = dict(
+        keep_cols=tuple(keep_cols),
+        mode=mode,
+        temporal=temporal,
+        region_cols=tuple(region_cols),
     )
+    if use_actors:
+        return pages.map_batches(
+            PIPJoiner,
+            fn_constructor_kwargs=dict(index_ref=index_ref, **params),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    from ..util import cached_state
+
+    key = ("pip", index_ref.hex(), mode, temporal, tuple(keep_cols), tuple(region_cols))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        joiner = cached_state(key, index_ref, builder=lambda obj: PIPJoiner(obj, **params))
+        return joiner(batch)
+
+    return pages.map_batches(probe, batch_format="pyarrow", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -169,8 +192,8 @@ def cogroup_pip_join(
     (tier, cell_id).
     """
     regions_cells = regions.map_batches(
-        lambda b: encode_extents(b, max_tier=max_tier),
-        batch_format="pyarrow",
+        lambda b: encode_extents(b, max_tier=max_tier, snap_tiers=(2, 4, 6, 8)),
+        batch_format="pyarrow", batch_size=None,
     ).select_columns(["region_id", "geometry_wkb", "tier", "cell_id"])
 
     # tier census (small driver-side materialization, like the
@@ -178,39 +201,56 @@ def cogroup_pip_join(
     tiers = sorted(int(t) for t in regions_cells.unique("tier"))
 
     pts = pages.map_batches(
-        lambda b: _point_cells_at_tiers(b, tiers), batch_format="pyarrow"
+        lambda b: _point_cells_at_tiers(b, tiers), batch_format="pyarrow", batch_size=None
     )
 
-    # union with side tag, cogroup on (tier, cell_id)
-    pts = pts.map_batches(
-        lambda b: b.append_column("side", pa.array(np.zeros(len(b), np.int8))),
-        batch_format="pyarrow",
-    )
+    # union with side tag; cogroup on a COARSE (tier, bucket) key — the
+    # per-cell matching happens vectorized inside each group, so the
+    # shuffle has a few hundred groups instead of one per cell.
+    def add_bucket(b: pa.Table, side: int) -> pa.Table:
+        tier_arr = b.column("tier").to_numpy().astype(np.int64)
+        cell = b.column("cell_id").to_numpy().astype(np.uint64)
+        shift = np.maximum(0, 2 * tier_arr - 8).astype(np.uint64)
+        bucket = (cell >> shift).astype(np.int64)
+        b = b.append_column("bucket", pa.array(bucket, pa.int64()))
+        return b.append_column("side", pa.array(np.full(len(b), side, np.int8)))
+
+    pts = pts.map_batches(lambda b: add_bucket(b, 0), batch_format="pyarrow", batch_size=None)
     regions_cells = regions_cells.map_batches(
-        lambda b: b.append_column("side", pa.array(np.ones(len(b), np.int8))),
-        batch_format="pyarrow",
+        lambda b: add_bucket(b, 1), batch_format="pyarrow", batch_size=None
     )
     both = pts.union(regions_cells)
 
     def join_group(g):
         import pandas as pd
 
-        pts_g = g[g["side"] == 0]
-        regs_g = g[g["side"] == 1]
-        if len(pts_g) == 0 or len(regs_g) == 0:
+        sides = g["side"].to_numpy()
+        pmask = sides == 0
+        rmask = ~pmask
+        if not pmask.any() or not rmask.any():
             return pd.DataFrame({"url": [], "region_id": []})
-        px = pts_g["lon"].to_numpy()
-        py = pts_g["lat"].to_numpy()
-        urls = pts_g["url"].to_numpy()
+        pc = g["cell_id"].to_numpy()[pmask]
+        px = g["lon"].to_numpy()[pmask]
+        py = g["lat"].to_numpy()[pmask]
+        urls = g["url"].to_numpy()[pmask]
+        order = np.argsort(pc, kind="stable")
+        pc, px, py, urls = pc[order], px[order], py[order], urls[order]
+        rc = g["cell_id"].to_numpy()[rmask]
+        rids = g["region_id"].to_numpy()[rmask]
+        wkbs = g["geometry_wkb"].to_numpy()[rmask]
         out_u, out_r = [], []
-        for _, reg in regs_g.iterrows():
-            ring = parse_wkb_polygon(reg["geometry_wkb"])
-            m = pip_convex(px, py, ring)
+        for i in range(len(rc)):
+            lo = np.searchsorted(pc, rc[i], side="left")
+            hi = np.searchsorted(pc, rc[i], side="right")
+            if lo == hi:
+                continue
+            ring = parse_wkb_polygon(wkbs[i])
+            m = pip_convex(px[lo:hi], py[lo:hi], ring)
             if m.any():
-                out_u.extend(urls[m].tolist())
-                out_r.extend([reg["region_id"]] * int(m.sum()))
+                out_u.extend(urls[lo:hi][m].tolist())
+                out_r.extend([rids[i]] * int(m.sum()))
         return pd.DataFrame({"url": out_u, "region_id": out_r})
 
-    return both.groupby(["tier", "cell_id"]).map_groups(
+    return both.groupby(["tier", "bucket"]).map_groups(
         join_group, batch_format="pandas"
     )

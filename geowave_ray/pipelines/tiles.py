@@ -65,7 +65,7 @@ def assign_tiles_batch(batch: pa.Table) -> pa.Table:
 
 
 def assign_tiles(chunks: ray.data.Dataset) -> ray.data.Dataset:
-    return chunks.map_batches(assign_tiles_batch, batch_format="pyarrow")
+    return chunks.map_batches(assign_tiles_batch, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +138,7 @@ def merge_tiles(
     strategy='avg'  -> per-pixel sum / contribution count
                        (SumAndAveragingMergeStrategy)
     """
-    contrib = chunks.map_batches(_resample_to_tiles, batch_format="pyarrow")
+    contrib = chunks.map_batches(_resample_to_tiles, batch_format="pyarrow", batch_size=None)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         acc = np.zeros(TILE_SIZE * TILE_SIZE, dtype=np.float64)

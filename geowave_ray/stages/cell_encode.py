@@ -51,6 +51,7 @@ def encode_extents(
     max_tier: int = MAX_TIER,
     max_cells_per_dim: int = 2,
     curve: str = "morton",
+    snap_tiers: tuple[int, ...] | None = None,
 ) -> pa.Table:
     """Expand extent rows (xmin/ymin/xmax/ymax columns) to one row per
     covering cell at each row's fitted tier.
@@ -63,6 +64,16 @@ def encode_extents(
     xmax = batch.column("xmax").to_numpy()
     ymax = batch.column("ymax").to_numpy()
     tiers = tier_for_bbox(xmin, ymin, xmax, ymax, max_tier, max_cells_per_dim)
+    if snap_tiers is not None:
+        # snap DOWN to the nearest allowed (coarser) tier: bounds how
+        # many distinct tiers the point side must re-encode at (the
+        # cogroup join duplicates each point once per tier), at the
+        # cost of larger cells (more candidate points per group).
+        # Coarser is always correct: the covering set still includes
+        # every cell that intersects the bbox.
+        allowed = np.sort(np.asarray(snap_tiers, dtype=np.int64))
+        idx = np.searchsorted(allowed, tiers, side="right") - 1
+        tiers = allowed[np.clip(idx, 0, len(allowed) - 1)]
     # per-row covering cells: at the fitted tier the bbox spans at most
     # max_cells_per_dim cells per dim, so expansion is tightly bounded.
     rep_idx: list[int] = []

@@ -188,7 +188,7 @@ def dataset_numeric_stats(ds: ray.data.Dataset, column: str) -> dict:
         p = numeric_partial(batch.column(column).to_numpy())
         return pa.table({k: [p[k]] for k in ("n", "min", "max", "sum", "sumsq")})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
     acc = {"n": 0, "min": None, "max": None, "sum": 0.0, "sumsq": 0.0}
     for _, row in parts.iterrows():
         acc = merge_numeric(acc, row.to_dict())
@@ -206,7 +206,7 @@ def dataset_hll_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> floa
         h.add(batch.column(column).to_pylist())
         return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
     acc = HyperLogLog(p)
     for b in parts["sketch"]:
         acc = acc.merge(HyperLogLog.from_bytes(bytes(b), p))
