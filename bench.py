@@ -1,8 +1,8 @@
 """Benchmark harness.
 
-Headline pipeline (the north-star metric): geotag-derive + cell-encode
-+ broadcast PIP spatial join + tile assignment over the sf-scaled
-``pages``/``regions``/``raster_chunks`` fixtures.
+Headline pipeline (the north-star metric): geotag-derive + broadcast
+PIP spatial join + tile assignment over the sf-scaled ``pages`` /
+``regions`` / ``raster_chunks`` fixtures.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
@@ -10,9 +10,12 @@ Prints ONE JSON line:
    "headline_rows_per_sec": ...}
 
 ``--scaling``: runs the headline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and reports both
-throughputs + scaling efficiency (the sandbox evidence for the
-north rule's N vs 4N cluster criterion).
+num_cpus=8 and num_cpus=32 on the SAME input (the ``sf_scaling``
+fixture — 8M pages, large enough that the join is compute-bound) and
+reports both throughputs + scaling efficiency: the sandbox evidence
+for the north rule's N vs 4N cluster criterion. An untimed warmup
+(worker spawn + page-cache read) runs first so the timed window
+measures compute + shuffle, not process startup.
 """
 
 from __future__ import annotations
@@ -25,9 +28,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALING_CHILD = os.environ.get("GRAFT_SCALING_CHILD", "") == "1"
 
 
-def run_bench() -> dict:
+def _init_ray():
     import ray
 
     if not ray.is_initialized():
@@ -40,21 +44,47 @@ def run_bench() -> dict:
         )
     from ray.data import DataContext
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    DataContext.get_current().enable_progress_bars = False
 
+
+def _warmup(fixture_root: str):
+    """Untimed: spin up the worker pool and warm the page cache."""
+    import ray.data
+
+    ray.data.range(
+        1_000_000, override_num_blocks=4 * NUM_CPUS
+    ).map_batches(lambda b: b, batch_format="pyarrow").count()
+    ray.data.read_parquet(f"{fixture_root}/pages", columns=["row_id"]).count()
+
+
+def _pages_rows(fixture_root: str) -> int:
+    import pyarrow.parquet as pq
+
+    pages_dir = os.path.join(fixture_root, "pages")
+    return sum(
+        pq.read_metadata(os.path.join(pages_dir, f)).num_rows
+        for f in os.listdir(pages_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def run_bench(sf_dir: str, headline_only: bool = False) -> dict:
+    import ray
+
+    _init_ray()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as em
     from geowave_ray.fixtures import ensure_fixtures
 
-    ensure_fixtures(SF_DIR)  # generate once, untimed (also warms page cache)
+    fixture_root = ensure_fixtures(sf_dir)
+    _warmup(fixture_root)
 
     timings: dict[str, float] = {}
     n_rows: dict[str, int] = {}
 
     def timed(name: str, fn):
         t0 = time.time()
-        res = fn(SF_DIR)
+        res = fn(sf_dir)
         import pandas as pd
 
         import ray.data as rd
@@ -71,31 +101,22 @@ def run_bench() -> dict:
     # headline: spatial join + tile assignment (north-star metric)
     timed("pip_join", em.q_pip_join)
     timed("tile_assign", em.q_tile_assign)
-    # secondary pipelines
-    timed("cell_hist", em.q_cell_hist)
-    timed("knn", em.q_knn)
-    timed("bbox_queries", em.q_bbox_queries)
-    timed("kde_gaussian", em.q_kde_gaussian)
-    timed("pip_join_cogroup", em.q_pip_join_cogroup)
+    if not headline_only:
+        timed("cell_hist", em.q_cell_hist)
+        timed("knn", em.q_knn)
+        timed("bbox_queries", em.q_bbox_queries)
+        timed("kde_gaussian", em.q_kde_gaussian)
+        timed("pip_join_cogroup", em.q_pip_join_cogroup)
 
     headline_sec = timings["pip_join"] + timings["tile_assign"]
-    # rows processed by the headline = pages scanned by the join stage
-    import pyarrow.parquet as pq
-
-    from geowave_ray.fixtures import fixture_dir
-
-    pages_rows = pq.read_metadata_or_rows = sum(
-        pq.read_metadata(os.path.join(fixture_dir(SF_DIR), "pages", f)).num_rows
-        for f in os.listdir(os.path.join(fixture_dir(SF_DIR), "pages"))
-        if f.endswith(".parquet")
-    )
+    pages_rows = _pages_rows(fixture_root)
     result = {
         "metric": "spatial-join + tile-assignment wall time (headline), sf fixtures",
         "value": round(headline_sec, 3),
         "unit": "sec",
         "queries": timings,
         "rows": n_rows,
-        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "sf": os.path.basename(os.path.normpath(fixture_root)),
         "num_cpus": NUM_CPUS,
         "headline_rows_per_sec": round(pages_rows / headline_sec, 1),
     }
@@ -107,17 +128,34 @@ def run_scaling() -> None:
     here = os.path.abspath(__file__)
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1"
+        )
         out = subprocess.run(
             [sys.executable, here], env=env, capture_output=True, text=True, check=True
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # generate the shared scaling fixture once (parallel, 32 cpus) so
+    # neither timed child pays for it
+    gen = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import ray,sys; ray.init(address='local', num_cpus=32, "
+            "include_dashboard=False, logging_level='ERROR'); "
+            "sys.path.insert(0, '/root/repo'); "
+            "from geowave_ray.fixtures import ensure_fixtures; "
+            "print(ensure_fixtures('sf_scaling')); ray.shutdown()",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
     r8 = run(8)
     r32 = run(32)
     tp8 = r8["headline_rows_per_sec"]
     tp32 = r32["headline_rows_per_sec"]
-    # efficiency: achieved speedup / ideal speedup (4x)
     eff = (tp32 / tp8) / (32 / 8)
     print(
         json.dumps(
@@ -128,6 +166,7 @@ def run_scaling() -> None:
                 "rows_per_sec_32": tp32,
                 "scaling_efficiency": round(eff, 3),
                 "sf": r8["sf"],
+                "rows": r8["rows"].get("pip_join"),
             }
         )
     )
@@ -136,5 +175,7 @@ def run_scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif SCALING_CHILD:
+        print(json.dumps(run_bench("sf_scaling", headline_only=True)))
     else:
-        print(json.dumps(run_bench()))
+        print(json.dumps(run_bench(SF_DIR)))

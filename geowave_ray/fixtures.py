@@ -47,6 +47,9 @@ SCALES = {
     "sf0.001": dict(pages=10_000, regions=512, chunks=128),
     "sf0.01": dict(pages=100_000, regions=1024, chunks=256),
     "sf0.1": dict(pages=1_000_000, regions=2048, chunks=512),
+    # scaling-proof fixture: large enough that the headline join is
+    # compute-bound (~100s CPU), so N vs 4N parallelism separates
+    "sf_scaling": dict(pages=8_000_000, regions=2048, chunks=512),
 }
 ROWS_PER_FILE = 50_000
 
@@ -325,10 +328,10 @@ def ensure_fixtures(sf_dir: str) -> str:
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(os.path.join(tmp, "pages"), exist_ok=True)
     n = cfg["pages"]
-    for start in range(0, n, ROWS_PER_FILE):
-        stop = min(start + ROWS_PER_FILE, n)
-        t = gen_pages_slice(start, stop, n)
-        pq.write_table(t, os.path.join(tmp, "pages", f"part-{start:09d}.parquet"))
+    slices = [
+        (start, min(start + ROWS_PER_FILE, n)) for start in range(0, n, ROWS_PER_FILE)
+    ]
+    _gen_pages_files(slices, n, os.path.join(tmp, "pages"))
     regions, edges = gen_regions(cfg["regions"])
     pq.write_table(regions, os.path.join(tmp, "regions.parquet"))
     pq.write_table(edges, os.path.join(tmp, "region_edges.parquet"))
@@ -341,6 +344,36 @@ def ensure_fixtures(sf_dir: str) -> str:
     with open(marker, "w") as f:
         f.write("ok\n")
     return out
+
+
+def _gen_pages_files(slices, n_total: int, out_dir: str) -> None:
+    """Write one parquet file per slice — fanned out over Ray tasks
+    when a Ray session exists (generation is a pure function of the
+    slice, so parallel generation is deterministic), else serially."""
+
+    def write_one(start: int, stop: int) -> None:
+        t = gen_pages_slice(start, stop, n_total)
+        pq.write_table(t, os.path.join(out_dir, f"part-{start:09d}.parquet"))
+
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(slices) > 4
+    except Exception:
+        pass
+    if not use_ray:
+        for start, stop in slices:
+            write_one(start, stop)
+        return
+
+    import ray
+
+    @ray.remote
+    def gen_task(start: int, stop: int) -> None:
+        write_one(start, stop)
+
+    ray.get([gen_task.remote(s, e) for s, e in slices])
 
 
 def gen_pages_slice(start: int, stop: int, n_total: int) -> pa.Table:

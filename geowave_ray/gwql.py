@@ -1,0 +1,291 @@
+"""GWQL-style mini query language.
+
+The reference defines GWQL, an ANTLR SQL dialect
+(``core/store/src/main/antlr4/.../GWQL.g4``,
+``query/gwql/statement/SelectStatement.java``):
+
+    SELECT sel[, sel...] FROM type [WHERE filter] [LIMIT n]
+
+with aggregate functions COUNT/MIN/MAX/SUM and BBOX, scalar functions
+ABS/CONCAT, text predicates strStartsWith/strEndsWith/contains, and
+comparison/boolean operators. This module is a small recursive-descent
+parser (no ANTLR here) producing a plan over a ``ray.data.Dataset``
+via the expression layer (:mod:`geowave_ray.expr`).
+
+Supported grammar (round 1):
+
+    SELECT *| col[, col...] | AGG(col)[, AGG(col)...]
+    FROM name
+    [WHERE predicate]          -- =, <>, <, <=, >, >=, AND, OR, NOT,
+                               -- BETWEEN x AND y, IN (v, ...),
+                               -- CONTAINS(col,'s'), STRSTARTSWITH,
+                               -- STRENDSWITH, IS [NOT] NULL
+    [LIMIT n]
+
+Aggregates: COUNT(*), COUNT(col), MIN(col), MAX(col), SUM(col).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import ray.data
+
+from .expr import Expr, col, lit
+
+_TOKEN = re.compile(
+    r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)|(?P<str>'(?:[^']|'')*')|"
+    r"(?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\*)|(?P<word>[A-Za-z_][A-Za-z_0-9.]*))"
+)
+
+_KEYWORDS = {
+    "SELECT", "FROM", "WHERE", "LIMIT", "AND", "OR", "NOT", "BETWEEN",
+    "IN", "IS", "NULL", "LIKE", "AS",
+}
+_AGGS = {"COUNT", "MIN", "MAX", "SUM"}
+_FUNCS = {"CONTAINS", "STRSTARTSWITH", "STRENDSWITH", "ABS", "CONCAT"}
+
+
+def tokenize(s: str) -> list[tuple[str, str]]:
+    out = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m:
+            if s[pos:].strip() == "":
+                break
+            raise ValueError(f"GWQL: cannot tokenize at: {s[pos:pos+20]!r}")
+        pos = m.end()
+        if m.group("num") is not None:
+            out.append(("num", m.group("num")))
+        elif m.group("str") is not None:
+            out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("op") is not None:
+            out.append(("op", m.group("op")))
+        else:
+            w = m.group("word")
+            out.append(("kw" if w.upper() in _KEYWORDS else "word", w))
+    return out
+
+
+@dataclass
+class Select:
+    columns: list  # list[str] or [("agg", fn, col, alias)]
+    table: str
+    where: Expr | None
+    limit: int | None
+    is_agg: bool = False
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect_kw(self, kw):
+        t, v = self.next()
+        if v is None or v.upper() != kw:
+            raise ValueError(f"GWQL: expected {kw}, got {v!r}")
+
+    # --- select list --------------------------------------------------
+    def parse(self) -> Select:
+        self.expect_kw("SELECT")
+        cols_out, is_agg = self._select_list()
+        self.expect_kw("FROM")
+        _, table = self.next()
+        where = None
+        limit = None
+        t, v = self.peek()
+        if v and v.upper() == "WHERE":
+            self.next()
+            where = self._or_expr()
+            t, v = self.peek()
+        if v and v.upper() == "LIMIT":
+            self.next()
+            _, n = self.next()
+            limit = int(n)
+        return Select(cols_out, table, where, limit, is_agg)
+
+    def _select_list(self):
+        cols_out = []
+        is_agg = False
+        while True:
+            t, v = self.next()
+            if t == "op" and v == "*":
+                cols_out.append("*")
+            elif t == "word" and v.upper() in _AGGS and self.peek() == ("op", "("):
+                self.next()  # (
+                t2, arg = self.next()
+                if t2 == "op" and arg == "*":
+                    arg = "*"
+                tc, vc = self.next()
+                if not (tc == "op" and vc == ")"):
+                    raise ValueError("GWQL: expected )")
+                alias = f"{v.lower()}_{arg if arg != '*' else 'all'}"
+                t3, v3 = self.peek()
+                if v3 and v3.upper() == "AS":
+                    self.next()
+                    _, alias = self.next()
+                cols_out.append(("agg", v.upper(), arg, alias))
+                is_agg = True
+            else:
+                cols_out.append(v)
+            t, v = self.peek()
+            if t == "op" and v == ",":
+                self.next()
+                continue
+            break
+        return cols_out, is_agg
+
+    # --- predicate grammar -------------------------------------------
+    def _or_expr(self) -> Expr:
+        e = self._and_expr()
+        while True:
+            t, v = self.peek()
+            if v and v.upper() == "OR":
+                self.next()
+                e = e | self._and_expr()
+            else:
+                return e
+
+    def _and_expr(self) -> Expr:
+        e = self._not_expr()
+        while True:
+            t, v = self.peek()
+            if v and v.upper() == "AND":
+                self.next()
+                e = e & self._not_expr()
+            else:
+                return e
+
+    def _not_expr(self) -> Expr:
+        t, v = self.peek()
+        if v and v.upper() == "NOT":
+            self.next()
+            return ~self._not_expr()
+        return self._comparison()
+
+    def _value(self):
+        t, v = self.next()
+        if t == "num":
+            return float(v) if "." in v else int(v)
+        if t == "str":
+            return v
+        raise ValueError(f"GWQL: expected literal, got {v!r}")
+
+    def _comparison(self) -> Expr:
+        t, v = self.peek()
+        if t == "op" and v == "(":
+            self.next()
+            e = self._or_expr()
+            tc, vc = self.next()
+            if not (tc == "op" and vc == ")"):
+                raise ValueError("GWQL: expected )")
+            return e
+        if t == "word" and v.upper() in _FUNCS:
+            return self._func_predicate()
+        t, name = self.next()
+        left = col(name)
+        t, op = self.next()
+        if op is None:
+            raise ValueError("GWQL: dangling predicate")
+        u = op.upper() if isinstance(op, str) else op
+        if u == "BETWEEN":
+            lo = self._value()
+            self.expect_kw("AND")
+            hi = self._value()
+            return left.between(lo, hi)
+        if u == "IN":
+            self.next()  # (
+            vals = [self._value()]
+            while self.peek() == ("op", ","):
+                self.next()
+                vals.append(self._value())
+            self.next()  # )
+            return left.isin(vals)
+        if u == "IS":
+            t2, v2 = self.next()
+            if v2 and v2.upper() == "NOT":
+                self.expect_kw("NULL")
+                return left.is_not_null()
+            return left.is_null()
+        val = self._value()
+        if op == "=":
+            return left == val
+        if op in ("<>", "!="):
+            return left != val
+        if op == "<":
+            return left < val
+        if op == "<=":
+            return left <= val
+        if op == ">":
+            return left > val
+        if op == ">=":
+            return left >= val
+        raise ValueError(f"GWQL: unknown operator {op!r}")
+
+    def _func_predicate(self) -> Expr:
+        _, fn = self.next()
+        self.next()  # (
+        _, cname = self.next()
+        self.next()  # ,
+        t, s = self.next()
+        self.next()  # )
+        c = col(cname)
+        f = fn.upper()
+        if f == "CONTAINS":
+            return c.contains(s)
+        if f == "STRSTARTSWITH":
+            return c.starts_with(s)
+        if f == "STRENDSWITH":
+            return c.ends_with(s)
+        raise ValueError(f"GWQL: unknown function {fn}")
+
+
+def parse(sql: str) -> Select:
+    return _Parser(tokenize(sql)).parse()
+
+
+def execute(sql: str, tables: dict[str, ray.data.Dataset]) -> ray.data.Dataset:
+    """Run a GWQL SELECT over named Datasets."""
+    stmt = parse(sql)
+    if stmt.table not in tables:
+        raise KeyError(f"GWQL: unknown table {stmt.table}")
+    ds = tables[stmt.table]
+    if stmt.where is not None:
+        e = stmt.where
+        ds = ds.map_batches(e.filter_batch, batch_format="pyarrow", batch_size=None)
+    if stmt.is_agg:
+        from ray.data.aggregate import Count, Max, Min, Sum
+
+        aggs = []
+        for c in stmt.columns:
+            if not (isinstance(c, tuple) and c[0] == "agg"):
+                raise ValueError("GWQL: mixed agg and plain columns unsupported")
+            _, fn, arg, alias = c
+            if fn == "COUNT":
+                aggs.append(Count(alias_name=alias))
+            elif fn == "MIN":
+                aggs.append(Min(arg, alias_name=alias))
+            elif fn == "MAX":
+                aggs.append(Max(arg, alias_name=alias))
+            elif fn == "SUM":
+                aggs.append(Sum(arg, alias_name=alias))
+        row = ds.aggregate(*aggs)
+        import pandas as pd
+
+        return ray.data.from_pandas(pd.DataFrame([row]))
+    if stmt.columns != ["*"]:
+        ds = ds.select_columns([c for c in stmt.columns])
+    if stmt.limit is not None:
+        ds = ds.limit(stmt.limit)
+    return ds

@@ -112,3 +112,23 @@ def subsample_by_cell(pages_with_cells: ray.data.Dataset, id_col: str = "url") -
         return g.sort_values(id_col, kind="mergesort").head(1)
 
     return pages_with_cells.groupby("cell_id").map_groups(first, batch_format="pandas")
+
+
+def visibility_filter(
+    ds: ray.data.Dataset, authorizations: set[str], vis_col: str = "visibility"
+) -> ray.data.Dataset:
+    """Row-level visibility: keep rows whose '&'-joined label set is a
+    subset of the caller's authorizations (simplified form of the
+    reference's ClientVisibilityFilter,
+    ``core/store/.../query/filter/ClientVisibilityFilter.java``).
+    Empty/missing labels are public."""
+    auth = frozenset(authorizations)
+
+    def fb(batch: pa.Table) -> pa.Table:
+        vals = batch.column(vis_col).to_pylist()
+        mask = [
+            (not v) or set(v.split("&")) <= auth for v in vals
+        ]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(fb, batch_format="pyarrow", batch_size=None)

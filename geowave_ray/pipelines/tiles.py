@@ -162,3 +162,68 @@ def merge_tiles(
     return contrib.groupby(["level", "tile_x", "tile_y"]).map_groups(
         merge, batch_format="pandas"
     )
+
+
+def pyramid_up(tiles: ray.data.Dataset) -> ray.data.Dataset:
+    """Build one coarser pyramid level from merged tiles.
+
+    Reference: RasterDataAdapter's buildPyramid option
+    (``extensions/adapters/raster/.../RasterDataAdapter.java:253,444+``)
+    — each (level, tx, ty) tile contributes its 2x-downsampled pixels
+    to parent (level-1, tx//2, ty//2); 4 children mosaic into a parent.
+    """
+
+    def to_parent(batch: pa.Table) -> pa.Table:
+        levels = batch.column("level").to_numpy()
+        txs = batch.column("tile_x").to_numpy()
+        tys = batch.column("tile_y").to_numpy()
+        pix = batch.column("pixels")
+        rows = {"level": [], "tile_x": [], "tile_y": [], "pixels": [], "counts": []}
+        half = TILE_SIZE // 2
+        for i in range(len(levels)):
+            if levels[i] == 0:
+                continue
+            p = np.asarray(pix[i].as_py(), dtype=np.float64).reshape(TILE_SIZE, TILE_SIZE)
+            # 2x2 mean downsample
+            down = p.reshape(half, 2, half, 2).mean(axis=(1, 3))
+            ptx, pty = int(txs[i]) // 2, int(tys[i]) // 2
+            qx = (int(txs[i]) % 2) * half
+            qy = (int(tys[i]) % 2) * half
+            tile = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.float64)
+            cnt = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.float64)
+            tile[qy : qy + half, qx : qx + half] = down
+            cnt[qy : qy + half, qx : qx + half] = 1.0
+            rows["level"].append(int(levels[i]) - 1)
+            rows["tile_x"].append(ptx)
+            rows["tile_y"].append(pty)
+            rows["pixels"].append(tile.ravel())
+            rows["counts"].append(cnt.ravel())
+        return pa.table(
+            {
+                "level": pa.array(rows["level"], pa.int64()),
+                "tile_x": pa.array(rows["tile_x"], pa.int64()),
+                "tile_y": pa.array(rows["tile_y"], pa.int64()),
+                "pixels": pa.array(rows["pixels"], pa.list_(pa.float64())),
+                "counts": pa.array(rows["counts"], pa.list_(pa.float64())),
+            }
+        )
+
+    contrib = tiles.map_batches(to_parent, batch_format="pyarrow", batch_size=None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(TILE_SIZE * TILE_SIZE, dtype=np.float64)
+        for p in g["pixels"]:
+            acc += np.asarray(p, dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "level": [int(g["level"].iloc[0])],
+                "tile_x": [int(g["tile_x"].iloc[0])],
+                "tile_y": [int(g["tile_y"].iloc[0])],
+                "n_contrib": [len(g)],
+                "pixels": [acc],
+            }
+        )
+
+    return contrib.groupby(["level", "tile_x", "tile_y"]).map_groups(
+        merge, batch_format="pandas"
+    )

@@ -275,6 +275,37 @@ def cells_for_bbox_single(
     return gx.ravel(), gy.ravel()
 
 
+def xz_single_cell(
+    xmin: np.ndarray,
+    ymin: np.ndarray,
+    xmax: np.ndarray,
+    ymax: np.ndarray,
+    max_tier: int = MAX_TIER,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """XZ-order-style single-cell encoding for extents (vectorized).
+
+    The reference's XZOrderSFC (``core/index/.../sfc/xz/XZOrderSFC.java:72``)
+    assigns every extent exactly ONE cell at an adaptive resolution:
+    conceptually each cell is enlarged 2x so any extent no wider than a
+    cell fits the (enlarged) cell anchored at its lower-left corner.
+    We mirror that: tier = finest level whose cell size >= extent size,
+    cell = grid cell of the extent's lower-left corner at that tier.
+    Returns (tier, cx, cy) — no duplication, at the cost of coarser
+    query ranges (queries must expand to the enlarged footprint).
+    """
+    w = np.maximum(xmax - xmin, 1e-12) / (LON_MAX - LON_MIN)
+    h = np.maximum(ymax - ymin, 1e-12) / (LAT_MAX - LAT_MIN)
+    frac = np.maximum(w, h)
+    t = np.clip(np.floor(-np.log2(frac)).astype(np.int64), 0, max_tier)
+    cx = np.empty(len(t), dtype=np.int64)
+    cy = np.empty(len(t), dtype=np.int64)
+    for tt in np.unique(t):
+        m = t == tt
+        gx, gy = grid_coords(xmin[m], ymin[m], int(tt))
+        cx[m], cy[m] = gx, gy
+    return t, cx, cy
+
+
 def bbox_cell_ranges(
     xmin: float, ymin: float, xmax: float, ymax: float, tier: int,
     curve: str = "morton",

@@ -224,3 +224,67 @@ def dataset_bbox(ds: ray.data.Dataset, lon_col="lon", lat_col="lat") -> dict:
         Max(lat_col, alias_name="ymax"),
     )
     return dict(row)
+
+
+class FixedBinHistogram:
+    """Mergeable fixed-bin numeric histogram
+    (FixedBinNumericHistogramStatistic analogue)."""
+
+    def __init__(self, lo: float, hi: float, bins: int = 64):
+        self.lo = lo
+        self.hi = hi
+        self.bins = bins
+        self.counts = np.zeros(bins, dtype=np.int64)
+
+    def add(self, arr: np.ndarray) -> None:
+        idx = np.floor((arr - self.lo) / (self.hi - self.lo) * self.bins).astype(np.int64)
+        np.clip(idx, 0, self.bins - 1, out=idx)
+        np.add.at(self.counts, idx, 1)
+
+    def merge(self, other: "FixedBinHistogram") -> "FixedBinHistogram":
+        out = FixedBinHistogram(self.lo, self.hi, self.bins)
+        out.counts = self.counts + other.counts
+        return out
+
+    def quantile(self, q: float) -> float:
+        c = np.cumsum(self.counts)
+        if c[-1] == 0:
+            return self.lo
+        target = q * c[-1]
+        b = int(np.searchsorted(c, target))
+        return self.lo + (b + 0.5) / self.bins * (self.hi - self.lo)
+
+
+def dataset_histogram(
+    ds: ray.data.Dataset, column: str, lo: float, hi: float, bins: int = 64
+) -> FixedBinHistogram:
+    """Partial-per-batch histogram with final merge (split planning /
+    RowRangeHistogramStatistic role)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = FixedBinHistogram(lo, hi, bins)
+        h.add(batch.column(column).to_numpy())
+        return pa.table({"counts": pa.array([h.counts.tolist()], pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    acc = FixedBinHistogram(lo, hi, bins)
+    for c in parts["counts"]:
+        acc.counts += np.asarray(c, dtype=np.int64)
+    return acc
+
+
+def optimal_count(manifest_dir: str) -> int | None:
+    """OptimalCountAggregation analogue: answer COUNT(*) from the
+    ingest manifest statistics without scanning
+    (``core/store/.../query/aggregate/OptimalCountAggregation.java``).
+    Returns None when no manifest exists (caller falls back to a scan).
+    """
+    from .state import manifest as mf
+
+    entries = mf.load_all(manifest_dir)
+    if not entries:
+        return None
+    seen_groups = {}
+    for e in entries:
+        seen_groups[e.get("output_dir")] = e.get("group_rows", 0)
+    return int(sum(seen_groups.values()))
