@@ -530,6 +530,105 @@ def q_ann_lsh(sf_dir: str):
     return ann_lsh_topk(ds, qvecs, qids, k=10, concurrency=_pool())
 
 
+def q_gwql_select(sf_dir: str):
+    """GWQL string query end-to-end (parser -> expr -> Dataset)."""
+    from geowave_ray import gwql
+
+    docs = _read_testdata(sf_dir, "documents")
+    return gwql.execute(
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE lang IN ('en', 'de') AND n_chars BETWEEN 50 AND 300",
+        {"documents": docs},
+    )
+
+
+def q_gwql_agg(sf_dir: str):
+    from geowave_ray import gwql
+
+    docs = _read_testdata(sf_dir, "documents")
+    return gwql.execute(
+        "SELECT COUNT(*) AS n, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
+        "FROM documents WHERE lang = 'en'",
+        {"documents": docs},
+    )
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast hash join (small dim side via ray.put) + aggregate —
+    the relational-join shape from the Ray guide."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ray.data.aggregate import Count, Max
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    )
+    orders = _read_testdata(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    )
+
+    from geowave_ray.util import cached_state
+
+    key = ("seg", lookup_ref.hex())
+
+    def add_segment(batch: pa.Table) -> pa.Table:
+        lut = cached_state(key, lookup_ref)
+        segs = [lut.get(c) for c in batch.column("o_custkey").to_pylist()]
+        return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+
+    joined = orders.map_batches(add_segment, batch_format="pyarrow", batch_size=None)
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Max("o_totalprice", alias_name="max_price")
+    )
+
+
+def q_topk_orders(sf_dir: str):
+    """Global sort + limit (SFC-sorted-scan / limit analogue)."""
+    ds = _read_testdata(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+
+
+def q_events_session(sf_dir: str):
+    """Sessionization (30-min gap) per user — the stream-shaped
+    operator: groupby(user).map_groups over ts-sorted events."""
+    ds = _read_testdata(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy().astype("datetime64[us]").astype(np.int64)
+        gaps = np.diff(ts)
+        n_sessions = 1 + int((gaps > 1_800_000_000).sum())
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_url_lookup(sf_dir: str):
+    """Secondary-index / data-id point lookup: fetch specific urls via
+    a parquet predicate push-down (BaseDataStore data-id query path)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from geowave_ray.fixtures import SCALES, fixture_dir
+    import os
+
+    name = os.path.basename(os.path.normpath(fixture_dir(sf_dir)))
+    n_rows = SCALES[name]["pages"]
+    n_hosts = max(16, n_rows // 1000)
+    targets = [f"https://site{i % n_hosts}.example/{i:012d}" for i in range(0, 5000, 500)]
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/pages",
+        columns=["url", "lang", "warc_ts"],
+        filter=pc.field("url").isin(targets),
+    )
+    return ds
+
+
 def q_hll_distinct(sf_dir: str):
     from geowave_ray.stats import dataset_hll_distinct
 
@@ -603,6 +702,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": q_ann_lsh,
         # sketches
         "hll_distinct": q_hll_distinct,
+        # query language / relational / lookup
+        "gwql_select": q_gwql_select,
+        "gwql_agg": q_gwql_agg,
+        "orders_by_segment": q_orders_by_segment,
+        "topk_orders": q_topk_orders,
+        "events_session": q_events_session,
+        "url_lookup": q_url_lookup,
     }
 
 
@@ -814,8 +920,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= 10
         """,
+        "gwql_select": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE lang IN ('en', 'de') AND n_chars BETWEEN 50 AND 300
+        """,
+        "gwql_agg": """
+            SELECT count(*) AS n, min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents WHERE lang = 'en'
+        """,
+        "orders_by_segment": """
+            SELECT c.c_mktsegment, count(*) AS n_orders,
+                   max(o.o_totalprice) AS max_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "events_session": """
+            WITH g AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+              FROM events
+            )
+            SELECT user_id,
+                   sum(CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+            FROM g GROUP BY user_id
+        """,
+        "url_lookup": f"""
+            SELECT url, lang, warc_ts FROM {PAGES}
+            WHERE url IN (
+              SELECT 'https://site' || CAST((i * 500) % 100 AS VARCHAR)
+                     || '.example/' || lpad(CAST(i * 500 AS VARCHAR), 12, '0')
+              FROM (SELECT unnest(generate_series(0, 9)) AS i)
+            )
+        """,
         # knn_haversine / tile_merge_sum / kde_gaussian / docs_fingerprint /
         # docs_minhash_pairs / docs_simhash / ann_lsh / hll_distinct /
-        # pip: intentionally no SQL (non-SQL-expressible or approximate);
+        # intentionally no SQL (non-SQL-expressible or approximate);
         # the driver records rows-only checks, pytest carries the oracle.
     }

@@ -166,6 +166,23 @@ class GridIndex:
         self.rings = [np.asarray(r, dtype=np.float64) for r in rings]
         self.tier = tier
         self.convex = convex
+        # group rings by vertex count for pair-vectorized PIP: per k we
+        # store stacked vertex arrays so the probe tests ALL candidate
+        # (point, polygon) pairs of that k in one numpy expression
+        # (no per-polygon python loop in the hot path)
+        opened = []
+        for r in self.rings:
+            rr = r[:-1] if np.array_equal(r[0], r[-1]) else r
+            opened.append(rr)
+        self._k_of = np.array([len(rr) for rr in opened], dtype=np.int64)
+        self._kidx = np.zeros(len(opened), dtype=np.int64)
+        self._by_k: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for k in np.unique(self._k_of):
+            sel = np.nonzero(self._k_of == k)[0]
+            self._kidx[sel] = np.arange(len(sel))
+            rx = np.stack([opened[i][:, 0] for i in sel])
+            ry = np.stack([opened[i][:, 1] for i in sel])
+            self._by_k[int(k)] = (rx, ry)
         n = 1 << tier
         self.n = n
         buckets: dict[int, list[int]] = {}
@@ -228,19 +245,46 @@ class GridIndex:
         rep_pts, polys = rep_pts[m], polys[m]
         if len(rep_pts) == 0:
             return rep_pts, polys
+        if not self.convex:
+            # generic path: per-polygon ray casting
+            out_mask = np.zeros(len(rep_pts), dtype=bool)
+            order = np.argsort(polys, kind="stable")
+            rep_pts_s, polys_s = rep_pts[order], polys[order]
+            bounds = np.nonzero(np.diff(polys_s))[0] + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(polys_s)]))
+            mask_s = np.zeros(len(rep_pts_s), dtype=bool)
+            for s, e in zip(starts, ends):
+                pid = int(polys_s[s])
+                sel = slice(s, e)
+                mask_s[sel] = pip_raycast(
+                    px[rep_pts_s[sel]], py[rep_pts_s[sel]], self.rings[pid]
+                )
+            out_mask[order] = mask_s
+            return rep_pts[out_mask], polys[out_mask]
+        # convex path, pair-vectorized per vertex-count group: one edge
+        # loop of length k over (npairs, ) arrays — identical per-edge
+        # float expression as pip_convex, so results are bit-equal
         out_mask = np.zeros(len(rep_pts), dtype=bool)
-        order = np.argsort(polys, kind="stable")
-        rep_pts_s, polys_s = rep_pts[order], polys[order]
-        bounds = np.nonzero(np.diff(polys_s))[0] + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(polys_s)]))
-        test = pip_convex if self.convex else pip_raycast
-        mask_s = np.zeros(len(rep_pts_s), dtype=bool)
-        for s, e in zip(starts, ends):
-            pid = int(polys_s[s])
-            sel = slice(s, e)
-            mask_s[sel] = test(px[rep_pts_s[sel]], py[rep_pts_s[sel]], self.rings[pid])
-        out_mask[order] = mask_s
+        kk = self._k_of[polys]
+        ppx = px[rep_pts]
+        ppy = py[rep_pts]
+        for k, (rx, ry) in self._by_k.items():
+            gm = kk == k
+            if not gm.any():
+                continue
+            li = self._kidx[polys[gm]]
+            gx = ppx[gm]
+            gy = ppy[gm]
+            inside = np.ones(len(li), dtype=bool)
+            for e in range(k):
+                x1 = rx[li, e]
+                y1 = ry[li, e]
+                x2 = rx[li, (e + 1) % k]
+                y2 = ry[li, (e + 1) % k]
+                cross = (x2 - x1) * (gy - y1) - (y2 - y1) * (gx - x1)
+                inside &= cross >= 0.0
+            out_mask[np.nonzero(gm)[0]] = inside
         return rep_pts[out_mask], polys[out_mask]
 
 
