@@ -121,6 +121,22 @@ def q_pip_join(sf_dir: str):
     return broadcast_pip_join(_pages(sf_dir), _regions_table(sf_dir), concurrency=_pool())
 
 
+def q_pip_join_ids(sf_dir: str):
+    """Headline-scale variant: compact (row_id, region_idx) id pairs —
+    the 100-TB layout (wide columns rejoin by id downstream); same
+    match set as pip_join (pytest-checked), ~5x less emit bandwidth."""
+    from geowave_ray.pipelines.spatial_join import broadcast_pip_join
+
+    return broadcast_pip_join(
+        _pages(sf_dir),
+        _regions_table(sf_dir),
+        keep_cols=("row_id",),
+        region_cols=(),
+        emit_region_idx=True,
+        concurrency=_pool(),
+    )
+
+
 def q_pip_join_cogroup(sf_dir: str):
     import ray.data
 
@@ -666,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_rank": q_cell_rank,
         # spatial joins
         "pip_join": q_pip_join,
+        "pip_join_ids": q_pip_join_ids,
         "pip_join_cogroup": q_pip_join_cogroup,
         "pip_join_count": q_pip_join_count,
         "pip_join_anti": q_pip_join_anti,

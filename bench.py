@@ -98,14 +98,14 @@ def run_bench(sf_dir: str, headline_only: bool = False) -> dict:
         timings[name] = round(time.time() - t0, 3)
         n_rows[name] = int(n)
 
-    # headline: spatial join + tile assignment (north-star metric).
-    # Two timed repetitions, keep the best — the sandbox host has
-    # noisy-neighbor variance and the scaling criterion needs the
-    # steady-state number.
-    timed("pip_join", em.q_pip_join)
+    # headline: spatial join (compact id-pair emit — the at-scale
+    # layout) + tile assignment (north-star metric). Two timed
+    # repetitions, keep the best — the sandbox host has noisy-neighbor
+    # variance and the scaling criterion needs the steady-state number.
+    timed("pip_join", em.q_pip_join_ids)
     timed("tile_assign", em.q_tile_assign)
     first = (timings["pip_join"], timings["tile_assign"])
-    timed("pip_join", em.q_pip_join)
+    timed("pip_join", em.q_pip_join_ids)
     timed("tile_assign", em.q_tile_assign)
     timings["pip_join"] = min(first[0], timings["pip_join"])
     timings["tile_assign"] = min(first[1], timings["tile_assign"])

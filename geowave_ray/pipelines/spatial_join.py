@@ -74,6 +74,7 @@ class PIPJoiner:
         mode: str = "semi",
         temporal: bool = False,
         region_cols=("region_id",),
+        emit_region_idx: bool = False,
     ):
         obj = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
         self.index, self.aux = obj
@@ -81,6 +82,7 @@ class PIPJoiner:
         self.region_cols = list(region_cols)
         self.mode = mode
         self.temporal = temporal
+        self.emit_region_idx = emit_region_idx
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = batch.column("lon").to_numpy()
@@ -98,6 +100,13 @@ class PIPJoiner:
             return batch.select(self.keep_cols).filter(pa.array(keep))
         idx = pa.array(pi)
         out = batch.select(self.keep_cols).take(idx)
+        if self.emit_region_idx:
+            # compact id-pair layout (the 100-TB shuffle discipline:
+            # ship 4-byte region indexes, rejoin wide columns by id
+            # downstream — SURVEY §7.4 "wide binary rows")
+            return out.append_column(
+                "region_idx", pa.array(pj.astype(np.int32), pa.int32())
+            )
         pj_arr = pa.array(pj)
         for rc in self.region_cols:
             out = out.append_column(rc, self.aux[rc].take(pj_arr))
@@ -115,6 +124,7 @@ def broadcast_pip_join(
     batch_size: int | None = None,
     index_tier: int = 7,
     use_actors: bool = False,
+    emit_region_idx: bool = False,
 ) -> ray.data.Dataset:
     """pages Dataset (lon/lat columns present) x regions -> pair Dataset.
 
@@ -130,6 +140,7 @@ def broadcast_pip_join(
         mode=mode,
         temporal=temporal,
         region_cols=tuple(region_cols),
+        emit_region_idx=emit_region_idx,
     )
     if use_actors:
         return pages.map_batches(
@@ -142,7 +153,7 @@ def broadcast_pip_join(
 
     from ..util import cached_state
 
-    key = ("pip", index_ref.hex(), mode, temporal, tuple(keep_cols), tuple(region_cols))
+    key = ("pip", index_ref.hex(), mode, temporal, tuple(keep_cols), tuple(region_cols), emit_region_idx)
 
     def probe(batch: pa.Table) -> pa.Table:
         joiner = cached_state(key, index_ref, builder=lambda obj: PIPJoiner(obj, **params))

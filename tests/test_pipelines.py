@@ -181,3 +181,16 @@ def test_subsample_by_cell(small):
     assert len(sub) == full["cell_id"].nunique()
     got = sub.set_index("cell_id")["url"].sort_index()
     assert got.equals(expect["url"].sort_index())
+
+
+def test_pip_join_ids_matches_string_pairs(small):
+    pages, regions, _ = small
+    ds = ray.data.from_arrow(pages)
+    got = spatial_join.broadcast_pip_join(
+        ds, regions, keep_cols=("row_id",), region_cols=(),
+        emit_region_idx=True, concurrency=2,
+    ).to_pandas()
+    rid_by_row = dict(zip(pages["row_id"].to_pylist(), pages["url"].to_pylist()))
+    region_ids = regions["region_id"].to_pylist()
+    got_set = {(rid_by_row[r], region_ids[i]) for r, i in zip(got["row_id"], got["region_idx"])}
+    assert got_set == brute_force_pairs(pages, regions)
