@@ -82,7 +82,9 @@ def knn(
     knn_queries: pa.Table,
     metric: str = "planar",
     concurrency: int | tuple = 4,
-    batch_size: int | None = 32768,
+    # small batches keep the (n_queries x batch) distance matrix
+    # cache-resident — large batches thrash DRAM superlinearly
+    batch_size: int | None = 2048,
 ) -> ray.data.Dataset:
     """Exact global top-k(q) per query -> (query_id, rank, url)."""
     q = {
