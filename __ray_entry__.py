@@ -546,6 +546,47 @@ def q_ann_lsh(sf_dir: str):
     return ann_lsh_topk(ds, qvecs, qids, k=10, concurrency=_pool())
 
 
+def q_within_distance(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from geowave_ray.pipelines.distance_join import within_distance_join
+
+    probes = pq.read_table(f"{_fx(sf_dir)}/knn_queries.parquet")
+    return within_distance_join(_pages(sf_dir), probes, radius_deg=2.0)
+
+
+def q_kmeans(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from geowave_ray.pipelines.clustering import kmeans
+
+    _, assigned = kmeans(_pages(sf_dir), k=8, n_iter=6)
+    return assigned.groupby("cluster").aggregate(Count(alias_name="n_points"))
+
+
+def q_dbscan(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from geowave_ray.pipelines.clustering import dbscan
+
+    out = dbscan(_pages(sf_dir), eps=0.05, min_pts=20)
+    return out.groupby("cluster").aggregate(Count(alias_name="n_points"))
+
+
+def q_sample_weighted(sf_dir: str):
+    from geowave_ray.pipelines.distance_join import sample_weighted
+
+    docs = _read_testdata(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "url", pa.array([f"d{int(v):08d}" for v in batch.column("doc_id").to_pylist()])
+        )
+
+    ds = docs.map_batches(add_url, batch_format="pyarrow", batch_size=None)
+    return sample_weighted(ds, "n_chars", 50, id_col="url")
+
+
 def q_gwql_select(sf_dir: str):
     """GWQL string query end-to-end (parser -> expr -> Dataset)."""
     from geowave_ray import gwql
@@ -726,6 +767,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": q_topk_orders,
         "events_session": q_events_session,
         "url_lookup": q_url_lookup,
+        # distance join / clustering / sampling
+        "within_distance": q_within_distance,
+        "kmeans": q_kmeans,
+        "dbscan": q_dbscan,
+        "sample_weighted": q_sample_weighted,
     }
 
 
@@ -974,6 +1020,14 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT unnest(generate_series(0, 9)) AS i)
             )
         """,
+        "within_distance": f"""
+            SELECT q.query_id, p.url
+            FROM {KNNQ} q JOIN {PAGES} p
+              ON (p.lon - q.lon) * (p.lon - q.lon)
+               + (p.lat - q.lat) * (p.lat - q.lat) <= 4.0
+        """,
+        # kmeans / dbscan / sample_weighted: iterative or hash-seeded —
+        # deterministic but not SQL-expressible; rows-only + pytest.
         # knn_haversine / tile_merge_sum / kde_gaussian / docs_fingerprint /
         # docs_minhash_pairs / docs_simhash / ann_lsh / hll_distinct /
         # intentionally no SQL (non-SQL-expressible or approximate);

@@ -1,0 +1,108 @@
+"""Tests for clustering / distance-join / sampling analytics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from geowave_ray import fixtures
+
+
+@pytest.fixture(scope="module")
+def pages(ray_session):
+    return fixtures.gen_pages_slice(0, 3000, 3000)
+
+
+def test_kmeans_every_point_nearest_centroid(pages):
+    """The GeoWaveSparkKMeansIT check: each point's assigned centroid
+    is the true nearest (GeoWaveSparkKMeansIT.java:107-168)."""
+    from geowave_ray.pipelines.clustering import kmeans
+
+    ds = ray.data.from_arrow(pages)
+    centroids, assigned = kmeans(ds, k=6, n_iter=5)
+    df = assigned.to_pandas()
+    lon = df["lon"].to_numpy()
+    lat = df["lat"].to_numpy()
+    d = (lon[None, :] - centroids[:, 0:1]) ** 2 + (lat[None, :] - centroids[:, 1:2]) ** 2
+    nearest = np.argmin(d, axis=0)
+    assert np.array_equal(nearest, df["cluster"].to_numpy())
+    # deterministic across runs
+    c2, _ = kmeans(ray.data.from_arrow(pages), k=6, n_iter=5)
+    assert np.array_equal(centroids, c2)
+
+
+def test_kmeans_hulls_contain_centroids(pages):
+    from geowave_ray.geom import pip_convex
+    from geowave_ray.pipelines.clustering import convex_hulls, kmeans
+
+    ds = ray.data.from_arrow(pages)
+    centroids, assigned = kmeans(ds, k=4, n_iter=5)
+    hulls = convex_hulls(assigned)
+    df = assigned.to_pandas()
+    for c, hull in hulls.items():
+        if len(hull) < 3:
+            continue
+        # hull contains that cluster's centroid-of-members
+        members = df[df.cluster == c]
+        mx, my = members["lon"].mean(), members["lat"].mean()
+        assert pip_convex(np.array([mx]), np.array([my]), hull)[0]
+
+
+def test_dbscan_finds_hot_clusters(pages):
+    """Hot url clusters (0.02-deg blobs holding 30% of rows) must come
+    out as dense clusters; isolated random points are noise."""
+    from geowave_ray.pipelines.clustering import dbscan
+
+    ds = ray.data.from_arrow(pages)
+    out = dbscan(ds, eps=0.05, min_pts=20).to_pandas()
+    df = pages.to_pandas()
+    merged = out.merge(df[["url", "row_id"]], on="url")
+    hot = merged[merged.row_id % 10 < 3]
+    cold = merged[merged.row_id % 10 >= 3]
+    # every hot point is clustered
+    assert (hot["cluster"] >= 0).all()
+    # clusters are at least the 4 dense blobs (some random points may
+    # cluster too, but noise dominates the cold set)
+    assert hot["cluster"].nunique() >= 4
+    assert (cold["cluster"] == -1).mean() > 0.95
+
+
+def test_within_distance_join_matches_bruteforce(pages):
+    from geowave_ray.geom import planar_sqdist
+    from geowave_ray.pipelines.distance_join import within_distance_join
+
+    probes = fixtures.gen_knn_queries(40)
+    ds = ray.data.from_arrow(pages)
+    r = 0.5
+    got = within_distance_join(ds, probes, radius_deg=r).to_pandas()
+    got_set = set(zip(got["query_id"], got["url"]))
+    lon = pages["lon"].to_numpy()
+    lat = pages["lat"].to_numpy()
+    urls = np.asarray(pages["url"].to_pylist(), object)
+    expect = set()
+    for i in range(probes.num_rows):
+        d = planar_sqdist(probes["lon"][i].as_py(), probes["lat"][i].as_py(), lon, lat)
+        for j in np.nonzero(d <= r * r)[0]:
+            expect.add((probes["query_id"][i].as_py(), urls[j]))
+    assert got_set == expect
+
+
+def test_sample_weighted_deterministic_and_biased(ray_session):
+    from geowave_ray.pipelines.distance_join import sample_weighted
+
+    n = 2000
+    t = pa.table(
+        {
+            "url": [f"u{i:05d}" for i in range(n)],
+            "w": pa.array([10.0 if i < 200 else 0.1 for i in range(n)], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    s1 = sample_weighted(ds, "w", 100).to_pandas()
+    s2 = sample_weighted(ray.data.from_arrow(t), "w", 100).to_pandas()
+    assert len(s1) == 100
+    assert sorted(s1["url"]) == sorted(s2["url"])  # deterministic
+    # heavy-weight items (10% of rows, 100x weight) dominate the sample
+    heavy = (s1["url"].str.slice(1).astype(int) < 200).mean()
+    assert heavy > 0.5
