@@ -194,13 +194,23 @@ def cogroup_pip_join(
     pages: ray.data.Dataset,
     regions: ray.data.Dataset,
     max_tier: int = 9,
+    n_salt: int = 8,
 ) -> ray.data.Dataset:
     """Large-large tiered cell cogroup join -> (url, region_id) pairs.
 
     Region side: fit-or-descend tier + covering-cell duplication
     (bounded <= 4 cells each). Point side: re-encoded at each tier the
     region side occupies (reference's reprojection). Shuffle key:
-    (tier, cell_id).
+    (tier, bucket, salt).
+
+    **Skew handling**: the point side appends ``salt = hash % n_salt``
+    and the (small, already cell-duplicated) region side is replicated
+    across all salt values, so one dense cell (a hot url cluster)
+    spreads over ``n_salt`` reducers instead of one straggler — the
+    engine's form of the reference's HashKeyIndexStrategy partition
+    salting (``core/index/.../simple/HashKeyIndexStrategy.java``)
+    composed with its join partitioner oversizing
+    (``TieredSpatialJoin.java:168-172``). Set ``n_salt=1`` to disable.
     """
     regions_cells = regions.map_batches(
         lambda b: encode_extents(b, max_tier=max_tier, snap_tiers=(2, 4, 6, 8)),
@@ -226,10 +236,32 @@ def cogroup_pip_join(
         b = b.append_column("bucket", pa.array(bucket, pa.int64()))
         return b.append_column("side", pa.array(np.full(len(b), side, np.int8)))
 
+    def salt_points(b: pa.Table) -> pa.Table:
+        # cheap per-row hash salt (independent of the cell so dense
+        # cells split evenly)
+        h = (
+            b.column("cell_id").to_numpy().astype(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+            + np.arange(len(b), dtype=np.uint64)
+        )
+        salt = ((h >> np.uint64(33)) % np.uint64(n_salt)).astype(np.int16)
+        return b.append_column("salt", pa.array(salt, pa.int16()))
+
+    def replicate_regions(b: pa.Table) -> pa.Table:
+        idx = np.repeat(np.arange(len(b), dtype=np.int64), n_salt)
+        out = b.take(pa.array(idx))
+        salt = np.tile(np.arange(n_salt, dtype=np.int16), len(b))
+        return out.append_column("salt", pa.array(salt, pa.int16()))
+
     pts = pts.map_batches(lambda b: add_bucket(b, 0), batch_format="pyarrow", batch_size=None)
     regions_cells = regions_cells.map_batches(
         lambda b: add_bucket(b, 1), batch_format="pyarrow", batch_size=None
     )
+    if n_salt > 1:
+        pts = pts.map_batches(salt_points, batch_format="pyarrow", batch_size=None)
+        regions_cells = regions_cells.map_batches(
+            replicate_regions, batch_format="pyarrow", batch_size=None
+        )
     both = pts.union(regions_cells)
 
     def join_group(g):
@@ -262,6 +294,7 @@ def cogroup_pip_join(
                 out_r.extend([rids[i]] * int(m.sum()))
         return pd.DataFrame({"url": out_u, "region_id": out_r})
 
-    return both.groupby(["tier", "bucket"]).map_groups(
+    group_key = ["tier", "bucket", "salt"] if n_salt > 1 else ["tier", "bucket"]
+    return both.groupby(group_key).map_groups(
         join_group, batch_format="pandas"
     )

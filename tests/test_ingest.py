@@ -54,3 +54,29 @@ def test_ingest_resume_skips_complete(ray_session, pages_dir, tmp_path):
     res3 = ingest.ingest_pages(pages_dir, out, files_per_group=2)
     assert res3["skipped"] == 2
     assert res3["rows"] == 1000
+
+
+def test_pruned_query_over_ingested_layout(ray_session, pages_dir, tmp_path):
+    """bbox query over the ingested (cell_bucket-partitioned) layout
+    with partition pruning returns exactly the full-scan result."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geowave_ray.pipelines import query as qp
+    from geowave_ray.pipelines.ingest import ingest_pages
+
+    out = str(tmp_path / "ingested")
+    ingest_pages(pages_dir, out, files_per_group=3)
+    parts = glob.glob(os.path.join(out, "group=*"))
+    box = (-80.0, 30.0, -70.0, 45.0)  # covers hot cluster 0
+    pruned = qp.read_pages_pruned(parts, *box)
+    got = qp.bbox_query(pruned, *box).to_pandas()
+    full = pq.read_table(pages_dir)
+    lon = full["lon"].to_numpy()
+    lat = full["lat"].to_numpy()
+    m = (lon >= box[0]) & (lon <= box[2]) & (lat >= box[1]) & (lat <= box[3])
+    import numpy as np
+
+    expect = set(np.asarray(full["url"].to_pylist(), object)[m])
+    assert expect, "test box should be non-empty"
+    assert set(got["url"]) == expect
