@@ -587,6 +587,33 @@ def q_sample_weighted(sf_dir: str):
     return sample_weighted(ds, "n_chars", 50, id_col="url")
 
 
+def q_html_meta(sf_dir: str):
+    """Binary-payload metadata (multimodal plumbing, vectorized)."""
+    import ray.data
+
+    from geowave_ray.multimodal import binary_meta_batch
+
+    ds = ray.data.read_parquet(f"{_fx(sf_dir)}/pages", columns=["url", "html"])
+    return ds.map_batches(binary_meta_batch, batch_format="pyarrow", batch_size=2048)
+
+
+def q_html_features(sf_dir: str):
+    """Actor-pool binary decode (deterministic fake decoder) ->
+    16-dim features; output (url, f0) scalar for the rows check."""
+    import ray.data
+
+    from geowave_ray.multimodal import decode_features
+
+    ds = ray.data.read_parquet(f"{_fx(sf_dir)}/pages", columns=["url", "html"])
+    feats = decode_features(ds, concurrency=_pool())
+
+    def first_dim(batch: pa.Table) -> pa.Table:
+        f0 = np.array([v[0] for v in batch.column("feature").to_pylist()])
+        return pa.table({"url": batch.column("url"), "f0": pa.array(f0, pa.float64())})
+
+    return feats.map_batches(first_dim, batch_format="pyarrow", batch_size=None)
+
+
 def q_gwql_select(sf_dir: str):
     """GWQL string query end-to-end (parser -> expr -> Dataset)."""
     from geowave_ray import gwql
@@ -772,6 +799,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q_kmeans,
         "dbscan": q_dbscan,
         "sample_weighted": q_sample_weighted,
+        # multimodal binary plumbing
+        "html_meta": q_html_meta,
+        "html_features": q_html_features,
     }
 
 
@@ -1026,6 +1056,7 @@ def oracle_sql() -> dict[str, str]:
               ON (p.lon - q.lon) * (p.lon - q.lon)
                + (p.lat - q.lat) * (p.lat - q.lat) <= 4.0
         """,
+        "html_meta": f"SELECT url, octet_length(html) AS n_bytes FROM {PAGES}",
         # kmeans / dbscan / sample_weighted: iterative or hash-seeded —
         # deterministic but not SQL-expressible; rows-only + pytest.
         # knn_haversine / tile_merge_sum / kde_gaussian / docs_fingerprint /

@@ -1,0 +1,123 @@
+"""Multimodal binary-column operators.
+
+The brief's pattern: image/audio/video payloads ride as opaque
+``binary`` columns with typed metadata; decode / feature-extract /
+resize / frame-sample run as actor-pool ``map_batches`` stages. No
+codec libraries exist in this environment, so the DECODE KERNEL is
+stubbed — ``decoder="real"`` raises ``NotImplementedError`` with the
+integration point documented, and ``decoder="fake"`` (default for
+tests) produces a deterministic pure-function-of-bytes decode so the
+Ray-side plumbing (schema, batching, actor signature, output layout)
+is real and testable end-to-end.
+
+Our ``pages.html`` column plays the binary-payload role; the same
+stages apply unchanged to image/audio bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def binary_meta_batch(batch: pa.Table, col: str = "html") -> pa.Table:
+    """Typed metadata for a binary column — vectorized, no decode."""
+    data = batch.column(col)
+    return pa.table(
+        {
+            "url": batch.column("url"),
+            # int64 to match SQL octet_length's BIGINT
+            "n_bytes": pc.cast(pc.binary_length(data), pa.int64()),
+        }
+    )
+
+
+class BinaryDecoder:
+    """Actor-pool stage: decode a binary payload column into a
+    fixed-size feature vector.
+
+    ``decoder='real'`` is the integration point for an actual codec
+    (PIL / libsndfile / pyav — NOT available in this container);
+    ``decoder='fake'`` is a deterministic stand-in: a 16-bin byte
+    histogram normalized by length, which exercises the identical
+    plumbing (per-actor setup, batch in/out schema, feature layout).
+    """
+
+    def __init__(self, col: str = "html", decoder: str = "fake", dim: int = 16):
+        self.col = col
+        self.dim = dim
+        if decoder == "real":
+            raise NotImplementedError(
+                "no image/audio codecs in this environment; plug a real "
+                "decoder here (e.g. PIL.Image.open / soundfile.read) — "
+                "the batch plumbing below is decoder-agnostic"
+            )
+        self.decoder = decoder
+
+    def _decode_one(self, payload: bytes) -> np.ndarray:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if len(arr) == 0:
+            return np.zeros(self.dim, dtype=np.float64)
+        hist = np.bincount(arr >> 4, minlength=self.dim).astype(np.float64)
+        return hist / len(arr)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.col).to_pylist()
+        feats = np.stack([self._decode_one(p) for p in payloads])
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "feature": pa.array(list(feats), pa.list_(pa.float64(), self.dim)),
+            }
+        )
+
+
+def decode_features(
+    ds: ray.data.Dataset,
+    col: str = "html",
+    decoder: str = "fake",
+    concurrency: int | tuple = 4,
+    batch_size: int = 1024,
+) -> ray.data.Dataset:
+    """Binary column -> feature vectors via an actor pool (small batches:
+    binary payloads are wide — the memory-aware batch sizing rule)."""
+    return ds.map_batches(
+        BinaryDecoder,
+        fn_constructor_kwargs=dict(col=col, decoder=decoder),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_chunks(
+    ds: ray.data.Dataset,
+    col: str = "html",
+    chunk_bytes: int = 64,
+    every_n: int = 4,
+) -> ray.data.Dataset:
+    """Frame-sampling analogue: slice every ``every_n``-th
+    ``chunk_bytes`` window out of each payload -> one row per sampled
+    chunk (url, chunk_idx, chunk)."""
+
+    def fb(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column(col).to_pylist()
+        out_u, out_i, out_c = [], [], []
+        for u, p in zip(urls, payloads):
+            n_chunks = max(1, len(p) // chunk_bytes)
+            for ci in range(0, n_chunks, every_n):
+                out_u.append(u)
+                out_i.append(ci)
+                out_c.append(p[ci * chunk_bytes : (ci + 1) * chunk_bytes])
+        return pa.table(
+            {
+                "url": pa.array(out_u, pa.string()),
+                "chunk_idx": pa.array(out_i, pa.int64()),
+                "chunk": pa.array(out_c, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(fb, batch_format="pyarrow", batch_size=1024)
