@@ -614,6 +614,21 @@ def q_html_features(sf_dir: str):
     return feats.map_batches(first_dim, batch_format="pyarrow", batch_size=None)
 
 
+def q_region_query_intersects(sf_dir: str):
+    """Convex polygon x polygon INTERSECTS join (SAT); rows-only —
+    the independent edge-crossing oracle lives in pytest."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geowave_ray.pipelines.spatial_join import polygon_intersects_join
+
+    qt = pq.read_table(f"{_fx(sf_dir)}/queries.parquet")
+    polys = qt.filter(pc.equal(qt["kind"], "polygon"))
+    regions = ray.data.read_parquet(f"{_fx(sf_dir)}/regions.parquet")
+    return polygon_intersects_join(regions, polys)
+
+
 def q_gwql_select(sf_dir: str):
     """GWQL string query end-to-end (parser -> expr -> Dataset)."""
     from geowave_ray import gwql
@@ -802,6 +817,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal binary plumbing
         "html_meta": q_html_meta,
         "html_features": q_html_features,
+        # areal-feature join
+        "region_query_intersects": q_region_query_intersects,
     }
 
 

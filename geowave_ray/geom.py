@@ -299,3 +299,52 @@ def _ranges_concat(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
     out[offs] = starts
     out[offs[1:]] -= starts[:-1] + counts[:-1] - 1
     return np.cumsum(out)
+
+
+# ---------------------------------------------------------------------------
+# CRS transforms (pure math — the reference reprojects via GeoTools,
+# FeatureDataAdapter.java:114-116; we support the EPSG:3857 web-mercator
+# pair, which is closed-form)
+# ---------------------------------------------------------------------------
+
+_WEB_MERCATOR_R = 6_378_137.0
+
+
+def to_web_mercator(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 -> EPSG:3857 (meters). Latitudes clamped to the
+    mercator-valid +-85.05112878 deg."""
+    lat = np.clip(lat, -85.05112878, 85.05112878)
+    x = np.radians(lon) * _WEB_MERCATOR_R
+    y = np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0)) * _WEB_MERCATOR_R
+    return x, y
+
+
+def from_web_mercator(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lon = np.degrees(x / _WEB_MERCATOR_R)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / _WEB_MERCATOR_R)) - np.pi / 2.0)
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# convex polygon-polygon intersection (SAT) — the areal-feature join
+# predicate (GeomIntersects UDF, analytics/spark/sparksql/udf/)
+# ---------------------------------------------------------------------------
+
+
+def convex_intersects(a: np.ndarray, b: np.ndarray) -> bool:
+    """Separating-axis test for two convex CCW rings (open or closed).
+
+    Returns True iff the polygons intersect (touching counts)."""
+    for ring, other in ((a, b), (b, a)):
+        r = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+        o = other[:-1] if np.array_equal(other[0], other[-1]) else other
+        n = len(r)
+        for i in range(n):
+            ex = r[(i + 1) % n][0] - r[i][0]
+            ey = r[(i + 1) % n][1] - r[i][1]
+            # outward normal of a CCW edge is (ey, -ex)
+            ax = r[:, 0] * ey - r[:, 1] * ex
+            bx = o[:, 0] * ey - o[:, 1] * ex
+            if bx.min() > ax.max() or ax.min() > bx.max():
+                return False
+    return True

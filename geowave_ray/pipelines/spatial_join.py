@@ -298,3 +298,51 @@ def cogroup_pip_join(
     return both.groupby(group_key).map_groups(
         join_group, batch_format="pandas"
     )
+
+
+def polygon_intersects_join(
+    left: ray.data.Dataset,
+    right: pa.Table,
+    left_id: str = "region_id",
+    right_id: str = "query_id",
+) -> ray.data.Dataset:
+    """Areal-feature join: convex polygons x convex polygons with the
+    INTERSECTS predicate (SAT), broadcast right side.
+
+    Reference analogue: the GeomIntersects join predicate over areal
+    features (``analytics/spark/sparksql/udf/GeomIntersects``); bbox
+    prefilter then exact separating-axis test per candidate pair.
+    """
+    from ..geom import convex_intersects, parse_wkb_polygon, ring_bbox
+
+    rings = [parse_wkb_polygon(w.as_py()) for w in right["geometry_wkb"]]
+    rids = right[right_id].to_pylist()
+    rbb = np.array([ring_bbox(r) for r in rings])
+    state_ref = ray.put((rings, rids, rbb))
+
+    from ..util import cached_state
+
+    key = ("polyjoin", state_ref.hex())
+
+    def probe(batch: pa.Table) -> pa.Table:
+        rrings, rrids, rb = cached_state(key, state_ref)
+        out_l, out_r = [], []
+        lids = batch.column(left_id).to_pylist()
+        for i, wkb in enumerate(batch.column("geometry_wkb").to_pylist()):
+            ring = parse_wkb_polygon(wkb)
+            x0, y0, x1, y1 = ring_bbox(ring)
+            cand = np.nonzero(
+                (rb[:, 0] <= x1) & (rb[:, 2] >= x0) & (rb[:, 1] <= y1) & (rb[:, 3] >= y0)
+            )[0]
+            for j in cand:
+                if convex_intersects(ring, rrings[j]):
+                    out_l.append(lids[i])
+                    out_r.append(rrids[j])
+        return pa.table(
+            {
+                left_id: pa.array(out_l, pa.string()),
+                right_id: pa.array(out_r, pa.string()),
+            }
+        )
+
+    return left.map_batches(probe, batch_format="pyarrow", batch_size=None)

@@ -74,3 +74,35 @@ def test_grid_index_matches_bruteforce():
         for i in np.nonzero(m)[0]:
             expect.add((int(i), j))
     assert got == expect
+
+
+def test_web_mercator_roundtrip_and_known():
+    import numpy as np
+
+    from geowave_ray import geom
+
+    lon = np.array([0.0, -77.0, 151.2])
+    lat = np.array([0.0, 38.9, -33.9])
+    x, y = geom.to_web_mercator(lon, lat)
+    # known value: lon 0 lat 0 -> (0, 0); lon 180 -> ~20037508.34
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    x180, _ = geom.to_web_mercator(np.array([180.0]), np.array([0.0]))
+    assert abs(x180[0] - 20037508.342789244) < 1e-3
+    lon2, lat2 = geom.from_web_mercator(x, y)
+    assert np.allclose(lon, lon2) and np.allclose(lat, lat2, atol=1e-9)
+
+
+def test_convex_intersects():
+    import numpy as np
+
+    from geowave_ray.geom import convex_intersects
+
+    a = square(0, 0, 2, 2)
+    assert convex_intersects(a, square(1, 1, 3, 3))      # overlap
+    assert convex_intersects(a, square(2, 0, 4, 2))      # touching edge
+    assert not convex_intersects(a, square(3, 3, 4, 4))  # disjoint
+    assert convex_intersects(a, square(0.5, 0.5, 1.5, 1.5))  # containment
+    # rotated triangle vs square
+    tri = np.array([[1.0, 2.5], [2.5, 1.0], [3.0, 3.0]])
+    assert convex_intersects(a, tri)
+    assert not convex_intersects(square(-3, -3, -2.5, -2.5), tri)

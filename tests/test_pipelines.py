@@ -194,3 +194,43 @@ def test_pip_join_ids_matches_string_pairs(small):
     region_ids = regions["region_id"].to_pylist()
     got_set = {(rid_by_row[r], region_ids[i]) for r, i in zip(got["row_id"], got["region_idx"])}
     assert got_set == brute_force_pairs(pages, regions)
+
+
+def test_polygon_intersects_join(small):
+    """Independent oracle: A intersects B iff a vertex of one is inside
+    the other OR some edge pair crosses (different algorithm than the
+    engine's SAT)."""
+    _, regions, _ = small
+    qt = fixtures.gen_queries()
+    polys = qt.filter(pa.compute.equal(qt["kind"], "polygon"))
+    got = spatial_join.polygon_intersects_join(
+        ray.data.from_arrow(regions), polys
+    ).to_pandas()
+    got_set = set(zip(got["region_id"], got["query_id"]))
+
+    def seg_cross(p1, p2, p3, p4):
+        d1 = np.cross(p2 - p1, p3 - p1)
+        d2 = np.cross(p2 - p1, p4 - p1)
+        d3 = np.cross(p4 - p3, p1 - p3)
+        d4 = np.cross(p4 - p3, p2 - p3)
+        return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
+
+    expect = set()
+    qrings = [parse_wkb_polygon(w.as_py())[:-1] for w in polys["geometry_wkb"]]
+    qids = polys["query_id"].to_pylist()
+    for i in range(regions.num_rows):
+        a = parse_wkb_polygon(regions["geometry_wkb"][i].as_py())[:-1]
+        rid = regions["region_id"][i].as_py()
+        for j, b in enumerate(qrings):
+            hit = (
+                pip_convex(a[:, 0], a[:, 1], b).any()
+                or pip_convex(b[:, 0], b[:, 1], a).any()
+                or any(
+                    seg_cross(a[x], a[(x + 1) % len(a)], b[y], b[(y + 1) % len(b)])
+                    for x in range(len(a))
+                    for y in range(len(b))
+                )
+            )
+            if hit:
+                expect.add((rid, qids[j]))
+    assert got_set == expect
