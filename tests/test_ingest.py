@@ -80,3 +80,32 @@ def test_pruned_query_over_ingested_layout(ray_session, pages_dir, tmp_path):
     expect = set(np.asarray(full["url"].to_pylist(), object)[m])
     assert expect, "test box should be non-empty"
     assert set(got["url"]) == expect
+
+
+def test_join_job_checkpoint_resume(ray_session, pages_dir, tmp_path):
+    """The headline join job resumes: complete partitions skip, pair
+    counts match a single full run."""
+    import pyarrow.parquet as pq
+
+    from geowave_ray import fixtures
+    from geowave_ray.pipelines.run import run_join_job
+    from geowave_ray.state import manifest as mf
+
+    regions_path = str(tmp_path / "regions.parquet")
+    regions, _ = fixtures.gen_regions(64)
+    pq.write_table(regions, regions_path)
+
+    out = str(tmp_path / "joinout")
+    r1 = run_join_job(pages_dir, regions_path, out, files_per_group=1)
+    assert r1["skipped"] == 0 and r1["groups"] == 3
+    # rerun: everything skips
+    r2 = run_join_job(pages_dir, regions_path, out, files_per_group=1)
+    assert r2["skipped"] == 3 and r2["pairs"] == 0
+    # simulate a failed partition: drop its manifest entry + output
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    os.remove(mf._entry_path(os.path.join(out, "_manifest"), files[0]))
+    r3 = run_join_job(pages_dir, regions_path, out, files_per_group=1)
+    assert r3["skipped"] == 2
+    # total pairs across manifests == full-run pairs
+    entries = mf.load_all(os.path.join(out, "_manifest"))
+    assert sum(e["pairs"] for e in entries) == r1["pairs"]
