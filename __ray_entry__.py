@@ -614,6 +614,28 @@ def q_html_features(sf_dir: str):
     return feats.map_batches(first_dim, batch_format="pyarrow", batch_size=None)
 
 
+def q_pages_by_month(sf_dir: str):
+    """Temporal binning (the reference's TemporalBinningStrategy year/
+    month bins, core/geotime/.../dimension/TemporalBinningStrategy.java):
+    pages bucketed by calendar month of warc_ts."""
+    from ray.data.aggregate import Count
+
+    ds = _pages(sf_dir)
+
+    def add_month(batch: pa.Table) -> pa.Table:
+        ts = batch.column("warc_ts").to_numpy().astype("datetime64[us]")
+        month = ts.astype("datetime64[M]").astype("datetime64[us]")
+        return pa.table(
+            {"month": pa.array(month, pa.timestamp("us"))}
+        )
+
+    return (
+        ds.map_batches(add_month, batch_format="pyarrow", batch_size=None)
+        .groupby("month")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def q_region_query_intersects(sf_dir: str):
     """Convex polygon x polygon INTERSECTS join (SAT); rows-only —
     the independent edge-crossing oracle lives in pytest."""
@@ -819,6 +841,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_features": q_html_features,
         # areal-feature join
         "region_query_intersects": q_region_query_intersects,
+        # temporal binning
+        "pages_by_month": q_pages_by_month,
     }
 
 
@@ -1074,6 +1098,10 @@ def oracle_sql() -> dict[str, str]:
                + (p.lat - q.lat) * (p.lat - q.lat) <= 4.0
         """,
         "html_meta": f"SELECT url, octet_length(html) AS n_bytes FROM {PAGES}",
+        "pages_by_month": f"""
+            SELECT date_trunc('month', warc_ts) AS month, count(*) AS n
+            FROM {PAGES} GROUP BY 1
+        """,
         # kmeans / dbscan / sample_weighted: iterative or hash-seeded —
         # deterministic but not SQL-expressible; rows-only + pytest.
         # knn_haversine / tile_merge_sum / kde_gaussian / docs_fingerprint /

@@ -195,13 +195,23 @@ def cogroup_pip_join(
     regions: ray.data.Dataset,
     max_tier: int = 9,
     n_salt: int = 8,
+    join_tier: int = 8,
+    reproject_cap: int = 80,
 ) -> ray.data.Dataset:
     """Large-large tiered cell cogroup join -> (url, region_id) pairs.
 
-    Region side: fit-or-descend tier + covering-cell duplication
-    (bounded <= 4 cells each). Point side: re-encoded at each tier the
-    region side occupies (reference's reprojection). Shuffle key:
-    (tier, bucket, salt).
+    Plan (mirrors the reference's reproject-to-tier with its 80-cell
+    cap, ``TieredSpatialJoin.reprojectToTier:471-511`` /
+    ``TieredSFCIndexStrategy.java:58``):
+
+    - regions whose bbox covers <= ``reproject_cap`` cells at
+      ``join_tier`` are REPROJECTED there (cell-duplicated); the point
+      side is encoded at that single tier — no point duplication;
+    - the few oversized regions (wider than ~reproject_cap cells —
+      bounded by geometry, not data volume) are diverted to the
+      broadcast GridIndex path and the match sets unioned.
+
+    Shuffle key: (tier, bucket, salt).
 
     **Skew handling**: the point side appends ``salt = hash % n_salt``
     and the (small, already cell-duplicated) region side is replicated
@@ -212,14 +222,47 @@ def cogroup_pip_join(
     composed with its join partitioner oversizing
     (``TieredSpatialJoin.java:168-172``). Set ``n_salt=1`` to disable.
     """
+    import pyarrow.compute as _pc
+
+    # split regions by reprojection feasibility at join_tier
+    def classify(b: pa.Table) -> pa.Table:
+        xmin = b.column("xmin").to_numpy()
+        ymin = b.column("ymin").to_numpy()
+        xmax = b.column("xmax").to_numpy()
+        ymax = b.column("ymax").to_numpy()
+        x0, y0 = grid_coords(xmin, ymin, join_tier)
+        x1, y1 = grid_coords(xmax, ymax, join_tier)
+        ncells = (x1 - x0 + 1) * (y1 - y0 + 1)
+        return b.append_column("_ncells", pa.array(ncells, pa.int64()))
+
+    classified = regions.map_batches(classify, batch_format="pyarrow", batch_size=None)
+    small_regs = classified.filter(expr=f"_ncells <= {reproject_cap}")
+    big_regs_tbl = pa.concat_tables(
+        ray.get(classified.filter(expr=f"_ncells > {reproject_cap}").to_arrow_refs())
+    )
+
+    out = _cogroup_single_tier(pages, small_regs, join_tier, n_salt)
+    if big_regs_tbl.num_rows:
+        wide = broadcast_pip_join(
+            pages, big_regs_tbl, keep_cols=("url",), region_cols=("region_id",)
+        )
+        out = out.union(wide)
+    return out
+
+
+def _cogroup_single_tier(
+    pages: ray.data.Dataset,
+    regions: ray.data.Dataset,
+    join_tier: int,
+    n_salt: int,
+) -> ray.data.Dataset:
+    max_tier = join_tier
     regions_cells = regions.map_batches(
-        lambda b: encode_extents(b, max_tier=max_tier, snap_tiers=(2, 4, 6, 8)),
+        lambda b: encode_extents(b, max_tier=max_tier, snap_tiers=(max_tier,)),
         batch_format="pyarrow", batch_size=None,
     ).select_columns(["region_id", "geometry_wkb", "tier", "cell_id"])
 
-    # tier census (small driver-side materialization, like the
-    # reference's async tier census at TieredSpatialJoin.java:174-191)
-    tiers = sorted(int(t) for t in regions_cells.unique("tier"))
+    tiers = [max_tier]
 
     pts = pages.map_batches(
         lambda b: _point_cells_at_tiers(b, tiers), batch_format="pyarrow", batch_size=None
