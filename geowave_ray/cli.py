@@ -1,0 +1,142 @@
+"""CLI harness — the ``geowave <command>`` parity surface
+(reference: ``core/cli/.../GeoWaveMain.java`` + operation registry).
+
+Commands:
+
+    python -m geowave_ray.cli ingest  <pages_dir> <out_dir> [--resume]
+    python -m geowave_ray.cli join    <pages_dir> <regions.parquet> <out_dir>
+    python -m geowave_ray.cli query   <pages_dir> --bbox xmin ymin xmax ymax
+    python -m geowave_ray.cli knn     <pages_dir> <knn_queries.parquet> [--k 10]
+    python -m geowave_ray.cli gwql    "<SELECT ...>" --table name=path ...
+    python -m geowave_ray.cli stats   <manifest_dir>
+
+The CLI owns its Ray session (guarded init, shutdown at exit) —
+library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="geowave_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest")
+    pi.add_argument("pages_dir")
+    pi.add_argument("out_dir")
+    pi.add_argument("--no-resume", action="store_true")
+
+    pj = sub.add_parser("join")
+    pj.add_argument("pages_dir")
+    pj.add_argument("regions_parquet")
+    pj.add_argument("out_dir")
+
+    pq_ = sub.add_parser("query")
+    pq_.add_argument("pages_dir")
+    pq_.add_argument("--bbox", nargs=4, type=float, required=True)
+    pq_.add_argument("--limit", type=int, default=10)
+
+    pk = sub.add_parser("knn")
+    pk.add_argument("pages_dir")
+    pk.add_argument("knn_queries")
+
+    pg = sub.add_parser("gwql")
+    pg.add_argument("sql")
+    pg.add_argument("--table", action="append", default=[], help="name=parquet_path")
+    pg.add_argument("--limit", type=int, default=20)
+
+    ps = sub.add_parser("stats")
+    ps.add_argument("manifest_dir")
+
+    args = p.parse_args(argv)
+    if args.cmd == "stats":  # driver-side only, no Ray needed
+        from .state import manifest as mf
+        from .stats import optimal_count
+
+        print(
+            json.dumps(
+                {
+                    "partitions": len(mf.load_all(args.manifest_dir)),
+                    "rows": optimal_count(args.manifest_dir),
+                    "hot_cells": sorted(
+                        mf.merged_cell_histogram(args.manifest_dir).items(),
+                        key=lambda kv: -kv[1],
+                    )[:5],
+                }
+            )
+        )
+        return 0
+
+    import ray
+
+    _session(args.num_cpus)
+    try:
+        import ray.data
+
+        from .geotag import geotag_batch
+
+        def pages(path):
+            ds = ray.data.read_parquet(path)
+            return ds.map_batches(geotag_batch, batch_format="pyarrow", batch_size=None)
+
+        if args.cmd == "ingest":
+            from .pipelines.ingest import ingest_pages
+
+            res = ingest_pages(args.pages_dir, args.out_dir, resume=not args.no_resume)
+            print(json.dumps(res))
+        elif args.cmd == "join":
+            from .pipelines.run import run_join_job
+
+            res = run_join_job(args.pages_dir, args.regions_parquet, args.out_dir)
+            print(json.dumps(res))
+        elif args.cmd == "query":
+            from .pipelines.query import bbox_query
+
+            ds = bbox_query(pages(args.pages_dir), *args.bbox)
+            rows = ds.take(args.limit)
+            print(json.dumps({"count": ds.count(), "sample": [r.get("url") for r in rows]}))
+        elif args.cmd == "knn":
+            import pyarrow.parquet as pqt
+
+            from .pipelines.knn import knn
+
+            out = knn(pages(args.pages_dir), pqt.read_table(args.knn_queries))
+            print(json.dumps({"rows": out.count()}))
+        elif args.cmd == "gwql":
+            from . import gwql
+
+            tables = {}
+            for spec in args.table:
+                name, path = spec.split("=", 1)
+                tables[name] = ray.data.read_parquet(path)
+            res = gwql.execute(args.sql, tables)
+            for row in res.take(args.limit):
+                print(json.dumps(row, default=str))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,7 +16,8 @@ Supported grammar (round 1):
 
     SELECT *| col[, col...] | AGG(col)[, AGG(col)...]
     FROM name
-    [WHERE predicate]          -- =, <>, <, <=, >, >=, AND, OR, NOT,
+    [WHERE predicate]
+    [ORDER BY col [DESC][, ...]]          -- =, <>, <, <=, >, >=, AND, OR, NOT,
                                -- BETWEEN x AND y, IN (v, ...),
                                -- CONTAINS(col,'s'), STRSTARTSWITH,
                                -- STRENDSWITH, IS [NOT] NULL
@@ -41,7 +42,7 @@ _TOKEN = re.compile(
 
 _KEYWORDS = {
     "SELECT", "FROM", "WHERE", "LIMIT", "AND", "OR", "NOT", "BETWEEN",
-    "IN", "IS", "NULL", "LIKE", "AS",
+    "IN", "IS", "NULL", "LIKE", "AS", "ORDER", "BY", "DESC", "ASC",
 }
 _AGGS = {"COUNT", "MIN", "MAX", "SUM"}
 _FUNCS = {"CONTAINS", "STRSTARTSWITH", "STRENDSWITH", "ABS", "CONCAT"}
@@ -76,6 +77,7 @@ class Select:
     where: Expr | None
     limit: int | None
     is_agg: bool = False
+    order_by: list | None = None  # [(col, descending)]
 
 
 class _Parser:
@@ -104,16 +106,34 @@ class _Parser:
         _, table = self.next()
         where = None
         limit = None
+        order_by = None
         t, v = self.peek()
         if v and v.upper() == "WHERE":
             self.next()
             where = self._or_expr()
             t, v = self.peek()
+        if v and v.upper() == "ORDER":
+            self.next()
+            self.expect_kw("BY")
+            order_by = []
+            while True:
+                _, cname = self.next()
+                desc = False
+                t2, v2 = self.peek()
+                if v2 and v2.upper() in ("DESC", "ASC"):
+                    self.next()
+                    desc = v2.upper() == "DESC"
+                order_by.append((cname, desc))
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
+            t, v = self.peek()
         if v and v.upper() == "LIMIT":
             self.next()
             _, n = self.next()
             limit = int(n)
-        return Select(cols_out, table, where, limit, is_agg)
+        return Select(cols_out, table, where, limit, is_agg, order_by)
 
     def _select_list(self):
         cols_out = []
@@ -286,6 +306,11 @@ def execute(sql: str, tables: dict[str, ray.data.Dataset]) -> ray.data.Dataset:
         return ray.data.from_pandas(pd.DataFrame([row]))
     if stmt.columns != ["*"]:
         ds = ds.select_columns([c for c in stmt.columns])
+    if stmt.order_by:
+        ds = ds.sort(
+            [c for c, _ in stmt.order_by],
+            descending=[d for _, d in stmt.order_by],
+        )
     if stmt.limit is not None:
         ds = ds.limit(stmt.limit)
     return ds

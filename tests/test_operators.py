@@ -348,3 +348,38 @@ def test_pyramid_up(ray_session):
     assert out["level"].iloc[0] == 4
     assert out["tile_x"].iloc[0] == 1 and out["tile_y"].iloc[0] == 3
     assert np.allclose(np.asarray(out["pixels"].iloc[0]), 1.0)
+
+
+def test_gwql_order_by(docs):
+    from geowave_ray import gwql
+
+    out = gwql.execute(
+        "SELECT doc_id, n_chars FROM documents WHERE lang = 'en' "
+        "ORDER BY n_chars DESC, doc_id LIMIT 5",
+        {"documents": docs},
+    ).to_pandas()
+    df = docs.to_pandas()
+    expect = (
+        df[df.lang == "en"]
+        .sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .head(5)["doc_id"]
+        .tolist()
+    )
+    assert out["doc_id"].tolist() == expect
+
+
+def test_cli_stats_and_query(tmp_path, ray_session):
+    import json
+    import pyarrow.parquet as pq
+
+    from geowave_ray import fixtures
+    from geowave_ray.cli import main
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    pq.write_table(fixtures.gen_pages_slice(0, 500, 500), str(d / "p.parquet"))
+    # ingest via CLI (reuses the live ray session)
+    out = tmp_path / "ing"
+    assert main(["ingest", str(d), str(out)]) == 0
+    assert main(["stats", str(out / "_manifest")]) == 0
+    assert main(["query", str(d), "--bbox", "-180", "-90", "180", "90", "--limit", "2"]) == 0

@@ -110,3 +110,46 @@ def test_zorder_cell_matches_separate_steps():
     lat = np.array([7.8, 89.0])
     cx, cy = sfc.grid_coords(lon, lat, 10)
     assert np.array_equal(sfc.zorder_cell(lon, lat, 10), sfc.morton_encode(cx, cy))
+
+
+# property-based robustness (hypothesis)
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=(1 << 16) - 1),
+    st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+def test_hilbert_roundtrip_property(cx, cy):
+    h = sfc.hilbert_encode(np.array([cx], np.int64), np.array([cy], np.int64), 16)
+    dx, dy = sfc.hilbert_decode(h, 16)
+    assert (int(dx[0]), int(dy[0])) == (cx, cy)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+    st.floats(min_value=-90.0, max_value=90.0, allow_nan=False),
+)
+def test_grid_coords_in_range_property(lon, lat):
+    for tier in (1, 8, 16):
+        cx, cy = sfc.grid_coords(np.array([lon]), np.array([lat]), tier)
+        assert 0 <= cx[0] < (1 << tier)
+        assert 0 <= cy[0] < (1 << tier)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(min_value=-179.0, max_value=179.0, allow_nan=False),
+    st.floats(min_value=-89.0, max_value=89.0, allow_nan=False),
+    st.floats(min_value=1e-6, max_value=20.0),
+)
+def test_bbox_ranges_cover_center_property(cx, cy, half):
+    x0, x1 = max(-180.0, cx - half), min(180.0, cx + half)
+    y0, y1 = max(-90.0, cy - half), min(90.0, cy + half)
+    tier = int(sfc.tier_for_bbox(np.array([x0]), np.array([y0]), np.array([x1]), np.array([y1]))[0])
+    ranges = sfc.bbox_cell_ranges(x0, y0, x1, y1, tier=tier)
+    c = int(sfc.zorder_cell(np.array([cx]), np.array([cy]), tier)[0])
+    assert any(lo <= c <= hi for lo, hi in ranges)
