@@ -614,6 +614,53 @@ def q_html_features(sf_dir: str):
     return feats.map_batches(first_dim, batch_format="pyarrow", batch_size=None)
 
 
+def q_docs_binned_agg(sf_dir: str):
+    """BinningAggregation: field-value (lang) x numeric-range
+    (n_chars//100) composite bins with a multi-aggregation
+    (core/store/.../aggregate/BinningAggregation.java + binning
+    strategies)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read_testdata(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def add_bin(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.cast(
+            pc.floor(pc.divide(pc.cast(batch.column("n_chars"), pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return batch.append_column("chars_bin", b)
+
+    return (
+        ds.map_batches(add_bin, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "chars_bin"])
+        .aggregate(
+            Count(alias_name="n"),
+            Min("n_chars", alias_name="lo"),
+            Max("n_chars", alias_name="hi"),
+        )
+    )
+
+
+def q_text_search(sf_dir: str):
+    """NGRAM text-index contains search (trigram prune + verify)."""
+    from geowave_ray.text_index import search_contains
+
+    docs = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return search_contains(docs, "spark value")
+
+
+def q_url_prefix_search(sf_dir: str):
+    """FORWARD text-index prefix search over urls."""
+    import ray.data
+
+    from geowave_ray.text_index import search_prefix
+
+    ds = ray.data.read_parquet(f"{_fx(sf_dir)}/pages", columns=["url"])
+    return search_prefix(ds, "https://site7.example/", col="url", id_col="url")
+
+
 def q_pages_by_month(sf_dir: str):
     """Temporal binning (the reference's TemporalBinningStrategy year/
     month bins, core/geotime/.../dimension/TemporalBinningStrategy.java):
@@ -843,6 +890,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_query_intersects": q_region_query_intersects,
         # temporal binning
         "pages_by_month": q_pages_by_month,
+        # binned aggregation + text indexes
+        "docs_binned_agg": q_docs_binned_agg,
+        "text_search": q_text_search,
+        "url_prefix_search": q_url_prefix_search,
     }
 
 
@@ -1101,6 +1152,18 @@ def oracle_sql() -> dict[str, str]:
         "pages_by_month": f"""
             SELECT date_trunc('month', warc_ts) AS month, count(*) AS n
             FROM {PAGES} GROUP BY 1
+        """,
+        "docs_binned_agg": """
+            SELECT lang,
+                   CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT) AS chars_bin,
+                   count(*) AS n, min(n_chars) AS lo, max(n_chars) AS hi
+            FROM documents GROUP BY 1, 2
+        """,
+        "text_search": """
+            SELECT doc_id FROM documents WHERE contains(text, 'spark value')
+        """,
+        "url_prefix_search": f"""
+            SELECT url FROM {PAGES} WHERE url LIKE 'https://site7.example/%'
         """,
         # kmeans / dbscan / sample_weighted: iterative or hash-seeded —
         # deterministic but not SQL-expressible; rows-only + pytest.

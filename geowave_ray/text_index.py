@@ -1,0 +1,101 @@
+"""Text index strategies — the reference's custom text indexes
+(``core/index/.../text/TextIndexStrategy.java``, FORWARD / REVERSE /
+NGRAM term extraction, ``TextIndexType.java:11-12``).
+
+- FORWARD  -> prefix search (``starts_with`` on the indexed column)
+- REVERSE  -> suffix search (prefix on the reversed column)
+- NGRAM    -> contains search: trigram postings prune candidates, an
+              exact substring check verifies (same two-phase shape as
+              the spatial coarse-range + fine-filter path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _trigrams(s: str) -> set[int]:
+    b = s.encode("utf-8", errors="ignore")
+    if len(b) < 3:
+        b = b + b"\x00" * (3 - len(b))
+    return {
+        (b[i] << 16) | (b[i + 1] << 8) | b[i + 2] for i in range(len(b) - 2)
+    }
+
+
+def trigram_postings(
+    docs: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Inverted NGRAM index as a Dataset of (trigram, doc_id) postings
+    (written partitioned at scale; the index build path)."""
+
+    def fb(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_t, out_d = [], []
+        for d, t in zip(ids, texts):
+            for g in _trigrams(t):
+                out_t.append(g)
+                out_d.append(d)
+        return pa.table(
+            {
+                "trigram": pa.array(out_t, pa.int64()),
+                id_col: pa.array(out_d, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fb, batch_format="pyarrow", batch_size=None)
+
+
+def search_contains(
+    docs: ray.data.Dataset, term: str, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """NGRAM-index contains search: trigram prefilter + exact verify.
+
+    Exact (the verify step is authoritative); the trigram pass only
+    prunes. Matches SQL ``contains(text, term)``.
+    """
+    need = _trigrams(term) if len(term) >= 3 else set()
+    need_ref = ray.put(np.array(sorted(need), dtype=np.int64))
+
+    def fb(batch: pa.Table) -> pa.Table:
+        needed = ray.get(need_ref)
+        texts = batch.column(text_col).to_pylist()
+        if len(needed):
+            keep = []
+            for t in texts:
+                tg = _trigrams(t)
+                keep.append(all(int(g) in tg for g in needed))
+            batch = batch.filter(pa.array(keep))
+        # exact verify (authoritative)
+        return batch.filter(pc.match_substring(batch.column(text_col), term))
+
+    return docs.map_batches(fb, batch_format="pyarrow", batch_size=None).select_columns(
+        [id_col]
+    )
+
+
+def search_prefix(
+    docs: ray.data.Dataset, prefix: str, col: str, id_col: str
+) -> ray.data.Dataset:
+    """FORWARD-index prefix search (vectorized)."""
+    return docs.map_batches(
+        lambda b: b.filter(pc.starts_with(b.column(col), prefix)),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).select_columns([id_col])
+
+
+def search_suffix(
+    docs: ray.data.Dataset, suffix: str, col: str, id_col: str
+) -> ray.data.Dataset:
+    """REVERSE-index suffix search."""
+    return docs.map_batches(
+        lambda b: b.filter(pc.ends_with(b.column(col), suffix)),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).select_columns([id_col])

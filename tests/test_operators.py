@@ -383,3 +383,20 @@ def test_cli_stats_and_query(tmp_path, ray_session):
     assert main(["ingest", str(d), str(out)]) == 0
     assert main(["stats", str(out / "_manifest")]) == 0
     assert main(["query", str(d), "--bbox", "-180", "-90", "180", "90", "--limit", "2"]) == 0
+
+
+def test_text_index_search(docs, ray_session):
+    from geowave_ray.text_index import search_contains, search_prefix, search_suffix, trigram_postings
+
+    df = docs.to_pandas()
+    got = search_contains(docs, "table").to_pandas()
+    expect = set(df[df.text.str.contains("table", regex=False)]["doc_id"])
+    assert set(got["doc_id"]) == expect
+    # prefix / suffix
+    got_p = search_prefix(docs, "key", col="text", id_col="doc_id").to_pandas()
+    assert set(got_p["doc_id"]) == set(df[df.text.str.startswith("key")]["doc_id"])
+    got_s = search_suffix(docs, "key", col="text", id_col="doc_id").to_pandas()
+    assert set(got_s["doc_id"]) == set(df[df.text.str.endswith("key")]["doc_id"])
+    # postings cover every doc
+    posts = trigram_postings(docs).to_pandas()
+    assert set(posts["doc_id"]) == set(df["doc_id"])
