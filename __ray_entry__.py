@@ -614,6 +614,23 @@ def q_html_features(sf_dir: str):
     return feats.map_batches(first_dim, batch_format="pyarrow", batch_size=None)
 
 
+def q_events_prev(sf_dir: str):
+    """As-of self-join: each event's most recent prior event per user
+    (lag over ts-sorted per-user groups)."""
+    from geowave_ray.pipelines.window import lag_per_key
+
+    ds = _read_testdata(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return lag_per_key(ds, key_col="user_id", ts_col="ts", id_col="event_id")
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding windows (1h span, 30min slide) per event_type."""
+    from geowave_ray.pipelines.window import sliding_window_counts
+
+    ds = _read_testdata(sf_dir, "events", columns=["event_type", "ts"])
+    return sliding_window_counts(ds, ts_col="ts", key_col="event_type")
+
+
 def q_docs_binned_agg(sf_dir: str):
     """BinningAggregation: field-value (lang) x numeric-range
     (n_chars//100) composite bins with a multi-aggregation
@@ -894,6 +911,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_binned_agg": q_docs_binned_agg,
         "text_search": q_text_search,
         "url_prefix_search": q_url_prefix_search,
+        # as-of / sliding windows
+        "events_prev": q_events_prev,
+        "events_sliding": q_events_sliding,
     }
 
 
@@ -1152,6 +1172,24 @@ def oracle_sql() -> dict[str, str]:
         "pages_by_month": f"""
             SELECT date_trunc('month', warc_ts) AS month, count(*) AS n
             FROM {PAGES} GROUP BY 1
+        """,
+        "events_prev": """
+            SELECT user_id, event_id,
+                   coalesce(lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1)
+                       AS prev_event_id
+            FROM events
+        """,
+        "events_sliding": """
+            WITH e AS (
+              SELECT event_type, epoch_us(ts) // 1800000000 AS base, epoch_us(ts) AS t
+              FROM events
+            ), x AS (
+              SELECT event_type, base - j AS window_id, t
+              FROM e, LATERAL (SELECT unnest(generate_series(0, 1)) AS j)
+              WHERE t >= (base - j) * 1800000000
+            )
+            SELECT event_type, window_id, count(*) AS n
+            FROM x GROUP BY 1, 2
         """,
         "docs_binned_agg": """
             SELECT lang,

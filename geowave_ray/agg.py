@@ -29,8 +29,16 @@ def combine_batch(batch: pa.Table, key_cols: list[str], agg_cols: dict[str, str]
     """
     if batch.num_rows == 0:
         return batch
-    keys = [batch.column(c).to_numpy() for c in key_cols]
-    order = np.lexsort(keys[::-1])
+    keys = []
+    for c in key_cols:
+        arr = batch.column(c).to_numpy(zero_copy_only=False)
+        keys.append(arr)
+    # lexsort needs sortable dtypes; factorize object (string) keys
+    sort_keys = [
+        np.unique(k, return_inverse=True)[1] if k.dtype == object else k
+        for k in keys
+    ]
+    order = np.lexsort(sort_keys[::-1])
     sorted_keys = [k[order] for k in keys]
     change = np.zeros(batch.num_rows, dtype=bool)
     change[0] = True

@@ -106,3 +106,34 @@ def test_sample_weighted_deterministic_and_biased(ray_session):
     # heavy-weight items (10% of rows, 100x weight) dominate the sample
     heavy = (s1["url"].str.slice(1).astype(int) < 200).mean()
     assert heavy > 0.5
+
+
+def test_lag_per_key_and_sliding(ray_session):
+    import pyarrow as pa
+
+    from geowave_ray.pipelines.window import lag_per_key, sliding_window_counts
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([7, 7, 8, 7, 8], pa.int64()),
+            "ts": pa.array(
+                np.array([100, 200, 150, 300, 400], dtype="datetime64[s]").astype(
+                    "datetime64[us]"
+                ),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = lag_per_key(ray.data.from_arrow(t), "user_id", "ts", "event_id").to_pandas()
+    got = dict(zip(out["event_id"], out["prev_event_id"]))
+    assert got == {1: -1, 2: 1, 4: 2, 3: -1, 5: 3}
+    # sliding: window 200s slide 100s
+    sw = sliding_window_counts(
+        ray.data.from_arrow(t.append_column("k", pa.array(["a"] * 5))),
+        ts_col="ts", key_col="k",
+        window_us=200_000_000, slide_us=100_000_000,
+    ).to_pandas()
+    # events at t=100..400: window starting 0 covers 100,150; window 1
+    # covers 100..299 -> ids ts 100,150,200; etc. verify total multiplicity
+    assert sw["n"].sum() == 10  # each event in exactly 2 windows
