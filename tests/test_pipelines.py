@@ -234,3 +234,14 @@ def test_polygon_intersects_join(small):
             if hit:
                 expect.add((rid, qids[j]))
     assert got_set == expect
+
+
+def test_broadcast_join_actor_pool_mode(small):
+    """use_actors=True (callable-class actor pool) produces the same
+    pairs as the stateless worker-cached mode."""
+    pages, regions, _ = small
+    ds = ray.data.from_arrow(pages)
+    got = spatial_join.broadcast_pip_join(
+        ds, regions, concurrency=2, use_actors=True
+    ).to_pandas()
+    assert set(zip(got["url"], got["region_id"])) == brute_force_pairs(pages, regions)
