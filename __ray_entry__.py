@@ -460,6 +460,16 @@ def q_docs_minhash_pairs(sf_dir: str):
     )
 
 
+def q_docs_dedup_clusters(sf_dir: str):
+    """Near-dup clusters: MinHash-LSH pairs -> iterative min-label
+    connected components (guide pattern)."""
+    from geowave_ray.dedup import connected_components, minhash_lsh_pairs
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.3)
+    return connected_components(pairs)
+
+
 def q_docs_simhash(sf_dir: str):
     from geowave_ray.dedup import simhash_batch
 
@@ -779,18 +789,34 @@ def q_topk_orders(sf_dir: str):
 
 def q_events_session(sf_dir: str):
     """Sessionization (30-min gap) per user — the stream-shaped
-    operator: groupby(user).map_groups over ts-sorted events."""
+    operator. Scale shape: shuffle by user BUCKET (bounded group
+    count), then a vectorized within-bucket groupby — not one
+    map_groups task per user."""
     ds = _read_testdata(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().to_numpy().astype("datetime64[us]").astype(np.int64)
-        gaps = np.diff(ts)
-        n_sessions = 1 + int((gaps > 1_800_000_000).sum())
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]}
-        )
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch.column("user_id").to_numpy() * np.int64(2654435761)) % np.int64(64)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(g), dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > 1_800_000_000
+        starts = new_user | gap
+        users, counts = np.unique(uid[starts], return_counts=True)
+        return pd.DataFrame({"user_id": users, "n_sessions": counts.astype(np.int64)})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas")
+    )
 
 
 def q_url_lookup(sf_dir: str):
@@ -878,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": q_docs_quality,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_pairs": q_docs_minhash_pairs,
+        "docs_dedup_clusters": q_docs_dedup_clusters,
         "docs_simhash": q_docs_simhash,
         # events / relational
         "events_window": q_events_window,

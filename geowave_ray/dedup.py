@@ -59,22 +59,33 @@ def content_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(h, pa.int64()))
 
 
-def exact_dedup(docs: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
+def exact_dedup(
+    docs: ray.data.Dataset, id_col: str = "doc_id", n_buckets: int = 256
+) -> ray.data.Dataset:
     """Keep the min-id representative per identical text.
 
-    Hash-partitioned groupby on the 64-bit content hash (not the full
-    text) so the shuffle moves 8-byte keys; the group fn re-checks the
-    actual text to be collision-safe."""
+    Scale shape: shuffle on ``content_hash % n_buckets`` (bounded group
+    count — one map_groups task per BUCKET, not per distinct text),
+    then a vectorized in-bucket drop_duplicates on the actual text
+    (collision-safe; the 8-byte hash only routes)."""
     hashed = docs.map_batches(content_hash_batch, batch_format="pyarrow", batch_size=None)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = b.column("content_hash").to_numpy() % np.int64(n_buckets)
+        return b.append_column("bucket", pa.array(bk, pa.int64()))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return (
             g.sort_values(id_col, kind="mergesort")
             .drop_duplicates("text", keep="first")
-            .drop(columns=["content_hash"])
+            .drop(columns=["content_hash", "bucket"])
         )
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return (
+        hashed.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(keep_first, batch_format="pandas")
+    )
 
 
 def minhash_batch(
@@ -205,3 +216,75 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
+
+
+def connected_components(
+    pairs: ray.data.Dataset, max_rounds: int = 10
+) -> ray.data.Dataset:
+    """Near-dup clusters from candidate pairs: iterative min-label
+    propagation (the Ray-guide pattern — a few groupby rounds, no
+    driver-side union-find on the full edge set).
+
+    Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster) where
+    cluster is the minimum doc id reachable from doc_id.
+    """
+    import pyarrow.compute as pc
+
+    from .agg import tree_aggregate
+
+    # label table: start with label(doc) = min(doc, min neighbor)
+    def seed(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "cluster": pa.array(
+                    np.concatenate([np.minimum(a, b), np.minimum(a, b)]), pa.int64()
+                ),
+            }
+        )
+
+    edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    labels = tree_aggregate(
+        edges.map_batches(seed, batch_format="pyarrow", batch_size=None),
+        ["doc_id"],
+        {"cluster": "min"},
+    ).materialize()
+
+    for _ in range(max_rounds):
+        lab_tbl = pa.concat_tables(ray.get(labels.to_arrow_refs()))
+        ids = lab_tbl["doc_id"].to_numpy()
+        labs = lab_tbl["cluster"].to_numpy()
+        order = np.argsort(ids)
+        ids_s, labs_s = ids[order], labs[order]
+        lref = ray.put((ids_s, labs_s))
+
+        def propagate(batch: pa.Table) -> pa.Table:
+            iid, lab = ray.get(lref)
+            a = batch.column("doc_a").to_numpy()
+            b = batch.column("doc_b").to_numpy()
+            la = lab[np.searchsorted(iid, a)]
+            lb = lab[np.searchsorted(iid, b)]
+            m = np.minimum(la, lb)
+            return pa.table(
+                {
+                    "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                    "cluster": pa.array(np.concatenate([m, m]), pa.int64()),
+                }
+            )
+
+        new_labels = tree_aggregate(
+            edges.map_batches(propagate, batch_format="pyarrow", batch_size=None),
+            ["doc_id"],
+            {"cluster": "min"},
+        ).materialize()
+        new_tbl = pa.concat_tables(ray.get(new_labels.to_arrow_refs()))
+        no = np.argsort(new_tbl["doc_id"].to_numpy())
+        if np.array_equal(
+            new_tbl["cluster"].to_numpy()[no], labs_s
+        ):
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels

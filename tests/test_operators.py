@@ -400,3 +400,20 @@ def test_text_index_search(docs, ray_session):
     # postings cover every doc
     posts = trigram_postings(docs).to_pandas()
     assert set(posts["doc_id"]) == set(df["doc_id"])
+
+
+def test_connected_components(ray_session):
+    import pyarrow as pa
+
+    from geowave_ray.dedup import connected_components
+
+    # two chains + a singleton pair: {1-2-3-4}, {10-11}, {20-21}
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 3, 10, 20], pa.int64()),
+            "doc_b": pa.array([2, 3, 4, 11, 21], pa.int64()),
+        }
+    )
+    out = connected_components(ray.data.from_arrow(pairs)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
