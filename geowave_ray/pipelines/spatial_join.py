@@ -348,15 +348,19 @@ def polygon_intersects_join(
     right: pa.Table,
     left_id: str = "region_id",
     right_id: str = "query_id",
+    predicate: str = "intersects",
 ) -> ray.data.Dataset:
-    """Areal-feature join: convex polygons x convex polygons with the
-    INTERSECTS predicate (SAT), broadcast right side.
+    """Areal-feature join: convex polygons x convex polygons,
+    broadcast right side. Predicates (the GeomFunction UDF family,
+    ``analytics/spark/sparksql/udf/GeomFunction.java:17-35``):
 
-    Reference analogue: the GeomIntersects join predicate over areal
-    features (``analytics/spark/sparksql/udf/GeomIntersects``); bbox
-    prefilter then exact separating-axis test per candidate pair.
+    - ``intersects`` — separating-axis test (touching counts)
+    - ``within``     — every left vertex inside right (convex)
+    - ``contains``   — every right vertex inside left (convex)
+
+    bbox prefilter then the exact vectorized test per candidate pair.
     """
-    from ..geom import convex_intersects, parse_wkb_polygon, ring_bbox
+    from ..geom import convex_intersects, parse_wkb_polygon, pip_convex as _pip, ring_bbox
 
     rings = [parse_wkb_polygon(w.as_py()) for w in right["geometry_wkb"]]
     rids = right[right_id].to_pylist()
@@ -378,7 +382,16 @@ def polygon_intersects_join(
                 (rb[:, 0] <= x1) & (rb[:, 2] >= x0) & (rb[:, 1] <= y1) & (rb[:, 3] >= y0)
             )[0]
             for j in cand:
-                if convex_intersects(ring, rrings[j]):
+                if predicate == "within":
+                    rr = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+                    hit = bool(_pip(rr[:, 0], rr[:, 1], rrings[j]).all())
+                elif predicate == "contains":
+                    o = rrings[j]
+                    oo = o[:-1] if np.array_equal(o[0], o[-1]) else o
+                    hit = bool(_pip(oo[:, 0], oo[:, 1], ring).all())
+                else:
+                    hit = convex_intersects(ring, rrings[j])
+                if hit:
                     out_l.append(lids[i])
                     out_r.append(rrids[j])
         return pa.table(

@@ -245,3 +245,31 @@ def test_broadcast_join_actor_pool_mode(small):
         ds, regions, concurrency=2, use_actors=True
     ).to_pandas()
     assert set(zip(got["url"], got["region_id"])) == brute_force_pairs(pages, regions)
+
+
+def test_polygon_within_contains_predicates(small, ray_session):
+    """within/contains predicates on nested polygons."""
+    import pyarrow as pa
+
+    from geowave_ray.geom import polygon_wkb
+
+    inner = np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0]])
+    outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 3.0], [0.0, 3.0]])
+    far = outer + 100.0
+    left = pa.table(
+        {
+            "region_id": ["inner", "outer", "far"],
+            "geometry_wkb": [polygon_wkb(inner), polygon_wkb(outer), polygon_wkb(far)],
+        }
+    )
+    right = pa.table(
+        {
+            "query_id": ["OUTER"],
+            "geometry_wkb": [polygon_wkb(outer)],
+        }
+    )
+    lds = ray.data.from_arrow(left)
+    w = spatial_join.polygon_intersects_join(lds, right, predicate="within").to_pandas()
+    assert set(w["region_id"]) == {"inner", "outer"}
+    c = spatial_join.polygon_intersects_join(lds, right, predicate="contains").to_pandas()
+    assert set(c["region_id"]) == {"outer"}
