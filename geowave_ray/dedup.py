@@ -167,15 +167,43 @@ def minhash_lsh_pairs(
                     s_out.append(sim)
         return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "sim": s_out})
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas"
+    # band cogroup: bounded group count via band-hash BUCKET, pairwise
+    # inside each bucket per distinct (band, band_hash)
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = b.column("band_hash").to_numpy() % np.int64(256)
+        return b.append_column("bucket", pa.array(bk, pa.int64()))
+
+    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            emit_pairs(sub) for _, sub in g.groupby(["band", "band_hash"], sort=False)
+        ]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "sim": []})
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = (
+        banded.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(emit_bucket, batch_format="pandas")
     )
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # dedupe identical pairs found in multiple bands: vectorized
+    # in-bucket drop_duplicates (pair key routes the shuffle)
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        bk = (
+            b.column("doc_a").to_numpy() * np.int64(1000003)
+            + b.column("doc_b").to_numpy()
+        ) % np.int64(64)
+        return b.append_column("pbucket", pa.array(bk, pa.int64()))
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        dedup_pairs, batch_format="pandas"
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pbucket"])
+
+    return (
+        pairs.map_batches(pair_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("pbucket")
+        .map_groups(uniq, batch_format="pandas")
     )
 
 

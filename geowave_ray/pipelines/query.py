@@ -102,16 +102,36 @@ def polygon_query(pages: ray.data.Dataset, wkb: bytes, convex: bool = True) -> r
     )
 
 
-def subsample_by_cell(pages_with_cells: ray.data.Dataset, id_col: str = "url") -> ray.data.Dataset:
+def subsample_by_cell(
+    pages_with_cells: ray.data.Dataset, id_col: str = "url", n_buckets: int = 256
+) -> ray.data.Dataset:
     """Resolution subsampling: one representative row per coarse cell
     (min id — deterministic), the reference's
-    FixedResolutionSubsampleQueryFilter."""
+    FixedResolutionSubsampleQueryFilter.
+
+    Scale shape: per-batch local subsample (combiner), shuffle by cell
+    BUCKET, vectorized in-bucket drop_duplicates — bounded group count."""
     import pandas as pd
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="mergesort").head(1)
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["cell_id", id_col], kind="mergesort").drop_duplicates(
+            "cell_id", keep="first"
+        )
+        df["bucket"] = df["cell_id"].to_numpy() % np.int64(n_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    return pages_with_cells.groupby("cell_id").map_groups(first, batch_format="pandas")
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cell_id", id_col], kind="mergesort").drop_duplicates(
+            "cell_id", keep="first"
+        )
+        return g.drop(columns=["bucket"])
+
+    return (
+        pages_with_cells.map_batches(local, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(first, batch_format="pandas")
+    )
 
 
 def visibility_filter(
