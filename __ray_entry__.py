@@ -688,6 +688,30 @@ def q_url_prefix_search(sf_dir: str):
     return search_prefix(ds, "https://site7.example/", col="url", id_col="url")
 
 
+def q_hex_hist(sf_dir: str):
+    """Hexagonal binned aggregation (the H3-binning role on a planar
+    axial hex grid) — count per hex cell at 2-deg size."""
+    from ray.data.aggregate import Count
+
+    from geowave_ray.sfc import hex_cell
+
+    ds = _pages(sf_dir)
+
+    def add_hex(batch: pa.Table) -> pa.Table:
+        q, r = hex_cell(
+            batch.column("lon").to_numpy(), batch.column("lat").to_numpy(), 2.0
+        )
+        return pa.table(
+            {"hex_q": pa.array(q, pa.int64()), "hex_r": pa.array(r, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(add_hex, batch_format="pyarrow", batch_size=None)
+        .groupby(["hex_q", "hex_r"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def q_pages_by_month(sf_dir: str):
     """Temporal binning (the reference's TemporalBinningStrategy year/
     month bins, core/geotime/.../dimension/TemporalBinningStrategy.java):
@@ -932,8 +956,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_features": q_html_features,
         # areal-feature join
         "region_query_intersects": q_region_query_intersects,
-        # temporal binning
+        # temporal + hex binning
         "pages_by_month": q_pages_by_month,
+        "hex_hist": q_hex_hist,
         # binned aggregation + text indexes
         "docs_binned_agg": q_docs_binned_agg,
         "text_search": q_text_search,
@@ -1217,6 +1242,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, window_id, count(*) AS n
             FROM x GROUP BY 1, 2
+        """,
+        "hex_hist": f"""
+            WITH h AS (
+              SELECT (1.7320508075688772 / 3.0 * lon - 1.0 / 3.0 * lat) / 2.0 AS hx,
+                     (2.0 / 3.0 * lat) / 2.0 AS hz
+              FROM {PAGES}
+            ), c AS (
+              SELECT hx, hz, -hx - hz AS hy,
+                     round(hx) AS rx, round(-hx - hz) AS ry, round(hz) AS rz
+              FROM h
+            ), f AS (
+              SELECT CAST(CASE WHEN abs(rx - hx) > abs(ry - hy)
+                                AND abs(rx - hx) > abs(rz - hz)
+                               THEN -ry - rz ELSE rx END AS BIGINT) AS hex_q,
+                     CAST(CASE WHEN NOT (abs(rx - hx) > abs(ry - hy)
+                                     AND abs(rx - hx) > abs(rz - hz))
+                                AND NOT (abs(ry - hy) > abs(rz - hz))
+                               THEN -rx - ry ELSE rz END AS BIGINT) AS hex_r
+              FROM c
+            )
+            SELECT hex_q, hex_r, count(*) AS n FROM f GROUP BY 1, 2
         """,
         "docs_binned_agg": """
             SELECT lang,

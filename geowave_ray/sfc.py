@@ -340,3 +340,30 @@ def bbox_cell_ranges(
         ranges[i] = (ranges[i][0], ranges[i + 1][1])
         del ranges[i + 1]
     return ranges
+
+
+# ---------------------------------------------------------------------------
+# hexagonal binning (the H3-binning ROLE — H3BinningHelper.java — on a
+# planar axial hex grid; true H3's icosahedral projection needs the
+# native lib, absent here. Ids are (q, r) axial coords, not H3 ids.)
+# ---------------------------------------------------------------------------
+
+_SQRT3 = 1.7320508075688772
+
+
+def hex_cell(lon: np.ndarray, lat: np.ndarray, size_deg: float) -> tuple[np.ndarray, np.ndarray]:
+    """Pointy-top axial hex binning with cube rounding -> (q, r)."""
+    x = (_SQRT3 / 3.0 * lon - 1.0 / 3.0 * lat) / size_deg
+    z = (2.0 / 3.0 * lat) / size_deg
+    y = -x - z
+    rx = np.round(x)
+    ry = np.round(y)
+    rz = np.round(z)
+    dx = np.abs(rx - x)
+    dy = np.abs(ry - y)
+    dz = np.abs(rz - z)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_y = ~fix_x & (dy > dz)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(~fix_x & ~fix_y, -rx - ry, rz)
+    return rx.astype(np.int64), rz.astype(np.int64)
