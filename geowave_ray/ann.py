@@ -58,20 +58,6 @@ class CosinePartial:
         )
 
 
-def _merge_topk(k: int):
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
-        return pd.DataFrame(
-            {
-                "query_vec_id": g["query_vec_id"].to_numpy(),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "vec_id": g["vec_id"].to_numpy(),
-            }
-        )
-
-    return merge
-
-
 def ann_bruteforce_topk(
     embeddings: ray.data.Dataset,
     query_vecs: np.ndarray,

@@ -29,7 +29,7 @@ Aggregates: COUNT(*), COUNT(col), MIN(col), MAX(col), SUM(col).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import ray.data
 
