@@ -9,10 +9,11 @@ Prints ONE JSON line:
    "queries": {...}, "sf": ..., "num_cpus": N,
    "headline_rows_per_sec": ...}
 
-``--scaling``: runs the headline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the SAME input (the ``sf_scaling``
-fixture — 8M pages, large enough that the join is compute-bound) and
-reports both throughputs + scaling efficiency: the sandbox evidence
+``--scaling``: runs the headline in FRESH processes at num_cpus in
+{2, 4, 8, 16, 32} (two interleaved passes per level, best kept) on the
+SAME input (the ``sf_scaling`` fixture — 8M pages, large enough that
+the join is compute-bound) and reports throughput at every level plus
+the N->4N efficiencies for (2,8), (4,16), (8,32): the sandbox evidence
 for the north rule's N vs 4N cluster criterion. An untimed warmup
 (worker spawn + page-cache read) runs first so the timed window
 measures compute + shuffle, not process startup.
