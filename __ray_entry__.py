@@ -330,6 +330,16 @@ def q_knn(sf_dir: str):
     return knn(_pages(sf_dir), qt, metric="planar", concurrency=_pool())
 
 
+def q_knn_bounded(sf_dir: str):
+    """kNN with a max-distance bound (NNMapReduce maxDistance)."""
+    import pyarrow.parquet as pq
+
+    from geowave_ray.pipelines.knn import knn
+
+    qt = pq.read_table(f"{_fx(sf_dir)}/knn_queries.parquet")
+    return knn(_pages(sf_dir), qt, metric="planar", concurrency=_pool(), max_distance=4.0)
+
+
 def q_knn_haversine(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -914,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_agg": q_bbox_agg,
         # kNN
         "knn": q_knn,
+        "knn_bounded": q_knn_bounded,
         "knn_haversine": q_knn_haversine,
         # raster tiles
         "tile_assign": q_tile_assign,
@@ -1111,6 +1122,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id, k, url,
                      row_number() OVER (PARTITION BY query_id ORDER BY d2, url) AS rank
               FROM d
+            )
+            SELECT query_id, rank, url FROM r WHERE rank <= k
+        """,
+        "knn_bounded": f"""
+            WITH d AS (
+              SELECT q.query_id, q.k, p.url,
+                     (p.lon - q.lon) * (p.lon - q.lon)
+                   + (p.lat - q.lat) * (p.lat - q.lat) AS d2
+              FROM {KNNQ} q CROSS JOIN {PAGES} p
+            ), r AS (
+              SELECT query_id, k, url,
+                     row_number() OVER (PARTITION BY query_id ORDER BY d2, url) AS rank
+              FROM d WHERE d2 <= 4.0
             )
             SELECT query_id, rank, url FROM r WHERE rank <= k
         """,

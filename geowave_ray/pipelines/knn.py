@@ -85,8 +85,14 @@ def knn(
     # small batches keep the (n_queries x batch) distance matrix
     # cache-resident — large batches thrash DRAM superlinearly
     batch_size: int | None = 2048,
+    max_distance: float | None = None,
 ) -> ray.data.Dataset:
-    """Exact global top-k(q) per query -> (query_id, rank, url)."""
+    """Exact global top-k(q) per query -> (query_id, rank, url).
+
+    ``max_distance`` (same unit as the metric: squared degrees for
+    planar, meters for haversine) drops candidates beyond the radius —
+    the reference's NNMapReduce maxDistance bound
+    (``NNMapReduce.java:88-92``)."""
     q = {
         "query_id": np.asarray(knn_queries["query_id"].to_pylist(), dtype=object),
         "lon": knn_queries["lon"].to_numpy(),
@@ -107,6 +113,13 @@ def knn(
     partials = pages.map_batches(
         partial_fn, batch_format="pyarrow", batch_size=batch_size
     )
+    if max_distance is not None:
+        import pyarrow.compute as pc
+
+        partials = partials.map_batches(
+            lambda b: b.filter(pc.less_equal(b["dist"], max_distance)),
+            batch_format="pyarrow", batch_size=None,
+        )
 
     # two-level shuffle-free top-k merge (partials are tiny, bounded by
     # n_queries * k per batch; a per-query map_groups would pay a hash
