@@ -348,3 +348,13 @@ def convex_intersects(a: np.ndarray, b: np.ndarray) -> bool:
             if bx.min() > ax.max() or ax.min() > bx.max():
                 return False
     return True
+
+
+def clamp_precision(ring: np.ndarray, decimals: int = 6) -> np.ndarray:
+    """TWKB-style coordinate precision clamp
+    (``core/geotime/.../util/TWKBWriter.java`` /
+    ``GeometryUtils.java:408-414``): round to a fixed decimal
+    precision so geometry compare/hash is normalization-stable (the
+    reference's test oracle hashes centroids after a TWKB round trip,
+    ``TestUtils.java:544-550``)."""
+    return np.round(np.asarray(ring, dtype=np.float64), decimals)

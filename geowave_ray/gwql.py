@@ -78,6 +78,7 @@ class Select:
     limit: int | None
     is_agg: bool = False
     order_by: list | None = None  # [(col, descending)]
+    is_delete: bool = False
 
 
 class _Parser:
@@ -272,7 +273,20 @@ class _Parser:
 
 
 def parse(sql: str) -> Select:
-    return _Parser(tokenize(sql)).parse()
+    toks = tokenize(sql)
+    if toks and str(toks[0][1]).upper() == "DELETE":
+        # DELETE FROM t WHERE pred  -> modeled as SELECT * minus matches
+        p = _Parser(toks)
+        p.next()  # DELETE
+        p.expect_kw("FROM")
+        _, table = p.next()
+        where = None
+        t, v = p.peek()
+        if v and v.upper() == "WHERE":
+            p.next()
+            where = p._or_expr()
+        return Select(["*"], table, where, None, False, None, is_delete=True)
+    return _Parser(toks).parse()
 
 
 def execute(sql: str, tables: dict[str, ray.data.Dataset]) -> ray.data.Dataset:
@@ -281,6 +295,13 @@ def execute(sql: str, tables: dict[str, ray.data.Dataset]) -> ray.data.Dataset:
     if stmt.table not in tables:
         raise KeyError(f"GWQL: unknown table {stmt.table}")
     ds = tables[stmt.table]
+    if stmt.is_delete:
+        # GWQL DELETE (DeleteStatement.java): survivors of NOT(pred) —
+        # the caller rewrites the layout with the returned Dataset
+        if stmt.where is None:
+            return ds.filter(expr="false")
+        inv = ~stmt.where
+        return ds.map_batches(inv.filter_batch, batch_format="pyarrow", batch_size=None)
     if stmt.where is not None:
         e = stmt.where
         ds = ds.map_batches(e.filter_batch, batch_format="pyarrow", batch_size=None)

@@ -417,3 +417,24 @@ def test_connected_components(ray_session):
     out = connected_components(ray.data.from_arrow(pairs)).to_pandas()
     got = dict(zip(out["doc_id"], out["cluster"]))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_gwql_delete(docs):
+    from geowave_ray import gwql
+
+    survivors = gwql.execute(
+        "DELETE FROM documents WHERE lang = 'en'", {"documents": docs}
+    ).to_pandas()
+    df = docs.to_pandas()
+    assert len(survivors) == (df.lang != "en").sum()
+    assert (survivors["lang"] != "en").all()
+
+
+def test_clamp_precision():
+    import numpy as np
+
+    from geowave_ray.geom import clamp_precision
+
+    ring = np.array([[1.23456789, -2.98765432]])
+    out = clamp_precision(ring, 4)
+    assert out[0][0] == 1.2346 and out[0][1] == -2.9877
