@@ -273,3 +273,20 @@ def test_polygon_within_contains_predicates(small, ray_session):
     assert set(w["region_id"]) == {"inner", "outer"}
     c = spatial_join.polygon_intersects_join(lds, right, predicate="contains").to_pandas()
     assert set(c["region_id"]) == {"outer"}
+
+
+def test_add_salt_stage(small):
+    from geowave_ray.stages.cell_encode import add_salt, encode_points
+
+    pages, _, _ = small
+    enc = encode_points(pages, tier=6)
+    cells = enc["cell_id"].to_numpy()
+    hot = {int(c) for c in np.unique(cells)[:3]}
+    salted = add_salt(enc, hot_cells=hot, n_salt=4)
+    s = salted["salt"].to_numpy()
+    mask_hot = np.isin(cells, np.fromiter(hot, dtype=np.int64))
+    assert (s[~mask_hot] == 0).all()
+    assert s[mask_hot].max() <= 3
+    # deterministic
+    s2 = add_salt(enc, hot_cells=hot, n_salt=4)["salt"].to_numpy()
+    assert np.array_equal(s, s2)

@@ -153,3 +153,31 @@ def test_bbox_ranges_cover_center_property(cx, cy, half):
     ranges = sfc.bbox_cell_ranges(x0, y0, x1, y1, tier=tier)
     c = int(sfc.zorder_cell(np.array([cx]), np.array([cy]), tier)[0])
     assert any(lo <= c <= hi for lo, hi in ranges)
+
+
+def test_cell_center_inverse():
+    cx = np.array([0, 100, 255], dtype=np.int64)
+    cy = np.array([5, 128, 200], dtype=np.int64)
+    lon, lat = sfc.cell_center(cx, cy, 8)
+    bx, by = sfc.grid_coords(lon, lat, 8)
+    assert np.array_equal(bx, cx) and np.array_equal(by, cy)
+
+
+def test_bbox_cell_ranges_hilbert():
+    ranges = sfc.bbox_cell_ranges(-10, -10, 10, 10, tier=6, curve="hilbert", max_ranges=16)
+    assert 1 <= len(ranges) <= 16
+    gx, gy = sfc.cells_for_bbox_single(-10, -10, 10, 10, 6)
+    ids = sfc.hilbert_encode(gx, gy, 6)
+    for c in ids:
+        assert any(lo <= int(c) <= hi for lo, hi in ranges)
+
+
+def test_hex_cell_deterministic_and_partitioning():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-170, 170, 1000)
+    lat = rng.uniform(-80, 80, 1000)
+    q1, r1 = sfc.hex_cell(lon, lat, 1.5)
+    q2, r2 = sfc.hex_cell(lon, lat, 1.5)
+    assert np.array_equal(q1, q2) and np.array_equal(r1, r2)
+    # cube constraint holds at the rounded coords: q + r + s == 0 by construction
+    assert len(np.unique(q1 * 100000 + r1)) > 100  # spreads over many cells
