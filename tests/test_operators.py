@@ -438,3 +438,18 @@ def test_clamp_precision():
     ring = np.array([[1.23456789, -2.98765432]])
     out = clamp_precision(ring, 4)
     assert out[0][0] == 1.2346 and out[0][1] == -2.9877
+
+
+def test_function_registry(ray_session):
+    import pyarrow as pa
+
+    from geowave_ray.expr import col
+    from geowave_ray.functions import registry
+
+    t = pa.table({"s": ["ab", "CD"], "x": [-2.0, 3.0]})
+    assert registry.apply("UPPER", col("s")).evaluate(t).to_pylist() == ["AB", "CD"]
+    assert registry.apply("ABS", col("x")).evaluate(t).to_pylist() == [2.0, 3.0]
+    # user extension
+    registry.register("double", lambda a: pa.compute.multiply(a, 2))
+    assert registry.apply("double", col("x")).evaluate(t).to_pylist() == [-4.0, 6.0]
+    assert "DOUBLE" in registry.names()
