@@ -51,3 +51,24 @@ def test_read_pages_json(tmp_path, small_pages):
 def test_read_pages_unknown_format():
     with pytest.raises(ValueError):
         read_pages("/nowhere", fmt="avro")
+
+
+def test_attribute_index_prunes_and_matches(tmp_path, ray_session):
+    from geowave_ray.sources.attribute_index import (
+        build_attribute_index,
+        query_attribute_range,
+        row_groups_scanned,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.01/lineitem.parquet")
+    idx = build_attribute_index(ds, "l_extendedprice", str(tmp_path / "byprice"),
+                                rows_per_group=5000)
+    lo, hi = 10_000.0, 20_000.0
+    got = query_attribute_range(idx, "l_extendedprice", lo, hi).to_pandas()
+    full = ds.to_pandas()
+    expect = full[(full.l_extendedprice >= lo) & (full.l_extendedprice <= hi)]
+    assert len(got) == len(expect)
+    assert got["l_extendedprice"].between(lo, hi).all()
+    # the sorted layout prunes: a narrow range touches < half the groups
+    m, t = row_groups_scanned(idx, "l_extendedprice", lo, hi)
+    assert t >= 4 and m < t
