@@ -698,6 +698,24 @@ def q_url_prefix_search(sf_dir: str):
     return search_prefix(ds, "https://site7.example/", col="url", id_col="url")
 
 
+def q_optimal_count(sf_dir: str):
+    """OptimalCountAggregation: COUNT(*) answered from the ingest
+    manifest statistics WITHOUT scanning (falls back to a scan when no
+    manifest exists). The ingest itself runs once (resumable — reruns
+    skip complete partitions)."""
+    import os
+
+    from geowave_ray.pipelines.ingest import ingest_pages
+    from geowave_ray.stats import optimal_count
+
+    out = f"/tmp/geowave_ingested/{os.path.basename(os.path.normpath(_fx(sf_dir)))}"
+    ingest_pages(f"{_fx(sf_dir)}/pages", out, resume=True)
+    n = optimal_count(os.path.join(out, "_manifest"))
+    if n is None:  # fallback scan
+        n = _pages(sf_dir).count()
+    return pd.DataFrame({"n": [int(n)]})
+
+
 def q_hex_hist(sf_dir: str):
     """Hexagonal binned aggregation (the H3-binning role on a planar
     axial hex grid) — count per hex cell at 2-deg size."""
@@ -970,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temporal + hex binning
         "pages_by_month": q_pages_by_month,
         "hex_hist": q_hex_hist,
+        "optimal_count": q_optimal_count,
         # binned aggregation + text indexes
         "docs_binned_agg": q_docs_binned_agg,
         "text_search": q_text_search,
@@ -1267,6 +1286,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, window_id, count(*) AS n
             FROM x GROUP BY 1, 2
         """,
+        "optimal_count": f"SELECT count(*) AS n FROM {PAGES}",
         "hex_hist": f"""
             WITH h AS (
               SELECT (1.7320508075688772 / 3.0 * lon - 1.0 / 3.0 * lat) / 2.0 AS hx,
