@@ -340,6 +340,44 @@ def q_knn_bounded(sf_dir: str):
     return knn(_pages(sf_dir), qt, metric="planar", concurrency=_pool(), max_distance=4.0)
 
 
+def q_knn_cell_pruned(sf_dir: str):
+    """Cell-pruned kNN scale path (3x3 neighbor-ring prefilter; exact
+    when the k-th neighbor is within one cell width — rows-only here,
+    exactness vs the full scan is asserted in pytest for dense probes)."""
+    import pyarrow.parquet as pq
+
+    from geowave_ray.pipelines.knn import knn_cell_pruned
+
+    qt = pq.read_table(f"{_fx(sf_dir)}/knn_queries.parquet")
+    return knn_cell_pruned(_pages(sf_dir), qt, tier=4)
+
+
+def q_kmeans_hulls(sf_dir: str):
+    """KMeans cluster convex hulls (KMeansHullGenerator): one row per
+    cluster with its hull vertex count and bbox."""
+    from geowave_ray.pipelines.clustering import convex_hulls, kmeans
+
+    _, assigned = kmeans(_pages(sf_dir), k=6, n_iter=5)
+    hulls = convex_hulls(assigned)
+    rows = {
+        "cluster": [],
+        "n_vertices": [],
+        "xmin": [],
+        "ymin": [],
+        "xmax": [],
+        "ymax": [],
+    }
+    for c in sorted(hulls):
+        h = hulls[c]
+        rows["cluster"].append(int(c))
+        rows["n_vertices"].append(int(len(h)))
+        rows["xmin"].append(float(h[:, 0].min()))
+        rows["ymin"].append(float(h[:, 1].min()))
+        rows["xmax"].append(float(h[:, 0].max()))
+        rows["ymax"].append(float(h[:, 1].max()))
+    return pd.DataFrame(rows)
+
+
 def q_knn_haversine(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -943,6 +981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kNN
         "knn": q_knn,
         "knn_bounded": q_knn_bounded,
+        "knn_cell_pruned": q_knn_cell_pruned,
         "knn_haversine": q_knn_haversine,
         # raster tiles
         "tile_assign": q_tile_assign,
@@ -978,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distance join / clustering / sampling
         "within_distance": q_within_distance,
         "kmeans": q_kmeans,
+        "kmeans_hulls": q_kmeans_hulls,
         "dbscan": q_dbscan,
         "sample_weighted": q_sample_weighted,
         # multimodal binary plumbing
