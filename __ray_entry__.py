@@ -1286,7 +1286,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT user_id,
-                   sum(CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+                   CAST(sum(CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM g GROUP BY user_id
         """,
         "url_lookup": f"""

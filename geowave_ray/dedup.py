@@ -2,60 +2,82 @@
 Jaccard — the training-data-pipeline complement to the reference's
 index-level DedupeFilter (``core/store/.../query/filter/DedupeFilter.java``).
 
-Shapes (per the Ray guide): vectorized hashing inside ``map_batches``,
-explode to (band_id, band_hash, doc_id), ``groupby`` bands for
-candidates, verify Jaccard on candidates only.
+Scale shapes (per the Ray guide):
+- all hashing is whole-batch vectorized (``hashing.py`` — one
+  polynomial pass over the Arrow byte buffers; no per-row/per-token
+  Python in any hot path);
+- LSH bands ship only ``(band, band_hash, doc_id)`` through the
+  shuffle — signatures do NOT ride the band exchange; candidate pairs
+  are verified by re-joining signatures via two bounded bucket
+  cogroups;
+- oversized band buckets (boilerplate/empty-doc skew) are capped:
+  beyond ``band_group_cap`` members a group emits star pairs
+  (min-id ↔ member) instead of all-pairs, preserving connectivity for
+  clustering without the O(n²) detonation;
+- connected components keeps the label table DISTRIBUTED: each
+  propagation round is two bounded bucket cogroups
+  (edge↔label join, then min-per-doc), converging on a global
+  sum-of-labels fixpoint — no driver-side materialization.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
 
-_M1 = np.uint64(0xFF51AFD7ED558CCD)
-_M2 = np.uint64(0xC4CEB9FE1A85EC53)
-
-
-def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64-style avalanche (vectorized)."""
-    x = x.astype(np.uint64)
-    x ^= x >> np.uint64(33)
-    x *= _M1
-    x ^= x >> np.uint64(33)
-    x *= _M2
-    x ^= x >> np.uint64(33)
-    return x
+from .hashing import hash_utf8, mix64, tokenize_hash
 
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingle hash set (uint64)."""
-    toks = [w for w in text.split(" ") if w]
-    if len(toks) < n:
-        toks = toks + [""] * (n - len(toks))
-    out = np.empty(max(1, len(toks) - n + 1), dtype=np.uint64)
-    for i in range(len(out)):
-        s = " ".join(toks[i : i + n])
-        out[i] = np.uint64(
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-        )
-    return np.unique(out)
+    """Word n-gram shingle hash set for ONE string (used by the
+    pairwise ``ngram_jaccard`` verifier; batch paths use
+    ``_batch_shingles``)."""
+    sh, _, _ = _batch_shingles(pa.array([text]), n)
+    return np.unique(sh)
+
+
+def _batch_shingles(
+    texts: pa.Array | pa.ChunkedArray, n: int = 3
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized word-n-gram shingle hashes for a batch.
+
+    Returns ``(shingle_hash: uint64, doc_idx: int64 nondecreasing,
+    n_docs)``. Every doc emits >= 1 shingle: docs with fewer than
+    ``n`` tokens emit one fold hash of their tokens (empty docs a
+    constant)."""
+    th, doc, n_tokens = tokenize_hash(texts)
+    n_docs = len(n_tokens)
+    m = len(th) - (n - 1)
+    if m > 0:
+        acc = th[:m].copy()
+        for j in range(1, n):
+            acc = mix64(acc) ^ th[j : j + m]
+        valid = doc[:m] == doc[n - 1 : n - 1 + m]
+        sh = mix64(acc[valid])
+        sh_doc = doc[:m][valid]
+    else:
+        sh = np.empty(0, dtype=np.uint64)
+        sh_doc = np.empty(0, dtype=np.int64)
+    short = np.nonzero(n_tokens < n)[0]
+    if len(short):
+        # fold hash per short doc: xor of mixed token hashes (+count)
+        fold_all = np.zeros(n_docs, dtype=np.uint64)
+        if len(th):
+            np.bitwise_xor.at(fold_all, doc, mix64(th))
+        fold = mix64(fold_all[short] ^ mix64(n_tokens[short].astype(np.uint64)))
+        sh = np.concatenate([sh, fold])
+        sh_doc = np.concatenate([sh_doc, short])
+        order = np.argsort(sh_doc, kind="stable")
+        sh, sh_doc = sh[order], sh_doc[order]
+    return sh, sh_doc, n_docs
 
 
 def content_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
-    """Append a 64-bit content hash (exact-dedup key)."""
-    vals = batch.column(col).to_pylist()
-    h = np.array(
-        [
-            int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(), "big")
-            >> 1
-            for v in vals
-        ],
-        dtype=np.int64,
-    )
+    """Append a 64-bit content hash (exact-dedup routing key) —
+    one vectorized pass over the column's byte buffer."""
+    h = (hash_utf8(batch.column(col)) >> np.uint64(1)).astype(np.int64)
     return batch.append_column("content_hash", pa.array(h, pa.int64()))
 
 
@@ -91,21 +113,47 @@ def exact_dedup(
 def minhash_batch(
     batch: pa.Table, num_perm: int = 64, shingle_n: int = 3, text_col: str = "text"
 ) -> pa.Table:
-    """Per-doc minhash signature (num_perm x uint64 -> stored int64 list)."""
-    texts = batch.column(text_col).to_pylist()
-    seeds = _mix64(np.arange(1, num_perm + 1, dtype=np.uint64))
-    sigs = []
-    for t in texts:
-        sh = _shingle_hashes(t, shingle_n)
-        # one multiply-mix per permutation, min over shingles (vectorized)
-        m = _mix64(sh[None, :] ^ seeds[:, None]).min(axis=1)
-        sigs.append(m.astype(np.int64))
+    """Per-doc minhash signature, fully vectorized: shingle hashes for
+    the whole batch in one pass, then chunked ``minimum.reduceat`` per
+    (permutation, doc) — bounded transient memory, zero per-doc Python.
+    Output signature is a fixed-size list (zero-copy to numpy)."""
+    sh, sh_doc, n_docs = _batch_shingles(batch.column(text_col), shingle_n)
+    seeds = mix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+    out = np.full((num_perm, n_docs), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh):
+        starts = np.searchsorted(sh_doc, np.arange(n_docs, dtype=np.int64))
+        chunk = 1 << 16
+        for lo in range(0, len(sh), chunk):
+            hi = min(lo + chunk, len(sh))
+            vals = mix64(sh[None, lo:hi] ^ seeds[:, None])
+            d0 = int(np.searchsorted(starts, lo, side="right")) - 1
+            d1 = int(np.searchsorted(starts, hi, side="left"))
+            local = np.maximum(starts[d0:d1], lo) - lo
+            part = np.minimum.reduceat(vals, local, axis=1)
+            np.minimum(out[:, d0:d1], part, out=out[:, d0:d1])
+    sig = (out.T >> np.uint64(1)).astype(np.int64).ravel()  # sign-safe
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "minhash": pa.array([s.tolist() for s in sigs], pa.list_(pa.int64())),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig, pa.int64()), num_perm
+            ),
         }
     )
+
+
+def _sig_matrix(col: pa.ChunkedArray | pa.Array, num_perm: int) -> np.ndarray:
+    """(n, num_perm) int64 view of a (fixed-size-)list signature column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type) or pa.types.is_list(col.type) or pa.types.is_large_list(
+        col.type
+    ):
+        return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+    arr = col.to_numpy(zero_copy_only=False)
+    if isinstance(arr, np.ndarray) and arr.dtype != object:
+        return np.asarray(arr, dtype=np.int64).reshape(-1, num_perm)
+    return np.asarray([np.asarray(v) for v in arr], dtype=np.int64).reshape(-1, num_perm)
 
 
 def minhash_lsh_pairs(
@@ -114,82 +162,82 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    band_group_cap: int = 512,
+    n_buckets: int = 256,
 ) -> ray.data.Dataset:
-    """Candidate near-dup pairs via banded LSH, verified by signature
-    Jaccard estimate. Returns (doc_a, doc_b, sim) with doc_a < doc_b."""
+    """Near-dup pairs via banded LSH. Returns (doc_a, doc_b, sim)
+    with doc_a < doc_b and sim = signature-equality fraction >=
+    ``jaccard_threshold``.
+
+    Stages: signatures → id-only band rows → bucketed band cogroup
+    emits CANDIDATE id pairs (capped per band group) → pair dedup →
+    two bucketed cogroups re-attach the signatures → vectorized
+    verify. Only ids move through the wide exchanges."""
     rows_per_band = num_perm // bands
     sigs = docs.map_batches(
         minhash_batch, fn_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n),
         batch_format="pyarrow", batch_size=None,
-    )
+    ).materialize()
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        sig = np.array(batch.column("minhash").to_pylist(), dtype=np.int64)
-        out_id, out_band, out_hash, out_sig = [], [], [], []
+        sig = _sig_matrix(batch.column("minhash"), num_perm).astype(np.uint64)
+        n = len(ids)
+        out_id = np.tile(ids, bands)
+        out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+        hh = np.empty(bands * n, dtype=np.int64)
         for b in range(bands):
             seg = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
-            h = _mix64(
-                np.bitwise_xor.reduce(
-                    _mix64(seg.astype(np.uint64) + np.uint64(b + 1)), axis=1
-                )
+            h = mix64(
+                np.bitwise_xor.reduce(mix64(seg + np.uint64(b + 1)), axis=1)
             ).astype(np.int64)
-            out_id.extend(ids.tolist())
-            out_band.extend([b] * len(ids))
-            out_hash.extend(h.tolist())
-            out_sig.extend(sig.tolist())
+            hh[b * n : (b + 1) * n] = h
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.int64()),
                 "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
-                "minhash": pa.array(out_sig, pa.list_(pa.int64())),
+                "band_hash": pa.array(hh, pa.int64()),
             }
         )
 
     banded = sigs.map_batches(to_bands, batch_format="pyarrow", batch_size=None)
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "sim": []})
-        g = g.sort_values("doc_id", kind="mergesort")
-        ids = g["doc_id"].to_numpy()
-        sig = np.array(g["minhash"].tolist(), dtype=np.int64)
-        a_out, b_out, s_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                sim = float((sig[i] == sig[j]).mean())
-                if sim >= jaccard_threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    s_out.append(sim)
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "sim": s_out})
-
-    # band cogroup: bounded group count via band-hash BUCKET, pairwise
-    # inside each bucket per distinct (band, band_hash)
     def add_bucket(b: pa.Table) -> pa.Table:
-        bk = b.column("band_hash").to_numpy() % np.int64(256)
+        bk = b.column("band_hash").to_numpy() % np.int64(n_buckets)
         return b.append_column("bucket", pa.array(bk, pa.int64()))
 
-    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        frames = [
-            emit_pairs(sub) for _, sub in g.groupby(["band", "band_hash"], sort=False)
-        ]
-        frames = [f for f in frames if len(f)]
-        if not frames:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "sim": []})
-        return pd.concat(frames, ignore_index=True)
+    def emit_candidates(g: pd.DataFrame) -> pd.DataFrame:
+        """All-pairs per (band, band_hash), vectorized via triu
+        indices; groups beyond the cap emit star pairs instead
+        (connectivity preserved, no O(n²) on skewed hashes)."""
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        for _, sub in g.groupby(["band", "band_hash"], sort=False):
+            ids = np.unique(sub["doc_id"].to_numpy())
+            m = len(ids)
+            if m < 2:
+                continue
+            if m > band_group_cap:
+                a_out.append(np.full(m - 1, ids[0]))
+                b_out.append(ids[1:])
+            else:
+                iu, ju = np.triu_indices(m, k=1)
+                a_out.append(ids[iu])
+                b_out.append(ids[ju])
+        if not a_out:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out)}
+        )
 
-    pairs = (
+    cands = (
         banded.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
-        .map_groups(emit_bucket, batch_format="pandas")
+        .map_groups(emit_candidates, batch_format="pandas")
     )
 
-    # dedupe identical pairs found in multiple bands: vectorized
-    # in-bucket drop_duplicates (pair key routes the shuffle)
+    # dedupe identical candidate pairs found in multiple bands
     def pair_bucket(b: pa.Table) -> pa.Table:
         bk = (
             b.column("doc_a").to_numpy() * np.int64(1000003)
@@ -200,40 +248,132 @@ def minhash_lsh_pairs(
     def uniq(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pbucket"])
 
-    return (
-        pairs.map_batches(pair_bucket, batch_format="pyarrow", batch_size=None)
+    pairs = (
+        cands.map_batches(pair_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("pbucket")
         .map_groups(uniq, batch_format="pandas")
     )
 
+    # verify: re-attach signatures endpoint by endpoint via bounded
+    # bucket cogroups (hash-join pattern: union(label rows, probe
+    # rows) grouped on the key bucket, vectorized searchsorted inside)
+    verified = _attach_sig(pairs, sigs, "doc_a", "sig_a", num_perm, n_buckets)
+    verified = _attach_sig(verified, sigs, "doc_b", "sig_b", num_perm, n_buckets)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        sa = _sig_matrix(batch.column("sig_a"), num_perm)
+        sb = _sig_matrix(batch.column("sig_b"), num_perm)
+        sim = (sa == sb).mean(axis=1)
+        keep = sim >= jaccard_threshold
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").filter(pa.array(keep)),
+                "doc_b": batch.column("doc_b").filter(pa.array(keep)),
+                "sim": pa.array(sim[keep], pa.float64()),
+            }
+        )
+
+    return verified.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def _attach_sig(
+    pairs: ray.data.Dataset,
+    sigs: ray.data.Dataset,
+    key_col: str,
+    out_col: str,
+    num_perm: int,
+    n_buckets: int,
+) -> ray.data.Dataset:
+    """Bucketed cogroup join: attach ``sigs.minhash`` to ``pairs`` rows
+    on ``pairs[key_col] == sigs.doc_id`` as column ``out_col``."""
+    pair_schema = pairs.schema()
+    pass_cols = list(pair_schema.names)
+    pass_types = dict(zip(pair_schema.names, pair_schema.types))
+
+    def probe_rows(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy()
+        cols = {"jkey": pa.array(k, pa.int64()), "is_label": pa.array(np.zeros(len(k), bool))}
+        for c in pass_cols:
+            cols[c] = b.column(c)
+        cols["minhash"] = pa.nulls(len(k), pa.list_(pa.int64()))
+        return pa.table(cols)
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        k = b.column("doc_id").to_numpy()
+        cols = {"jkey": pa.array(k, pa.int64()), "is_label": pa.array(np.ones(len(k), bool))}
+        for c in pass_cols:
+            if c in b.column_names:
+                cols[c] = b.column(c)
+            else:
+                cols[c] = pa.nulls(len(k), pass_types[c])
+        cols["minhash"] = b.column("minhash").cast(pa.list_(pa.int64()))
+        return pa.table(cols)
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        bk = mix64(b.column("jkey").to_numpy().astype(np.uint64)) % np.uint64(n_buckets)
+        return b.append_column("bucket", pa.array(bk.astype(np.int64), pa.int64()))
+
+    probe = pairs.map_batches(probe_rows, batch_format="pyarrow", batch_size=None)
+    labels = sigs.map_batches(label_rows, batch_format="pyarrow", batch_size=None)
+    u = probe.union(labels).map_batches(bucketed, batch_format="pyarrow", batch_size=None)
+
+    def join_group(t: pa.Table) -> pa.Table:
+        is_lab = np.asarray(t.column("is_label").to_numpy(zero_copy_only=False), bool)
+        lab = t.filter(pa.array(is_lab))
+        pr = t.filter(pa.array(~is_lab))
+        cols = {c: pr.column(c) for c in pass_cols}
+        if len(pr) and len(lab):
+            sig_mat = _sig_matrix(lab.column("minhash"), num_perm)
+            lk = lab.column("jkey").to_numpy()
+            order = np.argsort(lk)
+            lk = lk[order]
+            sig_mat = sig_mat[order]
+            pos = np.clip(np.searchsorted(lk, pr.column("jkey").to_numpy()), 0, len(lk) - 1)
+            sel = sig_mat[pos]
+        else:
+            sel = np.zeros((len(pr), num_perm), dtype=np.int64)
+        cols[out_col] = pa.FixedSizeListArray.from_arrays(
+            pa.array(sel.ravel(), pa.int64()), num_perm
+        )
+        return pa.table(cols)
+
+    return u.groupby("bucket").map_groups(join_group, batch_format="pyarrow")
+
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit SimHash over word tokens (vectorized bit-vote)."""
-    texts = batch.column(text_col).to_pylist()
-    out = np.empty(len(texts), dtype=np.int64)
+    """64-bit SimHash over word tokens — vectorized bit-vote across the
+    whole batch (token hashes in one pass; per-doc sums via
+    ``add.reduceat``)."""
+    th, doc, n_tokens = tokenize_hash(batch.column(text_col))
+    n_docs = len(n_tokens)
     bitpos = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = [w for w in t.split(" ") if w]
-        if not toks:
-            out[i] = 0
-            continue
-        hs = np.array(
-            [
-                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-                for w in toks
-            ],
-            dtype=np.uint64,
-        )
-        bits = (hs[:, None] >> bitpos[None, :]) & np.uint64(1)
-        votes = bits.sum(axis=0) * 2 > len(toks)
-        v = np.uint64(0)
-        for b in np.nonzero(votes)[0]:
-            v |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(v >> np.uint64(1))  # keep sign-safe 63 bits
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(th):
+        starts = np.searchsorted(doc, np.arange(n_docs, dtype=np.int64))
+        sums = np.zeros((n_docs, 64), dtype=np.int64)
+        chunk = 1 << 16  # bound the (chunk, 64) bit-matrix transient
+        for lo in range(0, len(th), chunk):
+            hi = min(lo + chunk, len(th))
+            bits = ((th[lo:hi, None] >> bitpos[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            d0 = int(np.searchsorted(starts, lo, side="right")) - 1
+            d1 = int(np.searchsorted(starts, hi, side="left"))
+            local = np.maximum(starts[d0:d1], lo) - lo
+            sums[d0:d1] += np.add.reduceat(bits, local, axis=0)
+        sums[n_tokens == 0] = 0
+        votes = (sums * 2 > n_tokens[:, None]).astype(np.uint64)
+        out = np.bitwise_or.reduce(votes << bitpos[None, :], axis=1)
+    out[n_tokens == 0] = 0
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "simhash": pa.array(out, pa.int64()),
+            "simhash": pa.array((out >> np.uint64(1)).astype(np.int64), pa.int64()),
         }
     )
 
@@ -247,72 +387,127 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 
 def connected_components(
-    pairs: ray.data.Dataset, max_rounds: int = 10
+    pairs: ray.data.Dataset, max_rounds: int = 50, n_buckets: int = 64
 ) -> ray.data.Dataset:
-    """Near-dup clusters from candidate pairs: iterative min-label
-    propagation (the Ray-guide pattern — a few groupby rounds, no
-    driver-side union-find on the full edge set).
+    """Near-dup clusters from candidate pairs: DISTRIBUTED iterative
+    min-label propagation. Input (doc_a, doc_b); output (doc_id,
+    cluster) where cluster = min doc id in the component.
 
-    Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster) where
-    cluster is the minimum doc id reachable from doc_id.
+    Each round is two bounded bucket cogroups — edge rows keyed by
+    each endpoint union'd with the label table, joined per bucket
+    (vectorized searchsorted), then min-per-doc — so the label table
+    never materializes on the driver. Convergence: labels are
+    per-doc monotone nonincreasing, so the global sum of labels is
+    strictly decreasing until fixpoint; one tiny scalar aggregate per
+    round detects it. Raises if ``max_rounds`` (>= graph diameter
+    needed) is exhausted before convergence rather than returning
+    silently-split clusters.
     """
-    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
 
-    from .agg import tree_aggregate
-
-    # label table: start with label(doc) = min(doc, min neighbor)
     def seed(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy()
         b = batch.column("doc_b").to_numpy()
+        m = np.minimum(a, b)
         return pa.table(
             {
                 "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
-                "cluster": pa.array(
-                    np.concatenate([np.minimum(a, b), np.minimum(a, b)]), pa.int64()
-                ),
+                "cluster": pa.array(np.concatenate([m, m]), pa.int64()),
             }
         )
 
+    def min_per_doc(ds: ray.data.Dataset) -> ray.data.Dataset:
+        def bucketed(b: pa.Table) -> pa.Table:
+            bk = mix64(b.column("doc_id").to_numpy().astype(np.uint64)) % np.uint64(
+                n_buckets
+            )
+            return b.append_column("bucket", pa.array(bk.astype(np.int64), pa.int64()))
+
+        def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+            ids = g["doc_id"].to_numpy()
+            labs = g["cluster"].to_numpy()
+            order = np.lexsort((labs, ids))
+            ids, labs = ids[order], labs[order]
+            first = np.ones(len(ids), dtype=bool)
+            first[1:] = ids[1:] != ids[:-1]
+            return pd.DataFrame({"doc_id": ids[first], "cluster": labs[first]})
+
+        return (
+            ds.map_batches(bucketed, batch_format="pyarrow", batch_size=None)
+            .groupby("bucket")
+            .map_groups(reduce_group, batch_format="pandas")
+        )
+
     edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
-    labels = tree_aggregate(
-        edges.map_batches(seed, batch_format="pyarrow", batch_size=None),
-        ["doc_id"],
-        {"cluster": "min"},
+    labels = min_per_doc(
+        edges.map_batches(seed, batch_format="pyarrow", batch_size=None)
     ).materialize()
+    prev = labels.aggregate(Sum("cluster"))["sum(cluster)"]
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy()
+        d = b.column("doc_b").to_numpy()
+        return pa.table(
+            {
+                "jkey": pa.array(np.concatenate([a, d]), pa.int64()),
+                "other": pa.array(np.concatenate([d, a]), pa.int64()),
+                "cluster": pa.array(np.zeros(2 * len(a), np.int64), pa.int64()),
+                "is_label": pa.array(np.zeros(2 * len(a), bool)),
+            }
+        )
+
+    e_rows = edges.map_batches(edge_rows, batch_format="pyarrow", batch_size=None).materialize()
 
     for _ in range(max_rounds):
-        lab_tbl = pa.concat_tables(ray.get(labels.to_arrow_refs()))
-        ids = lab_tbl["doc_id"].to_numpy()
-        labs = lab_tbl["cluster"].to_numpy()
-        order = np.argsort(ids)
-        ids_s, labs_s = ids[order], labs[order]
-        lref = ray.put((ids_s, labs_s))
-
-        def propagate(batch: pa.Table) -> pa.Table:
-            iid, lab = ray.get(lref)
-            a = batch.column("doc_a").to_numpy()
-            b = batch.column("doc_b").to_numpy()
-            la = lab[np.searchsorted(iid, a)]
-            lb = lab[np.searchsorted(iid, b)]
-            m = np.minimum(la, lb)
+        def label_rows(b: pa.Table) -> pa.Table:
+            k = b.column("doc_id").to_numpy()
             return pa.table(
                 {
-                    "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
-                    "cluster": pa.array(np.concatenate([m, m]), pa.int64()),
+                    "jkey": pa.array(k, pa.int64()),
+                    "other": pa.array(k, pa.int64()),
+                    "cluster": b.column("cluster"),
+                    "is_label": pa.array(np.ones(len(k), bool)),
                 }
             )
 
-        new_labels = tree_aggregate(
-            edges.map_batches(propagate, batch_format="pyarrow", batch_size=None),
-            ["doc_id"],
-            {"cluster": "min"},
-        ).materialize()
-        new_tbl = pa.concat_tables(ray.get(new_labels.to_arrow_refs()))
-        no = np.argsort(new_tbl["doc_id"].to_numpy())
-        if np.array_equal(
-            new_tbl["cluster"].to_numpy()[no], labs_s
-        ):
-            labels = new_labels
-            break
-        labels = new_labels
-    return labels
+        def bucketed(b: pa.Table) -> pa.Table:
+            bk = mix64(b.column("jkey").to_numpy().astype(np.uint64)) % np.uint64(
+                n_buckets
+            )
+            return b.append_column("bucket", pa.array(bk.astype(np.int64), pa.int64()))
+
+        def propagate(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g["is_label"]]
+            req = g[~g["is_label"]]
+            lk = lab["jkey"].to_numpy()
+            order = np.argsort(lk)
+            lk = lk[order]
+            lv = lab["cluster"].to_numpy()[order]
+            out_id = [lab["jkey"].to_numpy()]
+            out_cl = [lab["cluster"].to_numpy()]
+            if len(req) and len(lk):
+                pos = np.searchsorted(lk, req["jkey"].to_numpy())
+                pos = np.clip(pos, 0, len(lk) - 1)
+                out_id.append(req["other"].to_numpy())
+                out_cl.append(lv[pos])
+            return pd.DataFrame(
+                {"doc_id": np.concatenate(out_id), "cluster": np.concatenate(out_cl)}
+            )
+
+        u = (
+            e_rows.union(
+                labels.map_batches(label_rows, batch_format="pyarrow", batch_size=None)
+            )
+            .map_batches(bucketed, batch_format="pyarrow", batch_size=None)
+            .groupby("bucket")
+            .map_groups(propagate, batch_format="pandas")
+        )
+        labels = min_per_doc(u).materialize()
+        cur = labels.aggregate(Sum("cluster"))["sum(cluster)"]
+        if cur == prev:
+            return labels
+        prev = cur
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        "(component diameter exceeds max_rounds)"
+    )

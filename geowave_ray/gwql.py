@@ -314,7 +314,12 @@ def execute(sql: str, tables: dict[str, ray.data.Dataset]) -> ray.data.Dataset:
                 raise ValueError("GWQL: mixed agg and plain columns unsupported")
             _, fn, arg, alias = c
             if fn == "COUNT":
-                aggs.append(Count(alias_name=alias))
+                # COUNT(*) counts rows; COUNT(col) counts non-null values
+                # (SQL/GWQL semantics — CountAggregation.java)
+                if arg and arg != "*":
+                    aggs.append(Count(on=arg, ignore_nulls=True, alias_name=alias))
+                else:
+                    aggs.append(Count(alias_name=alias))
             elif fn == "MIN":
                 aggs.append(Min(arg, alias_name=alias))
             elif fn == "MAX":

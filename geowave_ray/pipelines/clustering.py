@@ -210,10 +210,13 @@ def dbscan(
     ring = np.zeros(len(cells_arr), dtype=np.int64)
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
+            # grid edges do not wrap: an offset leaving [0, n) must not
+            # alias a cell on the opposite edge of the adjacent column
+            valid = (hx + dx >= 0) & (hx + dx < n) & (hy + dy >= 0) & (hy + dy < n)
             key = (hx + dx) * np.int64(n) + (hy + dy)
             pos = np.searchsorted(cells_arr, key)
             pos = np.clip(pos, 0, len(cells_arr) - 1)
-            hit = cells_arr[pos] == key
+            hit = (cells_arr[pos] == key) & valid
             ring += np.where(hit, n_arr[pos], 0)
     core = cells_arr[ring >= min_pts].tolist()
     # union-find over adjacent core cells
@@ -230,6 +233,8 @@ def dbscan(
         cx, cy = cell // n, cell % n
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
+                if not (0 <= cx + dx < n and 0 <= cy + dy < n):
+                    continue
                 nb = (cx + dx) * n + (cy + dy)
                 if nb in core_set and nb != cell:
                     ra, rb = find(cell), find(nb)
@@ -249,12 +254,13 @@ def dbscan(
         # core-cell array; min label over matching neighbor cells
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
-                key = (cx + dx) * np.int64(nn) + (cy + dy)
-                pos = np.searchsorted(cells_arr, key)
-                pos = np.clip(pos, 0, len(cells_arr) - 1) if len(cells_arr) else pos
                 if len(cells_arr) == 0:
                     continue
-                hit = cells_arr[pos] == key
+                valid = (cx + dx >= 0) & (cx + dx < nn) & (cy + dy >= 0) & (cy + dy < nn)
+                key = (cx + dx) * np.int64(nn) + (cy + dy)
+                pos = np.searchsorted(cells_arr, key)
+                pos = np.clip(pos, 0, len(cells_arr) - 1)
+                hit = (cells_arr[pos] == key) & valid
                 lab[hit] = np.minimum(lab[hit], labels_arr[pos[hit]])
         lab[lab == np.iinfo(np.int64).max] = -1
         return pa.table(

@@ -117,23 +117,15 @@ def sample_weighted(
 
     Shuffle-free: per-batch partial top-n then a two-level merge.
     """
-    import hashlib
-
     from ..agg import grouped_topk
+    from ..hashing import hash_utf8, mix64
 
     def keyed(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
         w = batch.column(weight_col).to_numpy().astype(np.float64)
-        u = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(f"{seed}|{v}".encode(), digest_size=8).digest(),
-                    "big",
-                )
-                / 2**64
-                for v in ids
-            ]
-        )
+        # deterministic per-id uniform: vectorized column hash mixed
+        # with the seed (replaces the per-row blake2b loop)
+        h = mix64(hash_utf8(batch.column(id_col)) ^ mix64(np.uint64(seed)))
+        u = h.astype(np.float64) / 2.0**64
         with np.errstate(divide="ignore"):
             k = np.where(w > 0, u ** (1.0 / np.maximum(w, 1e-300)), -1.0)
         t = batch.append_column("_skey", pa.array(-k, pa.float64()))

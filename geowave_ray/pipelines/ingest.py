@@ -60,11 +60,18 @@ def ingest_pages(
     else:
         files = sorted(input_paths)
     manifest_dir = os.path.join(out_dir, "_manifest")
-    pending = [f for f in files if not (resume and mf.is_complete(manifest_dir, f))]
-    skipped = len(files) - len(pending)
+    skipped = 0
     total_rows = 0
-    for gi in range(0, len(pending), files_per_group):
-        group = pending[gi : gi + files_per_group]
+    # Group numbering runs over the FULL sorted file list so group dirs
+    # have a stable identity across resumed runs (a resumed run must
+    # never renumber groups — that would collide with and destroy the
+    # output of previously-completed groups). A group with any
+    # incomplete file is re-ingested whole (idempotent: rmtree + write).
+    for gi in range(0, len(files), files_per_group):
+        group = files[gi : gi + files_per_group]
+        if resume and all(mf.is_complete(manifest_dir, f) for f in group):
+            skipped += len(group)
+            continue
         ds = ray.data.read_parquet(group)
         ds = ds.map_batches(
             _encode_stage,
@@ -88,12 +95,23 @@ def ingest_pages(
             bucket = os.path.basename(os.path.dirname(part)).split("=", 1)[1]
             hist[bucket] = hist.get(bucket, 0) + n
             rows_group += n
+        # Per-file row counts from the INPUT footers: point encoding is
+        # 1:1 (one insertion id per point), so input rows == output rows;
+        # validated here so statistics answers (optimal_count) can never
+        # silently drift from the on-disk data.
+        file_rows = {f: pq.read_metadata(f).num_rows for f in group}
+        if sum(file_rows.values()) != rows_group:
+            raise RuntimeError(
+                f"ingest row mismatch for {dest}: inputs "
+                f"{sum(file_rows.values())} != written {rows_group}"
+            )
         for fi, f in enumerate(group):
             mf.write_entry(
                 manifest_dir,
                 f,
                 {
                     "input_file": f,
+                    "file_rows": file_rows[f],
                     "group_rows": rows_group,
                     "output_dir": dest,
                     # histogram recorded once per group (avoid double count

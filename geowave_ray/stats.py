@@ -13,8 +13,6 @@ All sketches are pure-numpy (no datasketches in this environment).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -22,16 +20,26 @@ import ray.data
 
 
 def _hash64(values) -> np.ndarray:
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        if isinstance(v, (bytes, bytearray)):
-            b = bytes(v)
-        else:
-            b = str(v).encode()
-        out[i] = np.uint64(
-            int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "big")
+    """Vectorized 64-bit hash for sketch routing (no per-row hashlib):
+    string columns take the one-pass polynomial hash, numerics a
+    splitmix avalanche."""
+    from .hashing import hash_utf8, mix64
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        t = values.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return hash_utf8(values)
+        values = values.to_numpy(zero_copy_only=False)
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        return mix64(arr.astype(np.uint64))
+    if arr.dtype.kind == "f":
+        return mix64(arr.astype(np.float64).view(np.uint64))
+    return hash_utf8(
+        pa.array(
+            [v if isinstance(v, str) else str(v) for v in arr], pa.large_string()
         )
-    return out
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -284,6 +292,12 @@ def optimal_count(manifest_dir: str) -> int | None:
     entries = mf.load_all(manifest_dir)
     if not entries:
         return None
+    # Keyed by the immutable input-file identity (per-file row counts
+    # recorded at write time), never by output_dir — two entries sharing
+    # a dir with different group_rows (a partially-resumed run) must not
+    # produce an arbitrary answer.
+    if all("file_rows" in e for e in entries):
+        return int(sum(e["file_rows"] for e in entries))
     seen_groups = {}
     for e in entries:
         seen_groups[e.get("output_dir")] = e.get("group_rows", 0)

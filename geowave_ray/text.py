@@ -1,8 +1,9 @@
 """Text-analysis operators for training-data pipelines over the
 ``documents`` table — language ID, quality scoring, token counting,
-document fingerprinting. All vectorized-per-batch ``map_batches``
-stages; stateful pieces (compiled regex, stopword sets) live in actor
-``__init__``.
+document fingerprinting. All whole-batch vectorized ``map_batches``
+stages (pyarrow split/is_in/regex kernels + numpy segment reductions;
+no per-doc Python loops); stateful pieces (compiled patterns, hint
+token sets) live in actor ``__init__``.
 
 (The reference's text surface is its text index strategies,
 ``core/index/.../text/TextIndexStrategy.java`` — FORWARD/REVERSE/NGRAM
@@ -14,6 +15,9 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import _flat_string_array, _powers
 
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
 
@@ -27,20 +31,37 @@ _LANG_HINTS = {
 }
 
 
+def _split_tokens(texts: pa.Array | pa.ChunkedArray):
+    """Vectorized single-space tokenization with empties dropped.
+
+    Returns ``(flat_tokens: StringArray incl. empties, doc_all: int64
+    per flat token, keep: bool mask, n_docs)`` — DuckDB
+    ``list_filter(str_split(text,' '), x -> x <> '')`` semantics."""
+    texts = _flat_string_array(texts)
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")
+    lst = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(lst)
+    counts_all = pc.list_value_length(lst).to_numpy().astype(np.int64)
+    doc_all = np.repeat(np.arange(len(texts), dtype=np.int64), counts_all)
+    keep = pc.binary_length(flat).to_numpy().astype(np.int64) > 0
+    return flat, doc_all, keep, len(texts)
+
+
 def token_stats_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, n_tokens, n_chars_calc, n_stopwords) — single-space
-    tokenization with empty tokens dropped (exactly DuckDB's
-    ``list_filter(str_split(text,' '), x -> x <> '')``)."""
-    texts = batch.column("text").to_pylist()
-    n_tokens = np.empty(len(texts), dtype=np.int64)
-    n_stop = np.empty(len(texts), dtype=np.int64)
-    n_chars = np.empty(len(texts), dtype=np.int64)
-    stop = set(STOPWORDS)
-    for i, t in enumerate(texts):
-        toks = [w for w in t.split(" ") if w]
-        n_tokens[i] = len(toks)
-        n_stop[i] = sum(1 for w in toks if w in stop)
-        n_chars[i] = len(t)
+    """(doc_id, n_tokens, n_chars_calc, n_stopwords) — one pyarrow
+    split pass + bincounts; stopword membership via ``pc.is_in``
+    (exact, vectorized)."""
+    texts = batch.column("text")
+    flat, doc_all, keep, n_docs = _split_tokens(texts)
+    n_tokens = np.bincount(doc_all[keep], minlength=n_docs).astype(np.int64)
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    )
+    n_stop = np.bincount(
+        doc_all[keep & is_stop.astype(bool)], minlength=n_docs
+    ).astype(np.int64)
+    n_chars = pc.utf8_length(_flat_string_array(texts)).to_numpy().astype(np.int64)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
@@ -58,22 +79,22 @@ class QualityScorer:
     is engine-only (pytest-verified)."""
 
     def __init__(self):
-        import re
-
-        self.punct = re.compile(r"[.,;:!?]")
-        self.stop = set(STOPWORDS)
+        self.punct_re = r"[.,;:!?]"
+        self.stop = pa.array(STOPWORDS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n = len(texts)
-        n_punct = np.empty(n, dtype=np.int64)
-        n_tokens = np.empty(n, dtype=np.int64)
-        n_stop = np.empty(n, dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = [w for w in t.split(" ") if w]
-            n_tokens[i] = len(toks)
-            n_stop[i] = sum(1 for w in toks if w in self.stop)
-            n_punct[i] = len(self.punct.findall(t))
+        texts = batch.column("text")
+        flat, doc_all, keep, n_docs = _split_tokens(texts)
+        n_tokens = np.bincount(doc_all[keep], minlength=n_docs).astype(np.int64)
+        is_stop = pc.is_in(flat, value_set=self.stop).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(
+            doc_all[keep & is_stop.astype(bool)], minlength=n_docs
+        ).astype(np.int64)
+        n_punct = (
+            pc.count_substring_regex(_flat_string_array(texts), self.punct_re)
+            .to_numpy()
+            .astype(np.int64)
+        )
         ntok = np.maximum(n_tokens, 1)
         quality = (
             np.clip(n_tokens / 100.0, 0, 1) * 0.5
@@ -92,50 +113,88 @@ class QualityScorer:
 
 
 class LangId:
-    """Heuristic language ID from stopword-hit counts per language
-    (n-gram-style profile matching); deterministic tie-break by
-    language code."""
+    """Heuristic language ID from DISTINCT-stopword-hit counts per
+    language (n-gram-style profile matching); deterministic tie-break
+    by language code. Vectorized: one ``pc.is_in`` per hint word,
+    per-doc any() via bincount."""
 
     def __init__(self):
-        self.profiles = sorted(_LANG_HINTS.items())
+        self.profiles = sorted((k, sorted(v)) for k, v in _LANG_HINTS.items())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        out = []
-        for t in texts:
-            toks = set(w for w in t.split(" ") if w)
-            best, best_n = "und", 0
-            for lang, hints in self.profiles:
-                hits = len(toks & hints)
-                if hits > best_n:
-                    best, best_n = lang, hits
-            out.append(best)
+        flat, doc_all, keep, n_docs = _split_tokens(batch.column("text"))
+        doc_kept = doc_all[keep]
+        flat_kept = flat.filter(pa.array(keep))
+        best = np.full(n_docs, "und", dtype=object)
+        best_n = np.zeros(n_docs, dtype=np.int64)
+        for lang, hints in self.profiles:
+            hits = np.zeros(n_docs, dtype=np.int64)
+            for w in hints:
+                m = pc.equal(flat_kept, w).to_numpy(zero_copy_only=False).astype(bool)
+                # distinct-token semantics: a hint counts once per doc
+                hits += np.bincount(doc_kept[m], minlength=n_docs) > 0
+            better = hits > best_n
+            best[better] = lang
+            best_n[better] = hits[better]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "lang_pred": pa.array(out, pa.string()),
+                "lang_pred": pa.array(best.tolist(), pa.string()),
             }
         )
 
 
 def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
     """Rolling-hash document fingerprint: min of 64-bit rolling hashes
-    over character windows (winnowing-style single fingerprint)."""
-    texts = batch.column("text").to_pylist()
-    fps = np.empty(len(texts), dtype=np.int64)
+    over character windows (winnowing-style single fingerprint).
+    Vectorized across the batch: the polynomial window hashes are
+    computed over the concatenated UTF-8 buffer with ``window`` shifted
+    adds, then reduced per doc with ``minimum.reduceat``; windows that
+    would cross a doc boundary are masked. Docs shorter than ``window``
+    are space-padded (closed form on their own bytes)."""
     B = np.uint64(1099511628211)
-    for i, t in enumerate(texts):
-        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if len(data) < window:
-            data = np.pad(data, (0, window - len(data)), constant_values=32)
-        # rolling polynomial hash via cumulative trick (vectorized)
-        h = np.zeros(len(data) - window + 1, dtype=np.uint64)
-        for j in range(window):
-            h = h * B + data[j : j + len(h)]
-        fps[i] = np.int64(h.min().astype(np.int64))
+    texts = _flat_string_array(batch.column("text"))
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")
+    n_docs = len(texts)
+    offsets = np.frombuffer(texts.buffers()[1], dtype=np.int64)[
+        texts.offset : texts.offset + n_docs + 1
+    ]
+    data = np.frombuffer(texts.buffers()[2], dtype=np.uint8)[
+        offsets[0] : offsets[-1]
+    ].astype(np.uint64)
+    starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+    ends = (offsets[1:] - offsets[0]).astype(np.int64)
+    lens = ends - starts
+    fps = np.full(n_docs, np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        if len(data) >= window:
+            m = len(data) - window + 1
+            h = np.zeros(m, dtype=np.uint64)
+            for j in range(window):
+                h = h * B + data[j : j + m]
+            # window at position p is valid iff it lies inside one doc:
+            # owner(p) via searchsorted, and p+window <= end(owner)
+            pos = np.arange(m, dtype=np.int64)
+            owner = np.searchsorted(ends, pos, side="right")
+            valid = (pos >= starts[owner]) & (pos + window <= ends[owner])
+            h_masked = np.where(valid, h, np.iinfo(np.uint64).max)
+            long_docs = np.nonzero(lens >= window)[0]
+            if len(long_docs):
+                s = np.minimum(starts[long_docs], m - 1)
+                mins = np.minimum.reduceat(h_masked, s)
+                fps[long_docs] = mins
+        # short docs: pad with spaces to one window (closed form)
+        short = np.nonzero(lens < window)[0]
+        pw = _powers(window)[::-1].copy()  # [B^(w-1) ... B^0]
+        for d in short:  # rare; bounded by count of sub-8-char docs
+            seg = data[starts[d] : ends[d]]
+            padded = np.full(window, 32, dtype=np.uint64)
+            padded[: len(seg)] = seg
+            fps[d] = np.sum(padded * pw, dtype=np.uint64)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "fingerprint": pa.array(fps, pa.int64()),
+            "fingerprint": pa.array(fps.astype(np.int64), pa.int64()),
         }
     )

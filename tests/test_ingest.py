@@ -56,6 +56,28 @@ def test_ingest_resume_skips_complete(ray_session, pages_dir, tmp_path):
     assert res3["rows"] == 1000
 
 
+def test_ingest_partial_resume_preserves_all_rows(ray_session, pages_dir, tmp_path):
+    """ADVICE repro: dropping one manifest entry and resuming must NOT
+    destroy other groups' data — on-disk rows and optimal_count stay at
+    the full total (group dirs have stable identity across resumes)."""
+    from geowave_ray.stats import optimal_count
+
+    out = str(tmp_path / "out")
+    ingest.ingest_pages(pages_dir, out, files_per_group=1)
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    # drop the FIRST file's entry (the old bug renumbered groups from 0
+    # over the pending list, clobbering a completed group's dir)
+    os.remove(mf._entry_path(os.path.join(out, "_manifest"), files[0]))
+    res = ingest.ingest_pages(pages_dir, out, files_per_group=1)
+    assert res["skipped"] == 2 and res["rows"] == 1000
+    on_disk = sum(
+        pq.read_metadata(p).num_rows
+        for p in glob.glob(os.path.join(out, "group=*", "cell_bucket=*", "*.parquet"))
+    )
+    assert on_disk == 3000
+    assert optimal_count(os.path.join(out, "_manifest")) == 3000
+
+
 def test_pruned_query_over_ingested_layout(ray_session, pages_dir, tmp_path):
     """bbox query over the ingested (cell_bucket-partitioned) layout
     with partition pruning returns exactly the full-scan result."""
