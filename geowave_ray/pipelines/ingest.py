@@ -48,6 +48,7 @@ def ingest_pages(
     n_buckets: int = 64,
     resume: bool = True,
     files_per_group: int = 16,
+    columns: list[str] | None = None,
 ) -> dict:
     """Run the ingest; returns summary {files, rows, skipped}.
 
@@ -72,12 +73,21 @@ def ingest_pages(
         if resume and all(mf.is_complete(manifest_dir, f) for f in group):
             skipped += len(group)
             continue
-        ds = ray.data.read_parquet(group)
+        ds = ray.data.read_parquet(group, columns=columns)
         ds = ds.map_batches(
             _encode_stage,
             fn_kwargs=dict(tier=tier, n_buckets=n_buckets),
             batch_format="pyarrow",
             batch_size=None,
+        )
+        # Consolidate to ONE block per cell_bucket before the
+        # partitioned write — otherwise every (input block × bucket)
+        # pair becomes its own tiny parquet file and the query-side
+        # read drowns in per-file metadata/task overhead. This is the
+        # KV-store "sorted write" role: bounded file count
+        # (buckets × groups), spatially clustered.
+        ds = ds.groupby("cell_bucket").map_groups(
+            lambda t: t, batch_format="pyarrow"
         )
         dest = os.path.join(out_dir, f"group={gi:06d}")
         tmp = dest + ".tmp"

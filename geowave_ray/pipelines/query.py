@@ -51,6 +51,29 @@ def polygon_filter_batch(batch: pa.Table, ring: np.ndarray, convex: bool = True)
     return batch.filter(pa.array(m))
 
 
+def _bucket_dirs(ingested_dir_or_files) -> list[tuple[int, str]]:
+    """(bucket, dir) pairs of every ``cell_bucket=N`` partition dir
+    under the ingested layout roots."""
+    import glob
+    import os
+
+    roots = (
+        [ingested_dir_or_files]
+        if isinstance(ingested_dir_or_files, str)
+        else list(ingested_dir_or_files)
+    )
+    out: list[tuple[int, str]] = []
+    for r in roots:
+        if os.path.basename(r).startswith("cell_bucket="):
+            out.append((int(os.path.basename(r).split("=", 1)[1]), r))
+            continue
+        pat = os.path.join(r, "cell_bucket=*")
+        hits = glob.glob(pat) or glob.glob(os.path.join(r, "group=*", "cell_bucket=*"))
+        for d in hits:
+            out.append((int(os.path.basename(d).split("=", 1)[1]), d))
+    return out
+
+
 def read_pages_pruned(
     ingested_dir_or_files,
     xmin: float, ymin: float, xmax: float, ymax: float,
@@ -60,23 +83,74 @@ def read_pages_pruned(
 ) -> ray.data.Dataset:
     """Read an INGESTED pages layout, pruning partitions whose
     cell_bucket can't intersect the query bbox (the QueryRanges
-    push-down analogue). Falls back to a plain read for raw layouts."""
-    import pyarrow.compute as pc
+    push-down analogue). Pruning is explicit path selection — excluded
+    ``cell_bucket=`` directories are never even listed."""
+    ds, _ = read_pages_pruned_multi(
+        ingested_dir_or_files, [(xmin, ymin, xmax, ymax)],
+        columns=columns, tier=tier, n_buckets=n_buckets,
+    )
+    return ds
 
-    ranges = bbox_cell_ranges(xmin, ymin, xmax, ymax, tier=tier, max_ranges=32)
+
+def buckets_for_bbox(
+    xmin: float, ymin: float, xmax: float, ymax: float,
+    tier: int = MAX_TIER, n_buckets: int = 64, max_ranges: int = 32,
+) -> set[int]:
+    """cell_bucket partitions a bbox's query ranges can touch (the
+    QueryRanges → partition-prune step of
+    ``TieredSFCIndexStrategy.getQueryRanges:109-158``)."""
+    ranges = bbox_cell_ranges(xmin, ymin, xmax, ymax, tier=tier, max_ranges=max_ranges)
     shift = 2 * tier - 8
-    bucket_set: set[int] = set()
+    out: set[int] = set()
     for lo, hi in ranges:
         b0 = int(np.uint64(lo) >> np.uint64(shift))
         b1 = int(np.uint64(hi) >> np.uint64(shift))
         for b in range(b0, b1 + 1):
-            bucket_set.add(b % n_buckets)
-    buckets = sorted(bucket_set)
-    try:
-        flt = pc.field("cell_bucket").isin(buckets)
-        return ray.data.read_parquet(ingested_dir_or_files, columns=columns, filter=flt)
-    except Exception:
-        return ray.data.read_parquet(ingested_dir_or_files, columns=columns)
+            out.add(b % n_buckets)
+            if len(out) >= n_buckets:
+                return out
+    return out
+
+
+def read_pages_pruned_multi(
+    ingested_dir_or_files,
+    boxes,
+    columns=None,
+    tier: int = MAX_TIER,
+    n_buckets: int = 64,
+) -> tuple[ray.data.Dataset, dict]:
+    """One pruned read serving a BATCH of bbox queries: partitions are
+    pruned to the union of every box's bucket set (single scan instead
+    of per-query scans; each box's fine filter still runs per batch).
+
+    Returns (dataset, info) with ``info = {"buckets_read", "buckets_total",
+    "dirs_read", "dirs_total"}`` — the pruning-ratio evidence recorded
+    by bench. Pruning is explicit path selection over the
+    ``cell_bucket=`` partition dirs (zero I/O for excluded buckets).
+    """
+    union: set[int] = set()
+    for (x0, y0, x1, y1) in boxes:
+        union |= buckets_for_bbox(x0, y0, x1, y1, tier=tier, n_buckets=n_buckets)
+        if len(union) >= n_buckets:
+            break
+    import glob as _glob
+    import os as _os
+
+    pairs = _bucket_dirs(ingested_dir_or_files)
+    keep = [
+        f
+        for b, d in pairs
+        if b in union
+        for f in sorted(_glob.glob(_os.path.join(d, "*.parquet")))
+    ]
+    info = {
+        "buckets_read": len(union),
+        "buckets_total": n_buckets,
+        "dirs_read": len(keep),
+        "dirs_total": len(pairs),
+    }
+    ds = ray.data.read_parquet(keep, columns=columns)
+    return ds, info
 
 
 def bbox_query(

@@ -319,27 +319,60 @@ def bbox_cell_ranges(
     Returns at most ``max_ranges`` ranges (adjacent ranges merged first,
     then the smallest gaps coalesced, trading selectivity for range
     count like the reference's maxRangeDecomposition cap).
+
+    HIERARCHICAL quad decomposition (never enumerates per-cell): any
+    quad block at level L maps to one contiguous id range on both
+    Morton and Hilbert curves, so the box is covered by descending
+    only along its boundary; quads still partial when the block budget
+    is hit are emitted whole (a SUPERSET — pruning stays correct, the
+    fine filter is exact). Cost is O(max_ranges), independent of tier,
+    where the old per-cell enumeration was O(cells-in-box) — hours for
+    a continent-sized box at tier 16.
     """
-    gx, gy = cells_for_bbox_single(xmin, ymin, xmax, ymax, tier)
-    if curve == "hilbert":
-        ids = hilbert_encode(gx, gy, tier)
-    else:
-        ids = morton_encode(gx, gy)
-    ids = np.unique(ids.astype(np.uint64))
-    if len(ids) == 0:
-        return []
-    # merge consecutive ids into ranges
-    breaks = np.nonzero(np.diff(ids) != 1)[0]
-    starts = np.concatenate(([0], breaks + 1))
-    ends = np.concatenate((breaks, [len(ids) - 1]))
-    ranges = [(int(ids[s]), int(ids[e])) for s, e in zip(starts, ends)]
+    x0a, y0a = grid_coords(np.array([xmin]), np.array([ymin]), tier)
+    x1a, y1a = grid_coords(np.array([xmax]), np.array([ymax]), tier)
+    x0, y0, x1, y1 = int(x0a[0]), int(y0a[0]), int(x1a[0]), int(y1a[0])
+    budget = max(4 * max_ranges, 16)
+    blocks: list[tuple[int, int, int]] = []  # (qx, qy, level) whole quads
+    stack = [(0, 0, 0)]
+    while stack:
+        qx, qy, lv = stack.pop()
+        k = tier - lv
+        cx0, cy0 = qx << k, qy << k
+        cx1, cy1 = ((qx + 1) << k) - 1, ((qy + 1) << k) - 1
+        if cx1 < x0 or cx0 > x1 or cy1 < y0 or cy0 > y1:
+            continue
+        full = cx0 >= x0 and cx1 <= x1 and cy0 >= y0 and cy1 <= y1
+        if full or lv == tier or len(blocks) + len(stack) >= budget:
+            blocks.append((qx, qy, lv))
+            continue
+        for dx in (0, 1):
+            for dy in (0, 1):
+                stack.append((qx * 2 + dx, qy * 2 + dy, lv + 1))
+    rngs: list[tuple[int, int]] = []
+    for qx, qy, lv in blocks:
+        k = tier - lv
+        qa = np.array([qx], dtype=np.int64)
+        qb = np.array([qy], dtype=np.int64)
+        if curve == "hilbert":
+            base = int(hilbert_encode(qa, qb, lv)[0])
+        else:
+            base = int(morton_encode(qa, qb)[0])
+        rngs.append((base << (2 * k), ((base + 1) << (2 * k)) - 1))
+    rngs.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in rngs:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
     # coalesce smallest gaps until under cap
-    while len(ranges) > max_ranges:
-        gaps = [ranges[i + 1][0] - ranges[i][1] for i in range(len(ranges) - 1)]
+    while len(merged) > max_ranges:
+        gaps = [merged[i + 1][0] - merged[i][1] for i in range(len(merged) - 1)]
         i = int(np.argmin(gaps))
-        ranges[i] = (ranges[i][0], ranges[i + 1][1])
-        del ranges[i + 1]
-    return ranges
+        merged[i] = (merged[i][0], merged[i + 1][1])
+        del merged[i + 1]
+    return merged
 
 
 # ---------------------------------------------------------------------------
