@@ -256,38 +256,72 @@ def _cogroup_single_tier(
     join_tier: int,
     n_salt: int,
 ) -> ray.data.Dataset:
-    max_tier = join_tier
-    regions_cells = regions.map_batches(
-        lambda b: encode_extents(b, max_tier=max_tier, snap_tiers=(max_tier,)),
-        batch_format="pyarrow", batch_size=None,
-    ).select_columns(["region_id", "geometry_wkb", "tier", "cell_id"])
+    """Shuffle discipline (the 100-TB layout): three row kinds meet in
+    each (bucket, salt) group —
 
-    tiers = [max_tier]
+    - side 0: points ``(url, lon, lat, cell_id)``;
+    - side 1: region CELL rows ``(region_id, cell_id)`` — compact ids
+      only, one per covered cell;
+    - side 2: region GEOMETRY rows ``(region_id, geometry_wkb)`` —
+      the vertices ship ONCE per (region, bucket, salt), not once per
+      covered cell (a region covering 80 cells otherwise ships its
+      WKB 80x through the exchange; measured: geometry was half the
+      round-1 shuffle bytes).
+    """
+    max_tier = join_tier
+    shift = np.uint64(max(0, 2 * max_tier - 8))
+
+    def region_rows(b: pa.Table) -> pa.Table:
+        """One batch of regions -> cell rows (side 1) + geometry rows
+        (side 2, deduped per (region, bucket))."""
+        enc = encode_extents(b, max_tier=max_tier, snap_tiers=(max_tier,))
+        cell = enc.column("cell_id").to_numpy().astype(np.uint64)
+        bucket = (cell >> shift).astype(np.int64)
+        rid_codes = enc.column("region_id").dictionary_encode().combine_chunks()
+        codes = rid_codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = pa.table(
+            {
+                "region_id": enc.column("region_id"),
+                "cell_id": enc.column("cell_id"),
+                "bucket": pa.array(bucket, pa.int64()),
+                "side": pa.array(np.full(len(enc), 1, np.int8)),
+            }
+        )
+        combo = codes * np.int64(1 << 16) + bucket
+        _, first_idx = np.unique(combo, return_index=True)
+        geoms = pa.table(
+            {
+                "region_id": enc.column("region_id").take(pa.array(first_idx)),
+                "geometry_wkb": enc.column("geometry_wkb").take(pa.array(first_idx)),
+                "bucket": pa.array(bucket[first_idx], pa.int64()),
+                "side": pa.array(np.full(len(first_idx), 2, np.int8)),
+            }
+        )
+        return pa.concat_tables([cells, geoms], promote_options="default")
 
     pts = pages.map_batches(
-        lambda b: _point_cells_at_tiers(b, tiers), batch_format="pyarrow", batch_size=None
+        lambda b: _point_cells_at_tiers(b, [max_tier]),
+        batch_format="pyarrow", batch_size=None,
     )
 
-    # union with side tag; cogroup on a COARSE (tier, bucket) key — the
-    # per-cell matching happens vectorized inside each group, so the
-    # shuffle has a few hundred groups instead of one per cell.
-    def add_bucket(b: pa.Table, side: int) -> pa.Table:
-        tier_arr = b.column("tier").to_numpy().astype(np.int64)
+    def add_bucket_points(b: pa.Table) -> pa.Table:
         cell = b.column("cell_id").to_numpy().astype(np.uint64)
-        shift = np.maximum(0, 2 * tier_arr - 8).astype(np.uint64)
         bucket = (cell >> shift).astype(np.int64)
         b = b.append_column("bucket", pa.array(bucket, pa.int64()))
-        return b.append_column("side", pa.array(np.full(len(b), side, np.int8)))
+        return b.append_column("side", pa.array(np.full(len(b), 0, np.int8)))
 
     def salt_points(b: pa.Table) -> pa.Table:
-        # cheap per-row hash salt (independent of the cell so dense
-        # cells split evenly)
-        h = (
+        # per-row avalanche salt: dense cells MUST split evenly, so the
+        # row index has to survive into the high bits (the round-1
+        # version shifted it away — every point of a hot cell landed on
+        # one salt and one reducer emitted a third of all pairs)
+        from ..hashing import mix64
+
+        h = mix64(
             b.column("cell_id").to_numpy().astype(np.uint64)
-            * np.uint64(0x9E3779B97F4A7C15)
-            + np.arange(len(b), dtype=np.uint64)
+            ^ (np.arange(len(b), dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
         )
-        salt = ((h >> np.uint64(33)) % np.uint64(n_salt)).astype(np.int16)
+        salt = (h % np.uint64(n_salt)).astype(np.int16)
         return b.append_column("salt", pa.array(salt, pa.int16()))
 
     def replicate_regions(b: pa.Table) -> pa.Table:
@@ -296,50 +330,167 @@ def _cogroup_single_tier(
         salt = np.tile(np.arange(n_salt, dtype=np.int16), len(b))
         return out.append_column("salt", pa.array(salt, pa.int16()))
 
-    pts = pts.map_batches(lambda b: add_bucket(b, 0), batch_format="pyarrow", batch_size=None)
-    regions_cells = regions_cells.map_batches(
-        lambda b: add_bucket(b, 1), batch_format="pyarrow", batch_size=None
+    pts = pts.map_batches(add_bucket_points, batch_format="pyarrow", batch_size=None)
+    regions_cells = regions.map_batches(
+        region_rows, batch_format="pyarrow", batch_size=None
     )
     if n_salt > 1:
         pts = pts.map_batches(salt_points, batch_format="pyarrow", batch_size=None)
         regions_cells = regions_cells.map_batches(
             replicate_regions, batch_format="pyarrow", batch_size=None
         )
-    both = pts.union(regions_cells)
 
-    def join_group(g):
-        import pandas as pd
+    # unify the sides' schemas with typed nulls so the union + Arrow
+    # cogroup never round-trips through pandas ('tier' is constant —
+    # it does not ride the shuffle)
+    all_cols = [
+        ("url", pa.string()),
+        ("lon", pa.float64()),
+        ("lat", pa.float64()),
+        ("region_id", pa.string()),
+        ("geometry_wkb", pa.binary()),
+        ("cell_id", pa.int64()),
+        ("bucket", pa.int64()),
+        ("side", pa.int8()),
+    ] + ([("salt", pa.int16())] if n_salt > 1 else [])
 
-        sides = g["side"].to_numpy()
+    def conform(b: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in all_cols:
+            if name in b.column_names:
+                cols[name] = b.column(name).cast(typ)
+            else:
+                cols[name] = pa.nulls(b.num_rows, typ)
+        return pa.table(cols)
+
+    both = pts.map_batches(conform, batch_format="pyarrow", batch_size=None).union(
+        regions_cells.map_batches(conform, batch_format="pyarrow", batch_size=None)
+    )
+
+    from ..geom import _ranges_concat
+
+    def join_partition(t: pa.Table) -> pa.Table:
+        """Arrow-native per-PARTITION matcher, fully pair-vectorized
+        (the GridIndex probe shape): points sorted by cell once, ONE
+        searchsorted for all region cells, candidate pairs via
+        repeat/_ranges_concat, exact PIP per vertex-count group with
+        the identical per-edge float expression as ``pip_convex``
+        (bit-equal results), emit via zero-copy ``take``.
+
+        The hash repartition routes whole (bucket, salt) groups here;
+        a partition may hold several salt replicas of the same region
+        cell, so region cell/geometry rows are deduped in-block first
+        (a point carries exactly one salt, so pair uniqueness holds)."""
+        empty = pa.table(
+            {"url": pa.array([], pa.string()), "region_id": pa.array([], pa.string())}
+        )
+        sides = t.column("side").to_numpy(zero_copy_only=False)
         pmask = sides == 0
-        rmask = ~pmask
-        if not pmask.any() or not rmask.any():
-            return pd.DataFrame({"url": [], "region_id": []})
-        pc = g["cell_id"].to_numpy()[pmask]
-        px = g["lon"].to_numpy()[pmask]
-        py = g["lat"].to_numpy()[pmask]
-        urls = g["url"].to_numpy()[pmask]
-        order = np.argsort(pc, kind="stable")
-        pc, px, py, urls = pc[order], px[order], py[order], urls[order]
-        rc = g["cell_id"].to_numpy()[rmask]
-        rids = g["region_id"].to_numpy()[rmask]
-        wkbs = g["geometry_wkb"].to_numpy()[rmask]
-        out_u, out_r = [], []
-        for i in range(len(rc)):
-            lo = np.searchsorted(pc, rc[i], side="left")
-            hi = np.searchsorted(pc, rc[i], side="right")
-            if lo == hi:
-                continue
-            ring = parse_wkb_polygon(wkbs[i])
-            m = pip_convex(px[lo:hi], py[lo:hi], ring)
-            if m.any():
-                out_u.extend(urls[lo:hi][m].tolist())
-                out_r.extend([rids[i]] * int(m.sum()))
-        return pd.DataFrame({"url": out_u, "region_id": out_r})
+        cmask = sides == 1
+        gmask = sides == 2
+        if not pmask.any() or not cmask.any() or not gmask.any():
+            return empty
+        pt = t.filter(pa.array(pmask))
+        ct = t.filter(pa.array(cmask))
+        gt = t.filter(pa.array(gmask))
+        pcell = pt.column("cell_id").to_numpy()
+        order = np.argsort(pcell, kind="stable")
+        pcell = pcell[order]
+        px = pt.column("lon").to_numpy()[order]
+        py = pt.column("lat").to_numpy()[order]
+        urls = pt.column("url").take(pa.array(order))
+        # dedupe geometry rows by region (parse once per region)
+        g_codes_arr = gt.column("region_id").dictionary_encode().combine_chunks()
+        g_codes = g_codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        g_dict = g_codes_arr.dictionary  # distinct region ids (strings)
+        g_first = np.full(len(g_dict), -1, dtype=np.int64)
+        seen_rev = np.unique(g_codes, return_index=True)
+        g_first[seen_rev[0]] = seen_rev[1]
+        wkb_col = gt.column("geometry_wkb")
+        opened = {}
+        for code, row in zip(seen_rev[0], seen_rev[1]):
+            r = parse_wkb_polygon(wkb_col[int(row)].as_py())
+            opened[int(code)] = r[:-1] if np.array_equal(r[0], r[-1]) else r
+        # dedupe region CELL rows by (region, cell) across salt replicas
+        c_rid_arr = ct.column("region_id").dictionary_encode().combine_chunks()
+        # unify cell-row dictionary with geometry dictionary: encode via
+        # index_in against g_dict (regions always have a geometry row)
+        import pyarrow.compute as _pc2
 
-    group_key = ["tier", "bucket", "salt"] if n_salt > 1 else ["tier", "bucket"]
+        c_codes = _pc2.index_in(
+            ct.column("region_id").combine_chunks(), value_set=g_dict
+        ).to_numpy(zero_copy_only=False)
+        c_cell = ct.column("cell_id").to_numpy()
+        combo = c_codes.astype(np.int64) * np.int64(1 << 40) + c_cell
+        uniq_combo, uniq_idx = np.unique(combo, return_index=True)
+        c_codes_u = c_codes[uniq_idx].astype(np.int64)
+        rcell = c_cell[uniq_idx]
+        lo = np.searchsorted(pcell, rcell, side="left")
+        hi = np.searchsorted(pcell, rcell, side="right")
+        counts = hi - lo
+        live = np.nonzero(counts > 0)[0]  # deduped cell rows w/ points
+        if len(live) == 0:
+            return empty
+        gpos = c_codes_u[live]  # region code per live cell row
+        k_of = np.array([len(opened[int(g)]) for g in gpos], dtype=np.int64)
+        pair_r = np.repeat(np.arange(len(live), dtype=np.int64), counts[live])
+        pair_p = _ranges_concat(lo[live], hi[live])
+        gx = px[pair_p]
+        gy = py[pair_p]
+        inside = np.zeros(len(pair_p), dtype=bool)
+        for k in np.unique(k_of):
+            rsel = np.nonzero(k_of == k)[0]
+            li_map = np.full(len(live), -1, dtype=np.int64)
+            li_map[rsel] = np.arange(len(rsel))
+            pm = li_map[pair_r] >= 0
+            if not pm.any():
+                continue
+            rx = np.stack([opened[int(gpos[i])][:, 0] for i in rsel])
+            ry = np.stack([opened[int(gpos[i])][:, 1] for i in rsel])
+            li = li_map[pair_r[pm]]
+            ins = np.ones(len(li), dtype=bool)
+            hx = gx[pm]
+            hy = gy[pm]
+            for e in range(int(k)):
+                x1 = rx[li, e]
+                y1 = ry[li, e]
+                x2 = rx[li, (e + 1) % int(k)]
+                y2 = ry[li, (e + 1) % int(k)]
+                cross = (x2 - x1) * (hy - y1) - (y2 - y1) * (hx - x1)
+                ins &= cross >= 0.0
+            inside[pm] = ins
+        hit_p = pair_p[inside]
+        hit_code = gpos[pair_r[inside]]
+        return pa.table(
+            {
+                "url": urls.take(pa.array(hit_p)),
+                "region_id": g_dict.take(pa.array(hit_code)),
+            }
+        )
+
+    # SALT LEADS the key: under range partitioning the sort boundaries
+    # are sampled by ROW count, but join WORK concentrates in hot
+    # buckets — with (bucket, salt) ordering every salt replica of the
+    # hot bucket sorts contiguously and several land in ONE reduce
+    # partition (measured: one task emitted 2.5M of 7.5M pairs). With
+    # (salt, bucket) the hot bucket recurs once per salt stripe, so its
+    # work spreads across >= n_salt partitions.
+    group_key = ["salt", "bucket"] if n_salt > 1 else ["bucket"]
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    if DataContext.get_current().shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE:
+        # HASH repartition by the group key (no global sort): whole
+        # groups land in one block each; the matcher runs once per block.
+        parted = both.repartition(32, keys=group_key, sort=False)
+        return parted.map_batches(
+            join_partition, batch_format="pyarrow", batch_size=None
+        )
+    # sort-based exchange: coalesce first — per-block scheduling
+    # dominates Ray's sort (204 blocks of 7k rows measured 16s wall on
+    # 2.3s compute); the matcher handles a whole reduce partition.
+    both = both.repartition(24)
     return both.groupby(group_key).map_groups(
-        join_group, batch_format="pandas"
+        join_partition, batch_format="pyarrow"
     )
 
 
