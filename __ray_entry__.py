@@ -94,8 +94,10 @@ def _ingested(sf_dir: str) -> list[str]:
     ``TieredSFCIndexStrategy.getQueryRanges:109-158``).
 
     Covering projection: heavy ``html``/``text`` stay out of the query
-    store (rejoin by row_id via the data-id path when needed)."""
-    import glob as _glob
+    store (rejoin by row_id via the data-id path when needed).
+
+    Returns the store ROOT (``group=*/cell_bucket=*`` partition dirs
+    inside; ``_manifest/`` carries the lineage statistics)."""
     import os
 
     from geowave_ray.fixtures import FIXTURE_VERSION
@@ -112,7 +114,7 @@ def _ingested(sf_dir: str) -> list[str]:
         )
         with open(marker, "w") as f:
             f.write("ok\n")
-    return sorted(_glob.glob(os.path.join(store, "group=*")))
+    return store
 
 
 def _url_index(sf_dir: str) -> str:
@@ -395,12 +397,20 @@ def q_polygon_queries(sf_dir: str):
 
 
 def q_knn(sf_dir: str):
+    """DEFAULT kNN path: exact ring-expansion over the pruned
+    cell-bucket store (manifest-driven tier selection); identical
+    output to the full scan (pytest property-checked)."""
+    import os
+
     import pyarrow.parquet as pq
 
-    from geowave_ray.pipelines.knn import knn
+    from geowave_ray.pipelines.knn import knn_pruned_exact
 
     qt = pq.read_table(f"{_fx(sf_dir)}/knn_queries.parquet")
-    return knn(_pages(sf_dir), qt, metric="planar", concurrency=_pool())
+    store = _ingested(sf_dir)
+    return knn_pruned_exact(
+        store, qt, manifest_dir=os.path.join(store, "_manifest")
+    )
 
 
 def q_knn_bounded(sf_dir: str):
@@ -1182,6 +1192,24 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "pip_join": f"SELECT url, region_id FROM ({pip_pairs})",
+        "pip_join_ids": f"""
+            WITH rr AS (
+              SELECT region_id,
+                     CAST(row_number() OVER (ORDER BY region_id) - 1 AS INT) AS region_idx
+              FROM {REGIONS}
+            ), pp AS (
+              SELECT p.row_id, r.region_id
+              FROM {PAGES} p
+              JOIN {REGIONS} r
+                ON p.lon >= r.xmin AND p.lon <= r.xmax
+               AND p.lat >= r.ymin AND p.lat <= r.ymax
+              JOIN {REDGES} e ON e.region_id = r.region_id
+              GROUP BY p.row_id, r.region_id
+              HAVING bool_and((e.x2 - e.x1) * (p.lat - e.y1)
+                            - (e.y2 - e.y1) * (p.lon - e.x1) >= 0)
+            )
+            SELECT pp.row_id, rr.region_idx FROM pp JOIN rr USING (region_id)
+        """,
         "pip_join_cogroup": f"SELECT url, region_id FROM ({pip_pairs})",
         "pip_join_count": f"""
             SELECT category, count(*) AS n_pages FROM ({pip_pairs}) GROUP BY category
@@ -1273,7 +1301,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, rank, url FROM r WHERE rank <= k
         """,
+        "knn_haversine": f"""
+            WITH d AS (
+              SELECT q.query_id, q.k, p.url,
+                     2.0 * 6371008.8 * asin(sqrt(
+                         pow(sin((radians(q.lat) - radians(p.lat)) / 2.0), 2)
+                       + cos(radians(p.lat)) * cos(radians(q.lat))
+                         * pow(sin((radians(q.lon) - radians(p.lon)) / 2.0), 2)
+                     )) AS dm
+              FROM {KNNQ} q CROSS JOIN {PAGES} p
+            ), r AS (
+              SELECT query_id, k, url,
+                     row_number() OVER (PARTITION BY query_id ORDER BY dm, url) AS rank
+              FROM d
+            )
+            SELECT query_id, rank, url FROM r WHERE rank <= k
+        """,
         "tile_assign": tile_assign,
+        "tile_merge_sum": f"""
+            WITH c AS (
+              SELECT chunk_id, xmin, ymin, xmax, ymax, width, height, pixels,
+                     (xmax - xmin) / width AS res,
+                     (ymax - ymin) / height AS resy,
+                     LEAST(GREATEST(CAST(floor(log2(360.0 / ((xmax - xmin) / width * 64.0))) AS BIGINT), 0), 16) AS level
+              FROM {CHUNKS}
+            ), t AS (
+              SELECT *, 360.0 / power(2.0, level) AS td FROM c
+            ), ax AS (
+              SELECT *, unnest(generate_series(CAST(floor((xmin + 180.0) / td) AS BIGINT),
+                                               CAST(ceil((xmax + 180.0) / td) AS BIGINT) - 1)) AS tile_x
+              FROM t
+            ), b AS (
+              SELECT *, unnest(generate_series(CAST(floor((ymin + 90.0) / td) AS BIGINT),
+                                               CAST(ceil((ymax + 90.0) / td) AS BIGINT) - 1)) AS tile_y
+              FROM ax
+            ), n AS (
+              SELECT level, tile_x, tile_y, count(*) AS n_contrib FROM b GROUP BY 1, 2, 3
+            ), px AS (
+              SELECT b.level, b.tile_x, b.tile_y, b.pixels, b.width, b.height,
+                     CAST(floor(((-180.0 + (b.tile_x + (i.i + 0.5) / 64.0) * b.td) - b.xmin) / b.res) AS BIGINT) AS ix,
+                     CAST(floor(((-90.0 + (b.tile_y + (j.j + 0.5) / 64.0) * b.td) - b.ymin) / b.resy) AS BIGINT) AS iy
+              FROM b,
+                   (SELECT unnest(generate_series(0, 63)) AS i) i,
+                   (SELECT unnest(generate_series(0, 63)) AS j) j
+            ), v AS (
+              SELECT level, tile_x, tile_y,
+                     CASE WHEN ix >= 0 AND ix < width AND iy >= 0 AND iy < height
+                          THEN pixels[CAST(iy * width + ix + 1 AS INT)] ELSE 0.0 END AS val
+              FROM px
+            )
+            SELECT n.level, n.tile_x, n.tile_y, n.n_contrib, s.pixel_total
+            FROM n JOIN (
+              SELECT level, tile_x, tile_y, sum(val) AS pixel_total FROM v GROUP BY 1, 2, 3
+            ) s USING (level, tile_x, tile_y)
+        """,
         "tile_pixel_sum": f"""
             WITH a AS ({tile_assign}),
             s AS (

@@ -86,6 +86,7 @@ def knn(
     # cache-resident — large batches thrash DRAM superlinearly
     batch_size: int | None = 2048,
     max_distance: float | None = None,
+    include_dist: bool = False,
 ) -> ray.data.Dataset:
     """Exact global top-k(q) per query -> (query_id, rank, url).
 
@@ -132,8 +133,120 @@ def knn(
         sort_cols=["dist", "url"],
         ascending=[True, True],
         k_of=lambda q: int(k_by_qid[q]),
-        out_cols=["url"],
+        out_cols=["url", "dist"] if include_dist else ["url"],
     )
+
+
+def knn_pruned_exact(
+    store_root,
+    knn_queries: pa.Table,
+    manifest_dir: str | None = None,
+    tier: int | None = None,
+    batch_size: int | None = 2048,
+) -> ray.data.Dataset:
+    """EXACT kNN over the ingested cell-bucket store with ring
+    expansion — the default scale path.
+
+    Per round, each unsatisfied query scans the cell-aligned box
+    ``r`` cells around its cell (a pruned read over the store's
+    ``cell_bucket=`` partitions), computes its candidate top-k, and is
+    accepted only under the reference's ring guarantee (the k-th
+    candidate must lie strictly inside the scanned radius —
+    ``OrthodromicDistancePartitioner.java:61-112`` semantics: expand
+    until the bound holds). Unsatisfied queries double ``r``; a box
+    that grows to the whole world is exact by exhaustion. Results are
+    identical to the full-scan :func:`knn`, tie-break included
+    (pytest property-checked).
+
+    ``tier`` defaults from the manifest statistics: total row count
+    picks the finest tier whose initial 3x3 ring is expected to hold
+    ~8x the largest k (RowRangeHistogram-style split planning).
+    """
+    from ..sfc import LAT_MAX, LAT_MIN, LON_MAX, LON_MIN, MAX_TIER, grid_coords
+    from ..stats import optimal_count
+    from .query import read_pages_pruned_multi
+
+    qid = np.asarray(knn_queries["query_id"].to_pylist(), dtype=object)
+    qlon = knn_queries["lon"].to_numpy()
+    qlat = knn_queries["lat"].to_numpy()
+    qk = knn_queries["k"].to_numpy().astype(np.int64)
+    kmax = int(qk.max())
+
+    if tier is None:
+        total = None
+        if manifest_dir is not None:
+            total = optimal_count(manifest_dir)
+        if not total:
+            total = 1_000_000  # conservative default density
+        # 9 * total / 4^t >= 8 * kmax  =>  t <= log4(9 total / (8 kmax))
+        t = int(np.floor(0.5 * np.log2(max(9 * total / (8 * kmax), 4))))
+        tier = int(np.clip(t, 3, MAX_TIER))
+    cell_w = (LON_MAX - LON_MIN) / (1 << tier)
+    cell_h = (LAT_MAX - LAT_MIN) / (1 << tier)
+    n = 1 << tier
+    qcx, qcy = grid_coords(qlon, qlat, tier)
+
+    unsat = np.arange(len(qid))
+    accepted: list[pd.DataFrame] = []
+    r = 1
+    while len(unsat):
+        # cell-aligned scan boxes (clipped to the world) per query
+        x0 = np.maximum(qcx[unsat] - r, 0) * cell_w + LON_MIN
+        x1 = (np.minimum(qcx[unsat] + r, n - 1) + 1) * cell_w + LON_MIN
+        y0 = np.maximum(qcy[unsat] - r, 0) * cell_h + LAT_MIN
+        y1 = (np.minimum(qcy[unsat] + r, n - 1) + 1) * cell_h + LAT_MIN
+        boxes = list(zip(x0, y0, x1, y1))
+        ds, _info = read_pages_pruned_multi(
+            store_root, boxes, columns=["url", "lon", "lat"]
+        )
+        bref = ray.put((x0, y0, x1, y1))
+
+        def box_filter(batch: pa.Table) -> pa.Table:
+            bx0, by0, bx1, by1 = ray.get(bref)
+            lon = batch.column("lon").to_numpy()
+            lat = batch.column("lat").to_numpy()
+            m = np.zeros(len(lon), dtype=bool)
+            for i in range(len(bx0)):
+                m |= (lon >= bx0[i]) & (lon < bx1[i]) & (lat >= by0[i]) & (lat < by1[i])
+            return batch.filter(pa.array(m))
+
+        survivors = ds.map_batches(box_filter, batch_format="pyarrow", batch_size=None)
+        sub = knn_queries.take(pa.array(unsat))
+        cand = knn(
+            survivors, sub, metric="planar", batch_size=batch_size, include_dist=True
+        ).to_pandas()
+        # ring guarantee: k candidates AND k-th strictly inside the
+        # guaranteed scanned radius (r cells in the tighter axis)
+        guard = (r * min(cell_w, cell_h)) ** 2
+        whole_world = bool(
+            np.all((qcx[unsat] - r <= 0) & (qcx[unsat] + r >= n - 1)
+                   & (qcy[unsat] - r <= 0) & (qcy[unsat] + r >= n - 1))
+        )
+        counts = cand.groupby("query_id")["url"].count()
+        dmax = cand.groupby("query_id")["dist"].max()
+        ww_per = (
+            (qcx[unsat] - r <= 0) & (qcx[unsat] + r >= n - 1)
+            & (qcy[unsat] - r <= 0) & (qcy[unsat] + r >= n - 1)
+        )
+        next_unsat = []
+        for pos, gi in enumerate(unsat):
+            q = qid[gi]
+            got = int(counts.get(q, 0))
+            ok = got >= int(qk[gi]) and float(dmax.get(q, np.inf)) < guard
+            if ok or ww_per[pos]:
+                accepted.append(cand[cand["query_id"] == q][["query_id", "rank", "url"]])
+            else:
+                next_unsat.append(gi)
+        unsat = np.array(next_unsat, dtype=np.int64)
+        if whole_world:
+            break
+        r *= 2
+    out = (
+        pd.concat(accepted, ignore_index=True)
+        if accepted
+        else pd.DataFrame({"query_id": [], "rank": [], "url": []})
+    )
+    return ray.data.from_pandas(out)
 
 
 def knn_cell_pruned(

@@ -81,6 +81,33 @@ def test_knn_matches_bruteforce(small):
         assert sub["url"].tolist() == expect, qid
 
 
+def test_knn_pruned_exact_matches_full_scan(small, tmp_path):
+    """Property: ring-expansion pruned kNN over the ingested store ==
+    full-scan kNN, tie-break included (the reference's ring-expansion
+    exactness bound, OrthodromicDistancePartitioner.java:61-112)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from geowave_ray.pipelines.ingest import ingest_pages
+
+    pages, _, _ = small
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(pages, str(pdir / "part.parquet"))
+    store = str(tmp_path / "store")
+    ingest_pages(str(pdir), store)
+    qt = fixtures.gen_knn_queries(30)
+    full = knn.knn(ray.data.from_arrow(pages), qt, concurrency=2).to_pandas()
+    for tier in (None, 4, 7):  # manifest-chosen + forced coarse/fine
+        pruned = knn.knn_pruned_exact(
+            store, qt, manifest_dir=os.path.join(store, "_manifest"), tier=tier
+        ).to_pandas()
+        a = pruned.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert a[["query_id", "rank", "url"]].equals(b[["query_id", "rank", "url"]]), tier
+
+
 def test_bbox_and_polygon_query(small):
     pages, _, _ = small
     ds = ray.data.from_arrow(pages)
