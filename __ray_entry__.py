@@ -194,6 +194,22 @@ def q_pip_join_ids(sf_dir: str):
     )
 
 
+def q_pip_join_concave(sf_dir: str):
+    """PIP join against CONCAVE (star) polygons — exercises the
+    ray-cast fine filter through the join path (the reference's
+    generic SpatialQueryFilter geometry support,
+    ``core/geotime/.../SpatialQueryFilter.java:37-158``); even-odd
+    crossing-parity oracle."""
+    import pyarrow.parquet as pq
+
+    from geowave_ray.pipelines.spatial_join import broadcast_pip_join
+
+    regions = pq.read_table(f"{_fx(sf_dir)}/concave_regions.parquet")
+    return broadcast_pip_join(
+        _pages(sf_dir), regions, convex=False, concurrency=_pool()
+    )
+
+
 def q_pip_join_cogroup(sf_dir: str):
     import ray.data
 
@@ -1054,6 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial joins
         "pip_join": q_pip_join,
         "pip_join_ids": q_pip_join_ids,
+        "pip_join_concave": q_pip_join_concave,
         "pip_join_cogroup": q_pip_join_cogroup,
         "pip_join_count": q_pip_join_count,
         "pip_join_anti": q_pip_join_anti,
@@ -1134,6 +1151,8 @@ def oracle_sql() -> dict[str, str]:
     QEDGES = f"read_parquet('{fx}/query_edges.parquet')"
     KNNQ = f"read_parquet('{fx}/knn_queries.parquet')"
     CHUNKS = f"read_parquet('{fx}/raster_chunks.parquet')"
+    CREGIONS = f"read_parquet('{fx}/concave_regions.parquet')"
+    CEDGES = f"read_parquet('{fx}/concave_edges.parquet')"
 
     pip_pairs = f"""
         SELECT p.url, r.region_id, r.category
@@ -1211,6 +1230,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT pp.row_id, rr.region_idx FROM pp JOIN rr USING (region_id)
         """,
         "pip_join_cogroup": f"SELECT url, region_id FROM ({pip_pairs})",
+        "pip_join_concave": f"""
+            SELECT p.url, r.region_id
+            FROM {PAGES} p
+            JOIN {CREGIONS} r
+              ON p.lon >= r.xmin AND p.lon <= r.xmax
+             AND p.lat >= r.ymin AND p.lat <= r.ymax
+            JOIN {CEDGES} e ON e.region_id = r.region_id
+            GROUP BY p.url, r.region_id
+            HAVING sum(CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+                             AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+                                         / NULLIF(e.y2 - e.y1, 0.0) + e.x1
+                        THEN 1 ELSE 0 END) % 2 = 1
+        """,
         "pip_join_count": f"""
             SELECT category, count(*) AS n_pages FROM ({pip_pairs}) GROUP BY category
         """,

@@ -37,7 +37,7 @@ import pyarrow.parquet as pq
 from .geom import polygon_wkb
 from .geotag import derive_lonlat
 
-FIXTURE_VERSION = "v2"
+FIXTURE_VERSION = "v3"
 FIXTURE_ROOT = "/tmp/geowave_fixtures"
 
 LANGS = ["en", "de", "fr", "es", "zh", "ru", "pt", "ja"]
@@ -99,6 +99,71 @@ def _region_ring(j: int) -> np.ndarray:
     xs = cx + radius * np.cos(angles)
     ys = cy + radius * np.sin(angles)
     return np.column_stack([xs, ys])  # sorted angles about center => CCW convex
+
+
+def _concave_ring(j: int) -> np.ndarray:
+    """Deterministic simple CONCAVE star ring (2k vertices, alternating
+    outer/inner radius, angles strictly increasing => CCW, no
+    self-intersection). Exercises the ray-cast join path."""
+    k = 5 + j % 4
+    r_out = 0.3 + (j % 10) * 0.3
+    r_in = r_out * (0.35 + 0.1 * (j % 3))
+    if j % 4 == 0:
+        cx, cy = CLUSTER_CENTERS[(j // 4) % 4]
+    else:
+        cx = _u(f"concx{j}", -160.0, 160.0)
+        cy = _u(f"concy{j}", -75.0, 75.0)
+    ang0 = _u(f"conang{j}", 0.0, 2 * np.pi)
+    angles = ang0 + np.arange(2 * k) * (np.pi / k)
+    rad = np.where(np.arange(2 * k) % 2 == 0, r_out, r_in)
+    xs = cx + rad * np.cos(angles)
+    ys = cy + rad * np.sin(angles)
+    return np.column_stack([xs, ys])
+
+
+def gen_concave_regions(n_regions: int) -> tuple[pa.Table, pa.Table]:
+    """Concave (star) region set + directed edge table for the even-odd
+    crossing-parity SQL oracle."""
+    rids, wkbs, xmins, ymins, xmaxs, ymaxs = [], [], [], [], [], []
+    e_rid, e_x1, e_y1, e_x2, e_y2 = [], [], [], [], []
+    for j in range(n_regions):
+        ring = _concave_ring(j)
+        rid = f"c{j:06d}"
+        rids.append(rid)
+        wkbs.append(polygon_wkb(ring))
+        xmins.append(ring[:, 0].min())
+        ymins.append(ring[:, 1].min())
+        xmaxs.append(ring[:, 0].max())
+        ymaxs.append(ring[:, 1].max())
+        n = len(ring)
+        for m in range(n):
+            x1, y1 = ring[m]
+            x2, y2 = ring[(m + 1) % n]
+            e_rid.append(rid)
+            e_x1.append(x1)
+            e_y1.append(y1)
+            e_x2.append(x2)
+            e_y2.append(y2)
+    regions = pa.table(
+        {
+            "region_id": pa.array(rids),
+            "geometry_wkb": pa.array(wkbs, pa.binary()),
+            "xmin": pa.array(xmins, pa.float64()),
+            "ymin": pa.array(ymins, pa.float64()),
+            "xmax": pa.array(xmaxs, pa.float64()),
+            "ymax": pa.array(ymaxs, pa.float64()),
+        }
+    )
+    edges = pa.table(
+        {
+            "region_id": pa.array(e_rid),
+            "x1": pa.array(e_x1, pa.float64()),
+            "y1": pa.array(e_y1, pa.float64()),
+            "x2": pa.array(e_x2, pa.float64()),
+            "y2": pa.array(e_y2, pa.float64()),
+        }
+    )
+    return regions, edges
 
 
 def gen_regions(n_regions: int) -> tuple[pa.Table, pa.Table]:
@@ -335,6 +400,9 @@ def ensure_fixtures(sf_dir: str) -> str:
     regions, edges = gen_regions(cfg["regions"])
     pq.write_table(regions, os.path.join(tmp, "regions.parquet"))
     pq.write_table(edges, os.path.join(tmp, "region_edges.parquet"))
+    cregions, cedges = gen_concave_regions(max(32, cfg["regions"] // 8))
+    pq.write_table(cregions, os.path.join(tmp, "concave_regions.parquet"))
+    pq.write_table(cedges, os.path.join(tmp, "concave_edges.parquet"))
     queries = gen_queries()
     pq.write_table(queries, os.path.join(tmp, "queries.parquet"))
     pq.write_table(queries_to_edges(queries), os.path.join(tmp, "query_edges.parquet"))

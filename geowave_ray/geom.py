@@ -350,6 +350,88 @@ def convex_intersects(a: np.ndarray, b: np.ndarray) -> bool:
     return True
 
 
+def _open_ring(r: np.ndarray) -> np.ndarray:
+    r = np.asarray(r, dtype=np.float64)
+    return r[:-1] if np.array_equal(r[0], r[-1]) else r
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (positive for CCW)."""
+    r = _open_ring(ring)
+    if len(r) < 3:
+        return 0.0
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def convex_clip(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip ``subject`` by CONVEX CCW ``clip``.
+    Returns the (possibly empty) intersection ring vertices."""
+    out = [tuple(p) for p in _open_ring(subject)]
+    c = _open_ring(clip)
+    n = len(c)
+    for i in range(n):
+        if not out:
+            return np.empty((0, 2))
+        cx1, cy1 = c[i]
+        cx2, cy2 = c[(i + 1) % n]
+        ex, ey = cx2 - cx1, cy2 - cy1
+        inp = out
+        out = []
+        sx, sy = inp[-1]
+        cs = ex * (sy - cy1) - ey * (sx - cx1)
+        for (px_, py_) in inp:
+            cp = ex * (py_ - cy1) - ey * (px_ - cx1)
+            if (cp >= 0.0) != (cs >= 0.0):
+                t = cs / (cs - cp) if cs != cp else 0.0
+                out.append((sx + t * (px_ - sx), sy + t * (py_ - sy)))
+            if cp >= 0.0:
+                out.append((px_, py_))
+            sx, sy, cs = px_, py_, cp
+    return np.array(out, dtype=np.float64).reshape(-1, 2)
+
+
+_AREA_EPS = 1e-12
+
+
+def convex_predicate(a: np.ndarray, b: np.ndarray, predicate: str) -> bool:
+    """DE-9IM-style predicate matrix for two convex CCW polygons
+    (boundary-inclusive containment; the GeomFunction UDF family,
+    ``analytics/spark/sparksql/udf/GeomFunction.java:17-35``):
+
+    intersects / disjoint / within / contains / covers / covered_by /
+    equals / touches / overlaps / crosses (always False for area-area
+    per DE-9IM).
+    Interior-intersection is decided by the clipped-intersection AREA
+    (zero => boundary-only contact)."""
+    ao = _open_ring(a)
+    bo = _open_ring(b)
+    if predicate == "crosses":
+        return False  # undefined (False) for area/area in DE-9IM
+    inter = convex_intersects(ao, bo)
+    if predicate == "intersects":
+        return inter
+    if predicate == "disjoint":
+        return not inter
+    within = bool(pip_convex(ao[:, 0], ao[:, 1], bo).all())
+    contains = bool(pip_convex(bo[:, 0], bo[:, 1], ao).all())
+    if predicate in ("within", "covered_by"):
+        return within
+    if predicate in ("contains", "covers"):
+        return contains
+    if predicate == "equals":
+        return within and contains
+    scale = max(abs(ring_area(ao)), abs(ring_area(bo)), 1.0)
+    interior = (
+        inter and abs(ring_area(convex_clip(ao, bo))) > _AREA_EPS * scale
+    )
+    if predicate == "touches":
+        return inter and not interior
+    if predicate == "overlaps":
+        return interior and not within and not contains
+    raise ValueError(f"unknown predicate {predicate!r}")
+
+
 def clamp_precision(ring: np.ndarray, decimals: int = 6) -> np.ndarray:
     """TWKB-style coordinate precision clamp
     (``core/geotime/.../util/TWKBWriter.java`` /

@@ -125,6 +125,7 @@ def broadcast_pip_join(
     index_tier: int = 7,
     use_actors: bool = False,
     emit_region_idx: bool = False,
+    convex: bool = True,
 ) -> ray.data.Dataset:
     """pages Dataset (lon/lat columns present) x regions -> pair Dataset.
 
@@ -134,7 +135,7 @@ def broadcast_pip_join(
     switches to a fixed actor pool — the right mode when the index is
     heavy enough that spawn cost amortizes.
     """
-    index_ref = ray.put(build_region_index(regions, tier=index_tier))
+    index_ref = ray.put(build_region_index(regions, tier=index_tier, convex=convex))
     params = dict(
         keep_cols=tuple(keep_cols),
         mode=mode,
@@ -504,14 +505,15 @@ def polygon_intersects_join(
     """Areal-feature join: convex polygons x convex polygons,
     broadcast right side. Predicates (the GeomFunction UDF family,
     ``analytics/spark/sparksql/udf/GeomFunction.java:17-35``):
+    intersects / disjoint / within / contains / covers / covered_by /
+    equals / touches / overlaps / crosses — see
+    :func:`geowave_ray.geom.convex_predicate`.
 
-    - ``intersects`` — separating-axis test (touching counts)
-    - ``within``     — every left vertex inside right (convex)
-    - ``contains``   — every right vertex inside left (convex)
-
-    bbox prefilter then the exact vectorized test per candidate pair.
+    bbox prefilter then the exact test per candidate pair (for
+    ``disjoint`` the bbox prefilter is skipped — every pair is a
+    candidate).
     """
-    from ..geom import convex_intersects, parse_wkb_polygon, pip_convex as _pip, ring_bbox
+    from ..geom import convex_predicate, parse_wkb_polygon, ring_bbox
 
     rings = [parse_wkb_polygon(w.as_py()) for w in right["geometry_wkb"]]
     rids = right[right_id].to_pylist()
@@ -529,20 +531,14 @@ def polygon_intersects_join(
         for i, wkb in enumerate(batch.column("geometry_wkb").to_pylist()):
             ring = parse_wkb_polygon(wkb)
             x0, y0, x1, y1 = ring_bbox(ring)
-            cand = np.nonzero(
-                (rb[:, 0] <= x1) & (rb[:, 2] >= x0) & (rb[:, 1] <= y1) & (rb[:, 3] >= y0)
-            )[0]
+            if predicate == "disjoint":
+                cand = np.arange(len(rb))
+            else:
+                cand = np.nonzero(
+                    (rb[:, 0] <= x1) & (rb[:, 2] >= x0) & (rb[:, 1] <= y1) & (rb[:, 3] >= y0)
+                )[0]
             for j in cand:
-                if predicate == "within":
-                    rr = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
-                    hit = bool(_pip(rr[:, 0], rr[:, 1], rrings[j]).all())
-                elif predicate == "contains":
-                    o = rrings[j]
-                    oo = o[:-1] if np.array_equal(o[0], o[-1]) else o
-                    hit = bool(_pip(oo[:, 0], oo[:, 1], ring).all())
-                else:
-                    hit = convex_intersects(ring, rrings[j])
-                if hit:
+                if convex_predicate(ring, rrings[j], predicate):
                     out_l.append(lids[i])
                     out_r.append(rrids[j])
         return pa.table(

@@ -106,3 +106,39 @@ def test_convex_intersects():
     tri = np.array([[1.0, 2.5], [2.5, 1.0], [3.0, 3.0]])
     assert convex_intersects(a, tri)
     assert not convex_intersects(square(-3, -3, -2.5, -2.5), tri)
+
+
+def test_convex_predicate_matrix():
+    """DE-9IM predicate matrix on hand-constructed squares
+    (GeomFunction UDF family semantics)."""
+    import numpy as np
+
+    from geowave_ray.geom import convex_clip, convex_predicate, ring_area
+
+    def sq(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float)
+
+    A = sq(0, 0, 2, 2)
+    cases = [
+        # (B, {predicate: expected})
+        (sq(0, 0, 2, 2), dict(equals=True, intersects=True, touches=False,
+                              overlaps=False, within=True, contains=True,
+                              disjoint=False)),
+        (sq(1, 1, 3, 3), dict(overlaps=True, intersects=True, touches=False,
+                              equals=False, within=False, contains=False)),
+        (sq(2, 0, 4, 2), dict(touches=True, intersects=True, overlaps=False,
+                              disjoint=False)),          # shared edge
+        (sq(2, 2, 3, 3), dict(touches=True, overlaps=False)),  # shared vertex
+        (sq(3, 3, 4, 4), dict(disjoint=True, intersects=False, touches=False)),
+        (sq(0.5, 0.5, 1.5, 1.5), dict(contains=True, covers=True, within=False,
+                                      overlaps=False, intersects=True)),
+        (sq(-1, -1, 3, 3), dict(within=True, covered_by=True, contains=False,
+                                overlaps=False)),
+    ]
+    for B, expect in cases:
+        for pred, want in expect.items():
+            got = convex_predicate(A, B, pred)
+            assert got == want, (pred, B.tolist(), got, want)
+        assert convex_predicate(A, B, "crosses") is False
+    # clip sanity: intersection area of offset squares = 1
+    assert abs(abs(ring_area(convex_clip(A, sq(1, 1, 3, 3)))) - 1.0) < 1e-12
