@@ -117,6 +117,31 @@ def _ingested(sf_dir: str) -> list[str]:
     return store
 
 
+def _ingested_st(sf_dir: str, bias: str = "BALANCED") -> str:
+    """Spatial-temporal composite store of the pages fixture (cached):
+    partition dirs keyed ``st_bucket = time_bin * n_sb + spatial_bucket``
+    per the bias preset (SPATIAL/BALANCED/TEMPORAL —
+    ``SpatialTemporalDimensionalityTypeProvider.java:207-245``)."""
+    import os
+
+    from geowave_ray.fixtures import FIXTURE_VERSION
+    from geowave_ray.pipelines.ingest import ingest_pages_st
+
+    base = _fx(sf_dir)
+    store = os.path.join(base, f"ingested_st_{bias.lower()}")
+    marker = os.path.join(store, f"_DONE_{FIXTURE_VERSION}")
+    if not os.path.exists(marker):
+        ingest_pages_st(
+            os.path.join(base, "pages"),
+            store,
+            bias=bias,
+            columns=["row_id", "url", "warc_ts", "lang"],
+        )
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return store
+
+
 def _url_index(sf_dir: str) -> str:
     """Attribute (secondary) index on url: globally url-sorted parquet
     with small row groups so point/range lookups prune via row-group
@@ -346,11 +371,18 @@ def q_bbox_temporal(sf_dir: str):
             {"query_id": pa.array(qids, pa.string()), "n": pa.array(ns, pa.int64())}
         )
 
-    from geowave_ray.pipelines.query import read_pages_pruned_multi
+    from geowave_ray.pipelines.query import read_pages_st_pruned
 
-    ds, _info = read_pages_pruned_multi(
-        _ingested(sf_dir),
-        list(zip(boxes["xmin"], boxes["ymin"], boxes["xmax"], boxes["ymax"])),
+    # served from the SPATIAL-TEMPORAL composite layout: pruning on
+    # both the bbox cell ranges and the warc_ts bin range
+    ds, _info = read_pages_st_pruned(
+        _ingested_st(sf_dir),
+        list(
+            zip(
+                boxes["xmin"], boxes["ymin"], boxes["xmax"], boxes["ymax"],
+                boxes["t0"], boxes["t1"],
+            )
+        ),
         columns=["lon", "lat", "warc_ts"],
     )
     return (

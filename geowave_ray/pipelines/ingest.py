@@ -41,6 +41,102 @@ def _encode_stage(batch: pa.Table, tier: int, n_buckets: int) -> pa.Table:
     return batch.append_column("cell_bucket", pa.array(bucket, pa.int64()))
 
 
+# Spatial-temporal composite bias presets: bit split between the
+# spatial bucket and the time bin granularity, mirroring the
+# reference's SPATIAL 25/10 / BALANCED 20/20 / TEMPORAL 10/40
+# bits-per-dimension presets
+# (``SpatialTemporalDimensionalityTypeProvider.java:207-245``) at
+# partition-key scale: more spatial buckets <=> coarser time bins.
+ST_BIAS = {
+    "SPATIAL": dict(n_spatial_buckets=64, bin_days=92),
+    "BALANCED": dict(n_spatial_buckets=16, bin_days=31),
+    "TEMPORAL": dict(n_spatial_buckets=4, bin_days=7),
+}
+_EPOCH_US = 0
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+def st_bucket_of(ts_us: np.ndarray, cell_id: np.ndarray, tier: int, bias: str) -> np.ndarray:
+    """Composite (time_bin ‖ spatial_bucket) partition key.
+
+    time_bin = absolute bin index since epoch (UNBOUNDED, the
+    reference's binned unbounded dimension —
+    ``core/index/.../dimension/UnboundedDimensionDefinition.java``);
+    spatial bucket = top Morton bits folded to the preset's budget."""
+    cfg = ST_BIAS[bias]
+    nsb = cfg["n_spatial_buckets"]
+    tbin = (ts_us - _EPOCH_US) // (cfg["bin_days"] * _DAY_US)
+    shift = np.uint64(max(0, 2 * tier - 8))
+    sb = (cell_id.astype(np.uint64) >> shift).astype(np.int64) % nsb
+    return tbin * np.int64(nsb) + sb
+
+
+def _encode_stage_st(batch: pa.Table, tier: int, bias: str) -> pa.Table:
+    batch = geotag_batch(batch)
+    batch = encode_points(batch, tier=tier)
+    ts = batch.column("warc_ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+    stb = st_bucket_of(ts, batch.column("cell_id").to_numpy(), tier, bias)
+    return batch.append_column("st_bucket", pa.array(stb, pa.int64()))
+
+
+def ingest_pages_st(
+    input_paths: str | list[str],
+    out_dir: str,
+    tier: int = MAX_TIER,
+    bias: str = "BALANCED",
+    resume: bool = True,
+    files_per_group: int = 16,
+    columns: list[str] | None = None,
+) -> dict:
+    """Ingest into the SPATIAL-TEMPORAL composite layout: partition
+    dirs ``st_bucket=<time_bin * n_sb + spatial_bucket>`` so a
+    (bbox, time-range) query prunes on BOTH dimensions at the read
+    (the reference's spatial-temporal index,
+    ``SpatialTemporalDimensionalityTypeProvider.java``)."""
+    if isinstance(input_paths, str):
+        files = sorted(glob.glob(os.path.join(input_paths, "*.parquet"))) or [input_paths]
+    else:
+        files = sorted(input_paths)
+    manifest_dir = os.path.join(out_dir, "_manifest")
+    skipped = 0
+    total_rows = 0
+    for gi in range(0, len(files), files_per_group):
+        group = files[gi : gi + files_per_group]
+        if resume and all(mf.is_complete(manifest_dir, f) for f in group):
+            skipped += len(group)
+            continue
+        ds = ray.data.read_parquet(group, columns=columns)
+        ds = ds.map_batches(
+            _encode_stage_st,
+            fn_kwargs=dict(tier=tier, bias=bias),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        ds = ds.groupby("st_bucket").map_groups(lambda t: t, batch_format="pyarrow")
+        dest = os.path.join(out_dir, f"group={gi:06d}")
+        tmp = dest + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(dest, ignore_errors=True)
+        ds.write_parquet(tmp, partition_cols=["st_bucket"])
+        os.replace(tmp, dest)
+        rows_group = sum(
+            pq.read_metadata(p).num_rows
+            for p in glob.glob(os.path.join(dest, "st_bucket=*", "*.parquet"))
+        )
+        file_rows = {f: pq.read_metadata(f).num_rows for f in group}
+        if sum(file_rows.values()) != rows_group:
+            raise RuntimeError(f"st ingest row mismatch for {dest}")
+        for f in group:
+            mf.write_entry(
+                manifest_dir,
+                f,
+                {"input_file": f, "file_rows": file_rows[f], "output_dir": dest,
+                 "bias": bias, "tier": tier},
+            )
+        total_rows += rows_group
+    return {"files": len(files), "rows": total_rows, "skipped": skipped}
+
+
 def ingest_pages(
     input_paths: str | list[str],
     out_dir: str,

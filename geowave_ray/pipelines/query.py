@@ -51,9 +51,11 @@ def polygon_filter_batch(batch: pa.Table, ring: np.ndarray, convex: bool = True)
     return batch.filter(pa.array(m))
 
 
-def _bucket_dirs(ingested_dir_or_files) -> list[tuple[int, str]]:
-    """(bucket, dir) pairs of every ``cell_bucket=N`` partition dir
-    under the ingested layout roots."""
+def _bucket_dirs(
+    ingested_dir_or_files, col: str = "cell_bucket"
+) -> list[tuple[int, str]]:
+    """(bucket, dir) pairs of every ``<col>=N`` partition dir under the
+    ingested layout roots."""
     import glob
     import os
 
@@ -64,11 +66,11 @@ def _bucket_dirs(ingested_dir_or_files) -> list[tuple[int, str]]:
     )
     out: list[tuple[int, str]] = []
     for r in roots:
-        if os.path.basename(r).startswith("cell_bucket="):
+        if os.path.basename(r).startswith(f"{col}="):
             out.append((int(os.path.basename(r).split("=", 1)[1]), r))
             continue
-        pat = os.path.join(r, "cell_bucket=*")
-        hits = glob.glob(pat) or glob.glob(os.path.join(r, "group=*", "cell_bucket=*"))
+        pat = os.path.join(r, f"{col}=*")
+        hits = glob.glob(pat) or glob.glob(os.path.join(r, "group=*", f"{col}=*"))
         for d in hits:
             out.append((int(os.path.basename(d).split("=", 1)[1]), d))
     return out
@@ -149,6 +151,54 @@ def read_pages_pruned_multi(
         "dirs_read": len(keep),
         "dirs_total": len(pairs),
     }
+    ds = ray.data.read_parquet(keep, columns=columns)
+    return ds, info
+
+
+def read_pages_st_pruned(
+    store_root,
+    boxes_t,
+    bias: str = "BALANCED",
+    tier: int = MAX_TIER,
+    columns=None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Pruned read over the SPATIAL-TEMPORAL composite layout
+    (``st_bucket = time_bin * n_sb + spatial_bucket``): partitions are
+    pruned on BOTH the spatial cell ranges and the time-bin range
+    (the reference's spatial-temporal index query path).
+
+    ``boxes_t``: iterable of (xmin, ymin, xmax, ymax, t0_us, t1_us)
+    with the time range half-open [t0, t1)."""
+    import glob as _glob
+    import os as _os
+
+    from .ingest import ST_BIAS, _DAY_US
+
+    cfg = ST_BIAS[bias]
+    nsb = cfg["n_spatial_buckets"]
+    bin_us = cfg["bin_days"] * _DAY_US
+    wanted: set[int] = set()
+    for (x0, y0, x1, y1, t0, t1) in boxes_t:
+        sbs = buckets_for_bbox(x0, y0, x1, y1, tier=tier, n_buckets=nsb)
+        b0 = int(t0) // bin_us
+        b1 = (int(t1) - 1) // bin_us
+        for tb in range(b0, b1 + 1):
+            for sb in sbs:
+                wanted.add(tb * nsb + sb)
+    pairs = _bucket_dirs(store_root, col="st_bucket")
+    keep = [
+        f
+        for b, d in pairs
+        if b in wanted
+        for f in sorted(_glob.glob(_os.path.join(d, "*.parquet")))
+    ]
+    info = {
+        "st_buckets_read": len([b for b, _ in pairs if b in wanted]),
+        "st_buckets_total": len(pairs),
+    }
+    if not keep:  # nothing matches: zero-row dataset with the layout schema
+        any_file = _glob.glob(_os.path.join(pairs[0][1], "*.parquet"))[0]
+        return ray.data.read_parquet([any_file], columns=columns).limit(0), info
     ds = ray.data.read_parquet(keep, columns=columns)
     return ds, info
 

@@ -131,3 +131,41 @@ def test_join_job_checkpoint_resume(ray_session, pages_dir, tmp_path):
     # total pairs across manifests == full-run pairs
     entries = mf.load_all(os.path.join(out, "_manifest"))
     assert sum(e["pairs"] for e in entries) == r1["pairs"]
+
+
+def test_spatial_temporal_composite_index(ray_session, pages_dir, tmp_path):
+    """ST composite layout: (bbox, time-range) query over the pruned
+    read equals the brute-force filter, and pruning actually skips
+    partitions (SpatialTemporalDimensionalityTypeProvider semantics)."""
+    import numpy as np
+
+    from geowave_ray.pipelines.ingest import ingest_pages_st
+    from geowave_ray.pipelines.query import read_pages_st_pruned
+
+    out = str(tmp_path / "st")
+    for bias in ("BALANCED", "TEMPORAL"):
+        store = out + bias
+        res = ingest_pages_st(pages_dir, store, bias=bias, files_per_group=3)
+        assert res["rows"] == 3000
+        full = pq.read_table(pages_dir)
+        lon = full["lon"].to_numpy()
+        lat = full["lat"].to_numpy()
+        ts = full["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        box = (-80.0, 30.0, -70.0, 45.0)
+        t0 = int(ts.min())
+        t1 = t0 + (int(ts.max()) - t0) // 4
+        ds, info = read_pages_st_pruned(store, [(*box, t0, t1)], bias=bias)
+        got = ds.to_pandas()
+        m = (
+            (lon >= box[0]) & (lon <= box[2]) & (lat >= box[1]) & (lat <= box[3])
+            & (ts >= t0) & (ts < t1)
+        )
+        gm = (
+            (got["lon"] >= box[0]) & (got["lon"] <= box[2])
+            & (got["lat"] >= box[1]) & (got["lat"] <= box[3])
+            & (got["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64) >= t0)
+            & (got["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64) < t1)
+        )
+        expect = set(np.asarray(full["url"].to_pylist(), object)[m])
+        assert set(got["url"][gm]) == expect
+        assert info["st_buckets_read"] < info["st_buckets_total"], (bias, info)
