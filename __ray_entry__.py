@@ -969,6 +969,45 @@ def q_gwql_agg(sf_dir: str):
     )
 
 
+def q_gwql_groupby(sf_dir: str):
+    """GWQL GROUP BY (GWQL.g4 extension the reference plans via its
+    aggregation API)."""
+    from geowave_ray import gwql
+
+    docs = _read_testdata(sf_dir, "documents")
+    return gwql.execute(
+        "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, "
+        "MAX(n_chars) AS max_chars FROM documents GROUP BY lang",
+        {"documents": docs},
+    )
+
+
+def q_gwql_bbox(sf_dir: str):
+    """GWQL BBOX() spatial envelope aggregate
+    (``core/geotime/.../gwql/BboxFunction.java:25``)."""
+    from geowave_ray import gwql
+
+    pages = _pages(sf_dir)
+    return gwql.execute(
+        "SELECT BBOX(lon, lat) FROM pages WHERE lang = 'en'",
+        {"pages": pages},
+    )
+
+
+def q_gwql_cast_pip(sf_dir: str):
+    """GWQL casts (DateCastableType + GeometryCastableType) through a
+    spatial predicate: count pages inside a WKT polygon after a date."""
+    from geowave_ray import gwql
+
+    pages = _pages(sf_dir)
+    return gwql.execute(
+        "SELECT COUNT(*) AS n FROM pages "
+        "WHERE PIP(lon, lat, CAST('POLYGON((-75 37, -72 40, -75 43, -78 40, -75 37))' AS GEOMETRY)) "
+        "AND warc_ts >= CAST('2024-03-01' AS DATE)",
+        {"pages": pages},
+    )
+
+
 def q_orders_by_segment(sf_dir: str):
     """Broadcast hash join (small dim side via ray.put) + aggregate —
     the relational-join shape from the Ray guide."""
@@ -1145,6 +1184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query language / relational / lookup
         "gwql_select": q_gwql_select,
         "gwql_agg": q_gwql_agg,
+        "gwql_groupby": q_gwql_groupby,
+        "gwql_bbox": q_gwql_bbox,
+        "gwql_cast_pip": q_gwql_cast_pip,
         "orders_by_segment": q_orders_by_segment,
         "topk_orders": q_topk_orders,
         "events_session": q_events_session,
@@ -1489,6 +1531,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n, min(n_chars) AS min_chars,
                    max(n_chars) AS max_chars
             FROM documents WHERE lang = 'en'
+        """,
+        "gwql_groupby": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "gwql_bbox": f"""
+            SELECT min(lon) AS minx, min(lat) AS miny,
+                   max(lon) AS maxx, max(lat) AS maxy
+            FROM {PAGES} WHERE lang = 'en'
+        """,
+        "gwql_cast_pip": f"""
+            WITH e(x1, y1, x2, y2) AS (VALUES
+              (-75.0, 37.0, -72.0, 40.0), (-72.0, 40.0, -75.0, 43.0),
+              (-75.0, 43.0, -78.0, 40.0), (-78.0, 40.0, -75.0, 37.0))
+            SELECT CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT p.url
+              FROM {PAGES} p CROSS JOIN e
+              WHERE p.warc_ts >= TIMESTAMP '2024-03-01'
+              GROUP BY p.url
+              HAVING bool_and((e.x2 - e.x1) * (p.lat - e.y1)
+                            - (e.y2 - e.y1) * (p.lon - e.x1) >= 0)
+            )
         """,
         "orders_by_segment": """
             SELECT c.c_mktsegment, count(*) AS n_orders,

@@ -132,6 +132,17 @@ class Expr:
         o = other if isinstance(other, Expr) else lit(other)
         return Expr(lambda b: pc.binary_join_element_wise(self.evaluate(b), o.evaluate(b), ""))
 
+    def cast(self, typ: pa.DataType):
+        """Type cast (the reference's CastableType registry —
+        ``query/gwql/castable/`` + geotime Date/Geometry castables)."""
+        ds_expr = None
+        if self._ds_expr is not None:
+            try:
+                ds_expr = self._ds_expr.cast(typ)
+            except Exception:
+                ds_expr = None
+        return Expr(lambda b: pc.cast(self.evaluate(b), typ), ds_expr)
+
 
 def col(name: str) -> Expr:
     return Expr(lambda b: b.column(name), pads.field(name))

@@ -43,9 +43,27 @@ _TOKEN = re.compile(
 _KEYWORDS = {
     "SELECT", "FROM", "WHERE", "LIMIT", "AND", "OR", "NOT", "BETWEEN",
     "IN", "IS", "NULL", "LIKE", "AS", "ORDER", "BY", "DESC", "ASC",
+    "GROUP", "CAST",
 }
-_AGGS = {"COUNT", "MIN", "MAX", "SUM"}
-_FUNCS = {"CONTAINS", "STRSTARTSWITH", "STRENDSWITH", "ABS", "CONCAT"}
+_AGGS = {"COUNT", "MIN", "MAX", "SUM", "BBOX"}
+_FUNCS = {"CONTAINS", "STRSTARTSWITH", "STRENDSWITH", "ABS", "CONCAT", "PIP"}
+_CAST_TYPES = {"DATE", "TIMESTAMP", "BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "GEOMETRY"}
+
+
+def parse_wkt_polygon(wkt: str):
+    """Minimal WKT POLYGON((x y, ...)) -> (N,2) ring (exterior only) —
+    the GeometryCastableType role
+    (``core/geotime/.../gwql/GeometryCastableType.java``)."""
+    import numpy as np
+
+    m = re.match(r"\s*POLYGON\s*\(\s*\((.*?)\)", wkt, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"GWQL: cannot parse WKT {wkt[:40]!r}")
+    pts = []
+    for pair in m.group(1).split(","):
+        x, y = pair.split()
+        pts.append((float(x), float(y)))
+    return np.asarray(pts, dtype=np.float64)
 
 
 def tokenize(s: str) -> list[tuple[str, str]]:
@@ -79,6 +97,7 @@ class Select:
     is_agg: bool = False
     order_by: list | None = None  # [(col, descending)]
     is_delete: bool = False
+    group_by: list | None = None  # [col, ...]
 
 
 class _Parser:
@@ -108,10 +127,23 @@ class _Parser:
         where = None
         limit = None
         order_by = None
+        group_by = None
         t, v = self.peek()
         if v and v.upper() == "WHERE":
             self.next()
             where = self._or_expr()
+            t, v = self.peek()
+        if v and v.upper() == "GROUP":
+            self.next()
+            self.expect_kw("BY")
+            group_by = []
+            while True:
+                _, g = self.next()
+                group_by.append(g)
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
             t, v = self.peek()
         if v and v.upper() == "ORDER":
             self.next()
@@ -134,7 +166,7 @@ class _Parser:
             self.next()
             _, n = self.next()
             limit = int(n)
-        return Select(cols_out, table, where, limit, is_agg, order_by)
+        return Select(cols_out, table, where, limit, is_agg, order_by, group_by=group_by)
 
     def _select_list(self):
         cols_out = []
@@ -143,15 +175,40 @@ class _Parser:
             t, v = self.next()
             if t == "op" and v == "*":
                 cols_out.append("*")
-            elif t == "word" and v.upper() in _AGGS and self.peek() == ("op", "("):
+            elif t == "kw" and v.upper() == "CAST" and self.peek() == ("op", "("):
                 self.next()  # (
-                t2, arg = self.next()
-                if t2 == "op" and arg == "*":
-                    arg = "*"
+                _, cname = self.next()
+                self.expect_kw("AS")
+                _, typ = self.next()
                 tc, vc = self.next()
                 if not (tc == "op" and vc == ")"):
                     raise ValueError("GWQL: expected )")
-                alias = f"{v.lower()}_{arg if arg != '*' else 'all'}"
+                alias = cname
+                t3, v3 = self.peek()
+                if v3 and v3.upper() == "AS":
+                    self.next()
+                    _, alias = self.next()
+                if typ.upper() not in _CAST_TYPES:
+                    raise ValueError(f"GWQL: unknown cast type {typ}")
+                cols_out.append(("cast", cname, typ.upper(), alias))
+            elif t == "word" and v.upper() in _AGGS and self.peek() == ("op", "("):
+                self.next()  # (
+                if v.upper() == "BBOX":
+                    _, lonc = self.next()
+                    self.next()  # ,
+                    _, latc = self.next()
+                    arg = (lonc, latc)
+                else:
+                    t2, arg = self.next()
+                    if t2 == "op" and arg == "*":
+                        arg = "*"
+                tc, vc = self.next()
+                if not (tc == "op" and vc == ")"):
+                    raise ValueError("GWQL: expected )")
+                alias = (
+                    "bbox" if v.upper() == "BBOX"
+                    else f"{v.lower()}_{arg if arg != '*' else 'all'}"
+                )
                 t3, v3 = self.peek()
                 if v3 and v3.upper() == "AS":
                     self.next()
@@ -196,6 +253,15 @@ class _Parser:
         return self._comparison()
 
     def _value(self):
+        t, v = self.peek()
+        if t == "kw" and v.upper() == "CAST":
+            self.next()
+            self.next()  # (
+            raw = self._value()
+            self.expect_kw("AS")
+            _, typ = self.next()
+            self.next()  # )
+            return _cast_literal(raw, typ.upper())
         t, v = self.next()
         if t == "num":
             return float(v) if "." in v else int(v)
@@ -257,12 +323,42 @@ class _Parser:
     def _func_predicate(self) -> Expr:
         _, fn = self.next()
         self.next()  # (
+        f = fn.upper()
+        if f == "PIP":
+            # PIP(lon_col, lat_col, CAST('POLYGON(...)' AS GEOMETRY)) —
+            # the GWQL spatial-predicate role
+            # (core/geotime/.../gwql/SpatialPredicates.java)
+            import numpy as np
+            import pyarrow as pa
+
+            from .geom import pip_convex, pip_raycast
+
+            _, lonc = self.next()
+            self.next()  # ,
+            _, latc = self.next()
+            self.next()  # ,
+            ring = self._value()
+            self.next()  # )
+            if isinstance(ring, str):
+                ring = parse_wkt_polygon(ring)
+            r = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+            # convex iff every consecutive-edge cross product >= 0
+            x, y = r[:, 0], r[:, 1]
+            ex, ey = np.roll(x, -1) - x, np.roll(y, -1) - y
+            convex = bool(np.all(ex * np.roll(ey, -1) - ey * np.roll(ex, -1) >= 0))
+            test = pip_convex if convex else pip_raycast
+
+            def fnb(b):
+                return pa.array(
+                    test(b.column(lonc).to_numpy(), b.column(latc).to_numpy(), ring)
+                )
+
+            return Expr(fnb)
         _, cname = self.next()
         self.next()  # ,
         t, s = self.next()
         self.next()  # )
         c = col(cname)
-        f = fn.upper()
         if f == "CONTAINS":
             return c.contains(s)
         if f == "STRSTARTSWITH":
@@ -270,6 +366,37 @@ class _Parser:
         if f == "STRENDSWITH":
             return c.ends_with(s)
         raise ValueError(f"GWQL: unknown function {fn}")
+
+
+def _cast_literal(raw, typ: str):
+    """Literal casts (the reference's DateCastableType /
+    GeometryCastableType — geotime ``gwql/``)."""
+    if typ in ("DATE", "TIMESTAMP"):
+        from datetime import datetime
+
+        return datetime.fromisoformat(str(raw))
+    if typ in ("BIGINT", "INTEGER"):
+        return int(raw)
+    if typ == "DOUBLE":
+        return float(raw)
+    if typ == "VARCHAR":
+        return str(raw)
+    if typ == "GEOMETRY":
+        return parse_wkt_polygon(str(raw))
+    raise ValueError(f"GWQL: unknown cast type {typ}")
+
+
+def _pa_type(typ: str):
+    import pyarrow as pa
+
+    return {
+        "DATE": pa.timestamp("us"),
+        "TIMESTAMP": pa.timestamp("us"),
+        "BIGINT": pa.int64(),
+        "INTEGER": pa.int32(),
+        "DOUBLE": pa.float64(),
+        "VARCHAR": pa.string(),
+    }[typ]
 
 
 def parse(sql: str) -> Select:
@@ -310,8 +437,13 @@ def execute(sql: str, tables: dict[str, ray.data.Dataset]) -> ray.data.Dataset:
 
         aggs = []
         for c in stmt.columns:
-            if not (isinstance(c, tuple) and c[0] == "agg"):
-                raise ValueError("GWQL: mixed agg and plain columns unsupported")
+            if isinstance(c, str):
+                # plain columns are only legal as GROUP BY keys
+                if not stmt.group_by or c not in stmt.group_by:
+                    raise ValueError(
+                        "GWQL: non-aggregate column must appear in GROUP BY"
+                    )
+                continue
             _, fn, arg, alias = c
             if fn == "COUNT":
                 # COUNT(*) counts rows; COUNT(col) counts non-null values
@@ -326,12 +458,55 @@ def execute(sql: str, tables: dict[str, ray.data.Dataset]) -> ray.data.Dataset:
                 aggs.append(Max(arg, alias_name=alias))
             elif fn == "SUM":
                 aggs.append(Sum(arg, alias_name=alias))
-        row = ds.aggregate(*aggs)
+            elif fn == "BBOX":
+                # spatial envelope aggregate (BboxFunction.java:25)
+                lonc, latc = arg
+                pre = "" if alias == "bbox" else alias + "_"
+                aggs += [
+                    Min(lonc, alias_name=pre + "minx"),
+                    Min(latc, alias_name=pre + "miny"),
+                    Max(lonc, alias_name=pre + "maxx"),
+                    Max(latc, alias_name=pre + "maxy"),
+                ]
+        if stmt.group_by:
+            out = ds.groupby(stmt.group_by).aggregate(*aggs)
+            if stmt.order_by:
+                out = out.sort(
+                    [c for c, _ in stmt.order_by],
+                    descending=[d for _, d in stmt.order_by],
+                )
+            if stmt.limit is not None:
+                out = out.limit(stmt.limit)
+            return out
+        row = (ds.aggregate(*aggs) if aggs else {}) or {}
+        # Ray's global Count() aggregate yields 0 when the stream holds
+        # empty blocks (post-filter); Dataset.count() is authoritative
+        for c in stmt.columns:
+            if isinstance(c, tuple) and c[1] == "COUNT" and c[2] == "*":
+                row[c[3]] = ds.count()
         import pandas as pd
 
         return ray.data.from_pandas(pd.DataFrame([row]))
     if stmt.columns != ["*"]:
-        ds = ds.select_columns([c for c in stmt.columns])
+        if any(isinstance(c, tuple) for c in stmt.columns):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            sel = list(stmt.columns)
+
+            def project(b: pa.Table) -> pa.Table:
+                cols = {}
+                for c in sel:
+                    if isinstance(c, str):
+                        cols[c] = b.column(c)
+                    else:
+                        _, cname, typ, alias = c
+                        cols[alias] = pc.cast(b.column(cname), _pa_type(typ))
+                return pa.table(cols)
+
+            ds = ds.map_batches(project, batch_format="pyarrow", batch_size=None)
+        else:
+            ds = ds.select_columns([c for c in stmt.columns])
     if stmt.order_by:
         ds = ds.sort(
             [c for c, _ in stmt.order_by],
