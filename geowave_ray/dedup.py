@@ -29,6 +29,13 @@ import ray.data
 
 from .hashing import hash_utf8, mix64, tokenize_hash
 
+# Block count fed into each bucketed exchange: Ray's sort-based
+# shuffle pays per-block scheduling overhead, so many tiny blocks cost
+# far more than the sort itself (measured 10s wall on <1s compute at
+# 64 blocks x 1.2k rows). One block per expected reducer is right for
+# bounded-bucket exchanges at any data size.
+_EXCHANGE_BLOCKS = 16
+
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     """Word n-gram shingle hash set for ONE string (used by the
@@ -174,6 +181,11 @@ def minhash_lsh_pairs(
     two bucketed cogroups re-attach the signatures → vectorized
     verify. Only ids move through the wide exchanges."""
     rows_per_band = num_perm // bands
+    # one coalesce at the head: Ray oversplits small inputs (64 blocks
+    # for a 5k-row file) and every downstream stage then pays 64 task
+    # schedules; the whole pipeline is bounded-bucket exchanges, so
+    # _EXCHANGE_BLOCKS tasks per stage is the right width at any size
+    docs = docs.repartition(_EXCHANGE_BLOCKS)
     sigs = docs.map_batches(
         minhash_batch, fn_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n),
         batch_format="pyarrow", batch_size=None,
@@ -233,31 +245,20 @@ def minhash_lsh_pairs(
 
     cands = (
         banded.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .repartition(_EXCHANGE_BLOCKS)
         .groupby("bucket")
         .map_groups(emit_candidates, batch_format="pandas")
     )
 
-    # dedupe identical candidate pairs found in multiple bands
-    def pair_bucket(b: pa.Table) -> pa.Table:
-        bk = (
-            b.column("doc_a").to_numpy() * np.int64(1000003)
-            + b.column("doc_b").to_numpy()
-        ) % np.int64(64)
-        return b.append_column("pbucket", pa.array(bk, pa.int64()))
-
-    def uniq(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pbucket"])
-
-    pairs = (
-        cands.map_batches(pair_bucket, batch_format="pyarrow", batch_size=None)
-        .groupby("pbucket")
-        .map_groups(uniq, batch_format="pandas")
-    )
-
     # verify: re-attach signatures endpoint by endpoint via bounded
     # bucket cogroups (hash-join pattern: union(label rows, probe
-    # rows) grouped on the key bucket, vectorized searchsorted inside)
-    verified = _attach_sig(pairs, sigs, "doc_a", "sig_a", num_perm, n_buckets)
+    # rows) grouped on the key bucket, vectorized searchsorted inside).
+    # Duplicate candidate pairs (found in several bands) share doc_a,
+    # hence a bucket — the first attach dedupes them in-group, saving a
+    # dedicated dedup exchange.
+    verified = _attach_sig(
+        cands, sigs, "doc_a", "sig_a", num_perm, n_buckets, dedupe_pairs=True
+    )
     verified = _attach_sig(verified, sigs, "doc_b", "sig_b", num_perm, n_buckets)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -288,6 +289,7 @@ def _attach_sig(
     out_col: str,
     num_perm: int,
     n_buckets: int,
+    dedupe_pairs: bool = False,
 ) -> ray.data.Dataset:
     """Bucketed cogroup join: attach ``sigs.minhash`` to ``pairs`` rows
     on ``pairs[key_col] == sigs.doc_id`` as column ``out_col``."""
@@ -320,12 +322,25 @@ def _attach_sig(
 
     probe = pairs.map_batches(probe_rows, batch_format="pyarrow", batch_size=None)
     labels = sigs.map_batches(label_rows, batch_format="pyarrow", batch_size=None)
-    u = probe.union(labels).map_batches(bucketed, batch_format="pyarrow", batch_size=None)
+    u = (
+        probe.union(labels)
+        .map_batches(bucketed, batch_format="pyarrow", batch_size=None)
+        .repartition(_EXCHANGE_BLOCKS)
+    )
 
     def join_group(t: pa.Table) -> pa.Table:
         is_lab = np.asarray(t.column("is_label").to_numpy(zero_copy_only=False), bool)
         lab = t.filter(pa.array(is_lab))
         pr = t.filter(pa.array(~is_lab))
+        if dedupe_pairs and len(pr):
+            da = pr.column("doc_a").to_numpy()
+            db = pr.column("doc_b").to_numpy()
+            order = np.lexsort((db, da))
+            keep = np.ones(len(order), dtype=bool)
+            keep[1:] = (da[order][1:] != da[order][:-1]) | (
+                db[order][1:] != db[order][:-1]
+            )
+            pr = pr.take(pa.array(np.sort(order[keep])))
         cols = {c: pr.column(c) for c in pass_cols}
         if len(pr) and len(lab):
             sig_mat = _sig_matrix(lab.column("minhash"), num_perm)
@@ -434,6 +449,7 @@ def connected_components(
 
         return (
             ds.map_batches(bucketed, batch_format="pyarrow", batch_size=None)
+            .repartition(_EXCHANGE_BLOCKS)
             .groupby("bucket")
             .map_groups(reduce_group, batch_format="pandas")
         )
