@@ -126,21 +126,29 @@ def run_bench(sf_dir: str, headline_only: bool = False) -> dict:
         timed("pip_join_cogroup", em.q_pip_join_cogroup)
         timed("docs_token_stats", em.q_docs_token_stats)
         timed("docs_minhash_pairs", em.q_docs_minhash_pairs)
-        # pruning-ratio evidence for the index-scan claim
+        # pruning-ratio evidence for the index-scan claim: per-QUERY
+        # bucket counts (the 20-box UNION legitimately covers most of
+        # the world; a single query's scan is the pruning story)
         import numpy as np
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        from geowave_ray.pipelines.query import read_pages_pruned_multi
+        from geowave_ray.pipelines.query import buckets_for_bbox
 
         qt = pq.read_table(f"{fixture_root}/queries.parquet")
         qt = qt.filter(pc.equal(qt["kind"], "bbox"))
-        _, pruning_info = read_pages_pruned_multi(
-            em._ingested(sf_dir),
-            list(zip(qt["xmin"].to_numpy(), qt["ymin"].to_numpy(),
-                     qt["xmax"].to_numpy(), qt["ymax"].to_numpy())),
-            columns=["lon", "lat"],
-        )
+        per_q = [
+            len(buckets_for_bbox(x0, y0, x1, y1))
+            for x0, y0, x1, y1 in zip(
+                qt["xmin"].to_numpy(), qt["ymin"].to_numpy(),
+                qt["xmax"].to_numpy(), qt["ymax"].to_numpy(),
+            )
+        ]
+        pruning_info = {
+            "per_query_buckets_mean": round(float(np.mean(per_q)), 2),
+            "per_query_buckets_max": int(np.max(per_q)),
+            "buckets_total": 64,
+        }
 
     headline_sec = timings["pip_join"] + timings["tile_assign"]
     pages_rows = _pages_rows(fixture_root)
