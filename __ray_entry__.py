@@ -1111,6 +1111,94 @@ def q_hll_distinct(sf_dir: str):
     return pd.DataFrame({"distinct_users_est": [float(est)]})
 
 
+_CQL_EVENTS = (
+    "value BETWEEN 10 AND 60 AND event_type IN ('click', 'view') "
+    "AND ts AFTER 2024-01-10T00:00:00Z AND ts BEFORE 2024-01-20T00:00:00Z"
+)
+
+
+def q_cql_filter(sf_dir: str):
+    """CQL text -> expression AST -> Arrow batch filter over events
+    (CQLToGeoWaveFilterVisitor + temporal After/Before role)."""
+    from geowave_ray.cql import parse_cql
+
+    e = parse_cql(_CQL_EVENTS)
+    ds = _read_testdata(
+        sf_dir, "events", columns=["event_id", "ts", "event_type", "value"]
+    )
+    return ds.map_batches(e.filter_batch, batch_format="pyarrow").select_columns(
+        ["event_id"]
+    )
+
+
+# convex CCW polygon literal shared by the CQL text and the SQL oracle
+_CQL_RING = [(-20.0, -15.0), (30.0, -25.0), (45.0, 20.0), (0.0, 30.0), (-25.0, 10.0)]
+
+
+def _cql_ring_edges_sql() -> str:
+    """Edges of _CQL_RING as a SQL VALUES list for the half-plane
+    (convex PIP) oracle predicate."""
+    n = len(_CQL_RING)
+    rows = []
+    for i in range(n):
+        x1, y1 = _CQL_RING[i]
+        x2, y2 = _CQL_RING[(i + 1) % n]
+        rows.append(f"({x1}, {y1}, {x2}, {y2})")
+    return ", ".join(rows)
+
+
+def q_cql_spatial(sf_dir: str):
+    """CQL spatial predicates (BBOX + INTERSECTS polygon) combined with
+    scalar predicates, over the geotag-derived point geometry
+    (spatial/BBox.java, spatial/Intersects.java)."""
+    from geowave_ray.cql import parse_cql
+
+    wkt = ", ".join(f"{x} {y}" for x, y in _CQL_RING)
+    text = (
+        f"(BBOX(geometry, -30, -20, 40, 35) AND lang IN ('de', 'fr')) "
+        f"OR INTERSECTS(geometry, POLYGON(({wkt})))"
+    )
+    e = parse_cql(text)
+    ds = _pages(sf_dir, columns=["row_id", "lang"])
+    return ds.map_batches(e.filter_batch, batch_format="pyarrow").select_columns(
+        ["row_id"]
+    )
+
+
+_TWIN_S = "2024-01-15 00:00:00"
+_TWIN_E = "2024-01-16 00:00:00"
+
+
+def q_temporal_expr(sf_dir: str):
+    """Interval-valued temporal predicates: events become intervals
+    [ts, ts + trunc(value) minutes); emit rows that OVERLAP the literal
+    window but are not DURING it (temporal/TimeOverlaps.java,
+    During.java, with TimeUtils.getIntervalEnd empty-interval rule)."""
+    import pyarrow.compute as pc
+
+    from geowave_ray.cql import tinterval, tlit
+    from geowave_ray.expr import Expr
+
+    def end_us(b: pa.Table):
+        s = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64())
+        # duration = trunc(value) minutes, so intervals are long enough
+        # to straddle the literal window's boundaries
+        dur = pc.cast(
+            pc.multiply(pc.trunc(b.column("value")), 60_000_000.0),
+            pa.int64(),
+            safe=False,
+        )
+        return pc.add(s, dur)
+
+    iv = tinterval(Expr(lambda b: b.column("ts")), Expr(end_us))
+    win = tlit(_TWIN_S.replace(" ", "T") + "Z", _TWIN_E.replace(" ", "T") + "Z")
+    e = iv.time_overlaps(win) & ~iv.during(win)
+    ds = _read_testdata(sf_dir, "events", columns=["event_id", "ts", "value"])
+    return ds.map_batches(e.filter_batch, batch_format="pyarrow").select_columns(
+        ["event_id"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1213,6 +1301,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as-of / sliding windows
         "events_prev": q_events_prev,
         "events_sliding": q_events_sliding,
+        # CQL bridge + temporal/spatial expression AST
+        "cql_filter": q_cql_filter,
+        "cql_spatial": q_cql_spatial,
+        "temporal_expr": q_temporal_expr,
     }
 
 
@@ -1646,6 +1738,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_prefix_search": f"""
             SELECT url FROM {PAGES} WHERE url LIKE 'https://site7.example/%'
+        """,
+        # CQL / temporal-spatial expression AST. Reference temporal
+        # semantics: instant = [t, t+1ms); AFTER: start >= lit_end;
+        # BEFORE: end <= lit_start (mirrored in epoch-us arithmetic).
+        "cql_filter": """
+            SELECT event_id FROM events
+            WHERE value BETWEEN 10 AND 60
+              AND event_type IN ('click', 'view')
+              AND epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-10 00:00:00') + 1000
+              AND epoch_us(ts) + 1000 <= epoch_us(TIMESTAMP '2024-01-20 00:00:00')
+        """,
+        "cql_spatial": f"""
+            SELECT row_id FROM {PAGES} p
+            WHERE (p.lon >= -30 AND p.lon <= 40 AND p.lat >= -20 AND p.lat <= 35
+                   AND p.lang IN ('de', 'fr'))
+               OR (SELECT bool_and((e.x2 - e.x1) * (p.lat - e.y1)
+                                 - (e.y2 - e.y1) * (p.lon - e.x1) >= 0)
+                   FROM (VALUES {_cql_ring_edges_sql()}) AS e(x1, y1, x2, y2))
+        """,
+        "temporal_expr": f"""
+            WITH iv AS (
+              SELECT event_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + CAST(trunc(value) AS BIGINT) * 60000000 AS e0
+              FROM events
+            ), iv2 AS (
+              SELECT event_id, s,
+                     CASE WHEN e0 <= s THEN s + 1000 ELSE e0 END AS e
+              FROM iv
+            )
+            SELECT event_id FROM iv2
+            WHERE e > epoch_us(TIMESTAMP '{_TWIN_S}')
+              AND s < epoch_us(TIMESTAMP '{_TWIN_E}')
+              AND NOT (s >= epoch_us(TIMESTAMP '{_TWIN_S}')
+                       AND e <= epoch_us(TIMESTAMP '{_TWIN_E}'))
         """,
         # kmeans / dbscan / sample_weighted: iterative or hash-seeded —
         # deterministic but not SQL-expressible; rows-only + pytest.

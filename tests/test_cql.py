@@ -1,0 +1,167 @@
+"""Temporal/spatial expression AST + CQL bridge tests
+(reference: core/geotime/.../filter/expression/temporal/*.java,
+spatial/*.java, CQLToGeoWaveFilterVisitor.java)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geowave_ray.cql import (
+    parse_cql,
+    scol,
+    tcol,
+    tinterval,
+    tlit,
+    _INSTANT_US,
+)
+
+US = 1_000_000  # one second in microseconds
+
+
+def _interval_table():
+    # intervals in epoch-us (as timestamp cols); a mix of widths incl.
+    # empty (end == start -> instant width per TimeUtils.getIntervalEnd)
+    starts = np.array([0, 5, 10, 20, 20, 30], dtype=np.int64) * US
+    ends = np.array([10, 15, 10, 40, 25, 90], dtype=np.int64) * US
+    return pa.table(
+        {
+            "s": pa.array(starts, pa.timestamp("us")),
+            "e": pa.array(ends, pa.timestamp("us")),
+        }
+    )
+
+
+def _brute(starts, ends, lit_s, lit_e, fn):
+    ends = np.maximum(ends, starts + _INSTANT_US)
+    if lit_e <= lit_s:
+        lit_e = lit_s + _INSTANT_US
+    return np.array([fn(s, e, lit_s, lit_e) for s, e in zip(starts, ends)])
+
+
+TEMPORAL_MATRIX = [
+    # (method, brute-force semantics straight from the reference java)
+    ("after", lambda s, e, ls, le: s >= le),
+    ("before", lambda s, e, ls, le: e <= ls),
+    ("during", lambda s, e, ls, le: s >= ls and e <= le),
+    ("before_or_during", lambda s, e, ls, le: e <= le),
+    ("during_or_after", lambda s, e, ls, le: s >= ls),
+    ("time_overlaps", lambda s, e, ls, le: e > ls and s < le),
+    ("tequals", lambda s, e, ls, le: s == ls and e == le),
+]
+
+
+@pytest.mark.parametrize("name,brute", TEMPORAL_MATRIX)
+def test_temporal_predicate_matrix(name, brute):
+    t = _interval_table()
+    starts = t.column("s").cast(pa.int64()).to_numpy()
+    ends = t.column("e").cast(pa.int64()).to_numpy()
+    iv = tinterval("s", "e")
+    for lit_s, lit_e in [(5 * US, 25 * US), (10 * US, 10 * US), (0, 90 * US)]:
+        expr = getattr(iv, name)(tlit(lit_s, lit_e))
+        got = expr.evaluate(t).to_numpy(zero_copy_only=False)
+        want = _brute(starts, ends, lit_s, lit_e, brute)
+        assert np.array_equal(got, want), (name, lit_s, lit_e, got, want)
+
+
+def test_tbetween_and_instant_column():
+    t = _interval_table()
+    # instant column: width is exactly 1ms (reference TimeUtils +1ms rule)
+    inst = tcol("s")
+    s0, e0 = inst.evaluate(t)
+    assert (e0[0].as_py() - s0[0].as_py()) == _INSTANT_US
+    got = tinterval("s", "e").tbetween(tlit(5 * US), tlit(0, 40 * US)).evaluate(t)
+    starts = t.column("s").cast(pa.int64()).to_numpy()
+    ends = np.maximum(t.column("e").cast(pa.int64()).to_numpy(), starts + _INSTANT_US)
+    want = (starts >= 5 * US) & (ends <= 40 * US)
+    assert np.array_equal(got.to_numpy(zero_copy_only=False), want)
+
+
+def test_temporal_null_is_false():
+    t = pa.table(
+        {
+            "s": pa.array([None, 1 * US], pa.timestamp("us")),
+            "e": pa.array([2 * US, 2 * US], pa.timestamp("us")),
+        }
+    )
+    got = tinterval("s", "e").during(tlit(0, 10 * US)).evaluate(t)
+    assert got.to_pylist() == [False, True]
+
+
+def _points_table():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-10, 10, 200)
+    lat = rng.uniform(-10, 10, 200)
+    return pa.table({"lon": lon, "lat": lat, "tag": pa.array(["a"] * 200)})
+
+
+def test_spatial_bbox_and_pip():
+    t = _points_table()
+    lon = t.column("lon").to_numpy()
+    lat = t.column("lat").to_numpy()
+    s = scol()
+    got = s.bbox(-5, -5, 5, 5).evaluate(t).to_numpy(zero_copy_only=False)
+    want = (lon >= -5) & (lon <= 5) & (lat >= -5) & (lat <= 5)
+    assert np.array_equal(got, want)
+    # concave polygon goes through the raycast kernel
+    ring = np.array([(-5, -5), (5, -5), (5, 5), (0, 0), (-5, 5)], float)
+    got2 = s.intersects(ring).evaluate(t).to_numpy(zero_copy_only=False)
+    from geowave_ray.geom import pip_raycast
+
+    want2 = pip_raycast(lon, lat, np.vstack([ring, ring[:1]]))
+    assert np.array_equal(got2, want2)
+    got3 = s.disjoint(ring).evaluate(t).to_numpy(zero_copy_only=False)
+    assert np.array_equal(got3, ~want2)
+
+
+def test_cql_scalar_roundtrip():
+    t = pa.table(
+        {
+            "v": pa.array([1.0, 15.0, 30.0, 70.0]),
+            "kind": pa.array(["click", "view", "error", "click"]),
+            "note": pa.array(["abc", None, "bcd", "abd"]),
+        }
+    )
+    e = parse_cql("v BETWEEN 10 AND 60 AND kind IN ('click', 'view')")
+    assert e.evaluate(t).to_pylist() == [False, True, False, False]
+    e2 = parse_cql("note LIKE 'ab%' OR note IS NULL")
+    assert e2.evaluate(t).to_pylist() == [True, True, False, True]
+    e3 = parse_cql("NOT (v < 20)")
+    assert e3.evaluate(t).to_pylist() == [False, False, True, True]
+
+
+def test_cql_temporal_and_spatial():
+    t = pa.table(
+        {
+            "ts": pa.array(
+                np.array([0, 5, 10, 20], dtype=np.int64) * US * 86400,
+                pa.timestamp("us"),
+            ),
+            "lon": pa.array([0.0, 3.0, 9.0, -3.0]),
+            "lat": pa.array([0.0, 3.0, 9.0, -3.0]),
+        }
+    )
+    # days since epoch: 1970-01-01 .. 1970-01-21
+    e = parse_cql("ts AFTER 1970-01-06T00:00:00Z")
+    assert e.evaluate(t).to_pylist() == [False, False, True, True]
+    # instant at the interval end is NOT during: its +1ms width
+    # extends past the literal end (TimeUtils.getIntervalEnd rule)
+    e2 = parse_cql("ts DURING 1970-01-01T00:00:00Z/1970-01-11T00:00:00Z")
+    assert e2.evaluate(t).to_pylist() == [True, True, False, False]
+    e3 = parse_cql("BBOX(geometry, -5, -5, 5, 5) AND ts BEFORE 1970-01-02T00:00:00Z")
+    assert e3.evaluate(t).to_pylist() == [True, False, False, False]
+    e4 = parse_cql("INTERSECTS(geometry, POLYGON((-1 -1, 4 -1, 4 4, -1 4)))")
+    assert e4.evaluate(t).to_pylist() == [True, True, False, False]
+    e5 = parse_cql("DWITHIN(geometry, POINT(0 0), 5)")
+    assert e5.evaluate(t).to_pylist() == [True, True, False, True]
+
+
+def test_cql_filter_batch_on_dataset(ray_session):
+    import ray.data
+
+    t = _points_table()
+    ds = ray.data.from_arrow(t)
+    e = parse_cql("BBOX(geometry, -5, -5, 5, 5) AND tag = 'a'")
+    n = ds.map_batches(e.filter_batch, batch_format="pyarrow").count()
+    lon = t.column("lon").to_numpy()
+    lat = t.column("lat").to_numpy()
+    assert n == int(((lon >= -5) & (lon <= 5) & (lat >= -5) & (lat <= 5)).sum())
