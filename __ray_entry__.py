@@ -762,6 +762,26 @@ def q_dbscan(sf_dir: str):
     return out.groupby("cluster").aggregate(Count(alias_name="n_points"))
 
 
+# exact-DBSCAN query window: the uniform-background region (no
+# mega-hotspot) so the SQL oracle's recursive CC stays small
+_DB_WIN = (-180.0, -60.0, -100.0, 0.0)  # xmin ymin xmax ymax
+_DB_EPS = 1.0
+_DB_MINPTS = 5
+
+
+def q_dbscan_exact(sf_dir: str):
+    """Point-exact DBSCAN (tile-local UF + cross-tile merge) with a
+    full per-point oracle: (row_id, cluster) where cluster = min core
+    row_id of the density-connected component, -1 noise."""
+    from geowave_ray.pipelines.clustering import dbscan_exact
+
+    x1, y1, x2, y2 = _DB_WIN
+    ds = _pages(sf_dir, columns=["row_id"]).filter(
+        expr=f"lon >= {x1} and lon <= {x2} and lat >= {y1} and lat <= {y2}"
+    )
+    return dbscan_exact(ds, eps=_DB_EPS, min_pts=_DB_MINPTS)
+
+
 def q_sample_weighted(sf_dir: str):
     from geowave_ray.pipelines.distance_join import sample_weighted
 
@@ -1284,6 +1304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q_kmeans,
         "kmeans_hulls": q_kmeans_hulls,
         "dbscan": q_dbscan,
+        "dbscan_exact": q_dbscan_exact,
         "sample_weighted": q_sample_weighted,
         # multimodal binary plumbing
         "html_meta": q_html_meta,
@@ -1738,6 +1759,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_prefix_search": f"""
             SELECT url FROM {PAGES} WHERE url LIKE 'https://site7.example/%'
+        """,
+        # Point-exact DBSCAN: banded self-join neighbors; min-label
+        # connected components via recursive CTE; border = min cluster
+        # of eps-core-neighbors; noise -1 (mirrors the engine's
+        # deterministic label rule: cluster = min core row_id).
+        "dbscan_exact": f"""
+            WITH pts AS (
+              SELECT row_id AS pid, lon, lat FROM {PAGES}
+              WHERE lon BETWEEN {_DB_WIN[0]} AND {_DB_WIN[2]}
+                AND lat BETWEEN {_DB_WIN[1]} AND {_DB_WIN[3]}
+            ),
+            nbr AS (
+              SELECT a.pid AS ia, b.pid AS ib FROM pts a JOIN pts b
+              ON a.lat BETWEEN b.lat - {_DB_EPS} AND b.lat + {_DB_EPS}
+             AND a.lon BETWEEN b.lon - {_DB_EPS} AND b.lon + {_DB_EPS}
+             AND (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+                 <= {_DB_EPS * _DB_EPS}
+            ),
+            deg AS (SELECT ia AS pid, count(*) AS n FROM nbr GROUP BY 1),
+            core AS (SELECT pid FROM deg WHERE n >= {_DB_MINPTS}),
+            ce AS (
+              SELECT n.ia, n.ib FROM nbr n
+              JOIN core c1 ON n.ia = c1.pid JOIN core c2 ON n.ib = c2.pid
+            ),
+            r AS (
+              WITH RECURSIVE rr(pid, lab) AS (
+                SELECT pid, pid FROM core
+                UNION
+                SELECT ce.ib, rr.lab FROM rr JOIN ce ON ce.ia = rr.pid
+                WHERE rr.lab < ce.ib
+              ) SELECT * FROM rr
+            ),
+            lab AS (SELECT pid, min(lab) AS cluster FROM r GROUP BY pid),
+            border AS (
+              SELECT n.ia AS pid, min(l.cluster) AS cluster
+              FROM nbr n JOIN core c2 ON n.ib = c2.pid
+              JOIN lab l ON l.pid = n.ib
+              WHERE n.ia NOT IN (SELECT pid FROM core) GROUP BY n.ia
+            ),
+            noise AS (
+              SELECT pid, CAST(-1 AS BIGINT) AS cluster FROM pts
+              WHERE pid NOT IN (SELECT pid FROM core)
+                AND pid NOT IN (SELECT pid FROM border)
+            )
+            SELECT * FROM lab UNION ALL SELECT * FROM border
+            UNION ALL SELECT * FROM noise
         """,
         # CQL / temporal-spatial expression AST. Reference temporal
         # semantics: instant = [t, t+1ms); AFTER: start >= lit_end;

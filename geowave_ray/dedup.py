@@ -486,6 +486,21 @@ def connected_components(
                 }
             )
 
+        def pointer_rows(b: pa.Table) -> pa.Table:
+            # pointer jumping: ask for label[label[doc]] in the same
+            # exchange (jkey = current cluster, whose own label row is
+            # guaranteed to exist since labels are member doc ids) —
+            # turns O(diameter) propagation into O(log diameter)
+            k = b.column("doc_id").to_numpy()
+            return pa.table(
+                {
+                    "jkey": b.column("cluster"),
+                    "other": pa.array(k, pa.int64()),
+                    "cluster": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                    "is_label": pa.array(np.zeros(len(k), bool)),
+                }
+            )
+
         def bucketed(b: pa.Table) -> pa.Table:
             bk = mix64(b.column("jkey").to_numpy().astype(np.uint64)) % np.uint64(
                 n_buckets
@@ -512,7 +527,8 @@ def connected_components(
 
         u = (
             e_rows.union(
-                labels.map_batches(label_rows, batch_format="pyarrow", batch_size=None)
+                labels.map_batches(label_rows, batch_format="pyarrow", batch_size=None),
+                labels.map_batches(pointer_rows, batch_format="pyarrow", batch_size=None),
             )
             .map_batches(bucketed, batch_format="pyarrow", batch_size=None)
             .groupby("bucket")

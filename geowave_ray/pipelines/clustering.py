@@ -160,6 +160,523 @@ def _hull(pts: np.ndarray) -> np.ndarray:
     return np.array(lower[:-1] + upper[:-1])
 
 
+def _segments(keys_sorted: np.ndarray):
+    """Yield (start, end) index ranges of equal-key runs."""
+    if len(keys_sorted) == 0:
+        return
+    bounds = np.flatnonzero(np.diff(keys_sorted)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(keys_sorted)]])
+    yield from zip(starts, ends)
+
+
+# ---------------------------------------------------------------------------
+# point-exact DBSCAN
+# ---------------------------------------------------------------------------
+
+_DENSE_CELL = 512  # cell population above which the subcell path kicks in
+_PAIR_CHUNK = 2048  # row-chunk for pairwise distance blocks
+
+
+def _tile_local_dbscan(
+    x: np.ndarray,
+    y: np.ndarray,
+    pid: np.ndarray,
+    role: np.ndarray,  # 0 home, 1 halo<=1 cell, 2 halo<=2 cells
+    eps: float,
+    min_pts: int,
+):
+    """Exact DBSCAN inside one tile (+2-cell halo).
+
+    Points with role<=1 have their full eps-neighborhood present
+    (halo-2 supplies their candidates), so their core flags are exact.
+    Returns (claims, border_adj, noise): claims = (pid, root, is_home)
+    for every core participant; border_adj = (border_pid, core_root);
+    noise = home non-core pids with no core neighbor.
+
+    Dense cells (> _DENSE_CELL points) switch to a subcell grid of
+    width eps/3: subcell pairs whose max corner distance <= eps are
+    wholly connected (hub edges / bulk counts, no point pairs), pairs
+    whose min distance > eps are skipped, and only the uncertain band
+    pays point-level distance tests — so a million-point blob costs
+    O(m) instead of O(m^2).
+    """
+    m = len(x)
+    # global eps-cell keys (consistent across tiles)
+    ny_cells = int(np.ceil(180.0 / eps)) + 4
+    cx = np.floor((x + 180.0) / eps).astype(np.int64)
+    cy = np.floor((y + 90.0) / eps).astype(np.int64)
+    key = cx * np.int64(ny_cells) + cy
+    order = np.argsort(key, kind="mergesort")
+    x, y, pid, role, key = x[order], y[order], pid[order], role[order], key[order]
+    cx, cy = cx[order], cy[order]
+
+    ucells = key[np.concatenate([[True], key[1:] != key[:-1]])] if m else key
+    seg = list(_segments(key))
+    cell_start = np.array([s for s, _ in seg], dtype=np.int64)
+    cell_end = np.array([e for _, e in seg], dtype=np.int64)
+
+    def ring_candidates(ci: int) -> np.ndarray:
+        """Positions of all points in the 3x3 cell ring of ucells[ci]."""
+        c = ucells[ci]
+        ccx, ccy = c // ny_cells, c % ny_cells
+        out = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                k = (ccx + dx) * np.int64(ny_cells) + (ccy + dy)
+                j = np.searchsorted(ucells, k)
+                if j < len(ucells) and ucells[j] == k:
+                    out.append(np.arange(cell_start[j], cell_end[j]))
+        return np.concatenate(out) if out else np.empty(0, np.int64)
+
+    counts = np.zeros(m, dtype=np.int64)
+    eps2 = eps * eps
+
+    # subcell machinery (width eps/3; offsets classified once)
+    w = eps / 3.0
+    sub_ny = int(np.ceil(180.0 / w)) + 8
+    certain_off, uncertain_off = [], []
+    for du in range(-4, 5):
+        for dv in range(-4, 5):
+            mn = (max(abs(du) - 1, 0) ** 2 + max(abs(dv) - 1, 0) ** 2) * w * w
+            mx = ((abs(du) + 1) ** 2 + (abs(dv) + 1) ** 2) * w * w
+            if mn > eps2:
+                continue
+            (certain_off if mx <= eps2 else uncertain_off).append((du, dv))
+
+    # ---- pass A: exact neighbor counts for role<=1 points --------------
+    for ci in range(len(ucells)):
+        s, e = cell_start[ci], cell_end[ci]
+        need = role[s:e] <= 1
+        if not need.any():
+            continue
+        cand = ring_candidates(ci)
+        hpos = np.arange(s, e)[need]
+        if (e - s) <= _DENSE_CELL and len(cand) * len(hpos) <= 4_000_000:
+            for cs in range(0, len(hpos), _PAIR_CHUNK):
+                hc = hpos[cs:cs + _PAIR_CHUNK]
+                d = (x[hc, None] - x[cand][None, :]) ** 2 + (
+                    y[hc, None] - y[cand][None, :]
+                ) ** 2
+                counts[hc] = (d <= eps2).sum(axis=1)
+        else:
+            # dense: aggregate candidate subcell populations
+            su = np.floor((x[cand] + 180.0) / w).astype(np.int64)
+            sv = np.floor((y[cand] + 90.0) / w).astype(np.int64)
+            skey = su * np.int64(sub_ny) + sv
+            sorder = np.argsort(skey, kind="mergesort")
+            cand_s = cand[sorder]
+            skey_s = skey[sorder]
+            sx, sy_ = x[cand_s], y[cand_s]
+            uskey = skey_s[np.concatenate([[True], skey_s[1:] != skey_s[:-1]])]
+            sseg = list(_segments(skey_s))
+            sstart = np.array([a for a, _ in sseg], np.int64)
+            send = np.array([b for _, b in sseg], np.int64)
+            spop = send - sstart
+            hsu = np.floor((x[hpos] + 180.0) / w).astype(np.int64)
+            hsv = np.floor((y[hpos] + 90.0) / w).astype(np.int64)
+            cnt = np.zeros(len(hpos), np.int64)
+            for du, dv in certain_off:
+                k = (hsu + du) * np.int64(sub_ny) + (hsv + dv)
+                j = np.clip(np.searchsorted(uskey, k), 0, len(uskey) - 1)
+                hit = uskey[j] == k
+                cnt[hit] += spop[j[hit]]
+            for du, dv in uncertain_off:
+                k = (hsu + du) * np.int64(sub_ny) + (hsv + dv)
+                j = np.clip(np.searchsorted(uskey, k), 0, len(uskey) - 1)
+                hit = np.flatnonzero(uskey[j] == k)
+                for hi in hit:  # per-point small pairwise block
+                    a, b = sstart[j[hi]], send[j[hi]]
+                    p = hpos[hi]
+                    cnt[hi] += int(
+                        ((x[p] - sx[a:b]) ** 2 + (y[p] - sy_[a:b]) ** 2 <= eps2).sum()
+                    )
+            counts[hpos] = cnt
+        # role-2 halo points keep count 0 (flags never used)
+
+    core = (counts >= min_pts) & (role <= 1)
+
+    # ---- pass B: core-core edges, border adjacency, noise --------------
+    e_i, e_j = [], []  # positions
+    adj_b, adj_c = [], []  # border pid, core position
+    noise_ids = []
+    for ci in range(len(ucells)):
+        s, e = cell_start[ci], cell_end[ci]
+        mem = np.arange(s, e)
+        hcore = mem[core[s:e]]
+        hbord = mem[(role[s:e] == 0) & ~core[s:e]]
+        if len(hcore) == 0 and len(hbord) == 0:
+            continue
+        cand = ring_candidates(ci)
+        ccand = cand[core[cand]]
+        dense = (e - s) > _DENSE_CELL or len(cand) * max(len(hcore), len(hbord)) > 4_000_000
+        if not dense:
+            if len(hcore) and len(ccand):
+                for cs in range(0, len(hcore), _PAIR_CHUNK):
+                    hc = hcore[cs:cs + _PAIR_CHUNK]
+                    d = (x[hc, None] - x[ccand][None, :]) ** 2 + (
+                        y[hc, None] - y[ccand][None, :]
+                    ) ** 2
+                    ii, jj = np.nonzero(d <= eps2)
+                    e_i.append(hc[ii])
+                    e_j.append(ccand[jj])
+            if len(hbord) and len(ccand):
+                for cs in range(0, len(hbord), _PAIR_CHUNK):
+                    hb = hbord[cs:cs + _PAIR_CHUNK]
+                    d = (x[hb, None] - x[ccand][None, :]) ** 2 + (
+                        y[hb, None] - y[ccand][None, :]
+                    ) ** 2
+                    within = d <= eps2
+                    ii, jj = np.nonzero(within)
+                    adj_b.append(pid[hb][ii])
+                    adj_c.append(ccand[jj])
+                    lone = hb[~within.any(axis=1)]
+                    noise_ids.append(pid[lone])
+            elif len(hbord):
+                noise_ids.append(pid[hbord])
+            continue
+        # ---- dense cell: subcell hubs ----------------------------------
+        su_all = np.floor((x + 180.0) / w).astype(np.int64)
+        sv_all = np.floor((y + 90.0) / w).astype(np.int64)
+        ckey = su_all[ccand] * np.int64(sub_ny) + sv_all[ccand]
+        corder = np.argsort(ckey, kind="mergesort")
+        ccand_s = ckey_s = None
+        ccand_s = ccand[corder]
+        ckey_s = ckey[corder]
+        uck = ckey_s[np.concatenate([[True], ckey_s[1:] != ckey_s[:-1]])] if len(ckey_s) else ckey_s
+        cseg = list(_segments(ckey_s))
+        cstart = np.array([a for a, _ in cseg], np.int64)
+        cend = np.array([b for _, b in cseg], np.int64)
+        # star-chain all core points inside one subcell to its hub
+        for a, b in zip(cstart, cend):
+            if b - a > 1:
+                e_i.append(np.full(b - a - 1, ccand_s[a]))
+                e_j.append(ccand_s[a + 1:b])
+
+        def link(points_pos, emit_adj: bool):
+            """Connect each position in points_pos to core subcells:
+            certain -> hub edge / adjacency; uncertain -> point tests."""
+            psu = su_all[points_pos]
+            psv = sv_all[points_pos]
+            for du, dv in certain_off:
+                k = (psu + du) * np.int64(sub_ny) + (psv + dv)
+                j = np.clip(np.searchsorted(uck, k), 0, len(uck) - 1) if len(uck) else None
+                if j is None:
+                    return
+                hit = np.flatnonzero(uck[j] == k)
+                if len(hit):
+                    hubs = ccand_s[cstart[j[hit]]]
+                    if emit_adj:
+                        adj_b.append(pid[points_pos[hit]])
+                        adj_c.append(hubs)
+                    else:
+                        e_i.append(points_pos[hit])
+                        e_j.append(hubs)
+            for du, dv in uncertain_off:
+                k = (psu + du) * np.int64(sub_ny) + (psv + dv)
+                j = np.clip(np.searchsorted(uck, k), 0, len(uck) - 1)
+                hit = np.flatnonzero(uck[j] == k)
+                for hi in hit:
+                    a, b = cstart[j[hi]], cend[j[hi]]
+                    p = points_pos[hi]
+                    sel = (x[p] - x[ccand_s[a:b]]) ** 2 + (
+                        y[p] - y[ccand_s[a:b]]
+                    ) ** 2 <= eps2
+                    tgts = ccand_s[a:b][sel]
+                    if len(tgts):
+                        if emit_adj:
+                            adj_b.append(np.full(len(tgts), pid[p]))
+                            adj_c.append(tgts)
+                        else:
+                            e_i.append(np.full(len(tgts), p))
+                            e_j.append(tgts)
+
+        if len(hcore) and len(uck):
+            link(hcore, emit_adj=False)
+        if len(hbord):
+            if len(uck):
+                before = sum(len(a) for a in adj_b)
+                link(hbord, emit_adj=True)
+                # noise: borders that emitted nothing
+                got = np.zeros(len(hbord), bool)
+                # recompute which borders have any core neighbor (cheap:
+                # count via certain/uncertain membership)
+                has = np.zeros(len(hbord), bool)
+                psu = su_all[hbord]
+                psv = sv_all[hbord]
+                for du, dv in certain_off + uncertain_off:
+                    k = (psu + du) * np.int64(sub_ny) + (psv + dv)
+                    j = np.clip(np.searchsorted(uck, k), 0, len(uck) - 1)
+                    cand_hit = np.flatnonzero((uck[j] == k) & ~has)
+                    for hi in cand_hit:
+                        a, b = cstart[j[hi]], cend[j[hi]]
+                        p = hbord[hi]
+                        if (
+                            (x[p] - x[ccand_s[a:b]]) ** 2
+                            + (y[p] - y[ccand_s[a:b]]) ** 2
+                            <= eps2
+                        ).any():
+                            has[hi] = True
+                noise_ids.append(pid[hbord[~has]])
+                del got, before
+            else:
+                noise_ids.append(pid[hbord])
+
+    # ---- local union-find over core positions (min-pid labels) ---------
+    core_pos = np.flatnonzero(core)
+    labels = pid.astype(np.int64).copy()
+    if len(e_i):
+        ei = np.concatenate(e_i)
+        ej = np.concatenate(e_j)
+        pid_sorted_idx = np.argsort(pid, kind="mergesort")
+        pid_sorted = pid[pid_sorted_idx]
+        for _ in range(64):  # log2 diameter with pointer jumping
+            before = labels[core_pos].copy() if len(core_pos) else labels
+            np.minimum.at(labels, ei, labels[ej])
+            np.minimum.at(labels, ej, labels[ei])
+            # pointer jump: label <- label[label] (labels are pids)
+            lpos = pid_sorted_idx[
+                np.clip(np.searchsorted(pid_sorted, labels[core_pos]), 0, m - 1)
+            ]
+            labels[core_pos] = np.minimum(labels[core_pos], labels[lpos])
+            if np.array_equal(labels[core_pos], before):
+                break
+
+    claims = (
+        pid[core_pos],
+        labels[core_pos],
+        role[core_pos] == 0,
+    )
+    if adj_b:
+        border_adj = (np.concatenate(adj_b), labels[np.concatenate(adj_c)])
+    else:
+        border_adj = (np.empty(0, np.int64), np.empty(0, np.int64))
+    noise = np.concatenate(noise_ids) if noise_ids else np.empty(0, np.int64)
+    return claims, border_adj, noise
+
+
+def dbscan_exact(
+    points: ray.data.Dataset,
+    eps: float = 1.0,
+    min_pts: int = 5,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "row_id",
+    tile_cells: int = 64,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """POINT-EXACT distributed DBSCAN (planar metric), the reference's
+    partition/local-cluster/merge architecture
+    (``analytics/mapreduce/dbscan/DBScanMapReduce.java:59-87``,
+    partitioning ``analytics/api/.../partitioner/AbstractPartitioner.java``)
+    re-expressed as ONE Ray Data exchange plus a tiny merge:
+
+    1. each point is assigned to its tile (``tile_cells`` eps-cells
+       square) and duplicated into adjacent tiles when within 2
+       eps-cells of the boundary (~(T+4)^2/T^2 duplication, ~13% at
+       T=64) — NOT the 9x duplication of naive cell rings;
+    2. per tile (one ``groupby().map_groups``): exact core flags,
+       core-core edges, vectorized local union-find with pointer
+       jumping -> tile-local min-pid roots (`_tile_local_dbscan`);
+    3. points in >1 tile carry their roots to a bucketed claims
+       exchange; conflicting roots become merge edges — a graph
+       bounded by clusters that CROSS tile boundaries — resolved by
+       driver union-find (the reference's reducer merge role) and
+       broadcast back with ``ray.put``;
+    4. border points take min(cluster of eps-core-neighbors); noise
+       is decided inside the tile pass.
+
+    Output: (pid, cluster) per input point; cluster = min core pid of
+    the density-connected component, -1 noise — identical at any
+    parallelism and matching sequential DBSCAN up to DBSCAN's
+    well-known border-tie choice, which we fix deterministically to
+    the min cluster label.
+    """
+    from ..hashing import mix64
+
+    tile_w = eps * tile_cells
+    ny_t = int(np.ceil(180.0 / tile_w)) + 2
+
+    def tile_rows(batch: pa.Table) -> pa.Table:
+        lon = batch.column(lon_col).to_numpy()
+        lat = batch.column(lat_col).to_numpy()
+        ids = batch.column(id_col).to_numpy()
+        tx = np.floor((lon + 180.0) / tile_w).astype(np.int64)
+        ty = np.floor((lat + 90.0) / tile_w).astype(np.int64)
+        # offset within tile in eps cells
+        ox = (lon + 180.0) / eps - tx * tile_cells
+        oy = (lat + 90.0) / eps - ty * tile_cells
+        out_key, out_idx, out_role = [], [], []
+        base = np.arange(len(lon))
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    sel = base
+                    role = np.zeros(len(lon), np.int8)
+                else:
+                    # within 2 eps-cells of that neighbor tile?
+                    dist_x = np.where(dx == 0, 0.0, np.where(dx < 0, ox, tile_cells - ox))
+                    dist_y = np.where(dy == 0, 0.0, np.where(dy < 0, oy, tile_cells - oy))
+                    d = np.maximum(dist_x, dist_y)
+                    sel = base[(d <= 2.0)]
+                    if len(sel) == 0:
+                        continue
+                    d1 = np.maximum(dist_x, dist_y)[sel]
+                    role = np.where(d1 <= 1.0, 1, 2).astype(np.int8)
+                    # the world does not wrap: drop out-of-range target
+                    # tiles (ty+dy=-1 would alias (tx-1, ny_t-1))
+                    inb = (ty[sel] + dy >= 0) & (ty[sel] + dy < ny_t)
+                    sel = sel[inb]
+                    role = role[inb]
+                    if len(sel) == 0:
+                        continue
+                key = (tx[sel] + dx) * np.int64(ny_t) + (ty[sel] + dy)
+                out_key.append(key)
+                out_idx.append(sel)
+                out_role.append(role)
+        key = np.concatenate(out_key)
+        idx = np.concatenate(out_idx)
+        t = pa.table(
+            {
+                "tile": pa.array(key, pa.int64()),
+                "pid": pa.array(ids[idx].astype(np.int64), pa.int64()),
+                "x": pa.array(lon[idx], pa.float64()),
+                "y": pa.array(lat[idx], pa.float64()),
+                "role": pa.array(np.concatenate(out_role), pa.int8()),
+            }
+        )
+        bk = mix64(key.astype(np.uint64)) % np.uint64(n_buckets)
+        return t.append_column("bucket", pa.array(bk.astype(np.int64), pa.int64()))
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        tiles = g["tile"].to_numpy()
+        order = np.argsort(tiles, kind="mergesort")
+        tiles = tiles[order]
+        x = g["x"].to_numpy()[order]
+        y = g["y"].to_numpy()[order]
+        pid = g["pid"].to_numpy()[order]
+        role = g["role"].to_numpy()[order]
+        out_a, out_b, out_kind = [], [], []
+        for s, e in _segments(tiles):
+            (cpid, croot, chome), (bpid, broot), noise = _tile_local_dbscan(
+                x[s:e], y[s:e], pid[s:e], role[s:e], eps, min_pts
+            )
+            # kind 0: claim (all core participants); kind 3: home core
+            out_a.append(cpid)
+            out_b.append(croot)
+            out_kind.append(np.zeros(len(cpid), np.int8))
+            out_a.append(cpid[chome])
+            out_b.append(croot[chome])
+            out_kind.append(np.full(int(chome.sum()), 3, np.int8))
+            out_a.append(bpid)
+            out_b.append(broot)
+            out_kind.append(np.ones(len(bpid), np.int8))
+            out_a.append(noise)
+            out_b.append(np.full(len(noise), -1, np.int64))
+            out_kind.append(np.full(len(noise), 2, np.int8))
+        if not out_a:
+            return pd.DataFrame({"a": [], "b": [], "kind": []}).astype(
+                {"a": np.int64, "b": np.int64, "kind": np.int8}
+            )
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a).astype(np.int64),
+                "b": np.concatenate(out_b).astype(np.int64),
+                "kind": np.concatenate(out_kind),
+            }
+        )
+
+    tagged = (
+        points.map_batches(tile_rows, batch_format="pyarrow", batch_size=None)
+        .repartition(n_buckets // 4)
+        .groupby("bucket")
+        .map_groups(local, batch_format="pandas")
+        .materialize()
+    )
+
+    # ---- cross-tile root merge (bounded by boundary-crossing clusters) -
+    def claim_buckets(b: pa.Table) -> pa.Table:
+        bk = mix64(b.column("a").to_numpy().astype(np.uint64)) % np.uint64(n_buckets)
+        return b.append_column("cbk", pa.array(bk.astype(np.int64), pa.int64()))
+
+    def merge_edges(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["a"].to_numpy()
+        roots = g["b"].to_numpy()
+        order = np.lexsort((roots, ids))
+        ids, roots = ids[order], roots[order]
+        # per pid: pair its min root with every other distinct root
+        first = np.ones(len(ids), bool)
+        first[1:] = ids[1:] != ids[:-1]
+        seg_min = roots[np.flatnonzero(first)]
+        seg_idx = np.cumsum(first) - 1
+        other = roots != seg_min[seg_idx]
+        return pd.DataFrame(
+            {"ra": seg_min[seg_idx[other]], "rb": roots[other]}
+        ).drop_duplicates()
+
+    pairs = (
+        tagged.filter(expr="kind == 0")
+        .map_batches(claim_buckets, batch_format="pyarrow", batch_size=None)
+        .groupby("cbk")
+        .map_groups(merge_edges, batch_format="pandas")
+        .to_pandas()
+    )
+    if "ra" not in pairs.columns:  # no cross-tile clusters anywhere
+        pairs = pd.DataFrame({"ra": np.empty(0, np.int64), "rb": np.empty(0, np.int64)})
+    # driver union-find over the (small) root graph — the reference's
+    # reducer-side cluster merge (DBScanMapReduce.java:59-87)
+    parent: dict[int, int] = {}
+
+    def find(r: int) -> int:
+        while parent.get(r, r) != r:
+            parent[r] = parent.get(parent[r], parent[r])
+            r = parent[r]
+        return r
+
+    for ra, rb in zip(pairs["ra"].to_numpy(), pairs["rb"].to_numpy()):
+        a, b = find(int(ra)), find(int(rb))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    remap = {r: find(r) for r in list(parent)}
+    if remap:
+        rk = np.array(sorted(remap), dtype=np.int64)
+        rv = np.array([remap[k] for k in rk], dtype=np.int64)
+    else:
+        rk = np.empty(0, np.int64)
+        rv = np.empty(0, np.int64)
+    rref = ray.put((rk, rv))
+
+    def map_roots(b: pa.Table, col: str) -> pa.Table:
+        rk_, rv_ = ray.get(rref)
+        v = b.column(col).to_numpy().copy()
+        if len(rk_):
+            j = np.clip(np.searchsorted(rk_, v), 0, len(rk_) - 1)
+            hit = rk_[j] == v
+            v[hit] = rv_[j[hit]]
+        return pa.table({"pid": b.column("a"), "cluster": pa.array(v, pa.int64())})
+
+    core_final = tagged.filter(expr="kind == 3").map_batches(
+        lambda b: map_roots(b, "b"), batch_format="pyarrow", batch_size=None
+    )
+    from ..agg import tree_aggregate
+
+    border_mapped = tagged.filter(expr="kind == 1").map_batches(
+        lambda b: map_roots(b, "b"), batch_format="pyarrow", batch_size=None
+    )
+    border_final = tree_aggregate(border_mapped, ["pid"], {"cluster": "min"})
+    noise_final = tagged.filter(expr="kind == 2").map_batches(
+        lambda b: pa.table(
+            {
+                "pid": b.column("a"),
+                "cluster": pa.array(np.full(len(b), -1, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return core_final.union(border_final).union(noise_final)
+
+
 def dbscan(
     points: ray.data.Dataset,
     eps: float = 0.05,
