@@ -753,6 +753,18 @@ def q_kmeans(sf_dir: str):
     return assigned.groupby("cluster").aggregate(Count(alias_name="n_points"))
 
 
+def q_kmeans_pp(sf_dir: str):
+    """KMeans with k-means|| (Bahman weighted) init — the reference's
+    KSampler/BahmanEtAlSampleProbabilityFn path; deterministic at any
+    parallelism (rows-only + pytest inertia/determinism oracle)."""
+    from ray.data.aggregate import Count
+
+    from geowave_ray.pipelines.clustering import kmeans
+
+    _, assigned = kmeans(_pages(sf_dir), k=8, n_iter=6, init="kmeans||")
+    return assigned.groupby("cluster").aggregate(Count(alias_name="n_points"))
+
+
 def q_dbscan(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1302,6 +1314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distance join / clustering / sampling
         "within_distance": q_within_distance,
         "kmeans": q_kmeans,
+        "kmeans_pp": q_kmeans_pp,
         "kmeans_hulls": q_kmeans_hulls,
         "dbscan": q_dbscan,
         "dbscan_exact": q_dbscan_exact,

@@ -40,6 +40,128 @@ def _init_centroids(k: int, seed: int = 42) -> np.ndarray:
     return np.array(pts, dtype=np.float64)
 
 
+def kmeans_parallel_init(
+    points: ray.data.Dataset,
+    k: int,
+    rounds: int = 3,
+    oversample: float = 2.0,
+    seed: int = 42,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> np.ndarray:
+    """k-means|| initialization (Bahman et al., "Scalable k-means++",
+    VLDB 2012) — the reference's weighted sampling init
+    (``analytics/api/.../sample/BahmanEtAlSampleProbabilityFn.java:21-26``:
+    p(x) = sampleSize * d^2(x,C) / phi, driven by
+    ``KSamplerMapReduce``/``KMeansParallelInitialize``).
+
+    Each round is one streaming pass: points sample themselves into
+    the candidate set with probability l*d^2(x,C)/phi using a
+    DETERMINISTIC per-point hash draw (splitmix of lon/lat bits x
+    round), so any parallelism yields the same candidates. Candidates
+    (O(l*rounds), tiny) are then weighted by a nearest-candidate count
+    pass and reduced to k centroids with weighted k-means++ on the
+    driver.
+    """
+    from ..hashing import mix64
+
+    ell = max(int(oversample * k), 1)
+    # first center: deterministic hash point (same rule as _init_centroids)
+    centers = _init_centroids(1, seed)
+
+    def dist2_min(lon, lat, c):
+        return ((lon[None, :] - c[:, 0:1]) ** 2 + (lat[None, :] - c[:, 1:2]) ** 2).min(
+            axis=0
+        )
+
+    def draw(lon, lat, rnd):
+        """Per-point uniform [0,1) from coordinate bits (deterministic)."""
+        salt = np.uint64((rnd * 0x9E3779B97F4A7C15) % (1 << 64))
+        bits = lon.view(np.uint64) ^ mix64(lat.view(np.uint64) + salt)
+        return mix64(bits).astype(np.float64) / 2.0**64
+
+    for rnd in range(rounds):
+        cref = ray.put(centers)
+
+        def phi_pass(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            lon = batch.column(lon_col).to_numpy()
+            lat = batch.column(lat_col).to_numpy()
+            return pa.table({"phi": pa.array([float(dist2_min(lon, lat, c).sum())])})
+
+        phi = (
+            points.map_batches(phi_pass, batch_format="pyarrow", batch_size=None)
+            .sum("phi")
+        )
+        if phi <= 0:
+            break
+
+        def sample_pass(batch: pa.Table, rnd=rnd, phi=phi) -> pa.Table:
+            c = ray.get(cref)
+            lon = batch.column(lon_col).to_numpy()
+            lat = batch.column(lat_col).to_numpy()
+            p = ell * dist2_min(lon, lat, c) / phi
+            sel = draw(lon, lat, rnd) < p
+            return pa.table(
+                {"clon": pa.array(lon[sel]), "clat": pa.array(lat[sel])}
+            )
+
+        new = points.map_batches(
+            sample_pass, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        if len(new):
+            cand = new[["clon", "clat"]].to_numpy()
+            # canonical order: the collect arrives in block order, which
+            # depends on parallelism — sort so results are identical at
+            # any block count
+            cand = cand[np.lexsort((cand[:, 1], cand[:, 0]))]
+            centers = np.vstack([centers, cand])
+
+    # weight candidates by nearest-point counts (one pass, k-bounded)
+    cref = ray.put(centers)
+
+    def weight_pass(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        lon = batch.column(lon_col).to_numpy()
+        lat = batch.column(lat_col).to_numpy()
+        d = (lon[None, :] - c[:, 0:1]) ** 2 + (lat[None, :] - c[:, 1:2]) ** 2
+        a = np.argmin(d, axis=0)
+        w = np.zeros(len(c), np.int64)
+        np.add.at(w, a, 1)
+        return pa.table(
+            {"cid": pa.array(np.arange(len(c)), pa.int64()), "w": pa.array(w)}
+        )
+
+    wdf = (
+        points.map_batches(weight_pass, batch_format="pyarrow", batch_size=None)
+        .groupby("cid")
+        .sum("w")
+        .to_pandas()
+        .sort_values("cid")
+    )
+    weights = wdf["sum(w)"].to_numpy().astype(np.float64)
+
+    # weighted k-means++ over the candidate set (driver; candidates are
+    # O(oversample * k * rounds))
+    if len(centers) <= k:
+        return centers
+    chosen = [int(np.argmax(weights))]
+    d2 = ((centers - centers[chosen[0]]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        score = weights * d2
+        tot = score.sum()
+        if tot <= 0:
+            nxt = int(np.argmin(d2 > -1))  # all coincide: take first
+        else:
+            # deterministic "sample": splitmix draw over cumulative mass
+            u = (mix64(np.array([seed * 1000 + i], np.uint64))[0] / 2.0**64) * tot
+            nxt = int(np.searchsorted(np.cumsum(score), u))
+            nxt = min(nxt, len(centers) - 1)
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((centers - centers[nxt]) ** 2).sum(axis=1))
+    return centers[chosen]
+
+
 def kmeans(
     points: ray.data.Dataset,
     k: int = 8,
@@ -47,6 +169,7 @@ def kmeans(
     seed: int = 42,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    init: str = "hash",
 ) -> tuple[np.ndarray, ray.data.Dataset]:
     """Lloyd's KMeans; returns (centroids (k,2), assignment Dataset).
 
@@ -54,8 +177,17 @@ def kmeans(
     the nearest centroid (vectorized (k, n) distance) and emit k rows
     of (sum_lon, sum_lat, count) partials; driver merges and updates.
     Shuffle-free — the reduction payload is k rows per batch.
+
+    ``init``: "hash" (spread-out deterministic, can seed empty
+    clusters) or "kmeans||" (Bahman weighted init, the reference's
+    KSampler path — better seeding on clustered data).
     """
-    centroids = _init_centroids(k, seed)
+    if init == "kmeans||":
+        centroids = kmeans_parallel_init(
+            points, k, seed=seed, lon_col=lon_col, lat_col=lat_col
+        )
+    else:
+        centroids = _init_centroids(k, seed)
 
     for _ in range(n_iter):
         cref = ray.put(centroids)

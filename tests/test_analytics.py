@@ -137,3 +137,39 @@ def test_lag_per_key_and_sliding(ray_session):
     # events at t=100..400: window starting 0 covers 100,150; window 1
     # covers 100..299 -> ids ts 100,150,200; etc. verify total multiplicity
     assert sw["n"].sum() == 10  # each event in exactly 2 windows
+
+
+def test_kmeans_parallel_init(ray_session):
+    """k-means|| init (BahmanEtAlSampleProbabilityFn role): beats the
+    hash init on clustered data and is parallelism-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from geowave_ray.pipelines.clustering import kmeans
+
+    rng = np.random.default_rng(5)
+    blobs = []
+    for cx, cy in [(-50, 20), (30, -10), (100, 40), (0, 60)]:
+        blobs.append(
+            np.column_stack(
+                [cx + rng.standard_normal(800), cy + rng.standard_normal(800)]
+            )
+        )
+    pts = np.vstack(blobs)
+    t = pa.table({"lon": pa.array(pts[:, 0]), "lat": pa.array(pts[:, 1])})
+
+    def inertia(c):
+        d = ((pts[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    ds = ray.data.from_arrow(t)
+    c_hash, _ = kmeans(ds, k=4, n_iter=6, init="hash")
+    c_pp, _ = kmeans(ds, k=4, n_iter=6, init="kmeans||")
+    assert inertia(c_pp) <= inertia(c_hash) * 1.01
+    # each blob center recovered within 1 deg
+    for cx, cy in [(-50, 20), (30, -10), (100, 40), (0, 60)]:
+        assert (((c_pp - (cx, cy)) ** 2).sum(axis=1) ** 0.5).min() < 1.0
+    c_pp2, _ = kmeans(ds.repartition(9), k=4, n_iter=6, init="kmeans||")
+    assert np.allclose(c_pp, c_pp2)
