@@ -566,6 +566,46 @@ def q_tile_merge_sum(sf_dir: str):
     return merged.map_batches(summarize, batch_format="pyarrow", batch_size=None)
 
 
+def q_tile_merge_nodata(sf_dir: str):
+    """Multi-band nodata-aware tile mosaic (NoDataMergeStrategy:
+    latest-seq wins, holes fill from earlier); output per-tile-band
+    aggregates of the merged raster."""
+    from geowave_ray.pipelines.tiles import TILE_SIZE, merge_tiles_nodata
+
+    chunks = _read(sf_dir, "raster_chunks_mb")
+    merged = merge_tiles_nodata(chunks)
+
+    def per_band(batch: pa.Table) -> pa.Table:
+        out = {"level": [], "tile_x": [], "tile_y": [], "band": [],
+               "n_data": [], "data_sum": []}
+        for i in range(batch.num_rows):
+            nb = int(batch.column("bands")[i].as_py())
+            nodata = float(batch.column("nodata")[i].as_py())
+            px = np.asarray(
+                batch.column("pixels")[i].as_py(), dtype=np.float64
+            ).reshape(nb, TILE_SIZE * TILE_SIZE)
+            valid = px != nodata
+            for b in range(nb):
+                out["level"].append(int(batch.column("level")[i].as_py()))
+                out["tile_x"].append(int(batch.column("tile_x")[i].as_py()))
+                out["tile_y"].append(int(batch.column("tile_y")[i].as_py()))
+                out["band"].append(b)
+                out["n_data"].append(int(valid[b].sum()))
+                out["data_sum"].append(float(px[b][valid[b]].sum()))
+        return pa.table(
+            {
+                "level": pa.array(out["level"], pa.int64()),
+                "tile_x": pa.array(out["tile_x"], pa.int64()),
+                "tile_y": pa.array(out["tile_y"], pa.int64()),
+                "band": pa.array(out["band"], pa.int64()),
+                "n_data": pa.array(out["n_data"], pa.int64()),
+                "data_sum": pa.array(out["data_sum"], pa.float64()),
+            }
+        )
+
+    return merged.map_batches(per_band, batch_format="pyarrow", batch_size=None)
+
+
 def q_subsample_cells(sf_dir: str):
     from geowave_ray.pipelines.query import subsample_by_cell
     from geowave_ray.stages.cell_encode import encode_points
@@ -1281,6 +1321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": q_tile_assign,
         "tile_pixel_sum": q_tile_pixel_sum,
         "tile_merge_sum": q_tile_merge_sum,
+        "tile_merge_nodata": q_tile_merge_nodata,
         # KDE
         "kde_gaussian": q_kde_gaussian,
         # documents / text
@@ -1351,6 +1392,7 @@ def oracle_sql() -> dict[str, str]:
     QEDGES = f"read_parquet('{fx}/query_edges.parquet')"
     KNNQ = f"read_parquet('{fx}/knn_queries.parquet')"
     CHUNKS = f"read_parquet('{fx}/raster_chunks.parquet')"
+    MBCHUNKS = f"read_parquet('{fx}/raster_chunks_mb.parquet')"
     CREGIONS = f"read_parquet('{fx}/concave_regions.parquet')"
     CEDGES = f"read_parquet('{fx}/concave_edges.parquet')"
 
@@ -1586,6 +1628,50 @@ def oracle_sql() -> dict[str, str]:
             FROM n JOIN (
               SELECT level, tile_x, tile_y, sum(val) AS pixel_total FROM v GROUP BY 1, 2, 3
             ) s USING (level, tile_x, tile_y)
+        """,
+        # multi-band nodata merge: per tile pixel per band, the sample
+        # of the max-seq contribution with data (NoDataMergeStrategy)
+        "tile_merge_nodata": f"""
+            WITH c AS (
+              SELECT chunk_id, seq, xmin, ymin, xmax, ymax, width, height,
+                     bands, nodata, pixels,
+                     (xmax - xmin) / width AS res,
+                     (ymax - ymin) / height AS resy,
+                     LEAST(GREATEST(CAST(floor(log2(360.0 / ((xmax - xmin) / width * 64.0))) AS BIGINT), 0), 16) AS level
+              FROM {MBCHUNKS}
+            ), t AS (SELECT *, 360.0 / power(2.0, level) AS td FROM c),
+            ax AS (
+              SELECT *, unnest(generate_series(CAST(floor((xmin + 180.0) / td) AS BIGINT),
+                                               CAST(ceil((xmax + 180.0) / td) AS BIGINT) - 1)) AS tile_x
+              FROM t
+            ), b AS (
+              SELECT *, unnest(generate_series(CAST(floor((ymin + 90.0) / td) AS BIGINT),
+                                               CAST(ceil((ymax + 90.0) / td) AS BIGINT) - 1)) AS tile_y
+              FROM ax
+            ), px AS (
+              SELECT b.level, b.tile_x, b.tile_y, b.seq, b.nodata, b.pixels,
+                     b.width, b.height, k.band, i.i, j.j,
+                     CAST(floor(((-180.0 + (b.tile_x + (i.i + 0.5) / 64.0) * b.td) - b.xmin) / b.res) AS BIGINT) AS ix,
+                     CAST(floor(((-90.0 + (b.tile_y + (j.j + 0.5) / 64.0) * b.td) - b.ymin) / b.resy) AS BIGINT) AS iy
+              FROM b,
+                   (SELECT unnest(generate_series(0, 63)) AS i) i,
+                   (SELECT unnest(generate_series(0, 63)) AS j) j,
+                   (SELECT unnest(generate_series(0, 1)) AS band) k
+            ), v AS (
+              SELECT level, tile_x, tile_y, band, i, j, seq, nodata,
+                     CASE WHEN ix >= 0 AND ix < width AND iy >= 0 AND iy < height
+                          THEN pixels[CAST(band * width * height + iy * width + ix + 1 AS INT)]
+                          ELSE NULL END AS val
+              FROM px
+            ), m AS (
+              SELECT level, tile_x, tile_y, band, i, j,
+                     arg_max(val, seq) FILTER (WHERE val IS NOT NULL AND val <> nodata) AS merged
+              FROM v GROUP BY 1, 2, 3, 4, 5, 6
+            )
+            SELECT level, tile_x, tile_y, band,
+                   CAST(count(merged) AS BIGINT) AS n_data,
+                   COALESCE(sum(merged), 0.0) AS data_sum
+            FROM m GROUP BY 1, 2, 3, 4
         """,
         "tile_pixel_sum": f"""
             WITH a AS ({tile_assign}),

@@ -375,6 +375,58 @@ def gen_raster_chunks(n_chunks: int) -> pa.Table:
     )
 
 
+def gen_raster_chunks_mb(n_chunks: int, bands: int = 2) -> pa.Table:
+    """Multi-band chunks with nodata holes and a merge sequence — the
+    NoDataMergeStrategy fixture (latest-wins, fill holes from earlier;
+    ``extensions/adapters/raster/.../nodata/NoDataMergeStrategy.java``).
+
+    Pixels are band-major (band, row, col), value ``(7i + 3b + idx) % 97``
+    with deterministic nodata holes where ``(idx*31 + i) % 11 == 0``.
+    """
+    nodata = -9999.0
+    w = h = 32
+    cid, xmins, ymins, xmaxs, ymaxs, ws, hs, pix, seqs = (
+        [], [], [], [], [], [], [], [], [],
+    )
+    for i in range(n_chunks):
+        if i % 2 == 1:  # overlap pair (same placement rule as raster_chunks)
+            base = i - 1
+            bw = 1.0 + (base % 4)
+            cx = _u(f"mbx{base}", -170.0, 166.0) + bw / 2
+            cy = _u(f"mby{base}", -80.0, 76.0)
+        else:
+            bw = 1.0 + (i % 4)
+            cx = _u(f"mbx{i}", -170.0, 166.0)
+            cy = _u(f"mby{i}", -80.0, 76.0)
+        cid.append(f"m{i:05d}")
+        seqs.append(i)
+        xmins.append(cx)
+        ymins.append(cy)
+        xmaxs.append(cx + bw)
+        ymaxs.append(cy + bw)
+        ws.append(w)
+        hs.append(h)
+        idx = np.arange(bands * h * w, dtype=np.int64)
+        p = ((7 * np.int64(i) + 3 * (idx // (h * w)) + idx) % 97).astype(np.float64)
+        p[(idx * 31 + i) % 11 == 0] = nodata
+        pix.append(p)
+    return pa.table(
+        {
+            "chunk_id": pa.array(cid),
+            "seq": pa.array(seqs, pa.int64()),
+            "xmin": pa.array(xmins, pa.float64()),
+            "ymin": pa.array(ymins, pa.float64()),
+            "xmax": pa.array(xmaxs, pa.float64()),
+            "ymax": pa.array(ymaxs, pa.float64()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "bands": pa.array([bands] * n_chunks, pa.int32()),
+            "nodata": pa.array([nodata] * n_chunks, pa.float64()),
+            "pixels": pa.array(pix, pa.list_(pa.float64())),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # orchestration
 # ---------------------------------------------------------------------------
@@ -384,10 +436,15 @@ def ensure_fixtures(sf_dir: str) -> str:
     """Generate (once, cached) the fixture tables for this sf; return dir."""
     out = fixture_dir(sf_dir)
     marker = os.path.join(out, f"_DONE_{FIXTURE_VERSION}")
-    if os.path.exists(marker):
-        return out
     name = os.path.basename(os.path.normpath(out))
     cfg = SCALES[name]
+    if os.path.exists(marker):
+        # tables added after a cache was built are filled in lazily so
+        # the (expensive) pages fixture never regenerates
+        mb = os.path.join(out, "raster_chunks_mb.parquet")
+        if not os.path.exists(mb):
+            pq.write_table(gen_raster_chunks_mb(cfg["chunks"]), mb)
+        return out
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
@@ -408,6 +465,10 @@ def ensure_fixtures(sf_dir: str) -> str:
     pq.write_table(queries_to_edges(queries), os.path.join(tmp, "query_edges.parquet"))
     pq.write_table(gen_knn_queries(), os.path.join(tmp, "knn_queries.parquet"))
     pq.write_table(gen_raster_chunks(cfg["chunks"]), os.path.join(tmp, "raster_chunks.parquet"))
+    pq.write_table(
+        gen_raster_chunks_mb(cfg["chunks"]),
+        os.path.join(tmp, "raster_chunks_mb.parquet"),
+    )
     os.replace(tmp, out)
     with open(marker, "w") as f:
         f.write("ok\n")

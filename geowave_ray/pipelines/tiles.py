@@ -164,6 +164,134 @@ def merge_tiles(
     )
 
 
+# ---------------------------------------------------------------------------
+# multi-band + nodata merge + affine resample
+# ---------------------------------------------------------------------------
+
+
+def _inverse_affine(a, b, c, d, e, f):
+    """Invert world = A @ (col,row) + (c,f); A = [[a,b],[d,e]]."""
+    det = a * e - b * d
+    return (
+        lambda wx, wy: (
+            (e * (wx - c) - b * (wy - f)) / det,
+            (-d * (wx - c) + a * (wy - f)) / det,
+        )
+    )
+
+
+def _resample_mb(batch: pa.Table) -> pa.Table:
+    """Resample multi-band chunks onto overlapped tiles through the
+    inverse affine world->pixel transform (the reference's
+    GridCoverage resample in ``RasterDataAdapter.convertToIndex``).
+    Axis-aligned chunks derive their affine from the bbox; chunks may
+    instead carry explicit ``aff_a..aff_f`` columns (world =
+    [[a,b],[d,e]] @ (col,row) + (c,f)) for rotated/sheared coverages.
+
+    Emits one row per (chunk, tile): (level, tile_x, tile_y, seq,
+    bands, nodata, pixels) where pixels is band-major TILE_SIZE^2 and
+    out-of-bounds samples are nodata.
+    """
+    n = batch.num_rows
+    xmin = batch.column("xmin").to_numpy()
+    ymin = batch.column("ymin").to_numpy()
+    xmax = batch.column("xmax").to_numpy()
+    ymax = batch.column("ymax").to_numpy()
+    width = batch.column("width").to_numpy()
+    height = batch.column("height").to_numpy()
+    bands = batch.column("bands").to_numpy() if "bands" in batch.column_names else np.ones(n, np.int64)
+    nodata = batch.column("nodata").to_numpy() if "nodata" in batch.column_names else np.full(n, np.nan)
+    seq = batch.column("seq").to_numpy() if "seq" in batch.column_names else np.arange(n)
+    has_aff = "aff_a" in batch.column_names
+    pixels = batch.column("pixels")
+    rows = {"level": [], "tile_x": [], "tile_y": [], "seq": [], "bands": [],
+            "nodata": [], "pixels": []}
+    for i in range(n):
+        w, h, nb = int(width[i]), int(height[i]), int(bands[i])
+        px = np.asarray(pixels[i].as_py(), dtype=np.float64).reshape(nb, h, w)
+        if has_aff:
+            aff = tuple(float(batch.column(f"aff_{k}")[i].as_py()) for k in "abcdef")
+        else:
+            aff = ((xmax[i] - xmin[i]) / w, 0.0, xmin[i], 0.0,
+                   (ymax[i] - ymin[i]) / h, ymin[i])
+        inv = _inverse_affine(*aff)
+        res = (xmax[i] - xmin[i]) / w
+        level = int(np.clip(np.floor(np.log2(360.0 / (res * TILE_SIZE))), 0, MAX_LEVEL))
+        td = 360.0 / float(1 << level)
+        tx0 = int(np.floor((xmin[i] + 180.0) / td))
+        tx1 = int(np.ceil((xmax[i] + 180.0) / td)) - 1
+        ty0 = int(np.floor((ymin[i] + 90.0) / td))
+        ty1 = int(np.ceil((ymax[i] + 90.0) / td)) - 1
+        for tx in range(tx0, tx1 + 1):
+            for ty in range(ty0, ty1 + 1):
+                gx = -180.0 + (tx + (np.arange(TILE_SIZE) + 0.5) / TILE_SIZE) * td
+                gy = -90.0 + (ty + (np.arange(TILE_SIZE) + 0.5) / TILE_SIZE) * td
+                wx, wy = np.meshgrid(gx, gy)  # (TS, TS) row=y
+                col, row = inv(wx, wy)
+                ix = np.floor(col).astype(np.int64)
+                iy = np.floor(row).astype(np.int64)
+                ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+                tile = np.full((nb, TILE_SIZE, TILE_SIZE), nodata[i])
+                if ok.any():
+                    tile[:, ok] = px[:, iy[ok], ix[ok]]
+                rows["level"].append(level)
+                rows["tile_x"].append(tx)
+                rows["tile_y"].append(ty)
+                rows["seq"].append(int(seq[i]))
+                rows["bands"].append(nb)
+                rows["nodata"].append(float(nodata[i]))
+                rows["pixels"].append(tile.ravel())
+    return pa.table(
+        {
+            "level": pa.array(rows["level"], pa.int64()),
+            "tile_x": pa.array(rows["tile_x"], pa.int64()),
+            "tile_y": pa.array(rows["tile_y"], pa.int64()),
+            "seq": pa.array(rows["seq"], pa.int64()),
+            "bands": pa.array(rows["bands"], pa.int64()),
+            "nodata": pa.array(rows["nodata"], pa.float64()),
+            "pixels": pa.array(rows["pixels"], pa.list_(pa.float64())),
+        }
+    )
+
+
+def merge_tiles_nodata(chunks: ray.data.Dataset) -> ray.data.Dataset:
+    """NoData-aware mosaic: per tile pixel per band, the sample of the
+    HIGHEST-seq contribution that has data; nodata pixels fill from
+    progressively earlier contributions
+    (``extensions/adapters/raster/.../nodata/NoDataMergeStrategy.java:36-75``
+    — "latest tile with data wins, holes fill from earlier").
+
+    Group size is bounded by contributions per tile; the merge is
+    vectorized: stack (k, bands*TS^2), argmax over the validity mask in
+    seq-descending order picks each pixel's winner in one shot.
+    """
+    contrib = chunks.map_batches(_resample_mb, batch_format="pyarrow", batch_size=None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seq", ascending=False, kind="mergesort")
+        nodata = float(g["nodata"].iloc[0])
+        vals = np.stack([np.asarray(p, dtype=np.float64) for p in g["pixels"]])
+        mask = vals != nodata
+        first = mask.argmax(axis=0)
+        any_ = mask.any(axis=0)
+        out = np.where(any_, vals[first, np.arange(vals.shape[1])], nodata)
+        return pd.DataFrame(
+            {
+                "level": [int(g["level"].iloc[0])],
+                "tile_x": [int(g["tile_x"].iloc[0])],
+                "tile_y": [int(g["tile_y"].iloc[0])],
+                "bands": [int(g["bands"].iloc[0])],
+                "nodata": [nodata],
+                "n_contrib": [len(g)],
+                "pixels": [out],
+            }
+        )
+
+    return contrib.groupby(["level", "tile_x", "tile_y"]).map_groups(
+        merge, batch_format="pandas"
+    )
+
+
 def pyramid_up(tiles: ray.data.Dataset) -> ray.data.Dataset:
     """Build one coarser pyramid level from merged tiles.
 

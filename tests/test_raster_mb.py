@@ -1,0 +1,123 @@
+"""Multi-band raster: nodata-aware merge + affine resample
+(reference: extensions/adapters/raster/.../nodata/NoDataMergeStrategy.java,
+RasterDataAdapter.convertToIndex resample)."""
+
+import numpy as np
+import pyarrow as pa
+
+from geowave_ray.pipelines.tiles import TILE_SIZE, _resample_mb, merge_tiles_nodata
+
+
+def _chunk_row(chunk_id, seq, bbox, px, bands, nodata, affine=None):
+    x0, y0, x1, y1 = bbox
+    h, w = px.shape[-2], px.shape[-1]
+    row = {
+        "chunk_id": [chunk_id],
+        "seq": [seq],
+        "xmin": [x0],
+        "ymin": [y0],
+        "xmax": [x1],
+        "ymax": [y1],
+        "width": [w],
+        "height": [h],
+        "bands": [bands],
+        "nodata": [nodata],
+        "pixels": [px.ravel().astype(np.float64)],
+    }
+    if affine is not None:
+        for k, v in zip("abcdef", affine):
+            row[f"aff_{k}"] = [float(v)]
+    return row
+
+
+def _table(rows):
+    cols = {k: [] for k in rows[0]}
+    for r in rows:
+        for k in cols:
+            cols[k].extend(r[k])
+    return pa.table(
+        {
+            k: pa.array(v, pa.list_(pa.float64()))
+            if k == "pixels"
+            else pa.array(v)
+            for k, v in cols.items()
+        }
+    )
+
+
+def test_affine_resample_matches_axis_aligned():
+    """A chunk with a swapped-axes affine and transposed pixels covers
+    the same world raster -> identical resampled tiles."""
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 90, size=(1, 8, 8)).astype(np.float64)
+    # bbox chosen so the chunk spans one tile comfortably
+    bbox = (10.0, 20.0, 14.0, 24.0)
+    r = (bbox[2] - bbox[0]) / 8
+    straight = _resample_mb(pa.Table.from_pydict(_chunk_row("a", 0, bbox, px, 1, -1.0)))
+    swapped = _resample_mb(
+        pa.Table.from_pydict(
+            _chunk_row(
+                "b",
+                0,
+                bbox,
+                np.transpose(px, (0, 2, 1)),
+                1,
+                -1.0,
+                affine=(0.0, r, bbox[0], r, 0.0, bbox[1]),
+            )
+        )
+    )
+    assert straight.num_rows == swapped.num_rows
+    for i in range(straight.num_rows):
+        a = np.asarray(straight.column("pixels")[i].as_py())
+        b = np.asarray(swapped.column("pixels")[i].as_py())
+        assert np.array_equal(a, b)
+
+
+def test_nodata_merge_latest_wins_holes_fill(ray_session):
+    """NoDataMergeStrategy semantics: latest-seq sample wins; its
+    nodata holes fill from earlier contributions; all-nodata stays
+    nodata."""
+    import ray.data
+
+    nodata = -9.0
+    bbox = (0.0, 0.0, 4.0, 4.0)
+    old = np.full((2, 8, 8), 5.0)
+    old[:, 0, 0] = nodata  # hole in both -> stays nodata
+    new = np.full((2, 8, 8), 7.0)
+    new[:, 0, :] = nodata  # top row holes -> filled from old (except 0,0)
+    t = _table(
+        [
+            _chunk_row("old", 1, bbox, old, 2, nodata),
+            _chunk_row("new", 2, bbox, new, 2, nodata),
+        ]
+    )
+    merged = merge_tiles_nodata(ray.data.from_arrow(t)).to_pandas()
+    assert len(merged) == 1
+    px = np.asarray(merged["pixels"].iloc[0]).reshape(2, TILE_SIZE, TILE_SIZE)
+    assert int(merged["n_contrib"].iloc[0]) == 2
+    # recompute expectation per tile pixel through the world mapping
+    level = int(merged["level"].iloc[0])
+    tx = int(merged["tile_x"].iloc[0])
+    ty = int(merged["tile_y"].iloc[0])
+    td = 360.0 / (1 << level)
+    res = (bbox[2] - bbox[0]) / 8
+    gx = -180.0 + (tx + (np.arange(TILE_SIZE) + 0.5) / TILE_SIZE) * td
+    gy = -90.0 + (ty + (np.arange(TILE_SIZE) + 0.5) / TILE_SIZE) * td
+    ix = np.floor((gx - bbox[0]) / res).astype(int)
+    iy = np.floor((gy - bbox[1]) / res).astype(int)
+    n_checked = 0
+    for b in range(2):
+        for r_ in range(TILE_SIZE):
+            for c_ in range(TILE_SIZE):
+                if 0 <= ix[c_] < 8 and 0 <= iy[r_] < 8:
+                    nv = new[b, iy[r_], ix[c_]]
+                    ov = old[b, iy[r_], ix[c_]]
+                    want = nv if nv != nodata else (ov if ov != nodata else nodata)
+                    assert px[b, r_, c_] == want
+                    n_checked += 1
+                else:
+                    assert px[b, r_, c_] == nodata
+    assert n_checked > 0
+    # and the rule actually exercised both branches in this fixture
+    assert (new == nodata).any() and (old == nodata).any()
