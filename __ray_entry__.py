@@ -235,6 +235,132 @@ def q_pip_join_concave(sf_dir: str):
     )
 
 
+def q_pip_join_holes(sf_dir: str):
+    """PIP join against polygons WITH HOLES: even-odd parity over both
+    rings (JTS interior-ring semantics — a point inside the hole is
+    outside the region). Oracle: crossing parity over the union of both
+    rings' edges."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from geowave_ray.geom import pip_rings
+
+    rt = pq.read_table(f"{_fx(sf_dir)}/holed_regions.parquet")
+    regs = []
+    for i in range(rt.num_rows):
+        outer = np.asarray(rt["outer_xy"][i].as_py()).reshape(-1, 2)
+        hole = np.asarray(rt["hole_xy"][i].as_py()).reshape(-1, 2)
+        regs.append(
+            (
+                rt["region_id"][i].as_py(),
+                [outer, hole],
+                (
+                    float(rt["xmin"][i].as_py()),
+                    float(rt["ymin"][i].as_py()),
+                    float(rt["xmax"][i].as_py()),
+                    float(rt["ymax"][i].as_py()),
+                ),
+            )
+        )
+    rref = ray.put(regs)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        regs = ray.get(rref)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        urls = batch.column("url")
+        out_idx, out_rid = [], []
+        for rid, rings, (x1, y1, x2, y2) in regs:
+            m = (lon >= x1) & (lon <= x2) & (lat >= y1) & (lat <= y2)
+            if not m.any():
+                continue
+            cand = np.flatnonzero(m)
+            hit = pip_rings(lon[cand], lat[cand], rings)
+            sel = cand[hit]
+            out_idx.append(sel)
+            out_rid.extend([rid] * len(sel))
+        if not out_idx:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "region_id": pa.array([], pa.string())})
+        idx = np.concatenate(out_idx)
+        return pa.table(
+            {"url": urls.take(pa.array(idx)), "region_id": pa.array(out_rid)}
+        )
+
+    return _pages(sf_dir).map_batches(probe, batch_format="pyarrow", batch_size=None)
+
+
+def q_line_region_join(sf_dir: str):
+    """LineString x polygon INTERSECTS join: polyline tracks against the
+    convex region set — any vertex inside OR any segment crossing any
+    region edge (JTS Geometry.intersects line/area decomposition,
+    GeomIntersects.java role)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from geowave_ray.geom import polyline_intersects_rings
+    from geowave_ray.gwql import parse_wkt_polygon  # noqa: F401 (doc link)
+    from geowave_ray.geom import parse_wkb_polygon
+
+    rt = pq.read_table(
+        f"{_fx(sf_dir)}/regions.parquet",
+        columns=["region_id", "geometry_wkb", "xmin", "ymin", "xmax", "ymax"],
+    )
+    regs = []
+    for i in range(rt.num_rows):
+        regs.append(
+            (
+                rt["region_id"][i].as_py(),
+                [parse_wkb_polygon(rt["geometry_wkb"][i].as_py())],
+                (
+                    float(rt["xmin"][i].as_py()),
+                    float(rt["ymin"][i].as_py()),
+                    float(rt["xmax"][i].as_py()),
+                    float(rt["ymax"][i].as_py()),
+                ),
+            )
+        )
+    rbox = np.array([r[2] for r in regs])
+    rref = ray.put((regs, rbox))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        regs, rbox = ray.get(rref)
+        txmin = batch.column("xmin").to_numpy()
+        tymin = batch.column("ymin").to_numpy()
+        txmax = batch.column("xmax").to_numpy()
+        tymax = batch.column("ymax").to_numpy()
+        tids = batch.column("track_id")
+        xs_col = batch.column("xs")
+        ys_col = batch.column("ys")
+        # (tracks x regions) bbox overlap -> candidate pairs
+        ov = (
+            (txmin[:, None] <= rbox[None, :, 2])
+            & (txmax[:, None] >= rbox[None, :, 0])
+            & (tymin[:, None] <= rbox[None, :, 3])
+            & (tymax[:, None] >= rbox[None, :, 1])
+        )
+        ti, ri = np.nonzero(ov)
+        out_t, out_r = [], []
+        for t, r in zip(ti, ri):
+            xs = np.asarray(xs_col[int(t)].as_py())
+            ys = np.asarray(ys_col[int(t)].as_py())
+            if polyline_intersects_rings(xs, ys, regs[r][1]):
+                out_t.append(int(t))
+                out_r.append(regs[r][0])
+        return pa.table(
+            {
+                "track_id": tids.take(pa.array(out_t, pa.int64()))
+                if out_t
+                else pa.array([], pa.string()),
+                "region_id": pa.array(out_r, pa.string()),
+            }
+        )
+
+    tracks = ray.data.read_parquet(f"{_fx(sf_dir)}/tracks.parquet")
+    return tracks.map_batches(probe, batch_format="pyarrow", batch_size=None)
+
+
 def q_pip_join_cogroup(sf_dir: str):
     import ray.data
 
@@ -1302,6 +1428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": q_pip_join,
         "pip_join_ids": q_pip_join_ids,
         "pip_join_concave": q_pip_join_concave,
+        "pip_join_holes": q_pip_join_holes,
+        "line_region_join": q_line_region_join,
         "pip_join_cogroup": q_pip_join_cogroup,
         "pip_join_count": q_pip_join_count,
         "pip_join_anti": q_pip_join_anti,
@@ -1393,6 +1521,9 @@ def oracle_sql() -> dict[str, str]:
     KNNQ = f"read_parquet('{fx}/knn_queries.parquet')"
     CHUNKS = f"read_parquet('{fx}/raster_chunks.parquet')"
     MBCHUNKS = f"read_parquet('{fx}/raster_chunks_mb.parquet')"
+    HREGIONS = f"read_parquet('{fx}/holed_regions.parquet')"
+    HEDGES = f"read_parquet('{fx}/holed_edges.parquet')"
+    TSEGS = f"read_parquet('{fx}/track_segments.parquet')"
     CREGIONS = f"read_parquet('{fx}/concave_regions.parquet')"
     CEDGES = f"read_parquet('{fx}/concave_edges.parquet')"
 
@@ -1484,6 +1615,47 @@ def oracle_sql() -> dict[str, str]:
                              AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
                                          / NULLIF(e.y2 - e.y1, 0.0) + e.x1
                         THEN 1 ELSE 0 END) % 2 = 1
+        """,
+        "pip_join_holes": f"""
+            SELECT p.url, r.region_id
+            FROM {PAGES} p
+            JOIN {HREGIONS} r
+              ON p.lon >= r.xmin AND p.lon <= r.xmax
+             AND p.lat >= r.ymin AND p.lat <= r.ymax
+            JOIN {HEDGES} e ON e.region_id = r.region_id
+            GROUP BY p.url, r.region_id
+            HAVING sum(CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+                             AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+                                         / NULLIF(e.y2 - e.y1, 0.0) + e.x1
+                        THEN 1 ELSE 0 END) % 2 = 1
+        """,
+        "line_region_join": f"""
+            WITH verts AS (
+              SELECT track_id, x1 AS px, y1 AS py FROM {TSEGS}
+              UNION ALL
+              SELECT track_id, x2, y2 FROM {TSEGS}
+            ),
+            vin AS (
+              SELECT v.track_id, r.region_id
+              FROM verts v JOIN {REGIONS} r
+                ON v.px >= r.xmin AND v.px <= r.xmax
+               AND v.py >= r.ymin AND v.py <= r.ymax
+              JOIN {REDGES} e ON e.region_id = r.region_id
+              GROUP BY v.track_id, r.region_id, v.px, v.py
+              HAVING bool_and((e.x2 - e.x1) * (v.py - e.y1)
+                            - (e.y2 - e.y1) * (v.px - e.x1) >= 0)
+            ),
+            scross AS (
+              SELECT s.track_id, e.region_id
+              FROM {TSEGS} s JOIN {REDGES} e
+                ON ((s.x2 - s.x1) * (e.y1 - s.y1) - (s.y2 - s.y1) * (e.x1 - s.x1))
+                 * ((s.x2 - s.x1) * (e.y2 - s.y1) - (s.y2 - s.y1) * (e.x2 - s.x1)) <= 0
+               AND ((e.x2 - e.x1) * (s.y1 - e.y1) - (e.y2 - e.y1) * (s.x1 - e.x1))
+                 * ((e.x2 - e.x1) * (s.y2 - e.y1) - (e.y2 - e.y1) * (s.x2 - e.x1)) <= 0
+              GROUP BY 1, 2
+            )
+            SELECT DISTINCT track_id, region_id
+            FROM (SELECT * FROM vin UNION ALL SELECT * FROM scross)
         """,
         "pip_join_count": f"""
             SELECT category, count(*) AS n_pages FROM ({pip_pairs}) GROUP BY category

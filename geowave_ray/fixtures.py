@@ -375,6 +375,124 @@ def gen_raster_chunks(n_chunks: int) -> pa.Table:
     )
 
 
+def gen_holed_regions(n_regions: int) -> tuple[pa.Table, pa.Table]:
+    """Polygon-with-hole regions: convex outer ring + concentric inner
+    hole ring. The edge table carries BOTH rings so the even-odd
+    crossing-parity SQL oracle is exact for holes too."""
+    rids, xmins, ymins, xmaxs, ymaxs = [], [], [], [], []
+    ring_id, e_rid, e_x1, e_y1, e_x2, e_y2 = [], [], [], [], [], []
+    verts_out, verts_in = [], []
+    for j in range(n_regions):
+        k = 6 + j % 3
+        r_out = 0.5 + (j % 8) * 0.4
+        r_in = r_out * (0.3 + 0.08 * (j % 4))
+        cx = _u(f"holx{j}", -160.0, 160.0)
+        cy = _u(f"holy{j}", -75.0, 75.0)
+        ang0 = _u(f"holang{j}", 0.0, 2 * np.pi)
+        angles = ang0 + np.arange(k) * (2 * np.pi / k)
+        outer = np.column_stack(
+            [cx + r_out * np.cos(angles), cy + r_out * np.sin(angles)]
+        )
+        hole = np.column_stack(
+            [cx + r_in * np.cos(angles), cy + r_in * np.sin(angles)]
+        )
+        rid = f"h{j:06d}"
+        rids.append(rid)
+        xmins.append(outer[:, 0].min())
+        ymins.append(outer[:, 1].min())
+        xmaxs.append(outer[:, 0].max())
+        ymaxs.append(outer[:, 1].max())
+        verts_out.append(outer.ravel())
+        verts_in.append(hole.ravel())
+        for ring_no, ring in ((0, outer), (1, hole)):
+            n = len(ring)
+            for m in range(n):
+                e_rid.append(rid)
+                ring_id.append(ring_no)
+                e_x1.append(ring[m][0])
+                e_y1.append(ring[m][1])
+                e_x2.append(ring[(m + 1) % n][0])
+                e_y2.append(ring[(m + 1) % n][1])
+    regions = pa.table(
+        {
+            "region_id": pa.array(rids),
+            "outer_xy": pa.array(verts_out, pa.list_(pa.float64())),
+            "hole_xy": pa.array(verts_in, pa.list_(pa.float64())),
+            "xmin": pa.array(xmins, pa.float64()),
+            "ymin": pa.array(ymins, pa.float64()),
+            "xmax": pa.array(xmaxs, pa.float64()),
+            "ymax": pa.array(ymaxs, pa.float64()),
+        }
+    )
+    edges = pa.table(
+        {
+            "region_id": pa.array(e_rid),
+            "ring": pa.array(ring_id, pa.int32()),
+            "x1": pa.array(e_x1, pa.float64()),
+            "y1": pa.array(e_y1, pa.float64()),
+            "x2": pa.array(e_x2, pa.float64()),
+            "y2": pa.array(e_y2, pa.float64()),
+        }
+    )
+    return regions, edges
+
+
+def gen_tracks(n_tracks: int) -> tuple[pa.Table, pa.Table]:
+    """Polyline (LineString) tracks: deterministic random walks of 7
+    segments. Returns (tracks with vertex lists + bbox, flat segment
+    table for the SQL segment-crossing oracle)."""
+    tids, xs_l, ys_l, xmins, ymins, xmaxs, ymaxs = [], [], [], [], [], [], []
+    s_tid, s_x1, s_y1, s_x2, s_y2 = [], [], [], [], []
+    for j in range(n_tracks):
+        n_seg = 7
+        x = _u(f"trkx{j}", -165.0, 165.0)
+        y = _u(f"trky{j}", -78.0, 78.0)
+        xs = [x]
+        ys = [y]
+        for m in range(n_seg):
+            x = x + _u(f"trkdx{j}.{m}", -1.5, 1.5)
+            y = y + _u(f"trkdy{j}.{m}", -1.5, 1.5)
+            xs.append(x)
+            ys.append(y)
+        xs = np.asarray(xs)
+        ys = np.asarray(ys)
+        tid = f"t{j:06d}"
+        tids.append(tid)
+        xs_l.append(xs)
+        ys_l.append(ys)
+        xmins.append(xs.min())
+        ymins.append(ys.min())
+        xmaxs.append(xs.max())
+        ymaxs.append(ys.max())
+        for m in range(n_seg):
+            s_tid.append(tid)
+            s_x1.append(xs[m])
+            s_y1.append(ys[m])
+            s_x2.append(xs[m + 1])
+            s_y2.append(ys[m + 1])
+    tracks = pa.table(
+        {
+            "track_id": pa.array(tids),
+            "xs": pa.array(xs_l, pa.list_(pa.float64())),
+            "ys": pa.array(ys_l, pa.list_(pa.float64())),
+            "xmin": pa.array(xmins, pa.float64()),
+            "ymin": pa.array(ymins, pa.float64()),
+            "xmax": pa.array(xmaxs, pa.float64()),
+            "ymax": pa.array(ymaxs, pa.float64()),
+        }
+    )
+    segments = pa.table(
+        {
+            "track_id": pa.array(s_tid),
+            "x1": pa.array(s_x1, pa.float64()),
+            "y1": pa.array(s_y1, pa.float64()),
+            "x2": pa.array(s_x2, pa.float64()),
+            "y2": pa.array(s_y2, pa.float64()),
+        }
+    )
+    return tracks, segments
+
+
 def gen_raster_chunks_mb(n_chunks: int, bands: int = 2) -> pa.Table:
     """Multi-band chunks with nodata holes and a merge sequence — the
     NoDataMergeStrategy fixture (latest-wins, fill holes from earlier;
@@ -432,6 +550,23 @@ def gen_raster_chunks_mb(n_chunks: int, bands: int = 2) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+def _fill_new_tables(out: str, cfg: dict) -> None:
+    """Write tables added after v3 caches were built (idempotent)."""
+    mb = os.path.join(out, "raster_chunks_mb.parquet")
+    if not os.path.exists(mb):
+        pq.write_table(gen_raster_chunks_mb(cfg["chunks"]), mb)
+    hol = os.path.join(out, "holed_regions.parquet")
+    if not os.path.exists(hol):
+        regions, edges = gen_holed_regions(max(64, cfg["regions"] // 8))
+        pq.write_table(regions, hol)
+        pq.write_table(edges, os.path.join(out, "holed_edges.parquet"))
+    trk = os.path.join(out, "tracks.parquet")
+    if not os.path.exists(trk):
+        tracks, segments = gen_tracks(cfg["regions"])
+        pq.write_table(tracks, trk)
+        pq.write_table(segments, os.path.join(out, "track_segments.parquet"))
+
+
 def ensure_fixtures(sf_dir: str) -> str:
     """Generate (once, cached) the fixture tables for this sf; return dir."""
     out = fixture_dir(sf_dir)
@@ -441,9 +576,7 @@ def ensure_fixtures(sf_dir: str) -> str:
     if os.path.exists(marker):
         # tables added after a cache was built are filled in lazily so
         # the (expensive) pages fixture never regenerates
-        mb = os.path.join(out, "raster_chunks_mb.parquet")
-        if not os.path.exists(mb):
-            pq.write_table(gen_raster_chunks_mb(cfg["chunks"]), mb)
+        _fill_new_tables(out, cfg)
         return out
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -465,10 +598,7 @@ def ensure_fixtures(sf_dir: str) -> str:
     pq.write_table(queries_to_edges(queries), os.path.join(tmp, "query_edges.parquet"))
     pq.write_table(gen_knn_queries(), os.path.join(tmp, "knn_queries.parquet"))
     pq.write_table(gen_raster_chunks(cfg["chunks"]), os.path.join(tmp, "raster_chunks.parquet"))
-    pq.write_table(
-        gen_raster_chunks_mb(cfg["chunks"]),
-        os.path.join(tmp, "raster_chunks_mb.parquet"),
-    )
+    _fill_new_tables(tmp, cfg)
     os.replace(tmp, out)
     with open(marker, "w") as f:
         f.write("ok\n")

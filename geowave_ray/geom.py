@@ -112,6 +112,58 @@ def pip_raycast(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     return inside
 
 
+def pip_rings(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd PIP over a MULTI-RING polygon (exterior + holes, or a
+    multipolygon): crossing parity accumulated over every ring's edges,
+    so a point inside a hole toggles back to outside — the reference's
+    JTS Polygon-with-interior-rings semantics
+    (``core/geotime/.../store/query/filter/SpatialQueryFilter.java``
+    delegating to JTS ``Polygon.contains``)."""
+    inside = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        inside ^= pip_raycast(px, py, ring)
+    return inside
+
+
+def segments_cross(
+    ax1, ay1, ax2, ay2, bx1, by1, bx2, by2
+) -> np.ndarray:
+    """Vectorized segment-pair intersection (inclusive of touching):
+    AB and CD intersect iff C,D straddle line AB and A,B straddle line
+    CD (orientation cross-product tests). All inputs broadcastable."""
+    d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+    d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+    d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+    d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+    return (d1 * d2 <= 0) & (d3 * d4 <= 0)
+
+
+def polyline_intersects_rings(
+    xs: np.ndarray, ys: np.ndarray, rings: list[np.ndarray]
+) -> bool:
+    """LineString x polygon INTERSECTS: any vertex inside (even-odd
+    over all rings) OR any line segment crossing any ring edge — the
+    JTS ``Geometry.intersects`` decomposition for line/area
+    (``analytics/spark/sparksql/udf/GeomIntersects.java`` role)."""
+    if pip_rings(xs, ys, rings).any():
+        return True
+    sx1, sy1 = xs[:-1], ys[:-1]
+    sx2, sy2 = xs[1:], ys[1:]
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        ex1, ey1 = r[:, 0], r[:, 1]
+        ex2, ey2 = np.roll(r[:, 0], -1), np.roll(r[:, 1], -1)
+        # (n_seg, n_edge) broadcast
+        if segments_cross(
+            sx1[:, None], sy1[:, None], sx2[:, None], sy2[:, None],
+            ex1[None, :], ey1[None, :], ex2[None, :], ey2[None, :],
+        ).any():
+            return True
+    return False
+
+
 def ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
     r = np.asarray(ring, dtype=np.float64)
     return float(r[:, 0].min()), float(r[:, 1].min()), float(r[:, 0].max()), float(r[:, 1].max())

@@ -142,3 +142,61 @@ def test_convex_predicate_matrix():
         assert convex_predicate(A, B, "crosses") is False
     # clip sanity: intersection area of offset squares = 1
     assert abs(abs(ring_area(convex_clip(A, sq(1, 1, 3, 3)))) - 1.0) < 1e-12
+
+
+def test_pip_rings_hole_semantics():
+    """Point inside the hole is OUTSIDE the polygon (even-odd parity
+    over both rings — JTS interior-ring semantics)."""
+    import numpy as np
+
+    from geowave_ray.geom import pip_rings
+
+    outer = np.array([(-4, -4), (4, -4), (4, 4), (-4, 4)], float)
+    hole = np.array([(-1, -1), (1, -1), (1, 1), (-1, 1)], float)
+    px = np.array([0.0, 2.0, 5.0, -3.0])
+    py = np.array([0.0, 0.0, 0.0, 3.0])
+    got = pip_rings(px, py, [outer, hole])
+    assert got.tolist() == [False, True, False, True]
+
+
+def test_segments_cross_matrix():
+    import numpy as np
+
+    from geowave_ray.geom import segments_cross
+
+    # crossing, touching-at-endpoint, parallel-disjoint, collinear-overlap
+    a = np.array([[0, 0, 2, 2], [0, 0, 1, 1], [0, 0, 1, 0], [0, 0, 2, 0]], float)
+    b = np.array([[0, 2, 2, 0], [1, 1, 2, 2], [0, 1, 1, 1], [1, 0, 3, 0]], float)
+    got = segments_cross(
+        a[:, 0], a[:, 1], a[:, 2], a[:, 3], b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    )
+    assert got.tolist() == [True, True, False, True]
+
+
+def test_polyline_intersects_rings_cases():
+    import numpy as np
+
+    from geowave_ray.geom import polyline_intersects_rings
+
+    ring = np.array([(0, 0), (10, 0), (10, 10), (0, 10)], float)
+    # crosses through without any vertex inside
+    assert polyline_intersects_rings(
+        np.array([-5.0, 15.0]), np.array([5.0, 5.0]), [ring]
+    )
+    # entirely inside
+    assert polyline_intersects_rings(
+        np.array([2.0, 3.0]), np.array([2.0, 3.0]), [ring]
+    )
+    # disjoint
+    assert not polyline_intersects_rings(
+        np.array([20.0, 30.0]), np.array([20.0, 30.0]), [ring]
+    )
+    # inside the hole of a holed polygon -> disjoint
+    hole = np.array([(2, 2), (8, 2), (8, 8), (2, 8)], float)
+    assert not polyline_intersects_rings(
+        np.array([4.0, 6.0]), np.array([4.0, 6.0]), [ring, hole]
+    )
+    # crossing the hole boundary -> intersects (touches interior ring)
+    assert polyline_intersects_rings(
+        np.array([4.0, 9.0]), np.array([4.0, 9.0]), [ring, hole]
+    )
