@@ -186,10 +186,43 @@ def knn_pruned_exact(
     n = 1 << tier
     qcx, qcy = grid_coords(qlon, qlat, tier)
 
+    # per-query INITIAL radius from the manifest bucket histogram
+    # (RowRangeHistogram split-planning role): queries over sparse
+    # regions start with a wide enough ring to satisfy k in round 1
+    # instead of paying a doubling round (~1s orchestration) each.
+    radii = np.ones(len(qid), dtype=np.int64)
+    if manifest_dir is not None:
+        try:
+            from ..state.manifest import merged_cell_histogram
+
+            hist = merged_cell_histogram(manifest_dir)
+            if hist:
+                from ..stages.cell_encode import encode_points
+
+                qt = pa.table({"lon": pa.array(qlon), "lat": pa.array(qlat)})
+                # bucket derivation must mirror ingest._encode_stage
+                enc = encode_points(qt, tier=MAX_TIER)
+                cid = enc.column("cell_id").to_numpy().astype(np.uint64)
+                qbucket = (
+                    (cid >> np.uint64(2 * MAX_TIER - 8)).astype(np.int64) % 64
+                )
+                counts64 = np.array(
+                    [hist.get(str(b), 0) for b in qbucket], dtype=np.float64
+                )
+                # each of the 64 buckets covers ~1/64 of the world =
+                # 4^tier/64 knn-tier cells
+                dens = counts64 / max(4**tier / 64.0, 1.0)
+                need = 4.0 * qk  # target ~4x k expected candidates
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    r0 = np.ceil(0.5 * (np.sqrt(need / np.maximum(dens, 1e-12)) - 1))
+                radii = np.clip(r0.astype(np.int64), 1, n // 2)
+        except Exception:
+            pass  # statistics are advisory; r=1 stays exact
+
     unsat = np.arange(len(qid))
     accepted: list[pd.DataFrame] = []
-    r = 1
     while len(unsat):
+        r = radii[unsat]
         # cell-aligned scan boxes (clipped to the world) per query
         x0 = np.maximum(qcx[unsat] - r, 0) * cell_w + LON_MIN
         x1 = (np.minimum(qcx[unsat] + r, n - 1) + 1) * cell_w + LON_MIN
@@ -215,13 +248,6 @@ def knn_pruned_exact(
         cand = knn(
             survivors, sub, metric="planar", batch_size=batch_size, include_dist=True
         ).to_pandas()
-        # ring guarantee: k candidates AND k-th strictly inside the
-        # guaranteed scanned radius (r cells in the tighter axis)
-        guard = (r * min(cell_w, cell_h)) ** 2
-        whole_world = bool(
-            np.all((qcx[unsat] - r <= 0) & (qcx[unsat] + r >= n - 1)
-                   & (qcy[unsat] - r <= 0) & (qcy[unsat] + r >= n - 1))
-        )
         counts = cand.groupby("query_id")["url"].count()
         dmax = cand.groupby("query_id")["dist"].max()
         ww_per = (
@@ -232,15 +258,16 @@ def knn_pruned_exact(
         for pos, gi in enumerate(unsat):
             q = qid[gi]
             got = int(counts.get(q, 0))
+            # ring guarantee: k candidates AND k-th strictly inside the
+            # guaranteed scanned radius (r cells in the tighter axis)
+            guard = (int(r[pos]) * min(cell_w, cell_h)) ** 2
             ok = got >= int(qk[gi]) and float(dmax.get(q, np.inf)) < guard
             if ok or ww_per[pos]:
                 accepted.append(cand[cand["query_id"] == q][["query_id", "rank", "url"]])
             else:
                 next_unsat.append(gi)
         unsat = np.array(next_unsat, dtype=np.int64)
-        if whole_world:
-            break
-        r *= 2
+        radii[unsat] *= 2
     out = (
         pd.concat(accepted, ignore_index=True)
         if accepted
