@@ -126,6 +126,10 @@ def run_bench(sf_dir: str, headline_only: bool = False) -> dict:
         timed("pip_join_cogroup", em.q_pip_join_cogroup)
         timed("docs_token_stats", em.q_docs_token_stats)
         timed("docs_minhash_pairs", em.q_docs_minhash_pairs)
+        timed("dbscan_exact", em.q_dbscan_exact)     # tile-local exact DBSCAN
+        timed("tile_merge_nodata", em.q_tile_merge_nodata)
+        timed("cql_spatial", em.q_cql_spatial)       # CQL bbox+PIP filter
+        timed("line_region_join", em.q_line_region_join)
         # pruning-ratio evidence for the index-scan claim: per-QUERY
         # bucket counts (the 20-box UNION legitimately covers most of
         # the world; a single query's scan is the pruning story)
