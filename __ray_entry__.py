@@ -750,9 +750,23 @@ def q_bbox_agg(sf_dir: str):
 
 
 def q_kde_gaussian(sf_dir: str):
+    """Gaussian splat KDE; densities rounded to 6 decimals so the
+    float sum is oracle-comparable (both sides sum the same ~9 exp
+    terms per cell in different orders; ulp noise rounds away)."""
+    import pyarrow.compute as pc
+
     from geowave_ray.pipelines.kde import kde
 
-    return kde(_pages(sf_dir), tier=7)
+    out = kde(_pages(sf_dir), tier=7)
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("density"),
+            "density",
+            pc.round(b.column("density"), ndigits=6),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1130,8 +1144,10 @@ def q_pages_by_month(sf_dir: str):
 
 
 def q_region_query_intersects(sf_dir: str):
-    """Convex polygon x polygon INTERSECTS join (SAT); rows-only —
-    the independent edge-crossing oracle lives in pytest."""
+    """Convex polygon x polygon INTERSECTS join (SAT); exact SQL
+    oracle: candidate bbox pairs minus pairs with a separating edge
+    axis (SAT theorem — a disjoint convex pair always has a separating
+    edge normal), plus the independent pytest edge-crossing oracle."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray.data
@@ -1313,6 +1329,27 @@ _CQL_EVENTS = (
     "value BETWEEN 10 AND 60 AND event_type IN ('click', 'view') "
     "AND ts AFTER 2024-01-10T00:00:00Z AND ts BEFORE 2024-01-20T00:00:00Z"
 )
+
+
+def q_vector_export(sf_dir: str):
+    """Vector export roundtrip (the reference's VectorLocalExportCommand
+    role, ``extensions/cli/geoserver/.../VectorLocalExportCommand`` /
+    ``StoreToMapReduceExport``): query -> partitioned parquet sink ->
+    re-read. The oracle checks the re-read rows, proving the sink
+    preserves values and schema."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    ds = ds.filter(expr="lang == 'de' and n_chars >= 200")
+    out = tempfile.mkdtemp(prefix="gw_export_", dir="/tmp")
+    try:
+        ds.write_parquet(out)
+        return ray.data.read_parquet(out).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def q_cql_filter(sf_dir: str):
@@ -1504,6 +1541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as-of / sliding windows
         "events_prev": q_events_prev,
         "events_sliding": q_events_sliding,
+        # vector export sink roundtrip
+        "vector_export": q_vector_export,
         # CQL bridge + temporal/spatial expression AST
         "cql_filter": q_cql_filter,
         "cql_spatial": q_cql_spatial,
@@ -2030,6 +2069,71 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_prefix_search": f"""
             SELECT url FROM {PAGES} WHERE url LIKE 'https://site7.example/%'
+        """,
+        # convex x convex SAT intersects: bbox candidates minus pairs
+        # where some edge normal (of either polygon) separates the
+        # vertex projections (strict >, touching counts as intersect —
+        # mirrors geom.convex_intersects)
+        "region_query_intersects": f"""
+            WITH qp AS (SELECT query_id, xmin, ymin, xmax, ymax
+                        FROM {QUERIES} WHERE kind = 'polygon'),
+            cand AS (
+              SELECT r.region_id, q.query_id
+              FROM {REGIONS} r JOIN qp q
+                ON r.xmin <= q.xmax AND r.xmax >= q.xmin
+               AND r.ymin <= q.ymax AND r.ymax >= q.ymin
+            ),
+            sep_r AS (
+              SELECT c.region_id, c.query_id
+              FROM cand c
+              JOIN {REDGES} e  ON e.region_id = c.region_id
+              JOIN {REDGES} rv ON rv.region_id = c.region_id
+              JOIN {QEDGES} qv ON qv.query_id = c.query_id
+              GROUP BY c.region_id, c.query_id, e.x1, e.y1, e.x2, e.y2
+              HAVING min(qv.x1 * (e.y2 - e.y1) - qv.y1 * (e.x2 - e.x1))
+                   > max(rv.x1 * (e.y2 - e.y1) - rv.y1 * (e.x2 - e.x1))
+                  OR min(rv.x1 * (e.y2 - e.y1) - rv.y1 * (e.x2 - e.x1))
+                   > max(qv.x1 * (e.y2 - e.y1) - qv.y1 * (e.x2 - e.x1))
+            ),
+            sep_q AS (
+              SELECT c.region_id, c.query_id
+              FROM cand c
+              JOIN {QEDGES} e  ON e.query_id = c.query_id
+              JOIN {REDGES} rv ON rv.region_id = c.region_id
+              JOIN {QEDGES} qv ON qv.query_id = c.query_id
+              GROUP BY c.region_id, c.query_id, e.x1, e.y1, e.x2, e.y2
+              HAVING min(qv.x1 * (e.y2 - e.y1) - qv.y1 * (e.x2 - e.x1))
+                   > max(rv.x1 * (e.y2 - e.y1) - rv.y1 * (e.x2 - e.x1))
+                  OR min(rv.x1 * (e.y2 - e.y1) - rv.y1 * (e.x2 - e.x1))
+                   > max(qv.x1 * (e.y2 - e.y1) - qv.y1 * (e.x2 - e.x1))
+            )
+            SELECT region_id, query_id FROM cand
+            EXCEPT
+            SELECT * FROM (SELECT * FROM sep_r UNION SELECT * FROM sep_q)
+        """,
+        "vector_export": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE lang = 'de' AND n_chars >= 200
+        """,
+        # Gaussian splat KDE: each page adds exp(-(dx^2+dy^2)/2) to its
+        # 3x3 tier-7 cell ring; rounded to 6 decimals on both sides.
+        "kde_gaussian": f"""
+            WITH pts AS (
+              SELECT LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 128.0) AS BIGINT), 0), 127) AS cx,
+                     LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 128.0) AS BIGINT), 0), 127) AS cy
+              FROM {PAGES}
+            ),
+            off AS (
+              SELECT dx.dx, dy.dy, exp(-(dx.dx * dx.dx + dy.dy * dy.dy) / 2.0) AS w
+              FROM (SELECT unnest(generate_series(-1, 1)) AS dx) dx,
+                   (SELECT unnest(generate_series(-1, 1)) AS dy) dy
+            )
+            SELECT p.cx + o.dx AS cell_x, p.cy + o.dy AS cell_y,
+                   round(sum(o.w), 6) AS density
+            FROM pts p, off o
+            WHERE p.cx + o.dx >= 0 AND p.cx + o.dx < 128
+              AND p.cy + o.dy >= 0 AND p.cy + o.dy < 128
+            GROUP BY 1, 2
         """,
         # Point-exact DBSCAN: banded self-join neighbors; min-label
         # connected components via recursive CTE; border = min cluster
