@@ -361,6 +361,41 @@ def q_line_region_join(sf_dir: str):
     return tracks.map_batches(probe, batch_format="pyarrow", batch_size=None)
 
 
+def _regions_store(sf_dir: str) -> str:
+    """Region set bucketed by the SAME spatial rule as the point
+    ingest (cached) — the co-partitioned join's right side."""
+    import os
+
+    from geowave_ray.fixtures import FIXTURE_VERSION
+    from geowave_ray.pipelines.spatial_join import ingest_regions_store
+
+    base = _fx(sf_dir)
+    store = os.path.join(base, "regions_store")
+    marker = os.path.join(store, f"_DONE_{FIXTURE_VERSION}")
+    if not os.path.exists(marker):
+        ingest_regions_store(_regions_table(sf_dir), store)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return store
+
+
+def q_pip_join_copart(sf_dir: str):
+    """ZERO-SHUFFLE co-partitioned PIP join: both stores bucketed by
+    the same spatial rule at ingest; the join is one map pass where
+    each task reads only its buckets' region slice (the reference's
+    shared-index join). Identical output to pip_join."""
+    import glob
+    import os
+
+    from geowave_ray.pipelines.spatial_join import copart_pip_join
+
+    store = _ingested(sf_dir)
+    files = sorted(
+        glob.glob(os.path.join(store, "group=*", "cell_bucket=*", "*.parquet"))
+    )
+    return copart_pip_join(files, _regions_store(sf_dir))
+
+
 def q_pip_join_cogroup(sf_dir: str):
     import ray.data
 
@@ -1468,6 +1503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join_holes": q_pip_join_holes,
         "line_region_join": q_line_region_join,
         "pip_join_cogroup": q_pip_join_cogroup,
+        "pip_join_copart": q_pip_join_copart,
         "pip_join_count": q_pip_join_count,
         "pip_join_anti": q_pip_join_anti,
         "pip_join_temporal": q_pip_join_temporal,
@@ -1642,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT pp.row_id, rr.region_idx FROM pp JOIN rr USING (region_id)
         """,
         "pip_join_cogroup": f"SELECT url, region_id FROM ({pip_pairs})",
+        "pip_join_copart": f"SELECT url, region_id FROM ({pip_pairs})",
         "pip_join_concave": f"""
             SELECT p.url, r.region_id
             FROM {PAGES} p

@@ -124,6 +124,8 @@ def run_bench(sf_dir: str, headline_only: bool = False) -> dict:
         timed("bbox_temporal", em.q_bbox_temporal)  # spatial-temporal composite
         timed("kde_gaussian", em.q_kde_gaussian)
         timed("pip_join_cogroup", em.q_pip_join_cogroup)
+        em._regions_store(sf_dir)  # co-partitioned store (untimed build)
+        timed("pip_join_copart", em.q_pip_join_copart)
         timed("docs_token_stats", em.q_docs_token_stats)
         timed("docs_minhash_pairs", em.q_docs_minhash_pairs)
         timed("dbscan_exact", em.q_dbscan_exact)     # tile-local exact DBSCAN

@@ -317,3 +317,68 @@ def test_add_salt_stage(small):
     # deterministic
     s2 = add_salt(enc, hot_cells=hot, n_salt=4)["salt"].to_numpy()
     assert np.array_equal(s, s2)
+
+
+def test_copart_bucket_rule_consistency(ray_session, tmp_path):
+    """A point inside a region's covered cell must land in the same
+    bucket as that region cell row (the co-partitioned join's
+    correctness precondition)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geowave_ray.geom import polygon_wkb
+    from geowave_ray.pipelines.spatial_join import (
+        _load_region_bucket,
+        copart_pip_join,
+        ingest_regions_store,
+    )
+    import ray.data
+
+    rng = np.random.default_rng(2)
+    # a few square regions + points inside them
+    rids, wkbs, xmins, ymins, xmaxs, ymaxs = [], [], [], [], [], []
+    pts_lon, pts_lat, expect = [], [], []
+    for j in range(12):
+        cx, cy = rng.uniform(-150, 150), rng.uniform(-70, 70)
+        w = rng.uniform(0.5, 3.0)
+        ring = np.array(
+            [(cx - w, cy - w), (cx + w, cy - w), (cx + w, cy + w), (cx - w, cy + w)]
+        )
+        rid = f"r{j}"
+        rids.append(rid)
+        wkbs.append(polygon_wkb(ring))
+        xmins.append(cx - w)
+        ymins.append(cy - w)
+        xmaxs.append(cx + w)
+        ymaxs.append(cy + w)
+        for _ in range(20):
+            pts_lon.append(rng.uniform(cx - w * 0.9, cx + w * 0.9))
+            pts_lat.append(rng.uniform(cy - w * 0.9, cy + w * 0.9))
+            expect.append(rid)
+    regions = pa.table(
+        {
+            "region_id": pa.array(rids),
+            "geometry_wkb": pa.array(wkbs, pa.binary()),
+            "xmin": pa.array(xmins),
+            "ymin": pa.array(ymins),
+            "xmax": pa.array(xmaxs),
+            "ymax": pa.array(ymaxs),
+        }
+    )
+    store = str(tmp_path / "rstore")
+    ingest_regions_store(regions, store)
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([f"p{i}" for i in range(len(pts_lon))]),
+                "lon": pa.array(pts_lon),
+                "lat": pa.array(pts_lat),
+            }
+        )
+    ).repartition(3)
+    out = copart_pip_join(pts, store).to_pandas()
+    # every point matched its enclosing region (regions may overlap ->
+    # >= expected pairs; every expected pair present)
+    got = set(zip(out["url"], out["region_id"]))
+    for i, rid in enumerate(expect):
+        assert (f"p{i}", rid) in got
