@@ -950,6 +950,15 @@ def q_ann_lsh(sf_dir: str):
     return ann_lsh_topk(ds, qvecs, qids, k=10, concurrency=_pool())
 
 
+def q_emb_neardup_pairs(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs (blocked matmul over
+    object-ref right blocks; no driver materialization)."""
+    from geowave_ray.ann import cosine_neardup_pairs
+
+    ds = _read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_neardup_pairs(ds, threshold=0.35)
+
+
 def q_within_distance(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -1541,6 +1550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "emb_neardup_pairs": q_emb_neardup_pairs,
         # sketches
         "hll_distinct": q_hll_distinct,
         # query language / relational / lookup
@@ -2147,6 +2157,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT region_id, query_id FROM cand
             EXCEPT
             SELECT * FROM (SELECT * FROM sep_r UNION SELECT * FROM sep_q)
+        """,
+        # embedding-cosine near-dup: pairs only (DuckDB computes
+        # list_cosine_similarity at float32 precision, ~1.6e-7 off the
+        # engine's float64 matmul — sim values would hash-mismatch)
+        "emb_neardup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
         """,
         "vector_export": """
             SELECT doc_id, lang, n_chars FROM documents
