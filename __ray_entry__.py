@@ -871,6 +871,18 @@ def q_docs_simhash(sf_dir: str):
     return ds.map_batches(simhash_batch, batch_format="pyarrow", batch_size=None)
 
 
+def q_docs_jaccard_pairs(sf_dir: str):
+    """Near-dup pairs verified with EXACT n-gram Jaccard (LSH
+    candidates -> text re-attach -> shingle-set intersection). No SQL
+    (a shingle self-join explodes on common trigrams); pytest carries
+    the brute-force oracle."""
+    from geowave_ray.dedup import jaccard_lsh_pairs
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    out = jaccard_lsh_pairs(ds, jaccard_threshold=0.5)
+    return out.select_columns(["doc_a", "doc_b"])
+
+
 def q_events_window(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -1543,6 +1555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_dedup_clusters": q_docs_dedup_clusters,
         "docs_simhash": q_docs_simhash,
+        "docs_jaccard_pairs": q_docs_jaccard_pairs,
         # events / relational
         "events_window": q_events_window,
         "lineitem_agg": q_lineitem_agg,

@@ -282,6 +282,144 @@ def minhash_lsh_pairs(
     return verified.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+def _attach_value(
+    pairs: ray.data.Dataset,
+    table: ray.data.Dataset,
+    key_col: str,
+    out_col: str,
+    val_col: str,
+    val_type: pa.DataType,
+    n_buckets: int,
+    dedupe_pairs: bool = False,
+) -> ray.data.Dataset:
+    """Generalized bucketed cogroup attach: pairs[key_col] ==
+    table.doc_id -> append table[val_col] as ``out_col`` (arrow take,
+    works for strings/lists — the _attach_sig pattern without the
+    fixed-width signature specialization)."""
+    pair_schema = pairs.schema()
+    pass_cols = list(pair_schema.names)
+    pass_types = dict(zip(pair_schema.names, pair_schema.types))
+
+    def probe_rows(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy()
+        cols = {"jkey": pa.array(k, pa.int64()), "is_label": pa.array(np.zeros(len(k), bool))}
+        for c in pass_cols:
+            cols[c] = b.column(c)
+        cols["_val"] = pa.nulls(len(k), val_type)
+        return pa.table(cols)
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        k = b.column("doc_id").to_numpy()
+        cols = {"jkey": pa.array(k, pa.int64()), "is_label": pa.array(np.ones(len(k), bool))}
+        for c in pass_cols:
+            cols[c] = b.column(c) if c in b.column_names else pa.nulls(len(k), pass_types[c])
+        cols["_val"] = b.column(val_col).cast(val_type)
+        return pa.table(cols)
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        bk = mix64(b.column("jkey").to_numpy().astype(np.uint64)) % np.uint64(n_buckets)
+        return b.append_column("bucket", pa.array(bk.astype(np.int64), pa.int64()))
+
+    u = (
+        pairs.map_batches(probe_rows, batch_format="pyarrow", batch_size=None)
+        .union(table.map_batches(label_rows, batch_format="pyarrow", batch_size=None))
+        .map_batches(bucketed, batch_format="pyarrow", batch_size=None)
+        .repartition(_EXCHANGE_BLOCKS)
+    )
+
+    def join_group(t: pa.Table) -> pa.Table:
+        is_lab = np.asarray(t.column("is_label").to_numpy(zero_copy_only=False), bool)
+        lab = t.filter(pa.array(is_lab))
+        pr = t.filter(pa.array(~is_lab))
+        if dedupe_pairs and len(pr):
+            da = pr.column("doc_a").to_numpy()
+            db = pr.column("doc_b").to_numpy()
+            order = np.lexsort((db, da))
+            keep = np.ones(len(order), dtype=bool)
+            keep[1:] = (da[order][1:] != da[order][:-1]) | (db[order][1:] != db[order][:-1])
+            pr = pr.take(pa.array(np.sort(order[keep])))
+        cols = {c: pr.column(c) for c in pass_cols}
+        if len(pr) and len(lab):
+            lk = lab.column("jkey").to_numpy()
+            order = np.argsort(lk)
+            pos = np.clip(
+                np.searchsorted(lk[order], pr.column("jkey").to_numpy()), 0, len(lk) - 1
+            )
+            cols[out_col] = lab.column("_val").take(pa.array(order[pos]))
+        else:
+            cols[out_col] = pa.nulls(len(pr), val_type)
+        return pa.table(cols)
+
+    return u.groupby("bucket").map_groups(join_group, batch_format="pyarrow")
+
+
+def jaccard_lsh_pairs(
+    docs: ray.data.Dataset,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Near-dup pairs with EXACT character-n-gram Jaccard verification:
+    banded-LSH candidates (same shape as :func:`minhash_lsh_pairs`),
+    then the TEXTS are re-attached through two bucketed cogroups and
+    each candidate is scored with exact shingle-set Jaccard
+    (|A∩B| / |A∪B|), not the signature approximation. Output
+    (doc_a, doc_b, jaccard >= threshold).
+
+    Not SQL-expressible at fixture scale (a shingle self-join explodes
+    on common trigrams); the pytest oracle compares against the O(n^2)
+    brute force on a small corpus.
+    """
+    cands = minhash_lsh_pairs(
+        docs,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        # permissive signature gate: exactness comes from the text pass
+        jaccard_threshold=max(0.0, jaccard_threshold - 0.25),
+        n_buckets=n_buckets,
+    ).select_columns(["doc_a", "doc_b"])
+    texted = _attach_value(
+        cands, docs, "doc_a", "text_a", "text", pa.string(), n_buckets
+    )
+    texted = _attach_value(
+        texted, docs, "doc_b", "text_b", "text", pa.string(), n_buckets
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        # per-pair loop over the (LSH-pruned) candidate set; the
+        # shingle hashing + set ops inside are vectorized per doc
+        js = np.empty(len(ta))
+        for i, (a, b) in enumerate(zip(ta, tb)):
+            sa = np.unique(_shingle_hashes(a or "", shingle_n))
+            sb = np.unique(_shingle_hashes(b or "", shingle_n))
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            js[i] = inter / union if union else 0.0
+        keep = js >= jaccard_threshold
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").filter(pa.array(keep)),
+                "doc_b": batch.column("doc_b").filter(pa.array(keep)),
+                "jaccard": pa.array(js[keep], pa.float64()),
+            }
+        )
+
+    return texted.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
 def _attach_sig(
     pairs: ray.data.Dataset,
     sigs: ray.data.Dataset,

@@ -92,6 +92,52 @@ def decode_features(
     )
 
 
+class FeatureResizer:
+    """Actor-pool stage: resize a fixed-size feature vector column by
+    integer-factor mean pooling — the image-resize plumbing role
+    (``RasterTileResizeHelper.java:91-126``): fixed-size-list in,
+    smaller fixed-size-list out, vectorized across the batch."""
+
+    def __init__(self, in_dim: int = 16, out_dim: int = 4, col: str = "feature"):
+        if in_dim % out_dim:
+            raise ValueError("in_dim must be a multiple of out_dim")
+        self.in_dim = in_dim
+        self.out_dim = out_dim
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        m = flat.reshape(-1, self.in_dim)
+        pooled = m.reshape(len(m), self.out_dim, self.in_dim // self.out_dim).mean(axis=2)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(pooled.ravel(), pa.float64()), self.out_dim
+                ),
+            }
+        )
+
+
+def resize_features(
+    ds: ray.data.Dataset,
+    in_dim: int = 16,
+    out_dim: int = 4,
+    concurrency: int | tuple = 4,
+    batch_size: int = 2048,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        FeatureResizer,
+        fn_constructor_kwargs=dict(in_dim=in_dim, out_dim=out_dim),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def sample_chunks(
     ds: ray.data.Dataset,
     col: str = "html",

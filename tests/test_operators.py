@@ -453,3 +453,67 @@ def test_function_registry(ray_session):
     registry.register("double", lambda a: pa.compute.multiply(a, 2))
     assert registry.apply("double", col("x")).evaluate(t).to_pylist() == [-4.0, 6.0]
     assert "DOUBLE" in registry.names()
+
+
+def test_jaccard_lsh_pairs_vs_bruteforce(ray_session):
+    """Exact n-gram Jaccard verification over LSH candidates matches
+    the O(n^2) brute force for every pair ABOVE the threshold (LSH
+    recall caveat: candidates must share a band — near-identical docs
+    always do)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.dedup import jaccard_lsh_pairs, ngram_jaccard
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "through fields of green grass under a blue summer sky today"
+    )
+    texts = []
+    for i in range(40):
+        if i % 4 == 0:
+            texts.append(base + f" variant {i}")  # near-dup family
+        else:
+            texts.append(f"document {i} " + " ".join(f"tok{i}{j}" for j in range(30)))
+    t = pa.table({"doc_id": pa.array(range(40), pa.int64()), "text": pa.array(texts)})
+    got = (
+        jaccard_lsh_pairs(ray.data.from_arrow(t), jaccard_threshold=0.6)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    want = set()
+    for i in range(40):
+        for j in range(i + 1, 40):
+            if ngram_jaccard(texts[i], texts[j], 3) >= 0.6:
+                want.add((i, j))
+    got_pairs = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+    assert got_pairs == want and len(want) >= 10
+    # exact jaccard values match the scalar reference
+    for _, r in got.iterrows():
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        assert abs(r["jaccard"] - ngram_jaccard(texts[a], texts[b], 3)) < 1e-12
+
+
+def test_resize_features_plumbing(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.multimodal import decode_features, resize_features
+
+    t = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(10)]),
+            "html": pa.array([bytes([i] * 64) for i in range(10)], pa.binary()),
+        }
+    )
+    feats = decode_features(ray.data.from_arrow(t))
+    resized = resize_features(feats, in_dim=16, out_dim=4).to_pandas()
+    assert len(resized) == 10
+    for _, r in resized.iterrows():
+        assert len(r["feature"]) == 4
+    # mean pooling preserves the total mass (histograms sum to 1)
+    s = np.asarray(resized["feature"].iloc[0])
+    assert abs(s.sum() * 4 - 1.0) < 1e-9  # 4 pools x mean of 4 = sum/4
