@@ -871,6 +871,21 @@ def q_docs_simhash(sf_dir: str):
     return ds.map_batches(simhash_batch, batch_format="pyarrow", batch_size=None)
 
 
+def q_asof_join(sf_dir: str):
+    """Two-dataset AS-OF join: each purchase matched to the same
+    user's latest click at or before the purchase time (bucketed
+    cogroup + one searchsorted per group; -1 when no prior click)."""
+    from geowave_ray.pipelines.window import asof_join
+
+    ev = _read_testdata(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    left = ev.filter(expr="event_type == 'purchase'")
+    right = ev.filter(expr="event_type == 'click'")
+    return asof_join(
+        left, right, key_col="user_id", ts_col="ts",
+        left_id="event_id", right_id="event_id",
+    )
+
+
 def q_docs_jaccard_pairs(sf_dir: str):
     """Near-dup pairs verified with EXACT n-gram Jaccard (LSH
     candidates -> text re-attach -> shingle-set intersection). No SQL
@@ -1600,6 +1615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as-of / sliding windows
         "events_prev": q_events_prev,
         "events_sliding": q_events_sliding,
+        "asof_join": q_asof_join,
         # vector export sink roundtrip
         "vector_export": q_vector_export,
         # CQL bridge + temporal/spatial expression AST
@@ -2170,6 +2186,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT region_id, query_id FROM cand
             EXCEPT
             SELECT * FROM (SELECT * FROM sep_r UNION SELECT * FROM sep_q)
+        """,
+        # as-of join: latest same-user click at or before each purchase
+        # (ties on equal ts break to max event_id, mirroring the
+        # engine's (ts, id) sort; -1 = no prior click)
+        "asof_join": """
+            SELECT a.event_id,
+                   coalesce((SELECT b.event_id FROM events b
+                             WHERE b.event_type = 'click'
+                               AND b.user_id = a.user_id AND b.ts <= a.ts
+                             ORDER BY b.ts DESC, b.event_id DESC LIMIT 1),
+                            -1) AS asof_event_id
+            FROM events a WHERE a.event_type = 'purchase'
         """,
         # embedding-cosine near-dup: pairs only (DuckDB computes
         # list_cosine_similarity at float32 precision, ~1.6e-7 off the

@@ -79,3 +79,83 @@ def sliding_window_counts(
 
     partials = ds.map_batches(expand, batch_format="pyarrow", batch_size=None)
     return tree_aggregate(partials, [key_col, "window_id"], {"n": "sum"})
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    left_id: str,
+    right_id: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TWO-DATASET as-of join: for each left row, the right row with
+    the same key and the LATEST ts <= left.ts (DuckDB ``ASOF JOIN``
+    semantics; ties on equal right ts break to the max right id so
+    results are engine-independent). Left rows with no match emit -1.
+
+    Shape: both sides bucket by hashed key, tagged rows meet in one
+    bounded cogroup, per group a combined (key, ts, id) sort key feeds
+    one ``searchsorted`` for all left rows — no per-row loop, one
+    exchange total.
+    """
+    from ..hashing import mix64
+
+    def tag(side: int, id_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b.column(key_col).to_numpy()
+            ts = b.column(ts_col)
+            if pa.types.is_timestamp(ts.type):
+                ts = ts.cast(pa.timestamp("us"))
+            ts = ts.cast(pa.int64())
+            bk = mix64(k.astype(np.uint64)) % np.uint64(n_buckets)
+            return pa.table(
+                {
+                    "key": pa.array(k.astype(np.int64), pa.int64()),
+                    "ts": ts,
+                    "rid": b.column(id_col).cast(pa.int64()),
+                    "side": pa.array(np.full(len(k), side, np.int8)),
+                    "bucket": pa.array(bk.astype(np.int64), pa.int64()),
+                }
+            )
+
+        return fn
+
+    u = left.map_batches(tag(0, left_id), batch_format="pyarrow", batch_size=None).union(
+        right.map_batches(tag(1, right_id), batch_format="pyarrow", batch_size=None)
+    )
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = g["side"].to_numpy() == 0
+        lk = g["key"].to_numpy()[lmask]
+        lts = g["ts"].to_numpy()[lmask]
+        lid = g["rid"].to_numpy()[lmask]
+        rk = g["key"].to_numpy()[~lmask]
+        rts = g["ts"].to_numpy()[~lmask]
+        rid = g["rid"].to_numpy()[~lmask]
+        if len(rk) == 0:
+            return pd.DataFrame(
+                {left_id: lid, "asof_" + right_id: np.full(len(lid), -1, np.int64)}
+            )
+        # right side sorted by (key, ts, id): for each left (key, ts)
+        # the predecessor position is the latest eligible right row,
+        # with equal-ts ties resolved to max id by the sort order
+        order = np.lexsort((rid, rts, rk))
+        rk, rts, rid = rk[order], rts[order], rid[order]
+        pos = np.searchsorted(_combined(rk, rts), _combined(lk, lts), side="right") - 1
+        valid = pos >= 0
+        match = np.full(len(lid), -1, np.int64)
+        ok = valid & (rk[np.clip(pos, 0, None)] == lk)
+        match[ok] = rid[pos[ok]]
+        return pd.DataFrame({left_id: lid, "asof_" + right_id: match})
+
+    def _combined(k: np.ndarray, ts: np.ndarray) -> np.ndarray:
+        # strict lexicographic (key, ts) as structured array — avoids
+        # overflow of key*const + ts composites
+        out = np.empty(len(k), dtype=[("k", np.int64), ("t", np.int64)])
+        out["k"] = k
+        out["t"] = ts
+        return out
+
+    return u.groupby("bucket").map_groups(group_fn, batch_format="pandas")
