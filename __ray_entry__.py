@@ -871,6 +871,26 @@ def q_docs_simhash(sf_dir: str):
     return ds.map_batches(simhash_batch, batch_format="pyarrow", batch_size=None)
 
 
+def q_range_join(sf_dir: str):
+    """Generic range join: pages.warc_ts against region validity
+    intervals [valid_from, valid_to), counted per region (binned
+    cogroup — one bounded exchange, two searchsorted per interval per
+    bin)."""
+    import ray.data
+
+    from geowave_ray.pipelines.range_join import range_join_count
+
+    pages = _pages(sf_dir, columns=["row_id", "warc_ts"])
+    regions = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/regions.parquet",
+        columns=["region_id", "valid_from", "valid_to"],
+    )
+    return range_join_count(
+        pages, regions, value_col="warc_ts", lo_col="valid_from",
+        hi_col="valid_to", right_id="region_id",
+    )
+
+
 def q_asof_join(sf_dir: str):
     """Two-dataset AS-OF join: each purchase matched to the same
     user's latest click at or before the purchase time (bucketed
@@ -1616,6 +1636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prev": q_events_prev,
         "events_sliding": q_events_sliding,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         # vector export sink roundtrip
         "vector_export": q_vector_export,
         # CQL bridge + temporal/spatial expression AST
@@ -2186,6 +2207,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT region_id, query_id FROM cand
             EXCEPT
             SELECT * FROM (SELECT * FROM sep_r UNION SELECT * FROM sep_q)
+        """,
+        "range_join": f"""
+            SELECT r.region_id, count(*) AS n
+            FROM {PAGES} p JOIN {REGIONS} r
+              ON p.warc_ts >= r.valid_from AND p.warc_ts < r.valid_to
+            GROUP BY r.region_id
         """,
         # as-of join: latest same-user click at or before each purchase
         # (ties on equal ts break to max event_id, mirroring the

@@ -1,0 +1,113 @@
+"""Generic RANGE JOIN: left values against right [lo, hi) intervals.
+
+The reference expresses interval predicates through its numeric/
+temporal constraint machinery (``NumericFieldConstraints`` feeding
+range decomposition); as a standalone dataset operator this is the
+"range join" shape a training-data pipeline needs (event-to-window
+attribution, price-band lookups).
+
+Scale shape: ONE bounded exchange. The value domain is split into
+``n_bins`` equal bins; every left value lands in exactly one bin and
+every interval duplicates to the bins it covers. Inside a bin group
+the left values sort once and every interval answers with two
+``searchsorted`` calls, counting only values inside the bin's window —
+so no pair is double-counted and no all-pairs loop exists. Output is
+(right_id, n) partial counts, tree-reduced.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _to_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us"))
+    return col.cast(pa.int64())
+
+
+def range_join_count(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    right_id: str,
+    n_bins: int = 64,
+) -> ray.data.Dataset:
+    """Count left rows with lo <= value < hi per right interval ->
+    (right_id, n); intervals with zero matches are omitted (inner-join
+    semantics)."""
+    from ..agg import tree_aggregate
+
+    # domain from the right side (two scalar aggregates)
+    lo_min = right.min(lo_col)
+    hi_max = right.max(hi_col)
+    d0 = int(pa.scalar(lo_min).cast(pa.timestamp("us")).cast(pa.int64()).as_py()) if not isinstance(lo_min, (int, float)) else int(lo_min)
+    d1 = int(pa.scalar(hi_max).cast(pa.timestamp("us")).cast(pa.int64()).as_py()) if not isinstance(hi_max, (int, float)) else int(hi_max)
+    width = max((d1 - d0) // n_bins + 1, 1)
+
+    def left_rows(b: pa.Table) -> pa.Table:
+        v = _to_us(b.column(value_col).combine_chunks() if isinstance(b.column(value_col), pa.ChunkedArray) else b.column(value_col)).to_numpy()
+        binv = np.clip((v - d0) // width, 0, n_bins - 1)
+        return pa.table(
+            {
+                "bin": pa.array(binv, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "rid": pa.nulls(len(v), pa.string()),
+                "lo": pa.nulls(len(v), pa.int64()),
+                "hi": pa.nulls(len(v), pa.int64()),
+                "side": pa.array(np.zeros(len(v), np.int8)),
+            }
+        )
+
+    def right_rows(b: pa.Table) -> pa.Table:
+        lo = _to_us(b.column(lo_col)).to_numpy()
+        hi = _to_us(b.column(hi_col)).to_numpy()
+        rid = b.column(right_id)
+        b0 = np.clip((lo - d0) // width, 0, n_bins - 1)
+        b1 = np.clip((hi - 1 - d0) // width, 0, n_bins - 1)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(lo)), reps)
+        bins = np.concatenate(
+            [np.arange(a, z + 1) for a, z in zip(b0, b1)]
+        ) if len(lo) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(bins, pa.int64()),
+                "v": pa.nulls(len(bins), pa.int64()),
+                "rid": rid.take(pa.array(idx)),
+                "lo": pa.array(lo[idx], pa.int64()),
+                "hi": pa.array(hi[idx], pa.int64()),
+                "side": pa.array(np.ones(len(bins), np.int8)),
+            }
+        )
+
+    # coalesce before the bucketed exchange: Ray's sort-groupby pays
+    # per-block scheduling, so width ~ reducer count (NOTES_r2 lesson)
+    u = (
+        left.map_batches(left_rows, batch_format="pyarrow", batch_size=None)
+        .union(right.map_batches(right_rows, batch_format="pyarrow", batch_size=None))
+        .repartition(16)
+    )
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = g["side"].to_numpy() == 0
+        vs = np.sort(g["v"].to_numpy()[lmask].astype(np.int64))
+        iv = g[~lmask]
+        if len(iv) == 0 or len(vs) == 0:
+            return pd.DataFrame({right_id: pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)})
+        binno = int(g["bin"].iloc[0])
+        bin_start = d0 + binno * width
+        bin_end = bin_start + width
+        lo = np.maximum(iv["lo"].to_numpy().astype(np.int64), bin_start)
+        hi = np.minimum(iv["hi"].to_numpy().astype(np.int64), bin_end)
+        n = np.searchsorted(vs, hi, side="left") - np.searchsorted(vs, lo, side="left")
+        keep = n > 0
+        return pd.DataFrame({right_id: iv["rid"].to_numpy()[keep], "n": n[keep]})
+
+    partial = u.groupby("bin").map_groups(group_fn, batch_format="pandas")
+    return tree_aggregate(partial, [right_id], {"n": "sum"})
