@@ -997,6 +997,24 @@ def q_ann_lsh(sf_dir: str):
     return ann_lsh_topk(ds, qvecs, qids, k=10, concurrency=_pool())
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF-style ANN: coarse k-means quantizer -> nprobe inverted lists
+    -> exact scoring of survivors only (approximate; recall vs the
+    brute-force baseline asserted in pytest)."""
+    import pyarrow.parquet as pq
+
+    from geowave_ray.ann import ann_ivf_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qmask = np.asarray([v < 5 for v in t["vec_id"].to_pylist()])
+    qvecs = np.array(
+        [t["embedding"][i].as_py() for i in np.nonzero(qmask)[0]], dtype=np.float64
+    )
+    qids = np.asarray(t["vec_id"].to_numpy()[qmask])
+    ds = _read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_ivf_topk(ds, qvecs, qids, k=10, concurrency=_pool())
+
+
 def q_emb_neardup_pairs(sf_dir: str):
     """Exact embedding-cosine near-dup pairs (blocked matmul over
     object-ref right blocks; no driver materialization)."""
@@ -1598,6 +1616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "emb_neardup_pairs": q_emb_neardup_pairs,
         # sketches
         "hll_distinct": q_hll_distinct,

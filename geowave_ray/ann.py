@@ -76,10 +76,15 @@ def ann_bruteforce_topk(
     query_vecs: np.ndarray,
     query_ids: np.ndarray,
     k: int = 10,
-    concurrency: int | tuple = 4,
+    concurrency: int | tuple | None = None,
     exclude_self: bool = True,
 ) -> ray.data.Dataset:
     """Exact cosine top-k -> (query_vec_id, rank, vec_id)."""
+    if concurrency is None:
+        from .util import pool_size
+
+        concurrency = pool_size()  # half the CPUs: a full-size pool deadlocks
+        # against its own upstream tasks on small clusters
     q = {"qids": np.asarray(query_ids), "qmat": _normalize(np.asarray(query_vecs, np.float64))}
     ref = ray.put(q)
     partials = embeddings.map_batches(
@@ -117,7 +122,8 @@ def ann_lsh_topk(
     n_tables: int = 4,
     dim: int | None = None,
     seed: int = 42,
-    concurrency: int | tuple = 4,
+    concurrency: int | tuple | None = None,
+    exclude_self: bool = True,
 ) -> ray.data.Dataset:
     """Random-hyperplane LSH pre-filter then exact scoring of survivors.
 
@@ -154,7 +160,8 @@ def ann_lsh_topk(
 
     survivors = embeddings.map_batches(prefilter, batch_format="pyarrow", batch_size=None)
     return ann_bruteforce_topk(
-        survivors, query_vecs, query_ids, k=k, concurrency=concurrency
+        survivors, query_vecs, query_ids, k=k, concurrency=concurrency,
+        exclude_self=exclude_self,
     )
 
 
@@ -198,3 +205,95 @@ def cosine_neardup_pairs(
         part = ds.map_batches(cross, batch_format="pyarrow", batch_size=None)
         out = part if out is None else out.union(part)
     return out
+
+
+def ivf_train_centroids(
+    embeddings: ray.data.Dataset,
+    n_centroids: int = 32,
+    n_iter: int = 6,
+    seed: int = 7,
+    dim: int = 64,
+) -> np.ndarray:
+    """d-dimensional streaming Lloyd's for the IVF coarse quantizer:
+    per iteration ONE map pass emits (centroid, sum-vector, count)
+    partials; the driver holds only the (k, d) centroid matrix.
+    Deterministic hash-seeded init (same rule as clustering.kmeans)."""
+    import hashlib
+
+    cent = np.empty((n_centroids, dim))
+    for i in range(n_centroids):
+        h = hashlib.sha256(f"ivf{seed}.{i}".encode()).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+        cent[i] = rng.standard_normal(dim)
+    cent = _normalize(cent)
+
+    for _ in range(n_iter):
+        cref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            emb = _normalize(_emb_matrix(batch.column("embedding")))
+            a = np.argmax(emb @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, emb)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(len(c)), pa.int64()),
+                    "vec": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.ravel(), pa.float64()), c.shape[1]
+                    ),
+                    "n": pa.array(counts, pa.int64()),
+                }
+            )
+
+        parts = embeddings.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        new = cent.copy()
+        agg = parts.groupby("cid")
+        for cid, sub in agg:
+            n = int(sub["n"].sum())
+            if n > 0:
+                s = np.sum(np.stack([np.asarray(v) for v in sub["vec"]]), axis=0)
+                new[int(cid)] = s / n
+        cent = _normalize(new)
+    return cent
+
+
+def ann_ivf_topk(
+    embeddings: ray.data.Dataset,
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int = 8,
+    concurrency: int | tuple | None = None,
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """IVF-style ANN: a coarse k-means quantizer partitions the vectors
+    into inverted lists; each query probes its ``nprobe`` nearest
+    centroids and only vectors in those lists are scored exactly
+    (approximate — recall measured in pytest; the exact baseline is
+    :func:`ann_bruteforce_topk`). At scale the inverted lists are the
+    partition key: assignment happens at ingest and the probe reads
+    only matching partitions (same pruned-read pattern as the spatial
+    cell-bucket store)."""
+    qmat = _normalize(np.asarray(query_vecs, np.float64))
+    cent = ivf_train_centroids(embeddings, n_centroids=n_centroids, dim=qmat.shape[1])
+    probed = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probed)
+    cref = ray.put((cent, np.sort(wanted)))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        c, want = ray.get(cref)
+        emb = _normalize(_emb_matrix(batch.column("embedding")))
+        a = np.argmax(emb @ c.T, axis=1)
+        pos = np.clip(np.searchsorted(want, a), 0, len(want) - 1)
+        return batch.filter(pa.array(want[pos] == a))
+
+    survivors = embeddings.map_batches(prefilter, batch_format="pyarrow", batch_size=None)
+    return ann_bruteforce_topk(
+        survivors, query_vecs, query_ids, k=k, concurrency=concurrency,
+        exclude_self=exclude_self,
+    )

@@ -517,3 +517,45 @@ def test_resize_features_plumbing(ray_session):
     # mean pooling preserves the total mass (histograms sum to 1)
     s = np.asarray(resized["feature"].iloc[0])
     assert abs(s.sum() * 4 - 1.0) < 1e-9  # 4 pools x mean of 4 = sum/4
+
+
+def test_ann_ivf_recall(ray_session):
+    """IVF probe path: recall@10 vs exact brute force >= 0.9 with a
+    generous nprobe; full probe (nprobe = n_centroids) is exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.ann import ann_bruteforce_topk, ann_ivf_topk
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 64))
+    vecs = np.vstack([c + 0.3 * rng.standard_normal((80, 64)) for c in centers])
+    ids = np.arange(len(vecs))
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    qv = vecs[:5] + 0.05 * rng.standard_normal((5, 64))
+    qids = np.arange(5)
+    exact = ann_bruteforce_topk(ds, qv, qids, k=10, exclude_self=False).to_pandas()
+    approx = ann_ivf_topk(
+        ds, qv, qids, k=10, n_centroids=16, nprobe=6, exclude_self=False
+    ).to_pandas()
+    rec = []
+    for q in qids:
+        e = set(exact[exact.query_vec_id == q]["vec_id"])
+        a = set(approx[approx.query_vec_id == q]["vec_id"])
+        rec.append(len(e & a) / len(e))
+    assert np.mean(rec) >= 0.9, rec
+    full = ann_ivf_topk(
+        ds, qv, qids, k=10, n_centroids=16, nprobe=16, exclude_self=False
+    ).to_pandas()
+    for q in qids:
+        assert set(full[full.query_vec_id == q]["vec_id"]) == set(
+            exact[exact.query_vec_id == q]["vec_id"]
+        )
