@@ -918,6 +918,26 @@ def q_docs_jaccard_pairs(sf_dir: str):
     return out.select_columns(["doc_a", "doc_b"])
 
 
+def q_docs_jaccard_exact(sf_dir: str):
+    """EXACT all-pairs n-gram Jaccard (no LSH prefilter) over docs with
+    >= 3 tokens — the SQL-checkable ground truth for the LSH path.
+    Blocked-broadcast right side; vectorized searchsorted+bincount
+    intersection per left doc (no per-pair Python)."""
+    import pyarrow as pa
+
+    from geowave_ray.dedup import ngram_jaccard_allpairs
+    from geowave_ray.hashing import tokenize_hash
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def atleast3(b: "pa.Table") -> "pa.Table":
+        _, _, ntok = tokenize_hash(b.column("text"))
+        return b.filter(pa.array(ntok >= 3))
+
+    ds = ds.map_batches(atleast3, batch_format="pyarrow", batch_size=None)
+    return ngram_jaccard_allpairs(ds, shingle_n=3, threshold=0.5)
+
+
 def q_events_window(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -1609,6 +1629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_clusters": q_docs_dedup_clusters,
         "docs_simhash": q_docs_simhash,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
+        "docs_jaccard_exact": q_docs_jaccard_exact,
         # events / relational
         "events_window": q_events_window,
         "lineitem_agg": q_lineitem_agg,
@@ -2031,6 +2052,29 @@ def oracle_sql() -> dict[str, str]:
                        x -> x IN ('the','and','of','a','to','in','is','it'))) AS n_stopwords,
                    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
             FROM documents
+        """,
+        "docs_jaccard_exact": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(str_split(text, ' '), t -> t <> '') AS tk
+              FROM documents
+            ), docs3 AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 3),
+            idx AS (SELECT doc_id, tk,
+                           unnest(range(1, len(tk) - 1)) AS i FROM docs3),
+            sh AS (SELECT DISTINCT doc_id,
+                          tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+                   FROM idx),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             count(*) AS i
+                      FROM sh a JOIN sh b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.doc_a
+            JOIN sizes sb ON sb.doc_id = inter.doc_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
         """,
         "events_window": """
             SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,

@@ -681,3 +681,115 @@ def connected_components(
         f"connected_components did not converge in {max_rounds} rounds "
         "(component diameter exceeds max_rounds)"
     )
+
+
+def _doc_shingle_sets(
+    texts: pa.Array | pa.ChunkedArray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc SORTED UNIQUE shingle-hash sets for a batch, as a CSR
+    pair ``(hashes, offsets)`` — doc ``d`` owns
+    ``hashes[offsets[d]:offsets[d+1]]``."""
+    sh, doc, n_docs = _batch_shingles(texts, n)
+    order = np.lexsort((sh, doc))
+    sh, doc = sh[order], doc[order]
+    if len(sh):
+        keep = np.ones(len(sh), dtype=bool)
+        keep[1:] = (sh[1:] != sh[:-1]) | (doc[1:] != doc[:-1])
+        sh, doc = sh[keep], doc[keep]
+    offsets = np.searchsorted(doc, np.arange(n_docs + 1))
+    return sh, offsets
+
+
+def ngram_jaccard_allpairs(
+    docs: ray.data.Dataset,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    right_blocks: int = 4,
+) -> ray.data.Dataset:
+    """EXACT all-pairs word-n-gram Jaccard: (doc_a < doc_b,
+    |A∩B|/|A∪B| >= threshold) with NO LSH prefilter — the
+    SQL-checkable ground truth for :func:`jaccard_lsh_pairs`.
+
+    Scale shape mirrors :func:`~geowave_ray.ann.cosine_neardup_pairs`:
+    inherently O(n²) pairs, kept streaming by coalescing the corpus
+    into ``right_blocks`` materialized blocks whose object refs serve
+    as the broadcast right side; one map pass per right block. Each
+    task computes both sides' shingle sets in one vectorized pass
+    (``_batch_shingles``), then for every left doc intersects against
+    ALL right docs at once: its hashes are located in the
+    concatenated sorted right array via ``searchsorted`` lo/hi, and
+    per-right-doc hit counts come from one ``bincount`` over the
+    expanded match ranges — no per-pair Python. Use the LSH path for
+    unbounded corpora; this is the bounded exact verifier
+    (reference analogue: the exact re-check the DedupeFilter family
+    never needed because its keys are exact —
+    ``core/store/.../query/filter/DedupeFilter.java``).
+
+    Docs with fewer than ``shingle_n`` tokens use the fold-shingle
+    rule of :func:`_batch_shingles` (order-insensitive); filter them
+    out upstream when comparing against an order-sensitive oracle.
+    """
+
+    def _ranges_concat(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+        counts = ends - starts
+        nz = counts > 0  # empty ranges would push offsets past the end
+        starts, counts = starts[nz], counts[nz]
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64)
+        out = np.ones(total, dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        out[offs] = starts
+        out[offs[1:]] -= starts[:-1] + counts[:-1] - 1
+        return np.cumsum(out)
+
+    ds = docs.repartition(right_blocks).materialize()
+    refs = ds.to_arrow_refs()
+    out = None
+    for ref in refs:
+
+        def pairs(batch: pa.Table, _ref=ref) -> pa.Table:
+            empty = pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+            if batch.num_rows == 0:
+                return empty
+            right = ray.get(_ref)
+            if right.num_rows == 0:
+                return empty
+            rid = right.column("doc_id").to_numpy()
+            rsh, roff = _doc_shingle_sets(right.column("text"), shingle_n)
+            rsizes = np.diff(roff).astype(np.int64)
+            # flat sorted right array + owner map for searchsorted probing
+            rorder = np.argsort(rsh, kind="stable")
+            rflat = rsh[rorder]
+            rowner = np.repeat(np.arange(len(rid), dtype=np.int64), rsizes)[rorder]
+            lid = batch.column("doc_id").to_numpy()
+            lsh, loff = _doc_shingle_sets(batch.column("text"), shingle_n)
+            oa: list[np.ndarray] = []
+            ob: list[np.ndarray] = []
+            for i in range(len(lid)):
+                a = lsh[loff[i] : loff[i + 1]]
+                lo = np.searchsorted(rflat, a, side="left")
+                hi = np.searchsorted(rflat, a, side="right")
+                hits = rowner[_ranges_concat(lo, hi)]
+                inter = np.bincount(hits, minlength=len(rid))
+                union = a.size + rsizes - inter
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+                sel = np.nonzero((j >= threshold) & (lid[i] < rid))[0]
+                if len(sel):
+                    oa.append(np.full(len(sel), lid[i], dtype=np.int64))
+                    ob.append(rid[sel].astype(np.int64))
+            if not oa:
+                return empty
+            return pa.table(
+                {
+                    "doc_a": pa.array(np.concatenate(oa), pa.int64()),
+                    "doc_b": pa.array(np.concatenate(ob), pa.int64()),
+                }
+            )
+
+        part = docs.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        out = part if out is None else out.union(part)
+    return out

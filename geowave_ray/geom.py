@@ -341,8 +341,12 @@ class GridIndex:
 
 
 def _ranges_concat(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
-    """Concatenate np.arange(s, e) for each pair — vectorized."""
+    """Concatenate np.arange(s, e) for each pair — vectorized.
+    Empty ranges are dropped (they would silently corrupt the offset
+    arithmetic below)."""
     counts = ends - starts
+    nz = counts > 0
+    starts, counts = starts[nz], counts[nz]
     total = int(counts.sum())
     if total == 0:
         return np.empty(0, dtype=np.int64)

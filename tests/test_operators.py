@@ -559,3 +559,36 @@ def test_ann_ivf_recall(ray_session):
         assert set(full[full.query_vec_id == q]["vec_id"]) == set(
             exact[exact.query_vec_id == q]["vec_id"]
         )
+
+
+def test_ngram_jaccard_allpairs_exact(ray_session):
+    """All-pairs exact Jaccard (no LSH) matches the scalar brute force
+    exactly — including docs sharing NO shingles with some right block
+    (empty searchsorted ranges regression)."""
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.dedup import ngram_jaccard, ngram_jaccard_allpairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = []
+    for i in range(30):
+        if i % 3 == 0:
+            texts.append(base + f" tail{i}")
+        else:
+            # disjoint vocab: zero overlap with every other doc
+            texts.append(" ".join(f"w{i}x{j}" for j in range(12)))
+    t = pa.table({"doc_id": pa.array(range(30), pa.int64()), "text": pa.array(texts)})
+    got = (
+        ngram_jaccard_allpairs(ray.data.from_arrow(t), threshold=0.4, right_blocks=3)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+    )
+    want = {
+        (i, j)
+        for i in range(30)
+        for j in range(i + 1, 30)
+        if ngram_jaccard(texts[i], texts[j], 3) >= 0.4
+    }
+    assert set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int))) == want
+    assert len(want) >= 10
