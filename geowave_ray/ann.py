@@ -213,12 +213,21 @@ def ivf_train_centroids(
     n_iter: int = 6,
     seed: int = 7,
     dim: int = 64,
+    sample_max: int = 65536,
 ) -> np.ndarray:
-    """d-dimensional streaming Lloyd's for the IVF coarse quantizer:
-    per iteration ONE map pass emits (centroid, sum-vector, count)
-    partials; the driver holds only the (k, d) centroid matrix.
-    Deterministic hash-seeded init (same rule as clustering.kmeans)."""
+    """Coarse-quantizer training on a BOUNDED deterministic sample —
+    the standard IVF recipe (quantizers train on ~1e3 vectors per
+    centroid, never the full corpus). ONE distributed pass
+    hash-thresholds ``vec_id`` down to ~``sample_max`` vectors
+    (p = sample_max / count, metadata-only count for parquet); the
+    driver holds <= 1.5*sample_max*d floats (~50 MB at defaults) and
+    runs spherical Lloyd's locally, fully vectorized. Replaces the
+    earlier per-iteration cluster pass, which paid a full scan per
+    iteration — wrong at any scale, and pure orchestration overhead
+    on small inputs."""
     import hashlib
+
+    from .hashing import mix64
 
     cent = np.empty((n_centroids, dim))
     for i in range(n_centroids):
@@ -227,37 +236,38 @@ def ivf_train_centroids(
         cent[i] = rng.standard_normal(dim)
     cent = _normalize(cent)
 
+    n_total = embeddings.count()
+    p = min(1.0, 1.5 * sample_max / max(n_total, 1))
+    # float(2**64) rounds past uint64 at p=1 — clamp explicitly
+    thr = np.uint64(min(int(p * 2.0**64), 2**64 - 1))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        h = mix64(batch.column("vec_id").to_numpy().astype(np.uint64))
+        keep = h <= thr
+        t = batch.filter(pa.array(keep))
+        return t.append_column("_hkey", pa.array(h[keep].astype(np.int64)))
+
+    mat = embeddings.map_batches(
+        pick, batch_format="pyarrow", batch_size=None
+    ).materialize()  # bounded: ~1.5 * sample_max rows by construction
+    samp = pa.concat_tables(ray.get(mat.to_arrow_refs()))
+    if samp.num_rows == 0:
+        return cent
+    hkey = samp.column("_hkey").to_numpy()
+    order = np.argsort(hkey, kind="stable")[:sample_max]  # exact cap, hash order
+    x = _normalize(_emb_matrix(samp.column("embedding")))[order]
+    if x.shape[1] != dim:
+        raise ValueError(
+            f"embedding dim {x.shape[1]} != requested quantizer dim {dim}"
+        )
     for _ in range(n_iter):
-        cref = ray.put(cent)
-
-        def partial(batch: pa.Table) -> pa.Table:
-            c = ray.get(cref)
-            emb = _normalize(_emb_matrix(batch.column("embedding")))
-            a = np.argmax(emb @ c.T, axis=1)
-            sums = np.zeros_like(c)
-            np.add.at(sums, a, emb)
-            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
-            return pa.table(
-                {
-                    "cid": pa.array(np.arange(len(c)), pa.int64()),
-                    "vec": pa.FixedSizeListArray.from_arrays(
-                        pa.array(sums.ravel(), pa.float64()), c.shape[1]
-                    ),
-                    "n": pa.array(counts, pa.int64()),
-                }
-            )
-
-        parts = embeddings.map_batches(
-            partial, batch_format="pyarrow", batch_size=None
-        ).to_pandas()
-        new = cent.copy()
-        agg = parts.groupby("cid")
-        for cid, sub in agg:
-            n = int(sub["n"].sum())
-            if n > 0:
-                s = np.sum(np.stack([np.asarray(v) for v in sub["vec"]]), axis=0)
-                new[int(cid)] = s / n
-        cent = _normalize(new)
+        a = np.argmax(x @ cent.T, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, a, x)
+        counts = np.bincount(a, minlength=n_centroids)
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
+        cent = _normalize(cent)
     return cent
 
 
