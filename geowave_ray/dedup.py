@@ -163,6 +163,120 @@ def _sig_matrix(col: pa.ChunkedArray | pa.Array, num_perm: int) -> np.ndarray:
     return np.asarray([np.asarray(v) for v in arr], dtype=np.int64).reshape(-1, num_perm)
 
 
+def _minhash_lsh_fused(
+    docs: ray.data.Dataset,
+    num_perm: int,
+    bands: int,
+    shingle_n: int,
+    jaccard_threshold: float,
+    band_group_cap: int,
+    n_buckets: int,
+) -> ray.data.Dataset:
+    """Single-exchange LSH: band rows carry the signature; candidate
+    generation + verification + cross-band dedup all happen inside the
+    band-bucket group (see :func:`minhash_lsh_pairs` for the plan
+    tradeoff). The first-equal-band rule makes emission exactly-once:
+    for every pair the set of segment-equal bands is a fixed property
+    of the two signatures, and only the minimum such band emits."""
+    rpb = num_perm // bands
+    docs = docs.repartition(_EXCHANGE_BLOCKS)
+    sigs = docs.map_batches(
+        minhash_batch, fn_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    def to_band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "minhash": pa.array([], batch.schema.field("minhash").type),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        sig = _sig_matrix(batch.column("minhash"), num_perm).astype(np.uint64)
+        hh = np.empty(bands * n, dtype=np.int64)
+        for b in range(bands):
+            seg = sig[:, b * rpb : (b + 1) * rpb]
+            hh[b * n : (b + 1) * n] = mix64(
+                np.bitwise_xor.reduce(mix64(seg + np.uint64(b + 1)), axis=1)
+            ).astype(np.int64)
+        idx = np.tile(np.arange(n, dtype=np.int64), bands)
+        out = batch.select(["doc_id", "minhash"]).take(pa.array(idx))
+        out = out.append_column(
+            "band", pa.array(np.repeat(np.arange(bands, dtype=np.int32), n), pa.int32())
+        )
+        out = out.append_column("band_hash", pa.array(hh, pa.int64()))
+        return out.append_column(
+            "bucket", pa.array(hh % np.int64(n_buckets), pa.int64())
+        )
+
+    banded = sigs.map_batches(
+        to_band_rows, batch_format="pyarrow", batch_size=None
+    ).repartition(_EXCHANGE_BLOCKS)
+
+    def emit_verified(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        ids = g.column("doc_id").to_numpy()
+        band = g.column("band").to_numpy()
+        bh = g.column("band_hash").to_numpy()
+        sig = _sig_matrix(g.column("minhash"), num_perm)
+        order = np.lexsort((ids, bh, band))
+        ids, band, bh, sig = ids[order], band[order], bh[order], sig[order]
+        cut = np.flatnonzero((np.diff(band) != 0) | (np.diff(bh) != 0)) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(ids)]))
+        oa: list[np.ndarray] = []
+        ob: list[np.ndarray] = []
+        osim: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            ids_s, sig_s = ids[s:e], sig[s:e]
+            u = np.ones(len(ids_s), dtype=bool)
+            u[1:] = ids_s[1:] != ids_s[:-1]  # duplicate input rows
+            if not u.all():
+                ids_s, sig_s = ids_s[u], sig_s[u]
+            m = len(ids_s)
+            if m < 2:
+                continue
+            b = int(band[s])
+            if m > band_group_cap:
+                # star pairs: connectivity, not completeness (cap contract)
+                iu = np.zeros(m - 1, dtype=np.int64)
+                ju = np.arange(1, m, dtype=np.int64)
+            else:
+                iu, ju = np.triu_indices(m, k=1)
+            eqm = sig_s[iu] == sig_s[ju]
+            band_eq = eqm.reshape(len(iu), bands, rpb).all(axis=2)
+            sim = eqm.mean(axis=1)
+            keep = band_eq[:, b] & (sim >= jaccard_threshold)
+            if b > 0:
+                keep &= ~band_eq[:, :b].any(axis=1)
+            if keep.any():
+                oa.append(ids_s[iu[keep]])
+                ob.append(ids_s[ju[keep]])
+                osim.append(sim[keep])
+        if not oa:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(oa), pa.int64()),
+                "doc_b": pa.array(np.concatenate(ob), pa.int64()),
+                "sim": pa.array(np.concatenate(osim), pa.float64()),
+            }
+        )
+
+    return banded.groupby("bucket").map_groups(emit_verified, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     docs: ray.data.Dataset,
     num_perm: int = 64,
@@ -171,16 +285,37 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     band_group_cap: int = 512,
     n_buckets: int = 256,
+    fused: bool = True,
 ) -> ray.data.Dataset:
     """Near-dup pairs via banded LSH. Returns (doc_a, doc_b, sim)
     with doc_a < doc_b and sim = signature-equality fraction >=
     ``jaccard_threshold``.
 
-    Stages: signatures → id-only band rows → bucketed band cogroup
-    emits CANDIDATE id pairs (capped per band group) → pair dedup →
-    two bucketed cogroups re-attach the signatures → vectorized
-    verify. Only ids move through the wide exchanges."""
+    Two physical plans, same logical output on cap-free data
+    (asserted equal in pytest):
+
+    - ``fused=True`` (default): signatures RIDE the single band
+      exchange and candidates are verified inside the band group;
+      duplicates across bands are eliminated locally by the
+      FIRST-EQUAL-BAND rule (a pair is emitted only by the lowest
+      band where its segments match), so the whole operator is ONE
+      exchange. Tradeoff: the exchange carries ``bands`` copies of
+      each signature (bands*num_perm*8 B/doc — 8 KB at defaults,
+      comparable to shipping the text once); under band-hash skew a
+      capped group represents non-star pairs only through star
+      connectivity (the cap's documented contract).
+    - ``fused=False``: id-only band rows → candidate pairs → two
+      bucketed cogroups re-attach signatures → verify. Three
+      exchanges but only ids + two signature copies move — the
+      byte-minimal plan for corpora where 8 KB/doc of exchange
+      traffic dominates the per-exchange round cost.
+    """
     rows_per_band = num_perm // bands
+    if fused:
+        return _minhash_lsh_fused(
+            docs, num_perm, bands, shingle_n, jaccard_threshold,
+            band_group_cap, n_buckets,
+        )
     # one coalesce at the head: Ray oversplits small inputs (64 blocks
     # for a 5k-row file) and every downstream stage then pays 64 task
     # schedules; the whole pipeline is bounded-bucket exchanges, so
@@ -380,7 +515,15 @@ def jaccard_lsh_pairs(
         # permissive signature gate: exactness comes from the text pass
         jaccard_threshold=max(0.0, jaccard_threshold - 0.25),
         n_buckets=n_buckets,
-    ).select_columns(["doc_a", "doc_b"])
+    ).map_batches(
+        # NOT select_columns: Ray mis-reports schema() for a projection
+        # directly on a map_groups output (runtime blocks are correct,
+        # metadata keeps the pre-projection columns) and _attach_value
+        # builds its union schema from schema()
+        lambda b: b.select(["doc_a", "doc_b"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
     texted = _attach_value(
         cands, docs, "doc_a", "text_a", "text", pa.string(), n_buckets
     )

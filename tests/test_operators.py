@@ -592,3 +592,37 @@ def test_ngram_jaccard_allpairs_exact(ray_session):
     }
     assert set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int))) == want
     assert len(want) >= 10
+
+
+def test_minhash_fused_equals_classic(ray_session):
+    """The fused single-exchange LSH plan emits EXACTLY the classic
+    3-exchange plan's pairs (same sims) on cap-free data — the
+    first-equal-band rule is a pure dedup, not an approximation."""
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and then runs away "
+    texts = []
+    for i in range(60):
+        if i % 5 == 0:
+            texts.append(base * 3 + f"v{i}")
+        elif i % 5 == 1:
+            texts.append(base * 3 + f"v{i} extra words here")
+        else:
+            texts.append(" ".join(f"tok{i}_{j}" for j in range(40)))
+    t = pa.table({"doc_id": pa.array(range(60), pa.int64()), "text": pa.array(texts)})
+
+    def run(fused):
+        out = minhash_lsh_pairs(
+            ray.data.from_arrow(t), jaccard_threshold=0.5, fused=fused
+        ).to_pandas()
+        return {
+            (int(r.doc_a), int(r.doc_b)): round(float(r.sim), 12)
+            for r in out.itertuples()
+        }
+
+    a, b = run(True), run(False)
+    assert a == b
+    assert len(a) >= 5
