@@ -918,6 +918,16 @@ def q_docs_jaccard_pairs(sf_dir: str):
     return out.select_columns(["doc_a", "doc_b"])
 
 
+def q_docs_langid(sf_dir: str):
+    """Heuristic language ID: distinct-stopword-hit counts per language
+    profile, argmax with first-in-sorted-order tie-break ('und' when no
+    profile hits). Fully vectorized (one pc.equal pass per hint word)."""
+    from geowave_ray.text import LangId
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(LangId(), batch_format="pyarrow", batch_size=None)
+
+
 def q_docs_jaccard_exact(sf_dir: str):
     """EXACT all-pairs n-gram Jaccard (no LSH prefilter) over docs with
     >= 3 tokens — the SQL-checkable ground truth for the LSH path.
@@ -1624,6 +1634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_count": q_docs_lang_count,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
+        "docs_langid": q_docs_langid,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_dedup_clusters": q_docs_dedup_clusters,
@@ -2052,6 +2063,28 @@ def oracle_sql() -> dict[str, str]:
                        x -> x IN ('the','and','of','a','to','in','is','it'))) AS n_stopwords,
                    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
             FROM documents
+        """,
+        "docs_langid": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(str_split(text, ' '),
+                                               t -> t <> '')) AS tk
+              FROM documents
+            ), hits AS (
+              SELECT doc_id,
+                len(list_filter(tk, t -> t IN ('das','der','die','ist','und'))) AS h_de,
+                len(list_filter(tk, t -> t IN ('a','and','is','of','the'))) AS h_en,
+                len(list_filter(tk, t -> t IN ('de','el','la','los','y'))) AS h_es,
+                len(list_filter(tk, t -> t IN ('des','et','la','le','les'))) AS h_fr
+              FROM toks
+            )
+            SELECT doc_id,
+              CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                   WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                   WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                   WHEN h_es >= h_fr THEN 'es'
+                   ELSE 'fr' END AS lang_pred
+            FROM hits
         """,
         "docs_jaccard_exact": """
             WITH toks AS (
