@@ -948,6 +948,26 @@ def q_docs_jaccard_exact(sf_dir: str):
     return ngram_jaccard_allpairs(ds, shingle_n=3, threshold=0.5)
 
 
+def q_docs_clusters_exact(sf_dir: str):
+    """Connected components over the EXACT Jaccard pair set (no LSH):
+    distributed min-label propagation, oracled by a recursive-CTE
+    min-label in SQL. Output (doc_id, cluster=min doc id in component)."""
+    import pyarrow as pa
+
+    from geowave_ray.dedup import connected_components, ngram_jaccard_allpairs
+    from geowave_ray.hashing import tokenize_hash
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def atleast3(b: "pa.Table") -> "pa.Table":
+        _, _, ntok = tokenize_hash(b.column("text"))
+        return b.filter(pa.array(ntok >= 3))
+
+    ds = ds.map_batches(atleast3, batch_format="pyarrow", batch_size=None)
+    pairs = ngram_jaccard_allpairs(ds, shingle_n=3, threshold=0.5)
+    return connected_components(pairs)
+
+
 def q_events_window(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -1641,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": q_docs_simhash,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_jaccard_exact": q_docs_jaccard_exact,
+        "docs_clusters_exact": q_docs_clusters_exact,
         # events / relational
         "events_window": q_events_window,
         "lineitem_agg": q_lineitem_agg,
@@ -2108,6 +2129,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = inter.doc_a
             JOIN sizes sb ON sb.doc_id = inter.doc_b
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        """,
+        "docs_clusters_exact": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(str_split(text, ' '), t -> t <> '') AS tk
+              FROM documents
+            ), docs3 AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 3),
+            idx AS (SELECT doc_id, tk,
+                           unnest(range(1, len(tk) - 1)) AS i FROM docs3),
+            sh AS (SELECT DISTINCT doc_id,
+                          tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+                   FROM idx),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             count(*) AS i
+                      FROM sh a JOIN sh b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            p AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = inter.doc_a
+              JOIN sizes sb ON sb.doc_id = inter.doc_b
+              WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+            ),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM p
+                  UNION ALL SELECT doc_b, doc_a FROM p),
+            rr(u, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT e.v, rr.lab FROM rr JOIN e ON e.u = rr.u
+              WHERE rr.lab < e.v
+            )
+            SELECT u AS doc_id, min(lab) AS cluster FROM rr GROUP BY u
         """,
         "events_window": """
             SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,
