@@ -830,6 +830,13 @@ def q_docs_token_stats(sf_dir: str):
     return ds.map_batches(token_stats_batch, batch_format="pyarrow", batch_size=None)
 
 
+def q_docs_bpe_tokens(sf_dir: str):
+    from geowave_ray.text import bpe_token_count_batch
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow", batch_size=None)
+
+
 def q_docs_quality(sf_dir: str):
     from geowave_ray.text import QualityScorer
 
@@ -1653,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_exact": q_docs_dedup_exact,
         "docs_lang_count": q_docs_lang_count,
         "docs_token_stats": q_docs_token_stats,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_quality": q_docs_quality,
         "docs_langid": q_docs_langid,
         "docs_fingerprint": q_docs_fingerprint,
@@ -2075,6 +2083,12 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars_calc,
                    len(list_filter(str_split(text, ' '),
                        x -> x IN ('the','and','of','a','to','in','is','it'))) AS n_stopwords
+            FROM documents
+        """,
+        "docs_bpe_tokens": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
+                       AS n_bpe_tokens
             FROM documents
         """,
         "docs_quality": """

@@ -198,3 +198,46 @@ def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
             "fingerprint": pa.array(fps.astype(np.int64), pa.int64()),
         }
     )
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_bpe_tokens): BPE-style pre-tokenizer count — maximal
+    runs of [A-Za-z]+, [0-9]+ or [^A-Za-z0-9 ]+ (space delimits,
+    class changes split), i.e. exactly
+    ``len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))``.
+
+    One vectorized pass over the batch's UTF-8 byte buffer: byte ->
+    class id, run starts = class transitions plus forced doc starts,
+    per-doc counts via ``add.reduceat``. Byte-level equals char-level
+    for any UTF-8 input (continuation bytes are >= 0x80, never
+    letters/digits/space)."""
+    texts = _flat_string_array(batch.column("text"))
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")
+    n_docs = len(texts)
+    offsets = np.frombuffer(texts.buffers()[1], dtype=np.int64)[
+        texts.offset : texts.offset + n_docs + 1
+    ]
+    data = np.frombuffer(texts.buffers()[2], dtype=np.uint8)
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    seg = data[lo:hi]
+    counts = np.zeros(n_docs, dtype=np.int64)
+    if len(seg):
+        cls = np.full(len(seg), 3, dtype=np.int8)
+        cls[((seg >= 65) & (seg <= 90)) | ((seg >= 97) & (seg <= 122))] = 0
+        cls[(seg >= 48) & (seg <= 57)] = 1
+        cls[seg == 32] = 2
+        start = np.ones(len(seg), dtype=bool)
+        start[1:] = cls[1:] != cls[:-1]
+        doc_starts = (offsets[:-1] - lo).astype(np.int64)
+        start[np.minimum(doc_starts, len(seg) - 1)] = True
+        tok = (start & (cls != 2)).astype(np.int64)
+        lens = np.diff(offsets)
+        counts = np.add.reduceat(tok, np.minimum(doc_starts, len(seg) - 1))
+        counts[lens == 0] = 0  # reduceat artifacts for empty docs
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bpe_tokens": pa.array(counts, pa.int64()),
+        }
+    )

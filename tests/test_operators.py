@@ -204,6 +204,32 @@ def test_text_stats_and_langid():
     assert lang["lang_pred"].to_pylist() == ["en", "de"]
 
 
+def test_bpe_token_count_matches_regex():
+    import re
+
+    from geowave_ray.text import bpe_token_count_batch
+
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+")
+    texts = [
+        "the cat, and 2 dogs!",
+        "",
+        "   ",
+        "a1b2c3",
+        "héllo wörld — ok?",  # multi-byte UTF-8 punctuation runs
+        "...!!,,  mixed42runs  ",
+        None,
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = bpe_token_count_batch(t)
+    expect = [len(pat.findall(s or "")) for s in texts]
+    assert out["n_bpe_tokens"].to_pylist() == expect
+
+
 def test_ann_bruteforce_exact(ray_session):
     rng = np.random.default_rng(5)
     emb = rng.standard_normal((200, 16)).astype(np.float32)
