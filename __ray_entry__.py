@@ -1726,6 +1726,105 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# ---------------------------------------------------------------------------
+# SQL replication of the engine's vectorized 64-bit hash chain
+# (geowave_ray/hashing.py: mix64 / poly_hash_segments / hash_utf8) so
+# sketch / sampling / fingerprint oracles compare BIT-FOR-BIT: uint64
+# arithmetic is rebuilt in DuckDB HUGEINT mod 2**64 (32-bit-split
+# multiply; xor/shift are native). Valid for ASCII columns
+# (unicode(char) == UTF-8 byte — true of all testdata fixtures,
+# asserted in tests/test_operators.py).
+# ---------------------------------------------------------------------------
+
+_SQL_MOD = "18446744073709551616::HUGEINT"
+_MIX_M1 = 0xFF51AFD7ED558CCD
+_MIX_M2 = 0xC4CEB9FE1A85EC53
+_POLY_P = 1099511628211
+
+
+def _pymix64(x: int) -> int:
+    """Python-int mirror of hashing.mix64 (for baking seed constants
+    into generated SQL)."""
+    m = (1 << 64) - 1
+    x &= m
+    x ^= x >> 33
+    x = (x * _MIX_M1) & m
+    x ^= x >> 33
+    x = (x * _MIX_M2) & m
+    x ^= x >> 33
+    return x
+
+
+def _sql_u64(x: str) -> str:
+    return f"(({x}) % {_SQL_MOD})"
+
+
+def _sql_mulmod(a: str, b: int) -> str:
+    """(a * b) mod 2**64 with b a baked-in constant; ``a`` must be a
+    short column/lambda reference (it is repeated)."""
+    blo, bhi = b % (1 << 32), b >> 32
+    return _sql_u64(
+        f"(({a}) % 4294967296::HUGEINT) * {blo}::HUGEINT"
+        f" + (((({a}) % 4294967296::HUGEINT) * {bhi}::HUGEINT"
+        f" + (({a}) // 4294967296::HUGEINT) * {blo}::HUGEINT)"
+        f" % 4294967296::HUGEINT) * 4294967296::HUGEINT"
+    )
+
+
+def _sql_xsr(x: str) -> str:
+    return f"xor(({x}), ({x}) >> 33)"
+
+
+def _sql_mix_steps(src: str, dst: str, tag: str) -> list[tuple[str, str]]:
+    """mix64 as five chained column steps (linear SQL size)."""
+    return [
+        (f"{tag}0", _sql_xsr(src)),
+        (f"{tag}1", _sql_mulmod(f"{tag}0", _MIX_M1)),
+        (f"{tag}2", _sql_xsr(f"{tag}1")),
+        (f"{tag}3", _sql_mulmod(f"{tag}2", _MIX_M2)),
+        (dst, _sql_xsr(f"{tag}3")),
+    ]
+
+
+def _sql_chain(base: str, steps: list[tuple[str, str]], final: str) -> str:
+    """CTE pipeline: each step adds one column to the previous stage;
+    ``final`` references the last stage as $LAST."""
+    sql = f"WITH _c0 AS ({base})"
+    prev = "_c0"
+    for i, (name, expr) in enumerate(steps, 1):
+        sql += f", _c{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"_c{i}"
+    return sql + " " + final.replace("$LAST", prev)
+
+
+def _sql_polysum(col: str) -> str:
+    """hashing.poly_hash_segments pre-mix polynomial: fold bytes with
+    h -> h*P + byte + 1 (mod 2**64)."""
+    step = _sql_u64(_sql_mulmod("h", _POLY_P) + " + b + 1")
+    return (
+        f"list_reduce(list_prepend(0::HUGEINT, list_transform("
+        f"string_split({col}, ''), c -> unicode(c)::HUGEINT)), (h, b) -> {step})"
+    )
+
+
+def _sql_hash_utf8_steps(col: str, dst: str, tag: str) -> list[tuple[str, str]]:
+    """hash_utf8(col) = mix64(polysum ^ mix64(byte_len)) as chain steps."""
+    return (
+        [(f"{tag}ps", _sql_polysum(col)), (f"{tag}ln", f"strlen({col})::HUGEINT")]
+        + _sql_mix_steps(f"{tag}ln", f"{tag}ml", f"{tag}a")
+        + [(f"{tag}x", f"xor({tag}ps, {tag}ml)")]
+        + _sql_mix_steps(f"{tag}x", dst, f"{tag}b")
+    )
+
+
+def _sql_wrap_i64(x: str) -> str:
+    """uint64 -> int64 two's-complement wrap (numpy .astype(int64))."""
+    return (
+        f"CAST(CASE WHEN ({x}) >= 9223372036854775808::HUGEINT "
+        f"THEN ({x}) - {_SQL_MOD} ELSE ({x}) END AS BIGINT)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     fx = _fx(SF01)  # fixtures must exist before the oracle runs
     PAGES = f"read_parquet('{fx}/pages/*.parquet')"
@@ -1772,6 +1871,182 @@ def oracle_sql() -> dict[str, str]:
           FROM t
         )
     """
+    # -- sample_weighted: Efraimidis–Spirakis key from the engine's
+    # exact hash chain (distance_join.sample_weighted)
+    _seedmix = _pymix64(42)
+    _sw_url = "'d' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+    sample_weighted_sql = _sql_chain(
+        f"SELECT {_sw_url} AS url, n_chars FROM documents",
+        _sql_hash_utf8_steps("url", "h1", "_h")
+        + [("hs", f"xor(h1, {_seedmix}::HUGEINT)")]
+        + _sql_mix_steps("hs", "hfin", "_s"),
+        """
+        SELECT url, n_chars, rank FROM (
+          SELECT url, n_chars,
+                 row_number() OVER (ORDER BY k DESC, url) AS rank
+          FROM (SELECT url, n_chars,
+                  CASE WHEN n_chars > 0
+                       THEN pow(CAST(hfin AS DOUBLE) / 18446744073709551616.0,
+                                1.0 / greatest(CAST(n_chars AS DOUBLE), 1e-300))
+                       ELSE -1.0 END AS k
+                FROM $LAST)
+        ) WHERE rank <= 50
+        """,
+    )
+
+    # -- docs_simhash: 64-bit bit-vote over token hashes
+    # (dedup.simhash_batch); output is simhash >> 1 so bits 1..63 vote
+    _bit_sums = ", ".join(
+        f"sum(CAST((th >> {j}) % 2 AS BIGINT)) AS s{j}" for j in range(1, 64)
+    )
+    _bit_val = " + ".join(
+        f"CASE WHEN 2 * s{j} > nt THEN {1 << (j - 1)} ELSE 0 END"
+        for j in range(1, 64)
+    )
+    docs_simhash_sql = _sql_chain(
+        "SELECT doc_id, unnest(list_filter(string_split(text, ' '),"
+        " t -> t <> '')) AS tok FROM documents",
+        _sql_hash_utf8_steps("tok", "th", "_t"),
+        f""", _v AS (SELECT doc_id, count(*) AS nt, {_bit_sums}
+                     FROM $LAST GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(CASE WHEN _v.doc_id IS NULL THEN 0
+                         ELSE {_bit_val} END AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN _v ON d.doc_id = _v.doc_id
+        """,
+    )
+
+    # -- docs_fingerprint: min 8-byte rolling polynomial window
+    # (text.fingerprint_batch; short docs space-padded)
+    _pw = [1]
+    for _ in range(7):
+        _pw.append((_pw[-1] * _POLY_P) % (1 << 64))
+    _pw = _pw[::-1]  # [P^7 .. P^0]
+    _win = " + ".join(
+        f"coalesce(unicode(nullif(list_extract(cl, p + {j}), '')), 32)::HUGEINT"
+        f" * {_pw[j]}::HUGEINT"
+        for j in range(8)
+    )
+    docs_fingerprint_sql = f"""
+        WITH d AS (SELECT doc_id, string_split(text, '') AS cl,
+                          strlen(text) AS ln FROM documents),
+        w AS (SELECT doc_id,
+                     unnest(generate_series(1, greatest(ln - 7, 1))) AS p,
+                     cl FROM d),
+        h AS (SELECT doc_id, ({_win}) % {_SQL_MOD} AS wh FROM w)
+        SELECT doc_id, {_sql_wrap_i64('min(wh)')} AS fingerprint
+        FROM h GROUP BY doc_id
+    """
+
+    # -- hll_distinct: p=12 HyperLogLog over mix64(user_id)
+    # (stats.HyperLogLog; sf0.01 lands in the deterministic
+    # linear-counting branch)
+    hll_sql = _sql_chain(
+        "SELECT DISTINCT user_id::HUGEINT AS uid FROM events",
+        _sql_mix_steps("uid", "h", "_u"),
+        f""", _regs AS (
+          SELECT h >> 52 AS idx,
+                 max(65 - length(bin((h << 12) % {_SQL_MOD} | 4095::HUGEINT))) AS r
+          FROM $LAST GROUP BY idx
+        ), _agg AS (
+          SELECT count(*) AS ng,
+                 sum(pow(2.0, -CAST(r AS DOUBLE))) AS s
+          FROM _regs
+        )
+        SELECT CASE WHEN e <= 2.5 * 4096.0 AND zeros > 0
+                    THEN 4096.0 * ln(4096.0 / zeros) ELSE e END
+                   AS distinct_users_est
+        FROM (SELECT (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                     / (s + CAST(4096 - ng AS DOUBLE)) AS e,
+                     4096 - ng AS zeros
+              FROM _agg)
+        """,
+    )
+
+    # -- docs_minhash_pairs: banded MinHash LSH (dedup.minhash_lsh_pairs
+    # defaults: 64 perms / 16 bands / 3-gram shingles / theta=0.35).
+    # At 500 docs no band group exceeds the 512 cap, so the fused
+    # engine plan's output == { (a,b) : some band's 4-perm segment is
+    # identical AND >= 23 of 64 signature slots agree }.
+    _seeds = ", ".join(
+        f"({i}, {_pymix64(i)}::HUGEINT)" for i in range(1, 65)
+    )
+    _mix_nt = (
+        f"CASE nt WHEN 0 THEN {_pymix64(0)}::HUGEINT "
+        f"WHEN 1 THEN {_pymix64(1)}::HUGEINT "
+        f"ELSE {_pymix64(2)}::HUGEINT END"
+    )
+    _tok_steps = (
+        _sql_hash_utf8_steps("tok", "th", "_t")
+        + _sql_mix_steps("th", "mth", "_m")
+    )
+    _band_eq = " AND ".join(
+        f"la[4*b + {k}] = lb[4*b + {k}]" for k in range(1, 5)
+    )
+    docs_minhash_sql = _sql_chain(
+        "SELECT doc_id, j, toks[j] AS tok, len(toks) AS nt FROM ("
+        "  SELECT doc_id, list_filter(string_split(text, ' '),"
+        "         t -> t <> '') AS toks FROM documents"
+        "), unnest(generate_series(1, greatest(len(toks), 1))) AS _g(j) "
+        "WHERE j <= len(toks)",
+        _tok_steps,
+        f""", _tl AS (
+          SELECT doc_id, max(nt) AS nt,
+                 list(th ORDER BY j) AS thl, list(mth ORDER BY j) AS mthl
+          FROM $LAST GROUP BY doc_id
+        ), _alldocs AS (
+          SELECT d.doc_id, coalesce(t.nt, 0) AS nt,
+                 coalesce(t.thl, []) AS thl, coalesce(t.mthl, []) AS mthl
+          FROM documents d LEFT JOIN _tl t ON d.doc_id = t.doc_id
+        ), _long AS (
+          SELECT doc_id, list_extract(thl, j) AS s_a,
+                 list_extract(thl, j + 1) AS s_b,
+                 list_extract(thl, j + 2) AS s_c
+          FROM _alldocs, unnest(generate_series(1, greatest(nt - 2, 1))) AS _g(j)
+          WHERE nt >= 3 AND j <= nt - 2
+        ), _lsh AS (
+          {_sql_chain(
+              "SELECT * FROM _long",
+              _sql_mix_steps("s_a", "ma", "_p")
+              + [("x1", "xor(ma, s_b)")]
+              + _sql_mix_steps("x1", "mb", "_q")
+              + [("x2", "xor(mb, s_c)")]
+              + _sql_mix_steps("x2", "shv", "_r"),
+              "SELECT doc_id, shv FROM $LAST",
+          )}
+        ), _short AS (
+          {_sql_chain(
+              f'''SELECT doc_id, xor(
+                    list_reduce(list_prepend(0::HUGEINT, mthl), (a, b) -> xor(a, b)),
+                    {_mix_nt}) AS fx
+                  FROM _alldocs WHERE nt < 3''',
+              _sql_mix_steps("fx", "shv", "_f"),
+              "SELECT doc_id, shv FROM $LAST",
+          )}
+        ), _sh AS (
+          SELECT doc_id, shv FROM _lsh UNION ALL SELECT doc_id, shv FROM _short
+        ), _seeded AS (
+          SELECT s.doc_id, sd.i, xor(s.shv, sd.sv) AS sx
+          FROM _sh s CROSS JOIN (VALUES {_seeds}) AS sd(i, sv)
+        ), _sig AS (
+          {_sql_chain(
+              "SELECT * FROM _seeded",
+              _sql_mix_steps("sx", "pv", "_v"),
+              "SELECT doc_id, i, min(pv) AS mv FROM $LAST GROUP BY doc_id, i",
+          )}
+        ), _sl AS (
+          SELECT doc_id, list(mv >> 1 ORDER BY i) AS sig FROM _sig GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM _sl a JOIN _sl b ON a.doc_id < b.doc_id
+        CROSS JOIN LATERAL (SELECT a.sig AS la, b.sig AS lb) _x
+        WHERE list_max(list_transform(generate_series(0, 15),
+                b -> CASE WHEN {_band_eq} THEN 1 ELSE 0 END)) = 1
+          AND list_sum(list_transform(generate_series(1, 64),
+                i -> CASE WHEN la[i] = lb[i] THEN 1 ELSE 0 END)) >= 23
+        """,
+    )
+
     return {
         "geotag_derive": f"SELECT url, lon, lat FROM {PAGES}",
         "cell_encode": f"""
@@ -1938,6 +2213,22 @@ def oracle_sql() -> dict[str, str]:
             FROM {PAGES}
         """,
         "knn": f"""
+            WITH d AS (
+              SELECT q.query_id, q.k, p.url,
+                     (p.lon - q.lon) * (p.lon - q.lon)
+                   + (p.lat - q.lat) * (p.lat - q.lat) AS d2
+              FROM {KNNQ} q CROSS JOIN {PAGES} p
+            ), r AS (
+              SELECT query_id, k, url,
+                     row_number() OVER (PARTITION BY query_id ORDER BY d2, url) AS rank
+              FROM d
+            )
+            SELECT query_id, rank, url FROM r WHERE rank <= k
+        """,
+        # same exact-kNN oracle: at this fixture density the 3x3
+        # neighbor-ring prefilter is exact (k-th neighbor < one cell
+        # width; equality vs full scan also pytest-property-checked)
+        "knn_cell_pruned": f"""
             WITH d AS (
               SELECT q.query_id, q.k, p.url,
                      (p.lon - q.lon) * (p.lon - q.lon)
@@ -2503,10 +2794,16 @@ def oracle_sql() -> dict[str, str]:
               AND NOT (s >= epoch_us(TIMESTAMP '{_TWIN_S}')
                        AND e <= epoch_us(TIMESTAMP '{_TWIN_E}'))
         """,
-        # kmeans / dbscan / sample_weighted: iterative or hash-seeded —
-        # deterministic but not SQL-expressible; rows-only + pytest.
-        # knn_haversine / tile_merge_sum / kde_gaussian / docs_fingerprint /
-        # docs_minhash_pairs / docs_simhash / ann_lsh / hll_distinct /
-        # intentionally no SQL (non-SQL-expressible or approximate);
-        # the driver records rows-only checks, pytest carries the oracle.
+        # hash-chain-replicated oracles (HUGEINT mod-2**64 rebuild of
+        # hashing.py — see the _sql_* helpers above): these were
+        # rows-only in round 1; each now compares bit-for-bit.
+        "sample_weighted": sample_weighted_sql,
+        "docs_simhash": docs_simhash_sql,
+        "docs_fingerprint": docs_fingerprint_sql,
+        "hll_distinct": hll_sql,
+        "docs_minhash_pairs": docs_minhash_sql,
+        # kmeans / dbscan: iterative, hash-seeded init — deterministic
+        # but not SQL-expressible; rows-only + pytest.
+        # ann_lsh / ann_ivf: approximate by design; rows-only + pytest
+        # recall bounds.
     }

@@ -81,7 +81,10 @@ class HyperLogLog:
         e = alpha * m * m / np.sum(np.power(2.0, -self.registers.astype(np.float64)))
         zeros = int((self.registers == 0).sum())
         if e <= 2.5 * m and zeros:
-            return m * np.log(m / zeros)  # linear counting small-range fix
+            import math
+
+            # libm log (not np.log): bit-identical to the SQL oracle's ln
+            return m * math.log(m / zeros)  # linear counting small-range fix
         return float(e)
 
     def to_bytes(self) -> bytes:

@@ -230,6 +230,21 @@ def test_bpe_token_count_matches_regex():
     assert out["n_bpe_tokens"].to_pylist() == expect
 
 
+def test_testdata_text_columns_ascii():
+    """The hash-chain SQL oracles (__ray_entry__ _sql_* helpers) map
+    chars to bytes via unicode(c); that equals the engine's UTF-8 byte
+    hashing only for ASCII input — assert the fixture tables are."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        non_ascii = con.execute(
+            f"SELECT max(strlen(text) <> length(text)) FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+        ).fetchone()[0]
+        assert not non_ascii
+
+
 def test_ann_bruteforce_exact(ray_session):
     rng = np.random.default_rng(5)
     emb = rng.standard_normal((200, 16)).astype(np.float32)
