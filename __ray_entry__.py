@@ -670,6 +670,27 @@ def q_kmeans_hulls(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+_KM_INIT = [
+    (-90.0e6, -45.0e6),
+    (-90.0e6, 45.0e6),
+    (90.0e6, -45.0e6),
+    (90.0e6, 45.0e6),
+]
+_KM_ITERS = 6
+
+
+def q_kmeans_lloyd(sf_dir: str):
+    """Bit-reproducible Lloyd's on integer-quantized coords (exact
+    int64 partial sums — order-independent at any parallelism), fixed
+    init + fixed iteration count so the unrolled SQL oracle matches
+    bit-for-bit."""
+    from geowave_ray.pipelines.clustering import kmeans_lloyd_exact
+
+    return kmeans_lloyd_exact(
+        _pages(sf_dir), np.array(_KM_INIT), n_iter=_KM_ITERS
+    )
+
+
 def q_knn_haversine(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -1648,6 +1669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q_knn,
         "knn_bounded": q_knn_bounded,
         "knn_cell_pruned": q_knn_cell_pruned,
+        "kmeans_lloyd": q_kmeans_lloyd,
         "knn_haversine": q_knn_haversine,
         # raster tiles
         "tile_assign": q_tile_assign,
@@ -1871,6 +1893,59 @@ def oracle_sql() -> dict[str, str]:
           FROM t
         )
     """
+    # -- kmeans_lloyd: Lloyd's unrolled one CTE pair per iteration;
+    # integer-quantized coords make every per-cluster sum exact, so
+    # engine and SQL agree bit-for-bit (clustering.kmeans_lloyd_exact)
+    _km_vals = ", ".join(
+        f"({i}, {cx!r}::DOUBLE, {cy!r}::DOUBLE)"
+        for i, (cx, cy) in enumerate(_KM_INIT)
+    )
+    _km = [
+        f"pts AS (SELECT url, CAST(floor(lon * 1000000.0) AS BIGINT) AS x,"
+        f" CAST(floor(lat * 1000000.0) AS BIGINT) AS y FROM {PAGES})",
+        f"c0 AS (SELECT * FROM (VALUES {_km_vals}) _v(cid, cx, cy))",
+    ]
+    for it in range(1, _KM_ITERS + 1):
+        _km.append(
+            f"""a{it} AS (
+              SELECT url, x, y, cid FROM (
+                SELECT p.url, p.x, p.y, c.cid,
+                       row_number() OVER (
+                         PARTITION BY p.url
+                         ORDER BY (CAST(p.x AS DOUBLE) - c.cx) * (CAST(p.x AS DOUBLE) - c.cx)
+                                + (CAST(p.y AS DOUBLE) - c.cy) * (CAST(p.y AS DOUBLE) - c.cy),
+                                c.cid) AS rn
+                FROM pts p CROSS JOIN c{it - 1} c
+              ) WHERE rn = 1
+            )"""
+        )
+        _km.append(
+            f"""c{it} AS (
+              SELECT o.cid,
+                     CASE WHEN m.n > 0 THEN CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)
+                          ELSE o.cx END AS cx,
+                     CASE WHEN m.n > 0 THEN CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)
+                          ELSE o.cy END AS cy
+              FROM c{it - 1} o LEFT JOIN (
+                SELECT cid, sum(x) AS sx, sum(y) AS sy, count(*) AS n
+                FROM a{it} GROUP BY cid
+              ) m ON o.cid = m.cid
+            )"""
+        )
+    kmeans_lloyd_sql = (
+        "WITH " + ", ".join(_km) + f"""
+        SELECT url, cluster FROM (
+          SELECT p.url, c.cid AS cluster,
+                 row_number() OVER (
+                   PARTITION BY p.url
+                   ORDER BY (CAST(p.x AS DOUBLE) - c.cx) * (CAST(p.x AS DOUBLE) - c.cx)
+                          + (CAST(p.y AS DOUBLE) - c.cy) * (CAST(p.y AS DOUBLE) - c.cy),
+                          c.cid) AS rn
+          FROM pts p CROSS JOIN c{_KM_ITERS} c
+        ) WHERE rn = 1
+        """
+    )
+
     # -- sample_weighted: Efraimidis–Spirakis key from the engine's
     # exact hash chain (distance_join.sample_weighted)
     _seedmix = _pymix64(42)
@@ -2797,6 +2872,7 @@ def oracle_sql() -> dict[str, str]:
         # hash-chain-replicated oracles (HUGEINT mod-2**64 rebuild of
         # hashing.py — see the _sql_* helpers above): these were
         # rows-only in round 1; each now compares bit-for-bit.
+        "kmeans_lloyd": kmeans_lloyd_sql,
         "sample_weighted": sample_weighted_sql,
         "docs_simhash": docs_simhash_sql,
         "docs_fingerprint": docs_fingerprint_sql,

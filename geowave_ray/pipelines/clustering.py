@@ -241,6 +241,90 @@ def kmeans(
     )
 
 
+def kmeans_lloyd_exact(
+    points: ray.data.Dataset,
+    init_centroids: np.ndarray,
+    n_iter: int = 6,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "url",
+    scale: float = 1e6,
+) -> ray.data.Dataset:
+    """Bit-reproducible Lloyd's over integer-quantized coordinates.
+
+    The standard :func:`kmeans` accumulates float partial sums whose
+    rounding depends on batch boundaries; this variant quantizes to
+    ``floor(coord * scale)`` int64 so per-cluster sums are EXACT and
+    order-independent — the run is bit-identical at any parallelism,
+    and (unique among iterative ops here) admits an exact SQL oracle
+    (unrolled per-iteration CTEs). Same streaming shape: one
+    map_batches partial pass per iteration, k-row payload per batch,
+    fixed ``n_iter`` (no early-stop, for oracle parity).
+
+    Returns the final (id_col, cluster) assignment Dataset.
+    """
+    c = np.asarray(init_centroids, dtype=np.float64).copy()
+    k = len(c)
+
+    def quant(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        lon = np.floor(batch.column(lon_col).to_numpy() * scale).astype(np.int64)
+        lat = np.floor(batch.column(lat_col).to_numpy() * scale).astype(np.int64)
+        return lon, lat
+
+    for _ in range(n_iter):
+        cref = ray.put(c)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cc = ray.get(cref)
+            x, y = quant(batch)
+            d = (x[None, :] - cc[:, 0:1]) ** 2 + (y[None, :] - cc[:, 1:2]) ** 2
+            a = np.argmin(d, axis=0)
+            sx = np.zeros(len(cc), dtype=np.int64)
+            sy = np.zeros(len(cc), dtype=np.int64)
+            n = np.zeros(len(cc), dtype=np.int64)
+            np.add.at(sx, a, x)
+            np.add.at(sy, a, y)
+            np.add.at(n, a, 1)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(len(cc)), pa.int64()),
+                    "sx": pa.array(sx, pa.int64()),
+                    "sy": pa.array(sy, pa.int64()),
+                    "n": pa.array(n, pa.int64()),
+                }
+            )
+
+        parts = points.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        agg = parts.groupby("cid", sort=True).sum()  # int64: exact, order-free
+        for cid in range(k):
+            if cid not in agg.index:
+                continue
+            row = agg.loc[cid]
+            if row["n"] > 0:
+                c[cid] = (
+                    float(row["sx"]) / float(row["n"]),
+                    float(row["sy"]) / float(row["n"]),
+                )
+
+    cref = ray.put(c)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        x, y = quant(batch)
+        d = (x[None, :] - cc[:, 0:1]) ** 2 + (y[None, :] - cc[:, 1:2]) ** 2
+        a = np.argmin(d, axis=0)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return points.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
 def convex_hulls(assigned: ray.data.Dataset, lon_col="lon", lat_col="lat") -> dict[int, np.ndarray]:
     """Per-cluster convex hull (KMeansHullGenerator analogue):
     per-batch partial hulls (monotone chain), merged on the driver."""

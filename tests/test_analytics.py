@@ -32,6 +32,27 @@ def test_kmeans_every_point_nearest_centroid(pages):
     assert np.array_equal(centroids, c2)
 
 
+def test_kmeans_lloyd_exact_parallelism_invariant(pages):
+    """kmeans_lloyd_exact's integer partial sums are exact, so the
+    assignment must be BIT-identical at any block split (the property
+    its SQL oracle relies on)."""
+    from geowave_ray.pipelines.clustering import kmeans_lloyd_exact
+
+    init = np.array([(-90e6, -45e6), (90e6, 45e6), (0.0, 0.0)])
+    outs = []
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(pages).repartition(blocks)
+        df = (
+            kmeans_lloyd_exact(ds, init, n_iter=4)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    assert outs[0]["cluster"].nunique() > 1
+
+
 def test_kmeans_hulls_contain_centroids(pages):
     from geowave_ray.geom import pip_convex
     from geowave_ray.pipelines.clustering import convex_hulls, kmeans
