@@ -2058,7 +2058,12 @@ def oracle_sql() -> dict[str, str]:
     _band_eq = " AND ".join(
         f"la[4*b + {k}] = lb[4*b + {k}]" for k in range(1, 5)
     )
-    docs_minhash_sql = _sql_chain(
+    def _minhash_pairs_sql(min_agree: int, verify_exact: float | None = None) -> str:
+        """Engine minhash_lsh_pairs as SQL, parameterized by the
+        integer signature-agreement threshold (= ceil(theta * 64)).
+        With ``verify_exact`` set, candidates are re-scored with exact
+        distinct-shingle-hash Jaccard (engine jaccard_lsh_pairs)."""
+        return _sql_chain(
         "SELECT doc_id, j, toks[j] AS tok, len(toks) AS nt FROM ("
         "  SELECT doc_id, list_filter(string_split(text, ' '),"
         "         t -> t <> '') AS toks FROM documents"
@@ -2111,16 +2116,64 @@ def oracle_sql() -> dict[str, str]:
           )}
         ), _sl AS (
           SELECT doc_id, list(mv >> 1 ORDER BY i) AS sig FROM _sig GROUP BY doc_id
+        ), _cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM _sl a JOIN _sl b ON a.doc_id < b.doc_id
+          CROSS JOIN LATERAL (SELECT a.sig AS la, b.sig AS lb) _x
+          WHERE list_max(list_transform(generate_series(0, 15),
+                  b -> CASE WHEN {_band_eq} THEN 1 ELSE 0 END)) = 1
+            AND list_sum(list_transform(generate_series(1, 64),
+                  i -> CASE WHEN la[i] = lb[i] THEN 1 ELSE 0 END)) >= {min_agree}
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM _sl a JOIN _sl b ON a.doc_id < b.doc_id
-        CROSS JOIN LATERAL (SELECT a.sig AS la, b.sig AS lb) _x
-        WHERE list_max(list_transform(generate_series(0, 15),
-                b -> CASE WHEN {_band_eq} THEN 1 ELSE 0 END)) = 1
-          AND list_sum(list_transform(generate_series(1, 64),
-                i -> CASE WHEN la[i] = lb[i] THEN 1 ELSE 0 END)) >= 23
-        """,
-    )
+        """
+        + (
+            "SELECT doc_a, doc_b FROM _cand"
+            if verify_exact is None
+            else f"""
+        , _dsh AS (SELECT DISTINCT doc_id, shv FROM _sh),
+        _sz AS (SELECT doc_id, count(*) AS n FROM _dsh GROUP BY doc_id),
+        _int AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM _cand c
+          JOIN _dsh a ON a.doc_id = c.doc_a
+          JOIN _dsh b ON b.doc_id = c.doc_b AND b.shv = a.shv
+          GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b
+        FROM _cand c
+        JOIN _sz sa ON sa.doc_id = c.doc_a
+        JOIN _sz sb ON sb.doc_id = c.doc_b
+        LEFT JOIN _int x ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b
+        WHERE CAST(coalesce(x.i, 0) AS DOUBLE)
+              / CAST(sa.n + sb.n - coalesce(x.i, 0) AS DOUBLE) >= {verify_exact}
+        """
+        ),
+        )
+
+    # theta=0.35 -> >= 23 of 64 slots (22/64 = 0.34375 < 0.35 <= 23/64)
+    docs_minhash_sql = _minhash_pairs_sql(23)
+
+    # -- docs_jaccard_pairs: signature gate theta=0.25 (>= 16 of 64)
+    # then EXACT distinct-shingle-hash Jaccard >= 0.5
+    # (dedup.jaccard_lsh_pairs)
+    docs_jaccard_pairs_sql = _minhash_pairs_sql(16, verify_exact=0.5)
+
+    # -- docs_dedup_clusters: recursive min-label CC over the theta=0.3
+    # (>= 20 of 64) minhash pair set (dedup.connected_components)
+    docs_dedup_clusters_sql = f"""
+        WITH RECURSIVE p AS (
+          {_minhash_pairs_sql(20)}
+        ),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+        rr(u, lab) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.v, rr.lab FROM rr JOIN e ON e.u = rr.u
+          WHERE rr.lab < e.v
+        )
+        SELECT u AS doc_id, min(lab) AS cluster FROM rr GROUP BY u
+    """
 
     return {
         "geotag_derive": f"SELECT url, lon, lat FROM {PAGES}",
@@ -2878,6 +2931,19 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint": docs_fingerprint_sql,
         "hll_distinct": hll_sql,
         "docs_minhash_pairs": docs_minhash_sql,
+        "docs_dedup_clusters": docs_dedup_clusters_sql,
+        "docs_jaccard_pairs": docs_jaccard_pairs_sql,
+        "html_features": f"""
+            WITH h AS (SELECT url, hex(html) AS hx,
+                              octet_length(html) AS n FROM {PAGES})
+            SELECT url,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(generate_series(1, n),
+                               i -> CASE WHEN substr(hx, 2*i - 1, 1) = '0'
+                                         THEN 1 ELSE 0 END)) AS DOUBLE)
+                             / CAST(n AS DOUBLE) END AS f0
+            FROM h
+        """,
         # kmeans / dbscan: iterative, hash-seeded init — deterministic
         # but not SQL-expressible; rows-only + pytest.
         # ann_lsh / ann_ivf: approximate by design; rows-only + pytest
