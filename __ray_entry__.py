@@ -184,6 +184,44 @@ def q_cell_encode(sf_dir: str):
     return ds.select_columns(["url", "cell_x", "cell_y"])
 
 
+def q_s2_cell_encode(sf_dir: str):
+    """True S2 cell ids (geowave_ray/s2.py — the published
+    quadrilateralized-cube + Hilbert scheme, S2BinningHelper.java role)
+    at level 12; oracled bit-for-bit by an unrolled lookup-table SQL
+    rebuild."""
+    from geowave_ray.s2 import cell_id_from_latlng
+
+    def enc(batch: pa.Table) -> pa.Table:
+        cid = cell_id_from_latlng(
+            batch.column("lat").to_numpy(), batch.column("lon").to_numpy(), 12
+        )
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "s2_cell": pa.array(cid.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _pages(sf_dir).map_batches(enc, batch_format="pyarrow", batch_size=None)
+
+
+def q_s2_hist(sf_dir: str):
+    """S2 level-8 cell histogram (binning aggregation on true S2
+    ids)."""
+    from ray.data.aggregate import Count
+
+    from geowave_ray.s2 import cell_id_from_latlng
+
+    def enc(batch: pa.Table) -> pa.Table:
+        cid = cell_id_from_latlng(
+            batch.column("lat").to_numpy(), batch.column("lon").to_numpy(), 8
+        )
+        return pa.table({"s2_cell": pa.array(cid.astype(np.int64), pa.int64())})
+
+    ds = _pages(sf_dir).map_batches(enc, batch_format="pyarrow", batch_size=None)
+    return ds.groupby("s2_cell").aggregate(Count(alias_name="n"))
+
+
 def q_cell_hist(sf_dir: str):
     from geowave_ray.pipelines.kde import cell_histogram
 
@@ -1670,6 +1708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bounded": q_knn_bounded,
         "knn_cell_pruned": q_knn_cell_pruned,
         "kmeans_lloyd": q_kmeans_lloyd,
+        "s2_cell_encode": q_s2_cell_encode,
+        "s2_hist": q_s2_hist,
         "knn_haversine": q_knn_haversine,
         # raster tiles
         "tile_assign": q_tile_assign,
@@ -1893,6 +1933,76 @@ def oracle_sql() -> dict[str, str]:
           FROM t
         )
     """
+    # -- s2_cell_encode / s2_hist: the true S2 scheme rebuilt in SQL —
+    # identical double math (radians const, sqrt projection) plus the
+    # engine's own 1024-entry Hilbert lookup table as a VALUES join,
+    # unrolled over the 8 nibble rounds (geowave_ray/s2.py)
+    def _s2_sql(level: int, final: str) -> str:
+        from geowave_ray.s2 import LOOKUP_POS
+
+        lut = ", ".join(f"({k}, {int(v)})" for k, v in enumerate(LOOKUP_POS.tolist()))
+        deg = "0.017453292519943295"
+        ctes = [
+            f"""lut(k, v) AS (SELECT * FROM (VALUES {lut}) _l(k, v))""",
+            f"""xyz AS (
+              SELECT url, cos(lat * {deg}) * cos(lon * {deg}) AS x,
+                     cos(lat * {deg}) * sin(lon * {deg}) AS y,
+                     sin(lat * {deg}) AS z
+              FROM {PAGES})""",
+            """fuv AS (
+              SELECT url, x, y, z,
+                     CASE WHEN abs(z) >= abs(x) AND abs(z) >= abs(y)
+                          THEN CASE WHEN z >= 0 THEN 2 ELSE 5 END
+                          WHEN abs(x) >= abs(y)
+                          THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+                          ELSE CASE WHEN y >= 0 THEN 1 ELSE 4 END END AS face
+              FROM xyz)""",
+            """uv AS (
+              SELECT url, face,
+                CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                          WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+                CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                          WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+              FROM fuv)""",
+            """st AS (
+              SELECT url, face,
+                CASE WHEN u >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+                     ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s,
+                CASE WHEN v >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+                     ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS t
+              FROM uv)""",
+            """ij AS (
+              SELECT url, face,
+                LEAST(GREATEST(CAST(floor(s * 1073741824.0) AS BIGINT), 0), 1073741823) AS i,
+                LEAST(GREATEST(CAST(floor(t * 1073741824.0) AS BIGINT), 0), 1073741823) AS j
+              FROM ij0)""".replace("ij0", "st"),
+            "h8 AS (SELECT url, face, i, j, face % 2 AS b, 0::BIGINT AS n FROM ij)",
+        ]
+        for k in range(7, -1, -1):
+            shift_ij = 1 << (4 * k)
+            shift_n = 1 << (8 * k)
+            ctes.append(
+                f"""h{k} AS (
+                  SELECT p.url, p.face, p.i, p.j, l.v % 4 AS b,
+                         p.n + (l.v // 4)::BIGINT * {shift_n}::BIGINT AS n
+                  FROM h{k + 1} p JOIN lut l
+                    ON l.k = p.b + ((p.i // {shift_ij}) % 16) * 64
+                              + ((p.j // {shift_ij}) % 16) * 4)"""
+            )
+        lsb = 1 << (2 * (30 - level))
+        cell = _sql_wrap_i64(
+            f"((face::HUGEINT * 1152921504606846976 + n) * 2 + 1) // {2 * lsb} * {2 * lsb} + {lsb}"
+        )
+        return (
+            "WITH " + ", ".join(ctes)
+            + f", cells AS (SELECT url, {cell} AS s2_cell FROM h0) " + final
+        )
+
+    s2_cell_encode_sql = _s2_sql(12, "SELECT url, s2_cell FROM cells")
+    s2_hist_sql = _s2_sql(
+        8, "SELECT s2_cell, count(*) AS n FROM cells GROUP BY s2_cell"
+    )
+
     # -- kmeans_lloyd: Lloyd's unrolled one CTE pair per iteration;
     # integer-quantized coords make every per-cluster sum exact, so
     # engine and SQL agree bit-for-bit (clustering.kmeans_lloyd_exact)
@@ -2926,6 +3036,8 @@ def oracle_sql() -> dict[str, str]:
         # hashing.py — see the _sql_* helpers above): these were
         # rows-only in round 1; each now compares bit-for-bit.
         "kmeans_lloyd": kmeans_lloyd_sql,
+        "s2_cell_encode": s2_cell_encode_sql,
+        "s2_hist": s2_hist_sql,
         "sample_weighted": sample_weighted_sql,
         "docs_simhash": docs_simhash_sql,
         "docs_fingerprint": docs_fingerprint_sql,
