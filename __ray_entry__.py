@@ -1577,6 +1577,45 @@ def q_vector_export(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_wkt_export(sf_dir: str):
+    """WKT vector export (GeoToolsVectorDataStoreIngestPlugin /
+    VectorLocalExportCommand format role): geotagged points ->
+    vectorized WKB point column -> vectorized WKT strings. The whole
+    chain (geotag -> encode_point_column -> decode_point_column ->
+    wkt_point_column) is numpy-buffer work, no per-row Python."""
+    from geowave_ray.formats import (
+        decode_point_column,
+        encode_point_column,
+        wkt_point_column,
+    )
+
+    def to_wkt(batch: pa.Table) -> pa.Table:
+        wkb = encode_point_column(
+            batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False),
+        )
+        x, y = decode_point_column(wkb)
+        return pa.table(
+            {"url": batch.column("url"), "wkt": pa.array(wkt_point_column(x, y))}
+        )
+
+    return _pages(sf_dir).map_batches(to_wkt, batch_format="pyarrow", batch_size=None)
+
+
+def q_wkb_stats(sf_dir: str):
+    """WKB decode verification (GeoTools vector format parse role):
+    per-region vertex count + exact coordinate envelope from the
+    decoded WKB, oracled against the independent region_edges table."""
+    import ray.data
+
+    from geowave_ray.formats import wkb_stats_batch
+
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/regions.parquet", columns=["region_id", "geometry_wkb"]
+    )
+    return ds.map_batches(wkb_stats_batch, batch_format="pyarrow", batch_size=None)
+
+
 def q_cql_filter(sf_dir: str):
     """CQL text -> expression AST -> Arrow batch filter over events
     (CQLToGeoWaveFilterVisitor + temporal After/Before role)."""
@@ -1781,6 +1820,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         # vector export sink roundtrip
         "vector_export": q_vector_export,
+        "wkt_export": q_wkt_export,
+        "wkb_stats": q_wkb_stats,
         # CQL bridge + temporal/spatial expression AST
         "cql_filter": q_cql_filter,
         "cql_spatial": q_cql_spatial,
@@ -2931,6 +2972,25 @@ def oracle_sql() -> dict[str, str]:
         "vector_export": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE lang = 'de' AND n_chars >= 200
+        """,
+        # WKT export: %.10g point formatting matches DuckDB printf
+        # (C printf semantics on both sides)
+        "wkt_export": f"""
+            SELECT url,
+                   'POINT (' || printf('%.10g', lon) || ' ' || printf('%.10g', lat) || ')' AS wkt
+            FROM {PAGES}
+        """,
+        # WKB decode stats: vertex count (= edges + 1 closing point) and
+        # exact envelope, rebuilt from the independent edge table
+        "wkb_stats": f"""
+            SELECT r.region_id,
+                   count(*) + 1 AS n_points,
+                   min(LEAST(e.x1, e.x2)) AS gxmin,
+                   min(LEAST(e.y1, e.y2)) AS gymin,
+                   max(GREATEST(e.x1, e.x2)) AS gxmax,
+                   max(GREATEST(e.y1, e.y2)) AS gymax
+            FROM {REGIONS} r JOIN {REDGES} e USING (region_id)
+            GROUP BY r.region_id
         """,
         # Gaussian splat KDE: each page adds exp(-(dx^2+dy^2)/2) to its
         # 3x3 tier-7 cell ring; rounded to 6 decimals on both sides.
