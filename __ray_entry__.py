@@ -904,6 +904,77 @@ def q_docs_quality(sf_dir: str):
     return out.select_columns(["doc_id", "n_tokens", "n_stopwords", "n_punct"])
 
 
+def q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    top-unigram token fraction + duplicate-bigram fraction per doc."""
+    from geowave_ray.text import repetition_stats_batch
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        repetition_stats_batch, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_docs_gopher_filter(sf_dir: str):
+    """Quality FILTER composed from the repetition signals: keep docs
+    under the repetition thresholds (the Gopher rule shape) — the
+    filter predicate runs on the same vectorized metrics the scoring
+    op emits, as one fused pipeline."""
+    import pyarrow.compute as pc
+
+    from geowave_ray.text import repetition_stats_batch
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = repetition_stats_batch(batch)
+        mask = pc.and_(
+            pc.less_equal(m.column("top_unigram_frac"), pa.scalar(0.09)),
+            pc.greater_equal(m.column("n_tokens"), pa.scalar(50, pa.int64())),
+        )
+        return m.filter(mask).select(["doc_id", "n_tokens", "top_unigram_frac"])
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def q_docs_pattern_scrub(sf_dir: str):
+    """PII-scrub role: count + redact regex matches (actor pool, RE2
+    kernels — identical match semantics to the DuckDB oracle)."""
+    from geowave_ray.text import PatternScrubber
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        PatternScrubber,
+        fn_constructor_args=("s[a-z]*",),
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+
+
+def q_pages_domains(sf_dir: str):
+    """Per-domain page rollup: vectorized host extraction from the url
+    column (RE2 named-group kernel) + groupby count — the web-corpus
+    'by-source' partition census."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from geowave_ray.util import read_blocks
+
+    from ray.data.aggregate import Count
+
+    def dom(batch: pa.Table) -> pa.Table:
+        st = pc.extract_regex(
+            batch.column("url"), r"^[a-z]+://(?P<host>[^/]+)"
+        ).combine_chunks()
+        return pa.table({"domain": st.field("host")})
+
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/pages", columns=["url"], override_num_blocks=read_blocks()
+    )
+    out = ds.map_batches(dom, batch_format="pyarrow", batch_size=None)
+    return out.groupby("domain").aggregate(Count(alias_name="n_pages"))
+
+
 def q_docs_fingerprint(sf_dir: str):
     from geowave_ray.text import fingerprint_batch
 
@@ -1765,6 +1836,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": q_docs_quality,
         "docs_langid": q_docs_langid,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_repetition": q_docs_repetition,
+        "docs_gopher_filter": q_docs_gopher_filter,
+        "docs_pattern_scrub": q_docs_pattern_scrub,
+        "pages_domains": q_pages_domains,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_dedup_clusters": q_docs_dedup_clusters,
         "docs_simhash": q_docs_simhash,
@@ -2326,6 +2401,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT u AS doc_id, min(lab) AS cluster FROM rr GROUP BY u
     """
 
+    # Gopher repetition signals (text.repetition_stats_batch): ordered
+    # bigrams via list_zip of shifted slices — no reliance on unnest
+    # row order
+    _REPETITION_SQL = """
+        WITH l AS (
+          SELECT doc_id,
+                 list_filter(str_split(text, ' '), x -> x <> '') AS toks
+          FROM documents
+        ),
+        uni AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM l)
+          GROUP BY doc_id, tok
+        ),
+        topu AS (SELECT doc_id, max(c) AS top, sum(c) AS ntok FROM uni GROUP BY doc_id),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+          FROM l WHERE len(toks) >= 2
+        ),
+        dbg AS (
+          SELECT doc_id, count(DISTINCT z[1] || chr(0) || z[2]) AS nd, count(*) AS nb
+          FROM bg GROUP BY doc_id
+        )
+        SELECT l.doc_id,
+               CAST(COALESCE(t.ntok, 0) AS BIGINT) AS n_tokens,
+               CASE WHEN COALESCE(t.ntok, 0) > 0
+                    THEN CAST(t.top AS DOUBLE) / t.ntok ELSE 0.0 END AS top_unigram_frac,
+               CASE WHEN COALESCE(d.nb, 0) > 0
+                    THEN CAST(d.nb - d.nd AS DOUBLE) / d.nb ELSE 0.0 END AS dup_bigram_frac
+        FROM l
+        LEFT JOIN topu t USING (doc_id)
+        LEFT JOIN dbg d USING (doc_id)
+    """
+
     return {
         "geotag_derive": f"SELECT url, lon, lat FROM {PAGES}",
         "cell_encode": f"""
@@ -2660,6 +2770,27 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
                        AS n_bpe_tokens
             FROM documents
+        """,
+        # Gopher repetition signals: fractions are one int/int division
+        # on both sides, so float values are bit-comparable
+        "docs_repetition": _REPETITION_SQL,
+        "docs_gopher_filter": f"""
+            SELECT doc_id, n_tokens, top_unigram_frac
+            FROM ({_REPETITION_SQL})
+            WHERE top_unigram_frac <= 0.09 AND n_tokens >= 50
+        """,
+        # RE2 leftmost-nonoverlapping on both sides: counts + redacted
+        # lengths are exact
+        "docs_pattern_scrub": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, 's[a-z]*')) AS n_matches,
+                   length(regexp_replace(text, 's[a-z]*', '*', 'g')) AS n_chars_redacted
+            FROM documents
+        """,
+        "pages_domains": f"""
+            SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+                   count(*) AS n_pages
+            FROM {PAGES} GROUP BY 1
         """,
         "docs_quality": """
             SELECT doc_id,

@@ -241,3 +241,82 @@ def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
             "n_bpe_tokens": pa.array(counts, pa.int64()),
         }
     )
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per doc (Rae et al. 2021 §A1.1
+    quality rules): fraction of tokens taken by the single most
+    frequent token, and fraction of duplicate (non-distinct) bigrams.
+
+    Whole-batch vectorized: one split pass, one dictionary encode,
+    bincount/unique segment reductions — no per-doc Python. Fractions
+    are a single int/int division on both engine and oracle sides, so
+    values are bit-comparable."""
+    flat, doc_all, keep, n_docs = _split_tokens(batch.column("text"))
+    doc_f = doc_all[keep]
+    enc = pc.dictionary_encode(flat.filter(pa.array(keep)))
+    tok = np.asarray(enc.indices, dtype=np.int64)
+    vsize = len(enc.dictionary)
+    n_tokens = np.bincount(doc_f, minlength=n_docs).astype(np.int64)
+
+    # top-unigram count per doc: unique (doc, token) with counts, max per doc
+    top = np.zeros(n_docs, dtype=np.int64)
+    if len(tok):
+        key = doc_f * max(vsize, 1) + tok
+        uk, cnt = np.unique(key, return_counts=True)
+        np.maximum.at(top, (uk // max(vsize, 1)).astype(np.int64), cnt)
+
+    # bigrams: consecutive token pairs within a doc (order preserved by
+    # the boolean filter above)
+    n_bigrams = np.maximum(n_tokens - 1, 0)
+    distinct_bg = np.zeros(n_docs, dtype=np.int64)
+    if len(tok) >= 2:
+        same_doc = doc_f[1:] == doc_f[:-1]
+        bd = doc_f[:-1][same_doc]
+        pairs = np.stack(
+            [bd, tok[:-1][same_doc], tok[1:][same_doc]], axis=1
+        )
+        ub = np.unique(pairs, axis=0)
+        distinct_bg = np.bincount(ub[:, 0], minlength=n_docs).astype(np.int64)
+
+    ntok = np.maximum(n_tokens, 1)
+    nbg = np.maximum(n_bigrams, 1)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "top_unigram_frac": pa.array(top / ntok, pa.float64()),
+            "dup_bigram_frac": pa.array(
+                np.where(n_bigrams > 0, (n_bigrams - distinct_bg) / nbg, 0.0),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+class PatternScrubber:
+    """Actor-pool stage: count + redact occurrences of a compiled
+    regex (PII-scrub role over web text — emails/phones/ids in real
+    corpora). Pattern state lives in ``__init__``; per batch it is two
+    RE2 kernel passes (count + global replace), no Python loops.
+
+    Both pyarrow and DuckDB use RE2 leftmost-nonoverlapping semantics,
+    so match counts and redacted lengths are oracle-exact."""
+
+    def __init__(self, pattern: str, replacement: str = "*"):
+        self.pattern = pattern
+        self.replacement = replacement
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = _flat_string_array(batch.column("text"))
+        if texts.null_count:
+            texts = pc.fill_null(texts, "")
+        n = pc.count_substring_regex(texts, self.pattern)
+        red = pc.replace_substring_regex(texts, self.pattern, self.replacement)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_matches": n.cast(pa.int64()),
+                "n_chars_redacted": pc.utf8_length(red).cast(pa.int64()),
+            }
+        )

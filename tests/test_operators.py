@@ -667,3 +667,40 @@ def test_minhash_fused_equals_classic(ray_session):
     a, b = run(True), run(False)
     assert a == b
     assert len(a) >= 5
+
+
+def test_repetition_stats_gopher_signals():
+    """Gopher-rule repetition metrics (Rae et al. 2021 A1.1): hand-
+    computed fractions, empty docs, single-token docs."""
+    import pyarrow as pa
+
+    from geowave_ray.text import repetition_stats_batch
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b c a b x", "", "a a a a", "solo"],
+        }
+    )
+    out = repetition_stats_batch(t)
+    assert out.column("n_tokens").to_pylist() == [6, 0, 4, 1]
+    # doc1: top token 'a' (or 'b') = 2/6; bigrams ab,bc,ca,ab,bx -> 1 dup of 5
+    assert out.column("top_unigram_frac").to_pylist() == [
+        2 / 6,
+        0.0,
+        1.0,
+        1.0,
+    ]
+    assert out.column("dup_bigram_frac").to_pylist() == [1 / 5, 0.0, 2 / 3, 0.0]
+
+
+def test_pattern_scrubber_counts_and_redacts():
+    import pyarrow as pa
+
+    from geowave_ray.text import PatternScrubber
+
+    s = PatternScrubber("s[a-z]*")
+    out = s(pa.table({"doc_id": [1, 2], "text": ["scan slow sort xs", "none here"]}))
+    # RE2 leftmost-nonoverlapping: scan, slow, sort, the s of 'xs'
+    assert out.column("n_matches").to_pylist() == [4, 0]
+    assert out.column("n_chars_redacted").to_pylist() == [len("* * * x*"), len("none here")]
