@@ -1456,6 +1456,40 @@ def q_region_query_intersects(sf_dir: str):
     return polygon_intersects_join(regions, polys)
 
 
+def _q_region_predicate(sf_dir: str, predicate: str):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geowave_ray.pipelines.spatial_join import polygon_intersects_join
+
+    qt = pq.read_table(f"{_fx(sf_dir)}/queries.parquet")
+    polys = qt.filter(pc.equal(qt["kind"], "polygon"))
+    regions = ray.data.read_parquet(f"{_fx(sf_dir)}/regions.parquet")
+    return polygon_intersects_join(regions, polys, predicate=predicate)
+
+
+def q_region_query_contains(sf_dir: str):
+    """CONTAINS through the areal join path (GeomContains.java role):
+    convex region contains convex query polygon ⟺ every query vertex
+    on the inside half-plane of every region edge."""
+    return _q_region_predicate(sf_dir, "contains")
+
+
+def q_region_query_within(sf_dir: str):
+    """WITHIN through the areal join path (GeomWithin.java role)."""
+    return _q_region_predicate(sf_dir, "within")
+
+
+def q_region_query_overlaps(sf_dir: str):
+    """OVERLAPS (GeomOverlaps.java role): interiors intersect and
+    neither side contains the other. SQL oracle: SAT-intersect pairs
+    minus containment pairs either way (fixture polygons are in
+    general position — no boundary-only contacts, pytest-asserted via
+    the touches predicate)."""
+    return _q_region_predicate(sf_dir, "overlaps")
+
+
 def q_gwql_select(sf_dir: str):
     """GWQL string query end-to-end (parser -> expr -> Dataset)."""
     from geowave_ray import gwql
@@ -1515,6 +1549,19 @@ def q_gwql_cast_pip(sf_dir: str):
         "WHERE PIP(lon, lat, CAST('POLYGON((-75 37, -72 40, -75 43, -78 40, -75 37))' AS GEOMETRY)) "
         "AND warc_ts >= CAST('2024-03-01' AS DATE)",
         {"pages": pages},
+    )
+
+
+def q_gwql_scalar(sf_dir: str):
+    """GWQL scalar functions in the select list (Abs.java /
+    Concat.java under core/store/.../query/gwql/function/)."""
+    from geowave_ray import gwql
+
+    events = _read_testdata(sf_dir, "events")
+    return gwql.execute(
+        "SELECT event_id, ABS(value) AS av, CONCAT(event_type, ':', user_id) AS tag "
+        "FROM events WHERE value >= 9.0",
+        {"events": events},
     )
 
 
@@ -1863,6 +1910,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gwql_groupby": q_gwql_groupby,
         "gwql_bbox": q_gwql_bbox,
         "gwql_cast_pip": q_gwql_cast_pip,
+        "gwql_scalar": q_gwql_scalar,
+        "region_query_contains": q_region_query_contains,
+        "region_query_within": q_region_query_within,
+        "region_query_overlaps": q_region_query_overlaps,
         "orders_by_segment": q_orders_by_segment,
         "topk_orders": q_topk_orders,
         "events_session": q_events_session,
@@ -2399,6 +2450,66 @@ def oracle_sql() -> dict[str, str]:
           WHERE rr.lab < e.v
         )
         SELECT u AS doc_id, min(lab) AS cluster FROM rr GROUP BY u
+    """
+
+    # convex region x query-polygon predicate oracles: shared bbox
+    # candidate CTE + half-plane containment (CCW rings on both sides)
+    _poly_cand = f"""
+        qp AS (SELECT query_id, xmin, ymin, xmax, ymax
+               FROM {QUERIES} WHERE kind = 'polygon'),
+        cand AS (
+          SELECT r.region_id, q.query_id
+          FROM {REGIONS} r JOIN qp q
+            ON r.xmin <= q.xmax AND r.xmax >= q.xmin
+           AND r.ymin <= q.ymax AND r.ymax >= q.ymin
+        ),
+        contains_p AS (
+          SELECT c.region_id, c.query_id
+          FROM cand c
+          JOIN {REDGES} e  ON e.region_id = c.region_id
+          JOIN {QEDGES} qv ON qv.query_id = c.query_id
+          GROUP BY c.region_id, c.query_id
+          HAVING bool_and((e.x2 - e.x1) * (qv.y1 - e.y1)
+                        - (e.y2 - e.y1) * (qv.x1 - e.x1) >= 0)
+        ),
+        within_p AS (
+          SELECT c.region_id, c.query_id
+          FROM cand c
+          JOIN {QEDGES} e  ON e.query_id = c.query_id
+          JOIN {REDGES} rv ON rv.region_id = c.region_id
+          GROUP BY c.region_id, c.query_id
+          HAVING bool_and((e.x2 - e.x1) * (rv.y1 - e.y1)
+                        - (e.y2 - e.y1) * (rv.x1 - e.x1) >= 0)
+        ),
+        sep_r AS (
+          SELECT c.region_id, c.query_id
+          FROM cand c
+          JOIN {REDGES} e  ON e.region_id = c.region_id
+          JOIN {REDGES} rv ON rv.region_id = c.region_id
+          JOIN {QEDGES} qv ON qv.query_id = c.query_id
+          GROUP BY c.region_id, c.query_id, e.x1, e.y1, e.x2, e.y2
+          HAVING min(qv.x1 * (e.y2 - e.y1) - qv.y1 * (e.x2 - e.x1))
+               > max(rv.x1 * (e.y2 - e.y1) - rv.y1 * (e.x2 - e.x1))
+              OR min(rv.x1 * (e.y2 - e.y1) - rv.y1 * (e.x2 - e.x1))
+               > max(qv.x1 * (e.y2 - e.y1) - qv.y1 * (e.x2 - e.x1))
+        ),
+        sep_q AS (
+          SELECT c.region_id, c.query_id
+          FROM cand c
+          JOIN {QEDGES} e  ON e.query_id = c.query_id
+          JOIN {REDGES} rv ON rv.region_id = c.region_id
+          JOIN {QEDGES} qv ON qv.query_id = c.query_id
+          GROUP BY c.region_id, c.query_id, e.x1, e.y1, e.x2, e.y2
+          HAVING min(qv.x1 * (e.y2 - e.y1) - qv.y1 * (e.x2 - e.x1))
+               > max(rv.x1 * (e.y2 - e.y1) - rv.y1 * (e.x2 - e.x1))
+              OR min(rv.x1 * (e.y2 - e.y1) - rv.y1 * (e.x2 - e.x1))
+               > max(qv.x1 * (e.y2 - e.y1) - qv.y1 * (e.x2 - e.x1))
+        ),
+        intersects_p AS (
+          SELECT region_id, query_id FROM cand
+          EXCEPT
+          SELECT * FROM (SELECT * FROM sep_r UNION SELECT * FROM sep_q)
+        )
     """
 
     # Gopher repetition signals (text.repetition_stats_batch): ordered
@@ -2941,6 +3052,26 @@ def oracle_sql() -> dict[str, str]:
               HAVING bool_and((e.x2 - e.x1) * (p.lat - e.y1)
                             - (e.y2 - e.y1) * (p.lon - e.x1) >= 0)
             )
+        """,
+        "region_query_contains": f"""
+            WITH {_poly_cand}
+            SELECT region_id, query_id FROM contains_p
+        """,
+        "region_query_within": f"""
+            WITH {_poly_cand}
+            SELECT region_id, query_id FROM within_p
+        """,
+        "region_query_overlaps": f"""
+            WITH {_poly_cand}
+            SELECT region_id, query_id FROM intersects_p
+            EXCEPT SELECT * FROM (
+              SELECT * FROM contains_p UNION SELECT * FROM within_p
+            )
+        """,
+        "gwql_scalar": """
+            SELECT event_id, abs(value) AS av,
+                   event_type || ':' || CAST(user_id AS VARCHAR) AS tag
+            FROM events WHERE value >= 9.0
         """,
         "orders_by_segment": """
             SELECT c.c_mktsegment, count(*) AS n_orders,

@@ -191,6 +191,29 @@ class _Parser:
                 if typ.upper() not in _CAST_TYPES:
                     raise ValueError(f"GWQL: unknown cast type {typ}")
                 cols_out.append(("cast", cname, typ.upper(), alias))
+            elif t == "word" and v.upper() in ("ABS", "CONCAT") and self.peek() == (
+                "op",
+                "(",
+            ):
+                # scalar functions in the select list (Abs.java /
+                # Concat.java under core/store/.../gwql/function/)
+                self.next()  # (
+                args = []
+                while True:
+                    ta, va = self.next()
+                    args.append((ta, va))
+                    tn, vn = self.next()
+                    if tn == "op" and vn == ",":
+                        continue
+                    if tn == "op" and vn == ")":
+                        break
+                    raise ValueError("GWQL: expected , or ) in function args")
+                alias = v.lower()
+                t3, v3 = self.peek()
+                if v3 and v3.upper() == "AS":
+                    self.next()
+                    _, alias = self.next()
+                cols_out.append(("func", v.upper(), args, alias))
             elif t == "word" and v.upper() in _AGGS and self.peek() == ("op", "("):
                 self.next()  # (
                 if v.upper() == "BBOX":
@@ -499,6 +522,28 @@ def execute(sql: str, tables: dict[str, ray.data.Dataset]) -> ray.data.Dataset:
                 for c in sel:
                     if isinstance(c, str):
                         cols[c] = b.column(c)
+                    elif c[0] == "func":
+                        _, fname, args, alias = c
+
+                        def val(a):
+                            ta, va = a
+                            if ta == "word":
+                                return b.column(va)
+                            if ta == "num":
+                                return pa.scalar(float(va) if "." in va else int(va))
+                            return pa.scalar(va)
+
+                        if fname == "ABS":
+                            cols[alias] = pc.abs(val(args[0]))
+                        else:  # CONCAT: string-cast every arg, join
+                            parts = [
+                                x
+                                if pa.types.is_string(x.type)
+                                or pa.types.is_large_string(x.type)
+                                else pc.cast(x, pa.string())
+                                for x in (val(a) for a in args)
+                            ]
+                            cols[alias] = pc.binary_join_element_wise(*parts, "")
                     else:
                         _, cname, typ, alias = c
                         cols[alias] = pc.cast(b.column(cname), _pa_type(typ))

@@ -200,3 +200,36 @@ def test_polyline_intersects_rings_cases():
     assert polyline_intersects_rings(
         np.array([4.0, 9.0]), np.array([4.0, 9.0]), [ring, hole]
     )
+
+
+def test_region_query_general_position(ray_session):
+    """The overlaps oracle equates 'interiors intersect' with
+    'intersects' — valid only if no fixture pair touches boundary-only.
+    Assert that invariant, plus the DE-9IM partition: intersects =
+    contains + within + overlaps (+ equals, none here) exactly."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geowave_ray.fixtures import ensure_fixtures
+    from geowave_ray.pipelines.spatial_join import polygon_intersects_join
+
+    fx = ensure_fixtures("/root/testdata/sf0.001")
+    qt = pq.read_table(f"{fx}/queries.parquet")
+    polys = qt.filter(pc.equal(qt["kind"], "polygon"))
+
+    def pairs(pred):
+        regions = ray.data.read_parquet(f"{fx}/regions.parquet")
+        t = polygon_intersects_join(regions, polys, predicate=pred).to_pandas()
+        if t.empty:
+            return set()
+        return set(zip(t["region_id"], t["query_id"]))
+
+    touches = pairs("touches")
+    assert touches == set()
+    inter = pairs("intersects")
+    parts = [pairs("contains"), pairs("within"), pairs("overlaps"), pairs("equals")]
+    got = set().union(*parts)
+    assert got == inter
+    # pairwise disjoint (equals is empty so contains/within can't overlap)
+    assert sum(len(p) for p in parts) == len(got)

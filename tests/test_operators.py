@@ -704,3 +704,21 @@ def test_pattern_scrubber_counts_and_redacts():
     # RE2 leftmost-nonoverlapping: scan, slow, sort, the s of 'xs'
     assert out.column("n_matches").to_pylist() == [4, 0]
     assert out.column("n_chars_redacted").to_pylist() == [len("* * * x*"), len("none here")]
+
+
+def test_gwql_scalar_functions(ray_session):
+    """ABS flips sign (fixtures have no negatives, so cover it here);
+    CONCAT string-casts non-string args (Abs.java / Concat.java)."""
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray import gwql
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": [1, 2], "x": [-2.5, 3.0], "s": ["a", "b"]})
+    )
+    out = gwql.execute(
+        "SELECT k, ABS(x) AS ax, CONCAT(s, '-', k) AS tag FROM t", {"t": ds}
+    ).to_pandas()
+    assert out["ax"].tolist() == [2.5, 3.0]
+    assert out["tag"].tolist() == ["a-1", "b-2"]
