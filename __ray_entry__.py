@@ -1126,6 +1126,69 @@ def q_events_window(sf_dir: str):
     )
 
 
+def q_events_distinct_users(sf_dir: str):
+    """Windowed COUNT(DISTINCT) — the combiner-style partial dedup
+    shape: each batch locally drops duplicate (type, window, user)
+    rows BEFORE the exchange (shrinking shuffle volume toward the
+    distinct cardinality), then per-group exact unique count."""
+
+    ds = _read_testdata(sf_dir, "events", columns=["event_type", "ts", "user_id"])
+
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        w = ts // 3_600_000_000
+        enc = pc.dictionary_encode(batch.column("event_type").combine_chunks())
+        code = np.asarray(enc.indices, dtype=np.int64)
+        user = batch.column("user_id").to_numpy().astype(np.int64)
+        keys = np.stack([code, w, user], axis=1)
+        _, idx = np.unique(keys, axis=0, return_index=True)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type").take(pa.array(idx)),
+                "window_id": pa.array(w[idx], pa.int64()),
+                "user_id": pa.array(user[idx], pa.int64()),
+            }
+        )
+
+    def count_group(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type")[:1],
+                "window_id": batch.column("window_id")[:1],
+                "n_users": pa.array([len(np.unique(users))], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_dedup, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "window_id"])
+        .map_groups(count_group, batch_format="pyarrow")
+    )
+
+
+def q_ann_filtered(sf_dir: str):
+    """Metadata-filtered ANN (filtered vector search): brute-force
+    exact cosine top-k restricted to rows with label = 3 — the filter
+    is pushed BEFORE the scoring stage so non-matching vectors never
+    reach the matmul."""
+    import pyarrow.parquet as pq
+
+    from geowave_ray.ann import ann_bruteforce_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qmask = np.asarray([v < 5 for v in t["vec_id"].to_pylist()])
+    qvecs = np.array(
+        [t["embedding"][i].as_py() for i in np.nonzero(qmask)[0]], dtype=np.float64
+    )
+    qids = np.asarray(t["vec_id"].to_numpy()[qmask])
+    ds = _read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    ds = ds.filter(expr="label == 3").select_columns(["vec_id", "embedding"])
+    return ann_bruteforce_topk(ds, qvecs, qids, k=10, concurrency=_pool())
+
+
 def q_lineitem_agg(sf_dir: str):
     from ray.data.aggregate import Count, Max, Sum
 
@@ -1896,6 +1959,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events / relational
         "events_window": q_events_window,
         "lineitem_agg": q_lineitem_agg,
+        "events_distinct_users": q_events_distinct_users,
+        "ann_filtered": q_ann_filtered,
         "expr_filter": q_expr_filter,
         # embeddings
         "ann_cosine": q_ann_cosine,
@@ -3000,6 +3065,26 @@ def oracle_sql() -> dict[str, str]:
                    sum(l_quantity) AS sum_qty, count(*) AS n,
                    max(l_discount) AS max_disc
             FROM lineitem GROUP BY 1, 2
+        """,
+        "events_distinct_users": """
+            SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "ann_filtered": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            d AS (
+              SELECT q.qid AS query_vec_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.qid AND e.label = 3
+            ), r AS (
+              SELECT query_vec_id, vec_id,
+                     row_number() OVER (PARTITION BY query_vec_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM d
+            )
+            SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= 10
         """,
         "expr_filter": """
             SELECT doc_id FROM documents
