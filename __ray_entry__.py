@@ -1553,6 +1553,53 @@ def q_region_query_overlaps(sf_dir: str):
     return _q_region_predicate(sf_dir, "overlaps")
 
 
+def _q_rect_predicate(sf_dir: str, predicate: str):
+    """Boundary-exact DE-9IM predicate join over the lattice-aligned
+    grid_rects fixture (GeomEquals/GeomTouches/GeomDisjoint/GeomCovers
+    UDF roles, ``analytics/spark/sparksql/udf/GeomFunction.java:17-35``).
+    Rect coordinates are exact binary doubles, so shared edges and
+    corners are decided exactly by the convex DE-9IM kernel."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geowave_ray.pipelines.spatial_join import polygon_intersects_join
+
+    t = pq.read_table(f"{_fx(sf_dir)}/grid_rects.parquet")
+    a = t.filter(pc.equal(t["side"], "a"))
+    b = t.filter(pc.equal(t["side"], "b"))
+    left = ray.data.from_arrow(
+        pa.table({"a_id": a["rect_id"], "geometry_wkb": a["geometry_wkb"]})
+    )
+    right = pa.table({"b_id": b["rect_id"], "geometry_wkb": b["geometry_wkb"]})
+    return polygon_intersects_join(
+        left, right, left_id="a_id", right_id="b_id", predicate=predicate
+    )
+
+
+def q_rect_join_touches(sf_dir: str):
+    """TOUCHES through the areal join path: boundaries meet (shared
+    edge or corner) but interiors are disjoint."""
+    return _q_rect_predicate(sf_dir, "touches")
+
+
+def q_rect_join_equals(sf_dir: str):
+    """EQUALS through the areal join path (mutual containment)."""
+    return _q_rect_predicate(sf_dir, "equals")
+
+
+def q_rect_join_disjoint(sf_dir: str):
+    """DISJOINT through the areal join path (no bbox prefilter —
+    every pair is tested, matching GeomDisjoint's negative predicate)."""
+    return _q_rect_predicate(sf_dir, "disjoint")
+
+
+def q_rect_join_covers(sf_dir: str):
+    """COVERS through the areal join path (containment including
+    boundary contact — equal rects cover each other)."""
+    return _q_rect_predicate(sf_dir, "covers")
+
+
 def q_gwql_select(sf_dir: str):
     """GWQL string query end-to-end (parser -> expr -> Dataset)."""
     from geowave_ray import gwql
@@ -1979,6 +2026,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_query_contains": q_region_query_contains,
         "region_query_within": q_region_query_within,
         "region_query_overlaps": q_region_query_overlaps,
+        "rect_join_touches": q_rect_join_touches,
+        "rect_join_equals": q_rect_join_equals,
+        "rect_join_disjoint": q_rect_join_disjoint,
+        "rect_join_covers": q_rect_join_covers,
         "orders_by_segment": q_orders_by_segment,
         "topk_orders": q_topk_orders,
         "events_session": q_events_session,
@@ -2515,6 +2566,14 @@ def oracle_sql() -> dict[str, str]:
           WHERE rr.lab < e.v
         )
         SELECT u AS doc_id, min(lab) AS cluster FROM rr GROUP BY u
+    """
+
+    GRECTS = f"read_parquet('{fx}/grid_rects.parquet')"
+    _rect_sides = f"""
+        a AS (SELECT rect_id AS a_id, xmin, ymin, xmax, ymax
+              FROM {GRECTS} WHERE side = 'a'),
+        b AS (SELECT rect_id AS b_id, xmin, ymin, xmax, ymax
+              FROM {GRECTS} WHERE side = 'b')
     """
 
     # convex region x query-polygon predicate oracles: shared bbox
@@ -3152,6 +3211,36 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT SELECT * FROM (
               SELECT * FROM contains_p UNION SELECT * FROM within_p
             )
+        """,
+        # -- rect_join_*: boundary-exact DE-9IM predicates over the
+        # lattice-aligned grid_rects fixture; every coordinate is an
+        # exact binary double so shared edges/corners are decided by
+        # float equality identically in engine and SQL.
+        "rect_join_touches": f"""
+            WITH {_rect_sides}
+            SELECT a_id, b_id FROM a, b
+            WHERE a.xmin <= b.xmax AND b.xmin <= a.xmax
+              AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+              AND (LEAST(a.xmax, b.xmax) = GREATEST(a.xmin, b.xmin)
+                OR LEAST(a.ymax, b.ymax) = GREATEST(a.ymin, b.ymin))
+        """,
+        "rect_join_equals": f"""
+            WITH {_rect_sides}
+            SELECT a_id, b_id FROM a, b
+            WHERE a.xmin = b.xmin AND a.xmax = b.xmax
+              AND a.ymin = b.ymin AND a.ymax = b.ymax
+        """,
+        "rect_join_disjoint": f"""
+            WITH {_rect_sides}
+            SELECT a_id, b_id FROM a, b
+            WHERE NOT (a.xmin <= b.xmax AND b.xmin <= a.xmax
+                   AND a.ymin <= b.ymax AND b.ymin <= a.ymax)
+        """,
+        "rect_join_covers": f"""
+            WITH {_rect_sides}
+            SELECT a_id, b_id FROM a, b
+            WHERE a.xmin <= b.xmin AND b.xmax <= a.xmax
+              AND a.ymin <= b.ymin AND b.ymax <= a.ymax
         """,
         "gwql_scalar": """
             SELECT event_id, abs(value) AS av,

@@ -493,6 +493,70 @@ def gen_tracks(n_tracks: int) -> tuple[pa.Table, pa.Table]:
     return tracks, segments
 
 
+def gen_grid_rects(n: int) -> pa.Table:
+    """Axis-aligned rectangles on an exact 0.5-degree lattice, two
+    sides ``a`` and ``b``, for the boundary-exact DE-9IM predicate
+    joins (the GeomEquals / GeomTouches / GeomDisjoint / GeomCovers
+    UDF roles — ``analytics/spark/sparksql/udf/GeomFunction.java:17-35``).
+
+    ``b[j]`` is derived from ``a[j]`` by ``mode = j % 6``:
+    0 equals, 1 edge-touch (shares the right edge), 2 corner-touch,
+    3 overlap, 4 strictly-inside, 5 far-disjoint.  All coordinates are
+    integer-or-half lattice units × 0.5°, i.e. exact binary doubles,
+    so shared edges/corners compare float-exact in both the engine and
+    the DuckDB bbox oracle.
+    """
+    sides, rids, wkbs, xmins, ymins, xmaxs, ymaxs = [], [], [], [], [], [], []
+
+    def emit(side: str, j: int, x0: float, y0: float, x1: float, y1: float):
+        lon0, lat0 = x0 * 0.5 - 60.0, y0 * 0.5 - 40.0
+        lon1, lat1 = x1 * 0.5 - 60.0, y1 * 0.5 - 40.0
+        ring = np.array(
+            [[lon0, lat0], [lon1, lat0], [lon1, lat1], [lon0, lat1]],
+            dtype=np.float64,
+        )
+        sides.append(side)
+        rids.append(f"{side}{j:05d}")
+        wkbs.append(polygon_wkb(ring))
+        xmins.append(lon0)
+        ymins.append(lat0)
+        xmaxs.append(lon1)
+        ymaxs.append(lat1)
+
+    for j in range(n):
+        gx, gy = j % 16, (j // 16) % 16
+        w = 2.0 + (j % 2)
+        h = 2.0
+        x0, y0 = 4.0 * gx, 4.0 * gy
+        x1, y1 = x0 + w, y0 + h
+        emit("a", j, x0, y0, x1, y1)
+        mode = j % 6
+        if mode == 0:
+            emit("b", j, x0, y0, x1, y1)
+        elif mode == 1:
+            emit("b", j, x1, y0, x1 + w, y1)
+        elif mode == 2:
+            emit("b", j, x1, y1, x1 + w, y1 + h)
+        elif mode == 3:
+            emit("b", j, x0 + 1.0, y0 + 1.0, x1 + 1.0, y1 + 1.0)
+        elif mode == 4:
+            emit("b", j, x0 + 0.5, y0 + 0.5, x0 + 1.5, y0 + 1.5)
+        else:
+            emit("b", j, x0 + 100.0, y0, x1 + 100.0, y1)
+
+    return pa.table(
+        {
+            "side": pa.array(sides),
+            "rect_id": pa.array(rids),
+            "geometry_wkb": pa.array(wkbs, pa.binary()),
+            "xmin": pa.array(xmins, pa.float64()),
+            "ymin": pa.array(ymins, pa.float64()),
+            "xmax": pa.array(xmaxs, pa.float64()),
+            "ymax": pa.array(ymaxs, pa.float64()),
+        }
+    )
+
+
 def gen_raster_chunks_mb(n_chunks: int, bands: int = 2) -> pa.Table:
     """Multi-band chunks with nodata holes and a merge sequence — the
     NoDataMergeStrategy fixture (latest-wins, fill holes from earlier;
@@ -565,6 +629,9 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
         tracks, segments = gen_tracks(cfg["regions"])
         pq.write_table(tracks, trk)
         pq.write_table(segments, os.path.join(out, "track_segments.parquet"))
+    gr = os.path.join(out, "grid_rects.parquet")
+    if not os.path.exists(gr):
+        pq.write_table(gen_grid_rects(max(64, cfg["regions"] // 8)), gr)
 
 
 def ensure_fixtures(sf_dir: str) -> str:

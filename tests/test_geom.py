@@ -233,3 +233,72 @@ def test_region_query_general_position(ray_session):
     assert got == inter
     # pairwise disjoint (equals is empty so contains/within can't overlap)
     assert sum(len(p) for p in parts) == len(got)
+
+
+def test_grid_rect_predicates(ray_session):
+    """Boundary-exact DE-9IM over the lattice grid_rects fixture: the
+    engine's convex kernel must agree with the bbox predicate algebra
+    on every pair, including shared edges and corner contacts (the
+    GeomTouches/GeomEquals/GeomDisjoint/GeomCovers UDF roles)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geowave_ray.fixtures import ensure_fixtures
+    from geowave_ray.pipelines.spatial_join import polygon_intersects_join
+
+    fx = ensure_fixtures("/root/testdata/sf0.001")
+    t = pq.read_table(f"{fx}/grid_rects.parquet")
+    a = t.filter(pc.equal(t["side"], "a")).to_pandas()
+    b = t.filter(pc.equal(t["side"], "b")).to_pandas()
+
+    def expected(pred):
+        out = set()
+        for _, ra in a.iterrows():
+            for _, rb in b.iterrows():
+                ix = min(ra.xmax, rb.xmax) >= max(ra.xmin, rb.xmin)
+                iy = min(ra.ymax, rb.ymax) >= max(ra.ymin, rb.ymin)
+                inter = ix and iy
+                edge = inter and (
+                    min(ra.xmax, rb.xmax) == max(ra.xmin, rb.xmin)
+                    or min(ra.ymax, rb.ymax) == max(ra.ymin, rb.ymin)
+                )
+                val = {
+                    "touches": edge,
+                    "equals": (ra.xmin, ra.ymin, ra.xmax, ra.ymax)
+                    == (rb.xmin, rb.ymin, rb.xmax, rb.ymax),
+                    "disjoint": not inter,
+                    "covers": ra.xmin <= rb.xmin
+                    and rb.xmax <= ra.xmax
+                    and ra.ymin <= rb.ymin
+                    and rb.ymax <= ra.ymax,
+                }[pred]
+                if val:
+                    out.add((ra.rect_id, rb.rect_id))
+        return out
+
+    import pyarrow as pa
+
+    for pred in ("touches", "equals", "disjoint", "covers"):
+        left = ray.data.from_arrow(
+            pa.table(
+                {
+                    "a_id": pa.array(a["rect_id"]),
+                    "geometry_wkb": pa.array(a["geometry_wkb"], pa.binary()),
+                }
+            )
+        )
+        right = pa.table(
+            {
+                "b_id": pa.array(b["rect_id"]),
+                "geometry_wkb": pa.array(b["geometry_wkb"], pa.binary()),
+            }
+        )
+        got = polygon_intersects_join(
+            left, right, left_id="a_id", right_id="b_id", predicate=pred
+        ).to_pandas()
+        got_set = set(zip(got["a_id"], got["b_id"])) if not got.empty else set()
+        assert got_set == expected(pred), pred
+    # the fixture exercises every mode: touches includes both an edge
+    # and a corner contact, equals and covers are non-empty
+    assert expected("equals") and expected("covers") and expected("touches")
