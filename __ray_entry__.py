@@ -843,6 +843,48 @@ def q_bbox_agg(sf_dir: str):
     return pd.DataFrame([row])[["xmin", "ymin", "xmax", "ymax"]]
 
 
+def q_time_range_agg(sf_dir: str):
+    """TimeRange aggregation (VectorTimeRangeAggregation /
+    TimeRangeStatistic role): interval union of warc_ts over the
+    pages table, per-block partial + driver merge."""
+    from geowave_ray.stats import dataset_time_range
+
+    row = dataset_time_range(_pages(sf_dir, columns=["warc_ts"]))
+    return pd.DataFrame([row])[["t_min", "t_max"]]
+
+
+def q_gwql_delete(sf_dir: str):
+    """GWQL DELETE end-to-end (DeleteStatement.java role): parser →
+    negated predicate → surviving rows."""
+    from geowave_ray import gwql
+
+    docs = _read_testdata(sf_dir, "documents")
+    return gwql.execute(
+        "DELETE FROM documents WHERE lang = 'en' OR n_chars < 100",
+        {"documents": docs},
+    )
+
+
+def q_visibility_select(sf_dir: str):
+    """Row-level visibility filter (ClientVisibilityFilter role):
+    '&'-joined label sets kept iff a subset of the caller's
+    authorizations; labels derived deterministically from doc_id so
+    the oracle can replicate them in SQL."""
+    from geowave_ray.pipelines.query import visibility_filter
+
+    labels = np.array(["", "a", "a&b", "a&c"], dtype=object)
+
+    def add_vis(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        return batch.append_column(
+            "visibility", pa.array(labels[did % 4], pa.string())
+        )
+
+    docs = _read_testdata(sf_dir, "documents").select_columns(["doc_id"])
+    ds = docs.map_batches(add_vis, batch_format="pyarrow", batch_size=None)
+    return visibility_filter(ds, {"a", "b"})
+
+
 def q_kde_gaussian(sf_dir: str):
     """Gaussian splat KDE; densities rounded to 6 decimals so the
     float sum is oracle-comparable (both sides sum the same ~9 exp
@@ -1006,6 +1048,16 @@ def q_docs_simhash(sf_dir: str):
 
     ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(simhash_batch, batch_format="pyarrow", batch_size=None)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs, EXACT for hamming ≤ 3 via 4×16-bit
+    banding (pigeonhole); one bounded exchange, in-group verify,
+    first-equal-band dedup, unique-signature compression."""
+    from geowave_ray.dedup import simhash_pairs
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
 
 
 def q_range_join(sf_dir: str):
@@ -1970,6 +2022,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_queries": q_polygon_queries,
         "subsample_cells": q_subsample_cells,
         "bbox_agg": q_bbox_agg,
+        "time_range_agg": q_time_range_agg,
+        "gwql_delete": q_gwql_delete,
+        "visibility_select": q_visibility_select,
         # kNN
         "knn": q_knn,
         "knn_bounded": q_knn_bounded,
@@ -2000,6 +2055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_dedup_clusters": q_docs_dedup_clusters,
         "docs_simhash": q_docs_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_jaccard_exact": q_docs_jaccard_exact,
         "docs_clusters_exact": q_docs_clusters_exact,
@@ -2836,6 +2892,22 @@ def oracle_sql() -> dict[str, str]:
                    max(lon) AS xmax, max(lat) AS ymax
             FROM {PAGES}
         """,
+        "time_range_agg": f"""
+            SELECT min(warc_ts) AS t_min, max(warc_ts) AS t_max
+            FROM {PAGES}
+        """,
+        "gwql_delete": """
+            SELECT * FROM documents
+            WHERE NOT (lang = 'en' OR n_chars < 100)
+        """,
+        "visibility_select": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INTEGER)
+                        WHEN 0 THEN '' WHEN 1 THEN 'a'
+                        WHEN 2 THEN 'a&b' ELSE 'a&c' END AS visibility
+            FROM documents
+            WHERE doc_id % 4 IN (0, 1, 2)
+        """,
         "knn": f"""
             WITH d AS (
               SELECT q.query_id, q.k, p.url,
@@ -3536,6 +3608,17 @@ def oracle_sql() -> dict[str, str]:
         "s2_hist": s2_hist_sql,
         "sample_weighted": sample_weighted_sql,
         "docs_simhash": docs_simhash_sql,
+        # simhash_pairs: exact Hamming-<=3 self-join over the replicated
+        # SimHash signatures (banding on the engine side is lossless for
+        # <=3 by pigeonhole, so the SQL all-pairs join is the oracle)
+        "simhash_pairs": f"""
+            WITH s AS ({docs_simhash_sql})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                     AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "docs_fingerprint": docs_fingerprint_sql,
         "hll_distinct": hll_sql,
         "docs_minhash_pairs": docs_minhash_sql,

@@ -674,6 +674,126 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """SWAR popcount over a uint64 array (numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def simhash_pairs(
+    docs: ray.data.Dataset,
+    max_hamming: int = 3,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Near-dup pairs by 64-bit SimHash Hamming distance ≤
+    ``max_hamming`` — EXACT for ``max_hamming ≤ 3``: the signature is
+    split into 4 × 16-bit bands, and by pigeonhole any pair differing
+    in ≤ 3 bits keeps at least one band intact, so banding loses no
+    qualifying pair.  Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    ONE bounded exchange (the fused-LSH plan, see
+    :func:`minhash_lsh_pairs`): band rows carry the full signature,
+    verification happens inside the band group, and a pair is emitted
+    only by its FIRST equal band (no dedup exchange).  Inside a group,
+    signatures are compressed to UNIQUE values first, so boilerplate /
+    identical-text clusters cost O(cluster) in the Hamming test and
+    only pay output-size work for the pairs they genuinely emit.
+    """
+    BANDS = 4
+    if max_hamming >= BANDS:
+        raise ValueError("banding is exact only for max_hamming < 4")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        t = simhash_batch(batch)
+        sig = t.column("simhash").to_numpy().astype(np.uint64)
+        did = t.column("doc_id").to_numpy()
+        n = len(did)
+        band = np.repeat(np.arange(BANDS, dtype=np.int64), n)
+        s4 = np.tile(sig, BANDS)
+        bval = (s4 >> (band.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)
+        key = band * np.int64(1 << 16) + bval.astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(key % np.int64(n_buckets), pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "doc_id": pa.array(np.tile(did, BANDS), pa.int64()),
+                "sig": pa.array(s4.view(np.int64), pa.int64()),
+            }
+        )
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out, h_out = [], [], []
+        for key, sub in g.groupby("key", sort=False):
+            band = int(key) >> 16
+            sig = sub["sig"].to_numpy().view(np.uint64)
+            did = sub["doc_id"].to_numpy()
+            usig, inv, counts = np.unique(
+                sig, return_inverse=True, return_counts=True
+            )
+            order = np.argsort(inv, kind="stable")
+            starts = np.cumsum(counts) - counts
+            members = [
+                did[order[starts[k] : starts[k] + counts[k]]]
+                for k in range(len(usig))
+            ]
+            # same-signature pairs (Hamming 0): first equal band is 0
+            if band == 0:
+                for k in np.nonzero(counts >= 2)[0]:
+                    ids = np.sort(members[k])
+                    iu, ju = np.triu_indices(len(ids), k=1)
+                    a_out.append(ids[iu])
+                    b_out.append(ids[ju])
+                    h_out.append(np.zeros(len(iu), dtype=np.int64))
+            # cross-signature pairs
+            u = len(usig)
+            if u < 2:
+                continue
+            iu, ju = np.triu_indices(u, k=1)
+            x = usig[iu] ^ usig[ju]
+            ok = _popcount64(x) <= max_hamming
+            for b in range(band):  # first-equal-band dedup
+                sh = np.uint64(16 * b)
+                ok &= ((usig[iu] >> sh) & np.uint64(0xFFFF)) != (
+                    (usig[ju] >> sh) & np.uint64(0xFFFF)
+                )
+            for p, q in zip(iu[np.nonzero(ok)[0]], ju[np.nonzero(ok)[0]]):
+                ham = int(_popcount64(np.array([usig[p] ^ usig[q]]))[0])
+                ma, mb = members[p], members[q]
+                la = np.repeat(ma, len(mb))
+                lb = np.tile(mb, len(ma))
+                a_out.append(np.minimum(la, lb))
+                b_out.append(np.maximum(la, lb))
+                h_out.append(np.full(len(la), ham, dtype=np.int64))
+        if not a_out:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                    "hamming": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(a_out),
+                "doc_b": np.concatenate(b_out),
+                "hamming": np.concatenate(h_out),
+            }
+        )
+
+    return (
+        docs.repartition(_EXCHANGE_BLOCKS)
+        .map_batches(expand, batch_format="pyarrow", batch_size=None)
+        .repartition(_EXCHANGE_BLOCKS)
+        .groupby("bucket")
+        .map_groups(emit, batch_format="pandas")
+    )
+
+
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     sa = set(map(int, _shingle_hashes(a, n)))
     sb = set(map(int, _shingle_hashes(b, n)))

@@ -237,6 +237,31 @@ def dataset_bbox(ds: ray.data.Dataset, lon_col="lon", lat_col="lat") -> dict:
     return dict(row)
 
 
+def dataset_time_range(ds: ray.data.Dataset, ts_col: str = "warc_ts") -> dict:
+    """TimeRangeStatistic / VectorTimeRangeAggregation analogue
+    (``core/geotime/.../store/query/aggregate/VectorTimeRangeAggregation.java``,
+    ``statistics/TimeRangeStatistic.java``): interval union over the
+    result set as a per-block partial (int64 microsecond min/max)
+    merged on the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(ts) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())})
+        return pa.table(
+            {"lo": pa.array([int(ts.min())], pa.int64()),
+             "hi": pa.array([int(ts.max())], pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    import pandas as pd
+
+    return {
+        "t_min": pd.Timestamp(int(parts["lo"].min()), unit="us"),
+        "t_max": pd.Timestamp(int(parts["hi"].max()), unit="us"),
+    }
+
+
 class FixedBinHistogram:
     """Mergeable fixed-bin numeric histogram
     (FixedBinNumericHistogramStatistic analogue)."""

@@ -722,3 +722,37 @@ def test_gwql_scalar_functions(ray_session):
     ).to_pandas()
     assert out["ax"].tolist() == [2.5, 3.0]
     assert out["tag"].tolist() == ["a-1", "b-2"]
+
+
+def test_simhash_pairs_matches_bruteforce(ray_session):
+    """simhash_pairs (banded, one exchange) must equal the exact
+    all-pairs Hamming-<=3 join — banding is lossless for <=3 bits by
+    pigeonhole over the 4 x 16-bit bands."""
+    import ray.data
+
+    from geowave_ray.dedup import _popcount64, simhash_batch, simhash_pairs
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = simhash_pairs(docs, max_hamming=3).to_pandas()
+    got_set = set(zip(got["doc_a"], got["doc_b"], got["hamming"]))
+
+    sig = simhash_batch(
+        pa.concat_tables(
+            [pa.Table.from_pandas(docs.to_pandas())]
+        )
+    )
+    ids = np.asarray(sig["doc_id"].to_pylist(), dtype=np.int64)
+    h = np.asarray(sig["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    ham = _popcount64(h[iu] ^ h[ju])
+    ok = ham <= 3
+    exp = set(
+        zip(
+            np.minimum(ids[iu[ok]], ids[ju[ok]]),
+            np.maximum(ids[iu[ok]], ids[ju[ok]]),
+            ham[ok],
+        )
+    )
+    assert exp and got_set == exp
