@@ -1050,6 +1050,34 @@ def q_docs_simhash(sf_dir: str):
     return ds.map_batches(simhash_batch, batch_format="pyarrow", batch_size=None)
 
 
+def q_docs_tfidf(sf_dir: str):
+    """Top-3 TF-IDF terms per document: combinered document-frequency
+    groupby + broadcast idf lookup, rank ties broken by term."""
+    from geowave_ray.text import tfidf_topk
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=3)
+
+
+def q_docs_df_topterms(sf_dir: str):
+    """Corpus document-frequency census: terms appearing in ≥ 5% of
+    docs (the vocabulary-side output of the TF-IDF pipeline)."""
+    from geowave_ray.text import document_frequency
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    df = document_frequency(ds)
+    n = _read_testdata(sf_dir, "documents", columns=["doc_id"]).count()
+    thresh = 0.05 * n
+
+    def fb(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.greater_equal(pc.cast(batch.column("df"), pa.float64()), thresh)
+        return batch.filter(m)
+
+    return df.map_batches(fb, batch_format="pyarrow", batch_size=None)
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs, EXACT for hamming ≤ 3 via 4×16-bit
     banding (pigeonhole); one bounded exchange, in-group verify,
@@ -2056,6 +2084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_clusters": q_docs_dedup_clusters,
         "docs_simhash": q_docs_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "docs_tfidf": q_docs_tfidf,
+        "docs_df_topterms": q_docs_df_topterms,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_jaccard_exact": q_docs_jaccard_exact,
         "docs_clusters_exact": q_docs_clusters_exact,
@@ -3608,6 +3638,43 @@ def oracle_sql() -> dict[str, str]:
         "s2_hist": s2_hist_sql,
         "sample_weighted": sample_weighted_sql,
         "docs_simhash": docs_simhash_sql,
+        # docs_tfidf / docs_df_topterms: identical tokenizer
+        # (space-split, empties dropped) and the identical IEEE double
+        # idf expression ln((1+N)/(1+df)); ties broken by term ASC
+        "docs_tfidf": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        t -> t <> '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS c
+                   FROM tok GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS d
+                   FROM tok GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            s AS (SELECT tf.doc_id, tf.term,
+                         tf.c * ln((1.0 + n.n_docs) / (1.0 + df.d)) AS score
+                  FROM tf JOIN df USING (term) CROSS JOIN n),
+            r AS (SELECT doc_id, term, score,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, term)
+                           AS rank
+                  FROM s)
+            SELECT doc_id, term, CAST(rank AS BIGINT) AS rank,
+                   round(score, 6) AS tfidf
+            FROM r WHERE rank <= 3
+        """,
+        "docs_df_topterms": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        t -> t <> '')) AS term
+              FROM documents),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM tok GROUP BY term)
+            SELECT term, df FROM df
+            WHERE df >= 0.05 * (SELECT count(*) FROM documents)
+        """,
         # simhash_pairs: exact Hamming-<=3 self-join over the replicated
         # SimHash signatures (banding on the engine side is lossless for
         # <=3 by pigeonhole, so the SQL all-pairs join is the oracle)

@@ -320,3 +320,113 @@ class PatternScrubber:
                 "n_chars_redacted": pc.utf8_length(red).cast(pa.int64()),
             }
         )
+
+
+def document_frequency(ds, exchange_blocks: int = 16):
+    """Per-term document frequency: per-batch partial (unique
+    (doc, term) → per-term counts, the classic combiner) followed by
+    one bounded groupby-sum over term partials.  A doc lives entirely
+    inside one batch, so batch-local distinct-doc counts sum exactly."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, doc_all, keep, _ = _split_tokens(batch.column("text"))
+        tok = flat.to_numpy(zero_copy_only=False)[keep]
+        docs_ = doc_all[keep]
+        if len(tok) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "df_part": pa.array([], pa.int64())}
+            )
+        codes, uniq = pd.factorize(tok)
+        key = docs_ * np.int64(len(uniq)) + codes
+        ucodes = (np.unique(key) % np.int64(len(uniq))).astype(np.int64)
+        dfc = np.bincount(ucodes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"term": pa.array(uniq, pa.string()),
+             "df_part": pa.array(dfc, pa.int64())}
+        )
+
+    return (
+        ds.repartition(exchange_blocks)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"))
+    )
+
+
+def tfidf_topk(ds, k: int = 3, decimals: int = 6):
+    """Top-``k`` TF-IDF terms per document with rank.
+
+    ``score = tf_count * ln((1 + N) / (1 + df))`` — integer counts and
+    the identical IEEE double expression on both the engine and the
+    DuckDB oracle, so ranking (ties broken by term ascending) is
+    deterministic; the reported score is rounded to ``decimals``.
+
+    Scale shape: the df table (vocabulary-sized, ≪ corpus) is computed
+    by one combinered groupby and broadcast once via ``ray.put``; the
+    per-doc pass is a stateless map with a per-worker memoized term
+    index — no token-level shuffle.
+    """
+    import pandas as pd
+    import ray
+
+    from .util import cached_state
+
+    n_docs = ds.count()
+    dfp = document_frequency(ds).to_pandas()
+    terms = dfp["term"].to_numpy()
+    dfv = dfp["df"].to_numpy().astype(np.int64)
+    ref = ray.put((terms, dfv, int(n_docs)))
+    key = ("tfidf", ref.hex())
+
+    def build(state):
+        t, d, n = state
+        idf = np.log((1.0 + float(n)) / (1.0 + d.astype(np.float64)))
+        return pd.Index(t), idf
+
+    def topk(batch: pa.Table) -> pd.DataFrame:
+        index, idf_all = cached_state(key, ref, builder=build)
+        flat, doc_all, keep, _ = _split_tokens(batch.column("text"))
+        tok = flat.to_numpy(zero_copy_only=False)[keep]
+        docs_ = doc_all[keep]
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "term": pd.Series([], dtype=object),
+                "rank": pd.Series([], dtype=np.int64),
+                "tfidf": pd.Series([], dtype=np.float64),
+            }
+        )
+        if len(tok) == 0:
+            return empty
+        codes, uniq = pd.factorize(tok)
+        key2 = docs_ * np.int64(len(uniq)) + codes
+        ukey, cnt = np.unique(key2, return_counts=True)
+        d_l = (ukey // np.int64(len(uniq))).astype(np.int64)
+        c_l = (ukey % np.int64(len(uniq))).astype(np.int64)
+        idf = idf_all[index.get_indexer(uniq)]
+        score = cnt.astype(np.float64) * idf[c_l]
+        doc_ids = batch.column("doc_id").to_numpy()
+        out = pd.DataFrame(
+            {"doc_id": doc_ids[d_l], "term": uniq[c_l], "score": score}
+        )
+        out = out.sort_values(
+            ["doc_id", "score", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out["rank"] = out.groupby("doc_id", sort=False).cumcount() + 1
+        out = out[out["rank"] <= k]
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(),
+                "term": out["term"].to_numpy(),
+                "rank": out["rank"].to_numpy().astype(np.int64),
+                "tfidf": np.round(out["score"].to_numpy(), decimals),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow", batch_size=None)

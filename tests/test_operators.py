@@ -756,3 +756,32 @@ def test_simhash_pairs_matches_bruteforce(ray_session):
         )
     )
     assert exp and got_set == exp
+
+
+def test_tfidf_topk_properties(ray_session):
+    """Per-doc ranks are 1..k with non-increasing scores, and df from
+    document_frequency matches a pandas recount."""
+    import ray.data
+
+    from geowave_ray.text import document_frequency, tfidf_topk
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = tfidf_topk(docs, k=3).to_pandas()
+    assert not out.empty
+    for _, g in out.groupby("doc_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g["tfidf"].to_numpy()) <= 1e-9).all()
+
+    df = document_frequency(docs).to_pandas().set_index("term")["df"]
+    pdf = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    import collections
+
+    exp = collections.Counter()
+    for t in pdf["text"]:
+        exp.update(set(x for x in t.split(" ") if x))
+    assert dict(df) == dict(exp)
