@@ -1850,6 +1850,40 @@ def q_url_lookup(sf_dir: str):
     return ds
 
 
+def q_cms_counts(sf_dir: str):
+    """CountMinSketch user-frequency estimates
+    (CountMinSketchStatistic role): per-block sketches summed, probed
+    for every distinct user id. Bit-exact oracle: the counter tables
+    are replicated in SQL from the same mix64 hash chain."""
+    from geowave_ray.stats import dataset_cms
+
+    ev = _read_testdata(sf_dir, "events", columns=["user_id"])
+    cms = dataset_cms(ev, "user_id", width=2048, depth=4)
+    probes = np.arange(150, dtype=np.int64)
+    est = cms.query(probes)
+    return pd.DataFrame({"user_id": probes, "est": est.astype(np.int64)})
+
+
+def q_bloom_membership(sf_dir: str):
+    """BloomFilter membership (BloomFilterStatistic role): filter
+    built over purchase-event user ids, probed with every user id
+    0..149. Bit-exact oracle replicates the k=5 probe positions."""
+    from geowave_ray.stats import dataset_bloom
+
+    ev = _read_testdata(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+
+    purchases = ev.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    bloom = dataset_bloom(purchases, "user_id", n_bits=1 << 16, k=5)
+    probes = np.arange(150, dtype=np.int64)
+    member = bloom.contains(probes)
+    return pd.DataFrame({"user_id": probes, "member": member})
+
+
 def q_hll_distinct(sf_dir: str):
     from geowave_ray.stats import dataset_hll_distinct
 
@@ -2102,6 +2136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_neardup_pairs": q_emb_neardup_pairs,
         # sketches
         "hll_distinct": q_hll_distinct,
+        "cms_counts": q_cms_counts,
+        "bloom_membership": q_bloom_membership,
         # query language / relational / lookup
         "gwql_select": q_gwql_select,
         "gwql_agg": q_gwql_agg,
@@ -3688,6 +3724,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": docs_fingerprint_sql,
         "hll_distinct": hll_sql,
+        # cms_counts: replicate the depth×width counter table — idx_r =
+        # (mix64(uid) * (2r+1) + r*0x9E3779B9) mod 2^64 mod 2048; the
+        # multiplier ≤ 7 keeps h*(2r+1) inside HUGEINT so plain % works
+        "cms_counts": _sql_chain(
+            "SELECT user_id::HUGEINT AS uid FROM events",
+            _sql_mix_steps("uid", "h", "_u"),
+            f""", rows AS (SELECT unnest(generate_series(0, 3)) AS r),
+            cells AS (
+              SELECT r.r,
+                     ((l.h * (2 * r.r + 1)::HUGEINT
+                       + (r.r * 2654435769)::HUGEINT) % {_SQL_MOD})
+                       % 2048::HUGEINT AS idx,
+                     count(*) AS c
+              FROM $LAST l CROSS JOIN rows r
+              GROUP BY 1, 2),
+            probes AS (
+              SELECT DISTINCT uid AS user_id, h FROM $LAST)
+            SELECT CAST(p.user_id AS BIGINT) AS user_id,
+                   CAST(min(c.c) AS BIGINT) AS est
+            FROM probes p CROSS JOIN rows r
+            JOIN cells c ON c.r = r.r
+              AND c.idx = ((p.h * (2 * r.r + 1)::HUGEINT
+                            + (r.r * 2654435769)::HUGEINT) % {_SQL_MOD})
+                             % 2048::HUGEINT
+            GROUP BY p.user_id
+            """,
+        ),
+        # bloom_membership: k=5 positions ((h >> 7i) xor (h*(i+1) mod
+        # 2^64)) mod 65536 over purchase users; member = all positions set
+        "bloom_membership": _sql_chain(
+            "SELECT user_id::HUGEINT AS uid,"
+            " bool_or(event_type = 'purchase') AS is_p"
+            " FROM events GROUP BY 1",
+            _sql_mix_steps("uid", "h", "_u"),
+            f""", ks AS (SELECT unnest(generate_series(0, 4)) AS i),
+            setbits AS (
+              SELECT DISTINCT i.i,
+                     xor(l.h >> (7 * i.i),
+                         (l.h * (i.i + 1)::HUGEINT) % {_SQL_MOD})
+                       % 65536::HUGEINT AS p
+              FROM $LAST l CROSS JOIN ks i WHERE l.is_p)
+            SELECT CAST(q.uid AS BIGINT) AS user_id,
+                   bool_and(s.p IS NOT NULL) AS member
+            FROM $LAST q CROSS JOIN ks i
+            LEFT JOIN setbits s ON s.i = i.i
+              AND s.p = xor(q.h >> (7 * i.i),
+                            (q.h * (i.i + 1)::HUGEINT) % {_SQL_MOD})
+                          % 65536::HUGEINT
+            GROUP BY q.uid
+            """,
+        ),
         "docs_minhash_pairs": docs_minhash_sql,
         "docs_dedup_clusters": docs_dedup_clusters_sql,
         "docs_jaccard_pairs": docs_jaccard_pairs_sql,

@@ -224,6 +224,43 @@ def dataset_hll_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> floa
     return acc.estimate()
 
 
+def dataset_cms(
+    ds: ray.data.Dataset, column: str, width: int = 2048, depth: int = 4
+) -> CountMinSketch:
+    """Distributed CountMinSketch (CountMinSketchStatistic role):
+    one sketch per block, counter tables summed on the driver
+    (depth×width int64 — a few KB per partial)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = CountMinSketch(width, depth)
+        c.add(batch.column(column))
+        return pa.table({"sketch": pa.array([c.table.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    acc = CountMinSketch(width, depth)
+    for b in parts["sketch"]:
+        acc.table += np.frombuffer(bytes(b), dtype=np.int64).reshape(depth, width)
+    return acc
+
+
+def dataset_bloom(
+    ds: ray.data.Dataset, column: str, n_bits: int = 1 << 16, k: int = 5
+) -> BloomFilter:
+    """Distributed BloomFilter (BloomFilterStatistic role): per-block
+    bitsets OR-merged on the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        f = BloomFilter(n_bits, k)
+        f.add(batch.column(column))
+        return pa.table({"bits": pa.array([f.bits.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    acc = BloomFilter(n_bits, k)
+    for b in parts["bits"]:
+        acc.bits |= np.frombuffer(bytes(b), dtype=np.uint8)
+    return acc
+
+
 def dataset_bbox(ds: ray.data.Dataset, lon_col="lon", lat_col="lat") -> dict:
     """BoundingBoxStatistic analogue: envelope via min/max aggregates."""
     from ray.data.aggregate import Max, Min

@@ -785,3 +785,33 @@ def test_tfidf_topk_properties(ray_session):
     for t in pdf["text"]:
         exp.update(set(x for x in t.split(" ") if x))
     assert dict(df) == dict(exp)
+
+
+def test_cms_bloom_sketches(ray_session):
+    """CMS never underestimates; Bloom has no false negatives."""
+    import ray.data
+
+    from geowave_ray.stats import dataset_bloom, dataset_cms
+
+    ev = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id", "event_type"]
+    )
+    pdf = ev.to_pandas()
+    true_counts = pdf.groupby("user_id").size()
+
+    cms = dataset_cms(ev, "user_id")
+    ids = true_counts.index.to_numpy().astype(np.int64)
+    est = cms.query(ids)
+    assert (est >= true_counts.to_numpy()).all()
+
+    import pyarrow.compute as pc
+
+    purchases = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "purchase")),
+        batch_format="pyarrow", batch_size=None,
+    )
+    bloom = dataset_bloom(purchases, "user_id")
+    p_ids = np.unique(
+        pdf.loc[pdf["event_type"] == "purchase", "user_id"].to_numpy()
+    ).astype(np.int64)
+    assert bloom.contains(p_ids).all()
