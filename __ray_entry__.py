@@ -1680,6 +1680,19 @@ def q_rect_join_covers(sf_dir: str):
     return _q_rect_predicate(sf_dir, "covers")
 
 
+def q_gpx_parse(sf_dir: str):
+    """GPX format-plugin parse (GPXConsumer.java role): whole-file XML
+    documents expand to typed track points inside map_batches; oracle
+    is the generator's flat truth table (coordinates round-trip
+    bit-identically through the printed text)."""
+    import ray.data
+
+    from geowave_ray.sources.gpx import read_gpx_table
+
+    files = ray.data.read_parquet(f"{_fx(sf_dir)}/gpx_files.parquet")
+    return read_gpx_table(files)
+
+
 def q_gwql_select(sf_dir: str):
     """GWQL string query end-to-end (parser -> expr -> Dataset)."""
     from geowave_ray import gwql
@@ -2148,6 +2161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_query_contains": q_region_query_contains,
         "region_query_within": q_region_query_within,
         "region_query_overlaps": q_region_query_overlaps,
+        "gpx_parse": q_gpx_parse,
         "rect_join_touches": q_rect_join_touches,
         "rect_join_equals": q_rect_join_equals,
         "rect_join_disjoint": q_rect_join_disjoint,
@@ -3349,6 +3363,10 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT SELECT * FROM (
               SELECT * FROM contains_p UNION SELECT * FROM within_p
             )
+        """,
+        "gpx_parse": f"""
+            SELECT track_id, seq, lon, lat, ele, ts
+            FROM read_parquet('{fx}/gpx_points.parquet')
         """,
         # -- rect_join_*: boundary-exact DE-9IM predicates over the
         # lattice-aligned grid_rects fixture; every coordinate is an

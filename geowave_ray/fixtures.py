@@ -557,6 +557,60 @@ def gen_grid_rects(n: int) -> pa.Table:
     )
 
 
+def gen_gpx_files(n_files: int) -> tuple[pa.Table, pa.Table]:
+    """GPX XML documents + flat ground-truth points (the
+    format-plugin parse fixture, ``extensions/formats/gpx/`` role).
+
+    Coordinates are written with ``%.6f`` and the truth table stores
+    ``float(printed_text)``, so the parser's ``float()`` of the same
+    text is bit-identical by construction.
+    """
+    f_id, f_xml = [], []
+    g_tid, g_seq, g_lon, g_lat, g_ele, g_ts = [], [], [], [], [], []
+    t0 = np.datetime64("2024-03-01T00:00:00", "s")
+    for j in range(n_files):
+        tid = f"trk{j:05d}"
+        lon0 = float(((j * 37) % 340) - 170) + 0.5
+        lat0 = float(((j * 17) % 160) - 80) + 0.5
+        pts = []
+        for i in range(20):
+            lon_s = f"{lon0 + 0.001 * i + 0.000017 * ((i * (j + 1)) % 13):.6f}"
+            lat_s = f"{lat0 + 0.0007 * i + 0.000011 * ((i * (j + 3)) % 7):.6f}"
+            ele_s = f"{(100 + ((7 * i + 3 * j) % 50)) / 2.0:.1f}"
+            ts = t0 + np.timedelta64(j * 3600 + i * 15, "s")
+            ts_s = np.datetime_as_string(ts, unit="s") + "Z"
+            pts.append(
+                f'<trkpt lat="{lat_s}" lon="{lon_s}">'
+                f"<ele>{ele_s}</ele><time>{ts_s}</time></trkpt>"
+            )
+            g_tid.append(tid)
+            g_seq.append(i)
+            g_lon.append(float(lon_s))
+            g_lat.append(float(lat_s))
+            g_ele.append(float(ele_s))
+            g_ts.append(ts.astype("datetime64[us]"))
+        f_id.append(f"file{j:05d}.gpx")
+        f_xml.append(
+            '<gpx version="1.1"><trk><name>' + tid + "</name><trkseg>"
+            + "".join(pts)
+            + "</trkseg></trk></gpx>"
+        )
+    files = pa.table({"file_id": pa.array(f_id), "xml": pa.array(f_xml)})
+    points = pa.table(
+        {
+            "track_id": pa.array(g_tid, pa.string()),
+            "seq": pa.array(np.asarray(g_seq, dtype=np.int64), pa.int64()),
+            "lon": pa.array(np.asarray(g_lon, dtype=np.float64), pa.float64()),
+            "lat": pa.array(np.asarray(g_lat, dtype=np.float64), pa.float64()),
+            "ele": pa.array(np.asarray(g_ele, dtype=np.float64), pa.float64()),
+            "ts": pa.array(
+                np.asarray(g_ts, dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+        }
+    )
+    return files, points
+
+
 def gen_raster_chunks_mb(n_chunks: int, bands: int = 2) -> pa.Table:
     """Multi-band chunks with nodata holes and a merge sequence — the
     NoDataMergeStrategy fixture (latest-wins, fill holes from earlier;
@@ -632,6 +686,11 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
     gr = os.path.join(out, "grid_rects.parquet")
     if not os.path.exists(gr):
         pq.write_table(gen_grid_rects(max(64, cfg["regions"] // 8)), gr)
+    gx = os.path.join(out, "gpx_files.parquet")
+    if not os.path.exists(gx):
+        files, points = gen_gpx_files(max(64, cfg["regions"] // 8))
+        pq.write_table(files, gx)
+        pq.write_table(points, os.path.join(out, "gpx_points.parquet"))
 
 
 def ensure_fixtures(sf_dir: str) -> str:

@@ -72,3 +72,23 @@ def test_attribute_index_prunes_and_matches(tmp_path, ray_session):
     # the sorted layout prunes: a narrow range touches < half the groups
     m, t = row_groups_scanned(idx, "l_extendedprice", lo, hi)
     assert t >= 4 and m < t
+
+
+def test_gpx_parse_roundtrip(ray_session):
+    """Parsed trkpts match the generator truth table exactly (float
+    round-trip through the printed text is the identity)."""
+    import pandas as pd
+    import ray.data
+
+    from geowave_ray.fixtures import gen_gpx_files
+    from geowave_ray.sources.gpx import read_gpx_table
+
+    files, points = gen_gpx_files(8)
+    got = (
+        read_gpx_table(ray.data.from_arrow(files))
+        .to_pandas()
+        .sort_values(["track_id", "seq"])
+        .reset_index(drop=True)
+    )
+    exp = points.to_pandas().sort_values(["track_id", "seq"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
