@@ -1680,6 +1680,35 @@ def q_rect_join_covers(sf_dir: str):
     return _q_rect_predicate(sf_dir, "covers")
 
 
+def q_geohash_hist(sf_dir: str):
+    """Standard base32 geohash binning (GeohashBinningHelper.java
+    role) at precision 5: per-batch partial counts (combiner) + one
+    bounded groupby-sum; oracle replicates the bit interleave and
+    base32 alphabet in SQL."""
+    from ray.data.aggregate import Sum
+
+    from geowave_ray.sfc import geohash_str
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gh = geohash_str(
+            batch.column("lon").to_numpy(), batch.column("lat").to_numpy(), 5
+        )
+        uniq, cnt = np.unique(gh, return_counts=True)
+        return pa.table(
+            {
+                "geohash": pa.array(uniq, pa.string()),
+                "n_part": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _pages(sf_dir, columns=["lon", "lat"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("geohash")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
 def q_gpx_parse(sf_dir: str):
     """GPX format-plugin parse (GPXConsumer.java role): whole-file XML
     documents expand to typed track points inside map_batches; oracle
@@ -2161,6 +2190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_query_contains": q_region_query_contains,
         "region_query_within": q_region_query_within,
         "region_query_overlaps": q_region_query_overlaps,
+        "geohash_hist": q_geohash_hist,
         "gpx_parse": q_gpx_parse,
         "rect_join_touches": q_rect_join_touches,
         "rect_join_equals": q_rect_join_equals,
@@ -2703,6 +2733,34 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT u AS doc_id, min(lab) AS cluster FROM rr GROUP BY u
     """
+
+    # -- geohash_hist: standard geohash (lon bit first) replicated in
+    # SQL — identical float expression for the integerization, then 25
+    # unrolled bit extracts interleaved into 5 base32 chars
+    def _geohash_sql(p: int, src_table: str) -> str:
+        nbits = 5 * p
+        bx, by = (nbits + 1) // 2, nbits // 2
+        chars = []
+        for k in range(p):
+            terms = []
+            for m in range(5):
+                b = nbits - 1 - 5 * k - m
+                src, t = ("cx", b // 2) if b % 2 == 0 else ("cy", (b - 1) // 2)
+                terms.append(f"(({src} // {1 << t}) % 2) * {1 << (4 - m)}")
+            chars.append(
+                "substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+                f"CAST({' + '.join(terms)} AS INTEGER) + 1, 1)"
+            )
+        gh = " || ".join(chars)
+        return f"""
+            WITH g AS (
+              SELECT LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0
+                       * {float(1 << bx)}) AS BIGINT), 0), {(1 << bx) - 1}) AS cx,
+                     LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0
+                       * {float(1 << by)}) AS BIGINT), 0), {(1 << by) - 1}) AS cy
+              FROM {src_table})
+            SELECT {gh} AS geohash, count(*) AS n FROM g GROUP BY 1
+        """
 
     GRECTS = f"read_parquet('{fx}/grid_rects.parquet')"
     _rect_sides = f"""
@@ -3364,6 +3422,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM contains_p UNION SELECT * FROM within_p
             )
         """,
+        "geohash_hist": _geohash_sql(5, PAGES),
         "gpx_parse": f"""
             SELECT track_id, seq, lon, lat, ele, ts
             FROM read_parquet('{fx}/gpx_points.parquet')
