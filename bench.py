@@ -83,33 +83,33 @@ def run_bench(sf_dir: str, headline_only: bool = False) -> dict:
     timings: dict[str, float] = {}
     n_rows: dict[str, int] = {}
 
-    def timed(name: str, fn):
-        t0 = time.time()
-        res = fn(sf_dir)
+    def timed(name: str, fn, repeat: int = 2):
+        """Best-of-``repeat`` wall time — the sandbox host has
+        noisy-neighbor variance and the steady-state number is the one
+        that answers the design question."""
         import pandas as pd
 
         import ray.data as rd
 
-        if isinstance(res, rd.Dataset):
-            n = res.count()
-        elif isinstance(res, pd.DataFrame):
-            n = len(res)
-        else:
-            n = res.num_rows
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(repeat):
+            t0 = time.time()
+            res = fn(sf_dir)
+            if isinstance(res, rd.Dataset):
+                n = res.count()
+            elif isinstance(res, pd.DataFrame):
+                n = len(res)
+            else:
+                n = res.num_rows
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         n_rows[name] = int(n)
 
     # headline: spatial join (compact id-pair emit — the at-scale
-    # layout) + tile assignment (north-star metric). Two timed
-    # repetitions, keep the best — the sandbox host has noisy-neighbor
-    # variance and the scaling criterion needs the steady-state number.
+    # layout) + tile assignment (north-star metric).
     timed("pip_join", em.q_pip_join_ids)
     timed("tile_assign", em.q_tile_assign)
-    first = (timings["pip_join"], timings["tile_assign"])
-    timed("pip_join", em.q_pip_join_ids)
-    timed("tile_assign", em.q_tile_assign)
-    timings["pip_join"] = min(first[0], timings["pip_join"])
-    timings["tile_assign"] = min(first[1], timings["tile_assign"])
     pruning_info = {}
     if not headline_only:
         timed("cell_hist", em.q_cell_hist)
@@ -128,6 +128,9 @@ def run_bench(sf_dir: str, headline_only: bool = False) -> dict:
         timed("pip_join_copart", em.q_pip_join_copart)
         timed("docs_token_stats", em.q_docs_token_stats)
         timed("docs_minhash_pairs", em.q_docs_minhash_pairs)
+        timed("docs_tfidf", em.q_docs_tfidf)
+        timed("simhash_pairs", em.q_simhash_pairs)
+        timed("geohash_hist", em.q_geohash_hist)
         timed("dbscan_exact", em.q_dbscan_exact)     # tile-local exact DBSCAN
         timed("tile_merge_nodata", em.q_tile_merge_nodata)
         timed("cql_spatial", em.q_cql_spatial)       # CQL bbox+PIP filter
