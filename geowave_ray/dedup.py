@@ -728,10 +728,21 @@ def simhash_pairs(
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out, h_out = [], [], []
-        for key, sub in g.groupby("key", sort=False):
-            band = int(key) >> 16
-            sig = sub["sig"].to_numpy().view(np.uint64)
-            did = sub["doc_id"].to_numpy()
+        key_all = g["key"].to_numpy()
+        order0 = np.argsort(key_all, kind="stable")
+        key_s = key_all[order0]
+        sig_all = g["sig"].to_numpy().view(np.uint64)[order0]
+        did_all = g["doc_id"].to_numpy()[order0]
+        ukeys, kstarts, kcounts = np.unique(
+            key_s, return_index=True, return_counts=True
+        )
+        # singleton band-keys (the vast majority) can't form a pair —
+        # iterate only the colliding ones
+        for gi in np.nonzero(kcounts >= 2)[0]:
+            band = int(ukeys[gi]) >> 16
+            s0, m = kstarts[gi], kcounts[gi]
+            sig = sig_all[s0 : s0 + m]
+            did = did_all[s0 : s0 + m]
             usig, inv, counts = np.unique(
                 sig, return_inverse=True, return_counts=True
             )

@@ -221,16 +221,26 @@ def geohash_int(lon: np.ndarray, lat: np.ndarray, precision_chars: int) -> np.nd
     return code
 
 
-def geohash_str(lon: np.ndarray, lat: np.ndarray, precision_chars: int) -> np.ndarray:
-    """Standard base32 geohash strings (numpy object array)."""
-    code = geohash_int(lon, lat, precision_chars)
+def geohash_codes_to_str(code: np.ndarray, precision_chars: int) -> np.ndarray:
+    """Render uint64 geohash codes as base32 strings (vectorized:
+    column-of-chars view, no per-row join)."""
+    code = code.astype(np.uint64, copy=False)
     nbits = 5 * precision_chars
     out = np.empty((len(code), precision_chars), dtype="S1")
     for i in range(precision_chars):
         shift = np.uint64(nbits - 5 * (i + 1))
         idx = ((code >> shift) & np.uint64(31)).astype(np.int64)
         out[:, i] = _GEOHASH32[idx]
-    return np.array([b"".join(row).decode() for row in out], dtype=object)
+    return np.char.decode(out.view(f"S{precision_chars}").ravel(), "ascii").astype(
+        object
+    )
+
+
+def geohash_str(lon: np.ndarray, lat: np.ndarray, precision_chars: int) -> np.ndarray:
+    """Standard base32 geohash strings (numpy object array)."""
+    return geohash_codes_to_str(
+        geohash_int(lon, lat, precision_chars), precision_chars
+    )
 
 
 # ---------------------------------------------------------------------------
