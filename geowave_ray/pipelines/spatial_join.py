@@ -236,7 +236,12 @@ def cogroup_pip_join(
         ncells = (x1 - x0 + 1) * (y1 - y0 + 1)
         return b.append_column("_ncells", pa.array(ncells, pa.int64()))
 
-    classified = regions.map_batches(classify, batch_format="pyarrow", batch_size=None)
+    # classify ONCE and pin the (geometry-bounded, small) classified
+    # region blocks — both filters below reuse them; without this the
+    # region scan + classify executes twice (small path + big collect)
+    classified = regions.map_batches(
+        classify, batch_format="pyarrow", batch_size=None
+    ).materialize()
     small_regs = classified.filter(expr=f"_ncells <= {reproject_cap}")
     big_regs_tbl = pa.concat_tables(
         ray.get(classified.filter(expr=f"_ncells > {reproject_cap}").to_arrow_refs())
