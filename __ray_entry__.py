@@ -1849,6 +1849,24 @@ def q_topk_orders(sf_dir: str):
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
 
 
+def q_topk_per_type(sf_dir: str):
+    """Per-group top-k (NNProcessor maxNeighbors / per-bin ranking
+    role) as a named op: top-3 events per event_type by value, ties
+    broken by event_id — two-level prune + exact merge, no groupby
+    exchange (`agg.grouped_topk`)."""
+    from geowave_ray.agg import grouped_topk
+
+    ev = _read_testdata(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return grouped_topk(
+        ev,
+        "event_type",
+        ["value", "event_id"],
+        [False, True],
+        lambda g: 3,
+        ["event_id", "value"],
+    )
+
+
 def q_events_session(sf_dir: str):
     """Sessionization (30-min gap) per user — the stream-shaped
     operator. Scale shape: shuffle by user BUCKET (bounded group
@@ -2192,6 +2210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches
         "hll_distinct": q_hll_distinct,
         "cms_counts": q_cms_counts,
+        "topk_per_type": q_topk_per_type,
         "bloom_membership": q_bloom_membership,
         # query language / relational / lookup
         "gwql_select": q_gwql_select,
@@ -3814,6 +3833,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": docs_fingerprint_sql,
         "hll_distinct": hll_sql,
+        "topk_per_type": """
+            WITH r AS (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id)
+                       AS rank
+              FROM events)
+            SELECT event_type, CAST(rank AS BIGINT) AS rank,
+                   event_id, value
+            FROM r WHERE rank <= 3
+        """,
         # cms_counts: replicate the depth×width counter table — idx_r =
         # (mix64(uid) * (2r+1) + r*0x9E3779B9) mod 2^64 mod 2048; the
         # multiplier ≤ 7 keeps h*(2r+1) inside HUGEINT so plain % works
