@@ -1849,6 +1849,58 @@ def q_topk_orders(sf_dir: str):
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
 
 
+def q_nearest_region_assign(sf_dir: str):
+    """Nearest-centroid assignment join (the KMeans-assign /
+    NN-partitioner primitive): every 10th page -> nearest region bbox
+    centroid by planar squared distance, ties to the smallest
+    region_id. Centroids broadcast once; per-batch chunked vectorized
+    argmin (no shuffle). Oracle: identical IEEE expression + ROW_NUMBER
+    over (d2, region_id)."""
+    rt = _regions_table(sf_dir)
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(rt["region_id"])
+    rt = rt.take(order)
+    cx = (rt["xmin"].to_numpy() + rt["xmax"].to_numpy()) / 2.0
+    cy = (rt["ymin"].to_numpy() + rt["ymax"].to_numpy()) / 2.0
+    rids = np.asarray(rt["region_id"].to_pylist(), dtype=object)
+    import ray
+
+    ref = ray.put((cx, cy, rids))
+    key = ("nearest_region", ref.hex())
+
+    from geowave_ray.util import cached_state
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cxx, cyy, rr = cached_state(key, ref)
+        rid = batch.column("row_id").to_numpy()
+        keep = rid % 10 == 0
+        lon = batch.column("lon").to_numpy()[keep]
+        lat = batch.column("lat").to_numpy()[keep]
+        urls = batch.column("url").to_numpy(zero_copy_only=False)[keep]
+        best_j = np.empty(len(lon), dtype=np.int64)
+        best_d = np.empty(len(lon), dtype=np.float64)
+        for lo in range(0, len(lon), 2048):  # bound the (chunk, m) transient
+            hi = min(lo + 2048, len(lon))
+            dx = lon[lo:hi, None] - cxx[None, :]
+            dy = lat[lo:hi, None] - cyy[None, :]
+            d2 = dx * dx + dy * dy
+            j = np.argmin(d2, axis=1)  # first min = smallest region_id
+            best_j[lo:hi] = j
+            best_d[lo:hi] = d2[np.arange(hi - lo), j]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "region_id": pa.array(rr[best_j], pa.string()),
+                "d2": pa.array(best_d, pa.float64()),
+            }
+        )
+
+    return _pages(sf_dir, columns=["row_id", "url", "lon", "lat"]).map_batches(
+        assign, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_topk_per_type(sf_dir: str):
     """Per-group top-k (NNProcessor maxNeighbors / per-bin ranking
     role) as a named op: top-3 events per event_type by value, ties
@@ -2211,6 +2263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": q_hll_distinct,
         "cms_counts": q_cms_counts,
         "topk_per_type": q_topk_per_type,
+        "nearest_region_assign": q_nearest_region_assign,
         "bloom_membership": q_bloom_membership,
         # query language / relational / lookup
         "gwql_select": q_gwql_select,
@@ -3833,6 +3886,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": docs_fingerprint_sql,
         "hll_distinct": hll_sql,
+        "nearest_region_assign": f"""
+            WITH c AS (
+              SELECT region_id, (xmin + xmax) / 2.0 AS cx,
+                     (ymin + ymax) / 2.0 AS cy
+              FROM {REGIONS}),
+            d AS (
+              SELECT p.url, c.region_id,
+                     (p.lon - c.cx) * (p.lon - c.cx)
+                   + (p.lat - c.cy) * (p.lat - c.cy) AS d2,
+                     row_number() OVER (PARTITION BY p.url
+                                        ORDER BY (p.lon - c.cx) * (p.lon - c.cx)
+                                               + (p.lat - c.cy) * (p.lat - c.cy),
+                                                 c.region_id) AS rn
+              FROM (SELECT url, lon, lat FROM {PAGES}
+                    WHERE row_id % 10 = 0) p
+              CROSS JOIN c)
+            SELECT url, region_id, d2 FROM d WHERE rn = 1
+        """,
         "topk_per_type": """
             WITH r AS (
               SELECT event_type, event_id, value,
