@@ -917,6 +917,18 @@ def q_docs_dedup_exact(sf_dir: str):
     return exact_dedup(ds).select_columns(["doc_id", "text"])
 
 
+def q_docs_dedup_best(sf_dir: str):
+    """Exact dedup keeping the LATEST duplicate (max doc_id — the
+    keep-newest-crawl corpus policy; distinguishes from
+    docs_dedup_exact's min-id rule)."""
+    from geowave_ray.dedup import dedup_keep_best
+
+    ds = _read_testdata(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    return dedup_keep_best(ds, score_col="doc_id")
+
+
 def q_docs_lang_count(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -2229,6 +2241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kde_gaussian": q_kde_gaussian,
         # documents / text
         "docs_dedup_exact": q_docs_dedup_exact,
+        "docs_dedup_best": q_docs_dedup_best,
         "docs_lang_count": q_docs_lang_count,
         "docs_token_stats": q_docs_token_stats,
         "docs_bpe_tokens": q_docs_bpe_tokens,
@@ -3285,6 +3298,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_dedup_exact": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "docs_dedup_best": """
+            WITH r AS (
+              SELECT doc_id, text, lang, source, n_chars,
+                     row_number() OVER (PARTITION BY text
+                                        ORDER BY doc_id DESC) AS rn
+              FROM documents)
+            SELECT doc_id, text, lang, source, n_chars
+            FROM r WHERE rn = 1
         """,
         "docs_lang_count": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "docs_token_stats": """

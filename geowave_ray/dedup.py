@@ -117,6 +117,39 @@ def exact_dedup(
     )
 
 
+def dedup_keep_best(
+    docs: ray.data.Dataset,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Exact dedup keeping the BEST duplicate per identical text —
+    highest ``score_col``, ties to the smallest id (the standard
+    LLM-corpus policy: among byte-identical copies keep the
+    best-scored page). Same bounded bucket shuffle as
+    :func:`exact_dedup`; in-bucket the winner falls out of one
+    vectorized stable sort."""
+    hashed = docs.map_batches(content_hash_batch, batch_format="pyarrow", batch_size=None)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = b.column("content_hash").to_numpy() % np.int64(n_buckets)
+        return b.append_column("bucket", pa.array(bk, pa.int64()))
+
+    def keep_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [score_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        return g.drop_duplicates("text", keep="first").drop(
+            columns=["content_hash", "bucket"]
+        )
+
+    return (
+        hashed.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(keep_best, batch_format="pandas")
+    )
+
+
 def minhash_batch(
     batch: pa.Table, num_perm: int = 64, shingle_n: int = 3, text_col: str = "text"
 ) -> pa.Table:
