@@ -1987,6 +1987,42 @@ def q_url_lookup(sf_dir: str):
     return ds
 
 
+def q_value_histogram(sf_dir: str):
+    """Fixed-bin numeric histogram
+    (FixedBinNumericHistogramStatistic role): 64 bins over [0, 512),
+    mergeable per-block partials (stats.FixedBinHistogram), counts
+    exact — identical floor expression in the SQL oracle."""
+    from geowave_ray.stats import FixedBinHistogram
+
+    lo, hi, bins = 0.0, 512.0, 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = FixedBinHistogram(lo, hi, bins)
+        h.add(batch.column("value").to_numpy())
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(bins, dtype=np.int64), pa.int64()),
+                "n": pa.array(h.counts, pa.int64()),
+            }
+        )
+
+    from geowave_ray.agg import tree_aggregate
+
+    ev = _read_testdata(sf_dir, "events", columns=["value"])
+    out = tree_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["bin"],
+        {"n": "sum"},
+    )
+
+    def nonzero(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch.column("n"), 0))
+
+    return out.map_batches(nonzero, batch_format="pyarrow", batch_size=None)
+
+
 def q_cms_counts(sf_dir: str):
     """CountMinSketch user-frequency estimates
     (CountMinSketchStatistic role): per-block sketches summed, probed
@@ -2275,6 +2311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches
         "hll_distinct": q_hll_distinct,
         "cms_counts": q_cms_counts,
+        "value_histogram": q_value_histogram,
         "topk_per_type": q_topk_per_type,
         "nearest_region_assign": q_nearest_region_assign,
         "bloom_membership": q_bloom_membership,
@@ -3908,6 +3945,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": docs_fingerprint_sql,
         "hll_distinct": hll_sql,
+        "value_histogram": """
+            SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 512.0 * 64.0)
+                     AS BIGINT), 0), 63) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
         "nearest_region_assign": f"""
             WITH c AS (
               SELECT region_id, (xmin + xmax) / 2.0 AS cx,
