@@ -786,6 +786,33 @@ def q_tile_merge_sum(sf_dir: str):
     return merged.map_batches(summarize, batch_format="pyarrow", batch_size=None)
 
 
+def q_tile_pyramid(sf_dir: str):
+    """Pyramid level-up (RasterDataAdapter buildPyramid role): merged
+    child tiles 2x-downsample and mosaic into parents; per-parent
+    n_contrib + pixel_total (all dyadic values — float-exact vs the
+    sum(child)/4 oracle)."""
+    from geowave_ray.pipelines.tiles import merge_tiles, pyramid_up
+
+    merged = merge_tiles(_read(sf_dir, "raster_chunks"), strategy="sum")
+    parents = pyramid_up(merged)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        tot = np.array(
+            [float(np.sum(np.asarray(p.as_py()))) for p in batch.column("pixels")]
+        )
+        return pa.table(
+            {
+                "level": batch.column("level"),
+                "tile_x": batch.column("tile_x"),
+                "tile_y": batch.column("tile_y"),
+                "n_contrib": batch.column("n_contrib"),
+                "pixel_total": pa.array(tot, pa.float64()),
+            }
+        )
+
+    return parents.map_batches(summarize, batch_format="pyarrow", batch_size=None)
+
+
 def q_tile_merge_nodata(sf_dir: str):
     """Multi-band nodata-aware tile mosaic (NoDataMergeStrategy:
     latest-seq wins, holes fill from earlier); output per-tile-band
@@ -2272,6 +2299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": q_tile_assign,
         "tile_pixel_sum": q_tile_pixel_sum,
         "tile_merge_sum": q_tile_merge_sum,
+        "tile_pyramid": q_tile_pyramid,
         "tile_merge_nodata": q_tile_merge_nodata,
         # KDE
         "kde_gaussian": q_kde_gaussian,
@@ -3000,6 +3028,44 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN dbg d USING (doc_id)
     """
 
+    _tms_sql = f"""
+            WITH c AS (
+              SELECT chunk_id, xmin, ymin, xmax, ymax, width, height, pixels,
+                     (xmax - xmin) / width AS res,
+                     (ymax - ymin) / height AS resy,
+                     LEAST(GREATEST(CAST(floor(log2(360.0 / ((xmax - xmin) / width * 64.0))) AS BIGINT), 0), 16) AS level
+              FROM {CHUNKS}
+            ), t AS (
+              SELECT *, 360.0 / power(2.0, level) AS td FROM c
+            ), ax AS (
+              SELECT *, unnest(generate_series(CAST(floor((xmin + 180.0) / td) AS BIGINT),
+                                               CAST(ceil((xmax + 180.0) / td) AS BIGINT) - 1)) AS tile_x
+              FROM t
+            ), b AS (
+              SELECT *, unnest(generate_series(CAST(floor((ymin + 90.0) / td) AS BIGINT),
+                                               CAST(ceil((ymax + 90.0) / td) AS BIGINT) - 1)) AS tile_y
+              FROM ax
+            ), n AS (
+              SELECT level, tile_x, tile_y, count(*) AS n_contrib FROM b GROUP BY 1, 2, 3
+            ), px AS (
+              SELECT b.level, b.tile_x, b.tile_y, b.pixels, b.width, b.height,
+                     CAST(floor(((-180.0 + (b.tile_x + (i.i + 0.5) / 64.0) * b.td) - b.xmin) / b.res) AS BIGINT) AS ix,
+                     CAST(floor(((-90.0 + (b.tile_y + (j.j + 0.5) / 64.0) * b.td) - b.ymin) / b.resy) AS BIGINT) AS iy
+              FROM b,
+                   (SELECT unnest(generate_series(0, 63)) AS i) i,
+                   (SELECT unnest(generate_series(0, 63)) AS j) j
+            ), v AS (
+              SELECT level, tile_x, tile_y,
+                     CASE WHEN ix >= 0 AND ix < width AND iy >= 0 AND iy < height
+                          THEN pixels[CAST(iy * width + ix + 1 AS INT)] ELSE 0.0 END AS val
+              FROM px
+            )
+            SELECT n.level, n.tile_x, n.tile_y, n.n_contrib, s.pixel_total
+            FROM n JOIN (
+              SELECT level, tile_x, tile_y, sum(val) AS pixel_total FROM v GROUP BY 1, 2, 3
+            ) s USING (level, tile_x, tile_y)
+        """
+
     return {
         "geotag_derive": f"SELECT url, lon, lat FROM {PAGES}",
         "cell_encode": f"""
@@ -3240,42 +3306,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank, url FROM r WHERE rank <= k
         """,
         "tile_assign": tile_assign,
-        "tile_merge_sum": f"""
-            WITH c AS (
-              SELECT chunk_id, xmin, ymin, xmax, ymax, width, height, pixels,
-                     (xmax - xmin) / width AS res,
-                     (ymax - ymin) / height AS resy,
-                     LEAST(GREATEST(CAST(floor(log2(360.0 / ((xmax - xmin) / width * 64.0))) AS BIGINT), 0), 16) AS level
-              FROM {CHUNKS}
-            ), t AS (
-              SELECT *, 360.0 / power(2.0, level) AS td FROM c
-            ), ax AS (
-              SELECT *, unnest(generate_series(CAST(floor((xmin + 180.0) / td) AS BIGINT),
-                                               CAST(ceil((xmax + 180.0) / td) AS BIGINT) - 1)) AS tile_x
-              FROM t
-            ), b AS (
-              SELECT *, unnest(generate_series(CAST(floor((ymin + 90.0) / td) AS BIGINT),
-                                               CAST(ceil((ymax + 90.0) / td) AS BIGINT) - 1)) AS tile_y
-              FROM ax
-            ), n AS (
-              SELECT level, tile_x, tile_y, count(*) AS n_contrib FROM b GROUP BY 1, 2, 3
-            ), px AS (
-              SELECT b.level, b.tile_x, b.tile_y, b.pixels, b.width, b.height,
-                     CAST(floor(((-180.0 + (b.tile_x + (i.i + 0.5) / 64.0) * b.td) - b.xmin) / b.res) AS BIGINT) AS ix,
-                     CAST(floor(((-90.0 + (b.tile_y + (j.j + 0.5) / 64.0) * b.td) - b.ymin) / b.resy) AS BIGINT) AS iy
-              FROM b,
-                   (SELECT unnest(generate_series(0, 63)) AS i) i,
-                   (SELECT unnest(generate_series(0, 63)) AS j) j
-            ), v AS (
-              SELECT level, tile_x, tile_y,
-                     CASE WHEN ix >= 0 AND ix < width AND iy >= 0 AND iy < height
-                          THEN pixels[CAST(iy * width + ix + 1 AS INT)] ELSE 0.0 END AS val
-              FROM px
-            )
-            SELECT n.level, n.tile_x, n.tile_y, n.n_contrib, s.pixel_total
-            FROM n JOIN (
-              SELECT level, tile_x, tile_y, sum(val) AS pixel_total FROM v GROUP BY 1, 2, 3
-            ) s USING (level, tile_x, tile_y)
+        "tile_merge_sum": _tms_sql,
+        # tile_pyramid: parent totals from the same merged-child CTE —
+        # parent pixel_total = sum(child totals)/4 (2x2 mean downsample
+        # preserves sum/4; all values dyadic => float-exact)
+        "tile_pyramid": f"""
+            WITH m AS ({_tms_sql})
+            SELECT CAST(level - 1 AS BIGINT) AS level,
+                   CAST(tile_x // 2 AS BIGINT) AS tile_x,
+                   CAST(tile_y // 2 AS BIGINT) AS tile_y,
+                   CAST(count(*) AS BIGINT) AS n_contrib,
+                   sum(pixel_total) / 4.0 AS pixel_total
+            FROM m WHERE level > 0
+            GROUP BY 1, 2, 3
         """,
         # multi-band nodata merge: per tile pixel per band, the sample
         # of the max-seq contribution with data (NoDataMergeStrategy)
