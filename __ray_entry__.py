@@ -1719,6 +1719,35 @@ def q_rect_join_covers(sf_dir: str):
     return _q_rect_predicate(sf_dir, "covers")
 
 
+def q_xz_encode(sf_dir: str):
+    """XZ-order single-cell extent encoding (XZOrderSFC.java:72 role):
+    every region gets exactly ONE (tier, cx, cy) at the finest level
+    whose cell size fits the extent; oracle replicates the identical
+    -log2/floor/clip double expression."""
+    import ray.data
+
+    from geowave_ray.sfc import xz_single_cell
+
+    def enc(batch: pa.Table) -> pa.Table:
+        t, cx, cy = xz_single_cell(
+            batch.column("xmin").to_numpy(),
+            batch.column("ymin").to_numpy(),
+            batch.column("xmax").to_numpy(),
+            batch.column("ymax").to_numpy(),
+        )
+        return pa.table(
+            {
+                "region_id": batch.column("region_id"),
+                "xz_tier": pa.array(t, pa.int64()),
+                "cx": pa.array(cx, pa.int64()),
+                "cy": pa.array(cy, pa.int64()),
+            }
+        )
+
+    regions = ray.data.read_parquet(f"{_fx(sf_dir)}/regions.parquet")
+    return regions.map_batches(enc, batch_format="pyarrow", batch_size=None)
+
+
 def q_geohash_hist(sf_dir: str):
     """Standard base32 geohash binning (GeohashBinningHelper.java
     role) at precision 5: per-batch partial counts (combiner) + one
@@ -2354,6 +2383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_query_within": q_region_query_within,
         "region_query_overlaps": q_region_query_overlaps,
         "geohash_hist": q_geohash_hist,
+        "xz_encode": q_xz_encode,
         "gpx_parse": q_gpx_parse,
         "rect_join_touches": q_rect_join_touches,
         "rect_join_equals": q_rect_join_equals,
@@ -3610,6 +3640,26 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "geohash_hist": _geohash_sql(5, PAGES),
+        "xz_encode": f"""
+            WITH f AS (
+              SELECT region_id, xmin, ymin,
+                     GREATEST(GREATEST(xmax - xmin, 1e-12) / 360.0,
+                              GREATEST(ymax - ymin, 1e-12) / 180.0) AS frac
+              FROM {REGIONS}),
+            t AS (
+              SELECT region_id, xmin, ymin,
+                     LEAST(GREATEST(CAST(floor(-log2(frac)) AS BIGINT), 0), 16)
+                       AS xz_tier
+              FROM f)
+            SELECT region_id, xz_tier,
+                   LEAST(GREATEST(CAST(floor((xmin + 180.0) / 360.0
+                     * power(2.0, xz_tier)) AS BIGINT), 0),
+                     CAST(power(2.0, xz_tier) AS BIGINT) - 1) AS cx,
+                   LEAST(GREATEST(CAST(floor((ymin + 90.0) / 180.0
+                     * power(2.0, xz_tier)) AS BIGINT), 0),
+                     CAST(power(2.0, xz_tier) AS BIGINT) - 1) AS cy
+            FROM t
+        """,
         "gpx_parse": f"""
             SELECT track_id, seq, lon, lat, ele, ts
             FROM read_parquet('{fx}/gpx_points.parquet')
