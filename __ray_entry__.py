@@ -1969,6 +1969,26 @@ def q_nearest_region_assign(sf_dir: str):
     )
 
 
+def q_customers_no_events(sf_dir: str):
+    """Relational ANTI join (subtractByKey role beyond geometry):
+    customers with no events — one bounded bucket cogroup, vectorized
+    in-bucket membership, nothing broadcast."""
+    from geowave_ray.pipelines.relational import anti_join_keys
+
+    cust = _read_testdata(sf_dir, "customer", columns=["c_custkey"])
+    ev = _read_testdata(sf_dir, "events", columns=["user_id"])
+    return anti_join_keys(cust, ev, "c_custkey", "user_id")
+
+
+def q_customers_with_events(sf_dir: str):
+    """Relational SEMI join — distinct customers that do have events."""
+    from geowave_ray.pipelines.relational import semi_join_keys
+
+    cust = _read_testdata(sf_dir, "customer", columns=["c_custkey"])
+    ev = _read_testdata(sf_dir, "events", columns=["user_id"])
+    return semi_join_keys(cust, ev, "c_custkey", "user_id")
+
+
 def q_topk_per_type(sf_dir: str):
     """Per-group top-k (NNProcessor maxNeighbors / per-bin ranking
     role) as a named op: top-3 events per event_type by value, ties
@@ -2371,6 +2391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": q_value_histogram,
         "topk_per_type": q_topk_per_type,
         "nearest_region_assign": q_nearest_region_assign,
+        "customers_no_events": q_customers_no_events,
+        "customers_with_events": q_customers_with_events,
         "bloom_membership": q_bloom_membership,
         # query language / relational / lookup
         "gwql_select": q_gwql_select,
@@ -4038,6 +4060,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": docs_fingerprint_sql,
         "hll_distinct": hll_sql,
+        "customers_no_events": """
+            SELECT DISTINCT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)
+        """,
+        "customers_with_events": """
+            SELECT DISTINCT c_custkey FROM customer c
+            WHERE EXISTS (SELECT 1 FROM events e
+                          WHERE e.user_id = c.c_custkey)
+        """,
         "value_histogram": """
             SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 512.0 * 64.0)
                      AS BIGINT), 0), 63) AS bin,
