@@ -1989,6 +1989,80 @@ def q_customers_with_events(sf_dir: str):
     return semi_join_keys(cust, ev, "c_custkey", "user_id")
 
 
+def q_orders_customer_join(sf_dir: str):
+    """Generic large-large hash equi-join (orders ⋈ customer on
+    custkey): one bounded bucket exchange, vectorized in-bucket merge."""
+    from geowave_ray.pipelines.relational import hash_join
+
+    orders = _read_testdata(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read_testdata(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    return hash_join(orders, cust, "o_custkey", "c_custkey")
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-shaped pipeline: lineitem ⋈ orders (shuffle hash join
+    on orderkey) → broadcast customer→nation dims → integer-cent
+    revenue per nation (floor(price*(1-disc)*100) — identical IEEE
+    expression both sides, exact integer sums)."""
+    import ray
+
+    from geowave_ray.agg import tree_aggregate
+    from geowave_ray.pipelines.relational import hash_join
+    from geowave_ray.util import cached_state
+
+    li = _read_testdata(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy()
+            * (1.0 - b.column("l_discount").to_numpy())
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    li = li.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+    orders = _read_testdata(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(li, orders, "l_orderkey", "o_orderkey")
+
+    # small dims broadcast once: custkey -> nationkey -> name
+    cust = (
+        _read_testdata(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+    nation = _read_testdata(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    names = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    names[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    ref = ray.put(
+        (cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy().astype(np.int64), names)
+    )
+    key = ("rev_nation", ref.hex())
+
+    def per_nation(b: pa.Table) -> pa.Table:
+        ck, nk, nm = cached_state(key, ref)
+        pos = np.searchsorted(ck, b.column("o_custkey").to_numpy())
+        nkey = nk[pos]
+        cents = b.column("cents").to_numpy()
+        uniq, inv = np.unique(nkey, return_inverse=True)
+        sums = np.bincount(inv, weights=cents).astype(np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array(nm[uniq], pa.string()),
+                "revenue_cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    partials = joined.map_batches(per_nation, batch_format="pyarrow", batch_size=None)
+    return tree_aggregate(partials, ["n_name"], {"revenue_cents": "sum"})
+
+
 def q_topk_per_type(sf_dir: str):
     """Per-group top-k (NNProcessor maxNeighbors / per-bin ranking
     role) as a named op: top-3 events per event_type by value, ties
@@ -2392,6 +2466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_type": q_topk_per_type,
         "nearest_region_assign": q_nearest_region_assign,
         "customers_no_events": q_customers_no_events,
+        "orders_customer_join": q_orders_customer_join,
+        "revenue_by_nation": q_revenue_by_nation,
         "customers_with_events": q_customers_with_events,
         "bloom_membership": q_bloom_membership,
         # query language / relational / lookup
@@ -4060,6 +4136,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": docs_fingerprint_sql,
         "hll_distinct": hll_sql,
+        "orders_customer_join": """
+            SELECT o_orderkey, o_custkey, c_nationkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                        * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
         "customers_no_events": """
             SELECT DISTINCT c_custkey FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e

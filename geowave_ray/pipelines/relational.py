@@ -85,3 +85,73 @@ def semi_join_keys(
         .groupby("bucket")
         .map_groups(emit, batch_format="pandas")
     )
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Generic large-large INNER equi-join: both sides hash-bucket on
+    the key, tagged null-padded rows meet in one bounded exchange, and
+    each bucket runs a vectorized pandas merge.  Output columns = all
+    left columns + all right columns except ``right_key``.
+
+    At scale this is the engine's shuffle join; for a small right side
+    prefer a broadcast lookup (``orders_by_segment`` pattern) — no
+    exchange at all.
+    """
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    rcols = [c for c in rschema.names if c != right_key]
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    if set(lcols) & set(rcols):
+        raise ValueError("overlapping non-key column names")
+
+    def tag(side: int, key: str, own: list, other: list, own_t, other_t):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            k = b.column(key).to_numpy().astype(np.int64)
+            cols = {
+                "bucket": pa.array(k % np.int64(n_buckets), pa.int64()),
+                "key": pa.array(k, pa.int64()),
+                "side": pa.array(np.full(n, side, dtype=np.int8), pa.int8()),
+            }
+            for c in own:
+                cols[c] = b.column(c) if c in b.column_names else pa.nulls(n, own_t[c])
+            for c in other:
+                cols[c] = pa.nulls(n, other_t[c])
+            return pa.table(cols)
+
+        return fn
+
+    tl = left.map_batches(
+        tag(0, left_key, lcols, rcols, ltypes, rtypes),
+        batch_format="pyarrow", batch_size=None,
+    )
+    tr = right.map_batches(
+        tag(1, right_key, rcols, lcols, rtypes, ltypes),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        ls = g[g["side"] == 0]
+        rs = g[g["side"] == 1]
+        if ls.empty or rs.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=g[c].dtype)
+                                 for c in lcols + rcols})
+        merged = ls[["key"] + lcols].merge(
+            rs[["key"] + rcols], on="key", how="inner"
+        )
+        return merged[lcols + rcols]
+
+    return (
+        tl.union(tr)
+        .repartition(16)
+        .groupby("bucket")
+        .map_groups(emit, batch_format="pandas")
+    )
