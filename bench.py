@@ -131,6 +131,7 @@ def run_bench(sf_dir: str, headline_only: bool = False) -> dict:
         timed("docs_tfidf", em.q_docs_tfidf)
         timed("simhash_pairs", em.q_simhash_pairs)
         timed("geohash_hist", em.q_geohash_hist)
+        timed("revenue_by_nation", em.q_revenue_by_nation)
         timed("dbscan_exact", em.q_dbscan_exact)     # tile-local exact DBSCAN
         timed("tile_merge_nodata", em.q_tile_merge_nodata)
         timed("cql_spatial", em.q_cql_spatial)       # CQL bbox+PIP filter

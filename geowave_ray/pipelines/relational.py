@@ -138,16 +138,26 @@ def hash_join(
         batch_format="pyarrow", batch_size=None,
     )
 
+    # pandas null-padding promotes ints to float64 — restore the
+    # source dtypes after the inner merge (no NaNs survive it)
+    out_dtype = {
+        c: (ltypes.get(c) or rtypes[c]).to_pandas_dtype() for c in lcols + rcols
+    }
+
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         ls = g[g["side"] == 0]
         rs = g[g["side"] == 1]
         if ls.empty or rs.empty:
-            return pd.DataFrame({c: pd.Series([], dtype=g[c].dtype)
-                                 for c in lcols + rcols})
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=out_dtype[c]) for c in lcols + rcols}
+            )
         merged = ls[["key"] + lcols].merge(
             rs[["key"] + rcols], on="key", how="inner"
-        )
-        return merged[lcols + rcols]
+        )[lcols + rcols]
+        for c in lcols + rcols:
+            if merged[c].dtype != out_dtype[c]:
+                merged[c] = merged[c].astype(out_dtype[c])
+        return merged
 
     return (
         tl.union(tr)

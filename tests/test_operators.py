@@ -815,3 +815,53 @@ def test_cms_bloom_sketches(ray_session):
         pdf.loc[pdf["event_type"] == "purchase", "user_id"].to_numpy()
     ).astype(np.int64)
     assert bloom.contains(p_ids).all()
+
+
+def test_relational_joins_match_pandas(ray_session):
+    """hash_join / anti / semi equal pandas merges on the same data."""
+    import ray.data
+
+    from geowave_ray.pipelines.relational import (
+        anti_join_keys,
+        hash_join,
+        semi_join_keys,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = ray.data.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    op = orders.to_pandas()
+    cp = cust.to_pandas()
+
+    got = (
+        hash_join(orders, cust, "o_custkey", "c_custkey")
+        .to_pandas()
+        .sort_values(["o_orderkey"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        op.merge(cp, left_on="o_custkey", right_on="c_custkey")
+        .drop(columns=["c_custkey"])[got.columns]
+        .sort_values(["o_orderkey"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp)
+
+    ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
+    uid = set(ev.to_pandas()["user_id"])
+    anti = set(
+        anti_join_keys(cust, ev, "c_custkey", "user_id").to_pandas()["c_custkey"]
+    )
+    semi = set(
+        semi_join_keys(cust, ev, "c_custkey", "user_id").to_pandas()["c_custkey"]
+    )
+    allc = set(cp["c_custkey"])
+    assert anti == {c for c in allc if c not in uid}
+    assert semi == {c for c in allc if c in uid}
+    assert anti | semi == allc and not (anti & semi)
