@@ -112,7 +112,9 @@ def ingest_pages_st(
             batch_format="pyarrow",
             batch_size=None,
         )
-        ds = ds.groupby("st_bucket").map_groups(lambda t: t, batch_format="pyarrow")
+        ds = ds.groupby("st_bucket").map_groups(
+            lambda t: t.sort_by("cell_id"), batch_format="pyarrow"
+        )
         dest = os.path.join(out_dir, f"group={gi:06d}")
         tmp = dest + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -182,8 +184,12 @@ def ingest_pages(
         # read drowns in per-file metadata/task overhead. This is the
         # KV-store "sorted write" role: bounded file count
         # (buckets × groups), spatially clustered.
+        # sorted-by-cell_id within each bucket file: parquet row-group
+        # statistics then prune cell-id RANGES inside a bucket (the
+        # KV-store's SFC-sorted scan order, SortedIndexStrategy role);
+        # the pruned readers push bbox cell ranges as a read filter
         ds = ds.groupby("cell_bucket").map_groups(
-            lambda t: t, batch_format="pyarrow"
+            lambda t: t.sort_by("cell_id"), batch_format="pyarrow"
         )
         dest = os.path.join(out_dir, f"group={gi:06d}")
         tmp = dest + ".tmp"

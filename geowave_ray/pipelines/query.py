@@ -131,8 +131,12 @@ def read_pages_pruned_multi(
     ``cell_bucket=`` partition dirs (zero I/O for excluded buckets).
     """
     union: set[int] = set()
+    all_ranges: list[tuple[int, int]] = []
     for (x0, y0, x1, y1) in boxes:
         union |= buckets_for_bbox(x0, y0, x1, y1, tier=tier, n_buckets=n_buckets)
+        all_ranges.extend(
+            bbox_cell_ranges(x0, y0, x1, y1, tier=tier, max_ranges=32)
+        )
         if len(union) >= n_buckets:
             break
     import glob as _glob
@@ -151,7 +155,24 @@ def read_pages_pruned_multi(
         "dirs_read": len(keep),
         "dirs_total": len(pairs),
     }
-    ds = ray.data.read_parquet(keep, columns=columns)
+    # cell-id RANGE pushdown: files are SORTED by cell_id at ingest, so
+    # parquet row-group statistics skip ranges inside a kept bucket
+    # (and row-level filtering trims the rest). Correctness never
+    # depends on it — the ranges are a SUPERSET of the bbox and the
+    # exact lon/lat filter still runs downstream. Skipped when the
+    # expression would be degenerate (whole-keyspace union of boxes).
+    filt = None
+    if len(union) < n_buckets and 0 < len(all_ranges) <= 128:
+        import pyarrow.dataset as _pads
+
+        f = _pads.field("cell_id")
+        for lo, hi in all_ranges:
+            e = (f >= lo) & (f <= hi)
+            filt = e if filt is None else (filt | e)
+    if filt is not None:
+        ds = ray.data.read_parquet(keep, columns=columns, filter=filt)
+    else:
+        ds = ray.data.read_parquet(keep, columns=columns)
     return ds, info
 
 
