@@ -2137,6 +2137,18 @@ def q_url_lookup(sf_dir: str):
     return ds
 
 
+def q_events_median(sf_dir: str):
+    """EXACT lower median of events.value via distributed selection
+    (iterative histogram refinement — O(rounds) streaming passes, no
+    global sort, nothing large on the driver)."""
+    from geowave_ray.stats import exact_kth_value
+
+    ev = _read_testdata(sf_dir, "events", columns=["value"])
+    n = ev.count()
+    v = exact_kth_value(ev, "value", (n - 1) // 2)
+    return pd.DataFrame({"median": [v]})
+
+
 def q_value_histogram(sf_dir: str):
     """Fixed-bin numeric histogram
     (FixedBinNumericHistogramStatistic role): 64 bins over [0, 512),
@@ -2463,6 +2475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": q_hll_distinct,
         "cms_counts": q_cms_counts,
         "value_histogram": q_value_histogram,
+        "events_median": q_events_median,
         "topk_per_type": q_topk_per_type,
         "nearest_region_assign": q_nearest_region_assign,
         "customers_no_events": q_customers_no_events,
@@ -4159,6 +4172,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT c_custkey FROM customer c
             WHERE EXISTS (SELECT 1 FROM events e
                           WHERE e.user_id = c.c_custkey)
+        """,
+        "events_median": """
+            SELECT value AS median FROM events
+            ORDER BY value
+            LIMIT 1 OFFSET (SELECT (count(*) - 1) // 2 FROM events)
         """,
         "value_histogram": """
             SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 512.0 * 64.0)

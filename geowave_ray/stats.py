@@ -224,6 +224,92 @@ def dataset_hll_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> floa
     return acc.estimate()
 
 
+def exact_kth_value(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int,
+    bins: int = 4096,
+    collect_threshold: int = 100_000,
+    max_rounds: int = 8,
+) -> float:
+    """EXACT k-th smallest value (0-indexed) of a numeric column —
+    distributed selection by iterative histogram refinement.
+
+    Each round: one streaming pass computes per-bin counts over the
+    current [lo, hi] candidate interval (per-block partials, tiny
+    reduce), the bin containing the k-th value narrows the interval,
+    and k is rebased.  When the candidate count fits
+    ``collect_threshold`` the survivors are collected and selected
+    exactly.  O(rounds) passes, nothing large on the driver —
+    the scale-correct alternative to ``sort().take(k)``.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy()
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())])})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow", batch_size=None).to_pandas()
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    hi_inclusive = True
+
+    def collect_and_pick(lo_, hi_, incl_, k_):
+        def survivors(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy()
+            m = (v >= lo_) & ((v <= hi_) if incl_ else (v < hi_))
+            return pa.table({"v": pa.array(v[m], pa.float64())})
+
+        vals = np.sort(
+            ds.map_batches(survivors, batch_format="pyarrow", batch_size=None)
+            .to_pandas()["v"]
+            .to_numpy()
+        )
+        return float(vals[k_])
+
+    for _ in range(max_rounds):
+        if lo == hi:
+            return lo
+        # comparison-based bin edges: bin j = [edges[j], edges[j+1]),
+        # last bin right-inclusive iff the interval is — searchsorted
+        # membership is consistent with plain comparisons, so the next
+        # round's interval test selects EXACTLY this bin's values
+        edges = np.linspace(lo, hi, bins + 1)
+
+        def hist(batch: pa.Table, lo=lo, hi=hi, incl=hi_inclusive, edges=edges) -> pa.Table:
+            v = batch.column(col).to_numpy()
+            v = v[(v >= lo) & ((v <= hi) if incl else (v < hi))]
+            idx = np.searchsorted(edges, v, side="right") - 1
+            np.clip(idx, 0, bins - 1, out=idx)
+            c = np.bincount(idx, minlength=bins)
+            nz = np.nonzero(c)[0]
+            return pa.table(
+                {"bin": pa.array(nz, pa.int64()),
+                 "n": pa.array(c[nz], pa.int64())}
+            )
+
+        parts = ds.map_batches(hist, batch_format="pyarrow", batch_size=None).to_pandas()
+        counts = np.zeros(bins, dtype=np.int64)
+        np.add.at(counts, parts["bin"].to_numpy(), parts["n"].to_numpy())
+        cum = np.cumsum(counts)
+        b = int(np.searchsorted(cum, k + 1))
+        if b >= bins:
+            raise IndexError(f"k={k} out of range (n={int(cum[-1])})")
+        k -= int(cum[b - 1]) if b else 0
+        new_lo = float(edges[b])
+        new_hi = float(edges[b + 1])
+        new_incl = hi_inclusive and b == bins - 1
+        if int(counts[b]) <= collect_threshold or (new_lo, new_hi) == (lo, hi):
+            return collect_and_pick(new_lo, new_hi, new_incl, k)
+        lo, hi, hi_inclusive = new_lo, new_hi, new_incl
+    return collect_and_pick(lo, hi, hi_inclusive, k)
+
+
 def dataset_cms(
     ds: ray.data.Dataset, column: str, width: int = 2048, depth: int = 4
 ) -> CountMinSketch:

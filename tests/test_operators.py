@@ -865,3 +865,24 @@ def test_relational_joins_match_pandas(ray_session):
     assert anti == {c for c in allc if c not in uid}
     assert semi == {c for c in allc if c in uid}
     assert anti | semi == allc and not (anti & semi)
+
+
+def test_exact_kth_value_matches_sort(ray_session):
+    """Distributed selection equals the sorted array at several k,
+    including duplicates-heavy data."""
+    import ray.data
+
+    from geowave_ray.stats import exact_kth_value
+
+    ev = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet",
+                               columns=["value"])
+    v = np.sort(ev.to_pandas()["value"].to_numpy())
+    n = len(v)
+    for k in [0, 1, n // 3, (n - 1) // 2, n - 2, n - 1]:
+        assert exact_kth_value(ev, "value", k, collect_threshold=64) == v[k]
+
+    dup = pa.table({"value": pa.array([5.0] * 500 + [1.0, 9.0] * 10)})
+    dds = ray.data.from_arrow(dup)
+    dv = np.sort(dup["value"].to_numpy())
+    for k in [0, 10, 250, 519]:
+        assert exact_kth_value(dds, "value", k, collect_threshold=64) == dv[k]
