@@ -2149,6 +2149,20 @@ def q_events_median(sf_dir: str):
     return pd.DataFrame({"median": [v]})
 
 
+def q_events_percentiles(sf_dir: str):
+    """Exact p10/p50/p90/p99 of events.value (discrete quantiles at
+    k = floor((n-1)·p)) via the distributed selection operator."""
+    from geowave_ray.stats import exact_kth_value
+
+    ev = _read_testdata(sf_dir, "events", columns=["value"])
+    n = ev.count()
+    rows = []
+    for p in (0.1, 0.5, 0.9, 0.99):
+        k = int(np.floor((n - 1) * p))
+        rows.append({"p": p, "value": exact_kth_value(ev, "value", k)})
+    return pd.DataFrame(rows)
+
+
 def q_value_histogram(sf_dir: str):
     """Fixed-bin numeric histogram
     (FixedBinNumericHistogramStatistic role): 64 bins over [0, 512),
@@ -2476,6 +2490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": q_cms_counts,
         "value_histogram": q_value_histogram,
         "events_median": q_events_median,
+        "events_percentiles": q_events_percentiles,
         "topk_per_type": q_topk_per_type,
         "nearest_region_assign": q_nearest_region_assign,
         "customers_no_events": q_customers_no_events,
@@ -4177,6 +4192,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT value AS median FROM events
             ORDER BY value
             LIMIT 1 OFFSET (SELECT (count(*) - 1) // 2 FROM events)
+        """,
+        "events_percentiles": """
+            WITH s AS (
+              SELECT value, row_number() OVER (ORDER BY value) - 1 AS r
+              FROM events),
+            n AS (SELECT count(*) AS n FROM events),
+            ps(p) AS (SELECT CAST(x AS DOUBLE)
+                      FROM (VALUES (0.1), (0.5), (0.9), (0.99)) v(x))
+            SELECT ps.p, s.value
+            FROM ps, n
+            JOIN s ON s.r = CAST(floor((n.n - 1) * ps.p) AS BIGINT)
         """,
         "value_histogram": """
             SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 512.0 * 64.0)
