@@ -1147,6 +1147,31 @@ def q_range_join(sf_dir: str):
     )
 
 
+def q_interval_overlap_join(sf_dir: str):
+    """Interval×interval overlap join (TimeOverlaps as a join): region
+    validity windows × temporal-query windows, canonical-bin dedup,
+    one bounded exchange."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geowave_ray.pipelines.range_join import interval_overlap_join
+
+    regions = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/regions.parquet",
+        columns=["region_id", "valid_from", "valid_to"],
+    )
+    qt = pq.read_table(f"{_fx(sf_dir)}/queries.parquet")
+    qt = qt.filter(pc.is_valid(qt["t_start"])).select(
+        ["query_id", "t_start", "t_end"]
+    )
+    return interval_overlap_join(
+        regions, ray.data.from_arrow(qt),
+        "region_id", "valid_from", "valid_to",
+        "query_id", "t_start", "t_end",
+    )
+
+
 def q_asof_join(sf_dir: str):
     """Two-dataset AS-OF join: each purchase matched to the same
     user's latest click at or before the purchase time (bucketed
@@ -2544,6 +2569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prev": q_events_prev,
         "events_sliding": q_events_sliding,
         "asof_join": q_asof_join,
+        "interval_overlap_join": q_interval_overlap_join,
         "range_join": q_range_join,
         # vector export sink roundtrip
         "vector_export": q_vector_export,
@@ -3966,6 +3992,13 @@ def oracle_sql() -> dict[str, str]:
         # as-of join: latest same-user click at or before each purchase
         # (ties on equal ts break to max event_id, mirroring the
         # engine's (ts, id) sort; -1 = no prior click)
+        "interval_overlap_join": f"""
+            SELECT r.region_id, q.query_id
+            FROM {REGIONS} r
+            JOIN (SELECT query_id, t_start, t_end FROM {QUERIES}
+                  WHERE t_start IS NOT NULL) q
+              ON r.valid_from < q.t_end AND q.t_start < r.valid_to
+        """,
         "asof_join": """
             SELECT a.event_id,
                    coalesce((SELECT b.event_id FROM events b

@@ -111,3 +111,106 @@ def range_join_count(
 
     partial = u.groupby("bin").map_groups(group_fn, batch_format="pandas")
     return tree_aggregate(partial, [right_id], {"n": "sum"})
+
+
+def interval_overlap_join(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    a_id: str, a_lo: str, a_hi: str,
+    b_id: str, b_lo: str, b_hi: str,
+    n_bins: int = 64,
+) -> ray.data.Dataset:
+    """INTERVAL × INTERVAL overlap join (the TimeOverlaps predicate as
+    a join): pairs with ``a.lo < b.hi AND b.lo < a.hi`` (half-open).
+
+    ONE bounded exchange: both interval sets duplicate onto the time
+    bins they cover; inside a bin every candidate pair is verified
+    vectorized, and a pair is emitted ONLY from its canonical bin —
+    the bin containing ``max(a.lo, b.lo)``, a time point every
+    overlapping pair shares — so cross-bin duplicates never exist and
+    no dedup exchange is needed.
+    """
+
+    def norm(ds, idc, loc, hic, side):
+        def fn(t: pa.Table) -> pa.Table:
+            lo = _to_us(t.column(loc)).to_numpy()
+            hi = _to_us(t.column(hic)).to_numpy()
+            ids = t.column(idc).cast(pa.string())
+            return pa.table(
+                {
+                    "iid": ids,
+                    "lo": pa.array(lo, pa.int64()),
+                    "hi": pa.array(hi, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(lo), side, dtype=np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+    na = norm(a, a_id, a_lo, a_hi, 0)
+    nb = norm(b, b_id, b_lo, b_hi, 1)
+    both = na.union(nb)
+
+    # domain bounds: two scalar aggregates over the tagged union
+    d0 = int(both.min("lo"))
+    d1 = int(both.max("hi"))
+    width = max((d1 - d0) // n_bins + 1, 1)
+
+    def expand(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy()
+        hi = t.column("hi").to_numpy()
+        b0 = np.clip((lo - d0) // width, 0, n_bins - 1)
+        b1 = np.clip((np.maximum(hi - 1, lo) - d0) // width, 0, n_bins - 1)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(lo), dtype=np.int64), reps)
+        offs = np.arange(len(idx)) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        return pa.table(
+            {
+                "bin": pa.array(b0[idx] + offs, pa.int64()),
+                "iid": t.column("iid").take(idx),
+                "lo": t.column("lo").take(idx),
+                "hi": t.column("hi").take(idx),
+                "side": t.column("side").take(idx),
+            }
+        )
+
+    if a_id == b_id:
+        raise ValueError("a_id and b_id output column names must differ")
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {a_id: pd.Series([], dtype=object), b_id: pd.Series([], dtype=object)}
+        )
+        if g.empty:
+            return empty
+        bin_id = int(g["bin"].iloc[0])
+        sa = g[g["side"] == 0]
+        sb = g[g["side"] == 1]
+        if sa.empty or sb.empty:
+            return empty
+        alo = sa["lo"].to_numpy(); ahi = sa["hi"].to_numpy()
+        blo = sb["lo"].to_numpy(); bhi = sb["hi"].to_numpy()
+        order = np.argsort(blo, kind="stable")
+        blo_s, bhi_s = blo[order], bhi[order]
+        bid_s = sb["iid"].to_numpy()[order]
+        # for each a: b's with blo < ahi form a sorted prefix
+        pref = np.searchsorted(blo_s, ahi, side="left")
+        ai = np.repeat(np.arange(len(alo), dtype=np.int64), pref)
+        bi = np.arange(len(ai)) - np.repeat(np.cumsum(pref) - pref, pref)
+        ok = bhi_s[bi] > alo[ai]
+        canon = np.maximum(alo[ai], blo_s[bi])
+        ok &= ((canon - d0) // width).clip(0, n_bins - 1) == bin_id
+        return pd.DataFrame(
+            {a_id: sa["iid"].to_numpy()[ai[ok]], b_id: bid_s[bi[ok]]}
+        )
+
+    return (
+        both.map_batches(expand, batch_format="pyarrow", batch_size=None)
+        .repartition(16)
+        .groupby("bin")
+        .map_groups(emit, batch_format="pandas")
+    )

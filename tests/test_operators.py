@@ -886,3 +886,44 @@ def test_exact_kth_value_matches_sort(ray_session):
     dv = np.sort(dup["value"].to_numpy())
     for k in [0, 10, 250, 519]:
         assert exact_kth_value(dds, "value", k, collect_threshold=64) == dv[k]
+
+
+def test_interval_overlap_join_bruteforce(ray_session):
+    """Binned interval×interval join equals the O(n·m) overlap test,
+    including intervals spanning many bins (no cross-bin duplicates)."""
+    import ray.data
+
+    from geowave_ray.pipelines.range_join import interval_overlap_join
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def mk(n, seed, span_h):
+        lo = t0 + np.timedelta64(1, "h") * ((np.arange(n) * seed) % 500)
+        hi = lo + np.timedelta64(1, "h") * (1 + (np.arange(n) % span_h))
+        return pa.table(
+            {
+                "id": pa.array([f"i{seed}_{j}" for j in range(n)]),
+                "lo": pa.array(lo, pa.timestamp("us")),
+                "hi": pa.array(hi, pa.timestamp("us")),
+            }
+        )
+
+    ta, tb = mk(80, 7, 120), mk(60, 13, 40)
+    tb = tb.rename_columns(["idb", "lo", "hi"])
+    got = interval_overlap_join(
+        ray.data.from_arrow(ta), ray.data.from_arrow(tb),
+        "id", "lo", "hi", "idb", "lo", "hi", n_bins=16,
+    ).to_pandas()
+    got_set = set(zip(got.iloc[:, 0], got.iloc[:, 1]))
+
+    alo = ta["lo"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ahi = ta["hi"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    blo = tb["lo"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    bhi = tb["hi"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    exp = {
+        (ta["id"][i].as_py(), tb["idb"][j].as_py())
+        for i in range(len(alo))
+        for j in range(len(blo))
+        if alo[i] < bhi[j] and blo[j] < ahi[i]
+    }
+    assert exp and got_set == exp
