@@ -660,6 +660,52 @@ def q_knn(sf_dir: str):
     )
 
 
+def q_knn_self_join(sf_dir: str):
+    """kNN SELF join (NNMapReduce role: every left point → its k=3
+    nearest OTHER points): probes = every 500th page; self matches
+    dropped from the partials before the two-level top-k merge."""
+    import pyarrow.compute as pc
+    import ray
+
+    from geowave_ray.pipelines.knn import knn
+
+    pages = _pages(sf_dir, columns=["row_id", "url", "lon", "lat"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rid = batch.column("row_id").to_numpy()
+        t = batch.filter(pa.array(rid % 500 == 0))
+        return pa.table(
+            {
+                "query_id": t.column("url"),
+                "lon": t.column("lon"),
+                "lat": t.column("lat"),
+                # k=4: self (dist 0) occupies one of the top-4 slots,
+                # leaving >= 3 true neighbors after it is stripped
+                "k": pa.array(np.full(t.num_rows, 4, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    probes = pa.concat_tables(
+        ray.get(
+            pages.map_batches(sample, batch_format="pyarrow", batch_size=None)
+            .to_arrow_refs()
+        )
+    )
+    out = knn(_pages(sf_dir, columns=["url", "lon", "lat"]), probes)
+
+    def strip_self(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["query_id"] != df["url"]]
+        df = df.sort_values(["query_id", "rank"], kind="mergesort")
+        df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1).astype(
+            np.int64
+        )
+        return df[df["rank"] <= 3][["query_id", "rank", "url"]]
+
+    # grouped_topk's final merge is one block, so the re-rank sees
+    # every row of a query together
+    return out.map_batches(strip_self, batch_format="pandas", batch_size=None)
+
+
 def q_knn_bounded(sf_dir: str):
     """kNN with a max-distance bound (NNMapReduce maxDistance)."""
     import pyarrow.parquet as pq
@@ -2464,6 +2510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kNN
         "knn": q_knn,
         "knn_bounded": q_knn_bounded,
+        "knn_self_join": q_knn_self_join,
         "knn_cell_pruned": q_knn_cell_pruned,
         "kmeans_lloyd": q_kmeans_lloyd,
         "s2_cell_encode": q_s2_cell_encode,
@@ -3441,6 +3488,25 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT query_id, rank, url FROM r WHERE rank <= k
+        """,
+        "knn_self_join": f"""
+            WITH s AS (
+              SELECT url AS query_id, lon, lat FROM {PAGES}
+              WHERE row_id % 500 = 0
+            ), d AS (
+              SELECT s.query_id, p.url,
+                     (p.lon - s.lon) * (p.lon - s.lon)
+                   + (p.lat - s.lat) * (p.lat - s.lat) AS d2
+              FROM s CROSS JOIN {PAGES} p
+              WHERE p.url <> s.query_id
+            ), r AS (
+              SELECT query_id, url,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY d2, url) AS rank
+              FROM d
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, url
+            FROM r WHERE rank <= 3
         """,
         # same exact-kNN oracle: at this fixture density the 3x3
         # neighbor-ring prefilter is exact (k-th neighbor < one cell
