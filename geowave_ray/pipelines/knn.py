@@ -254,14 +254,22 @@ def knn_pruned_exact(
             (qcx[unsat] - r <= 0) & (qcx[unsat] + r >= n - 1)
             & (qcy[unsat] - r <= 0) & (qcy[unsat] + r >= n - 1)
         )
+        # EXACT per-query guard: the distance from the query POINT to
+        # the nearest scanned-box edge (world-clipped edges guard
+        # infinitely — nothing exists beyond them). Any unscanned point
+        # is farther than this, so accepting k-th < guard stays exact
+        # while admitting ~2x more round-1 queries than the old
+        # conservative r*cell_width bound.
+        dl = np.where(qcx[unsat] - r <= 0, np.inf, qlon[unsat] - x0)
+        dr = np.where(qcx[unsat] + r >= n - 1, np.inf, x1 - qlon[unsat])
+        db = np.where(qcy[unsat] - r <= 0, np.inf, qlat[unsat] - y0)
+        dt = np.where(qcy[unsat] + r >= n - 1, np.inf, y1 - qlat[unsat])
+        guard_v = np.minimum.reduce([dl, dr, db, dt]) ** 2
         next_unsat = []
         for pos, gi in enumerate(unsat):
             q = qid[gi]
             got = int(counts.get(q, 0))
-            # ring guarantee: k candidates AND k-th strictly inside the
-            # guaranteed scanned radius (r cells in the tighter axis)
-            guard = (int(r[pos]) * min(cell_w, cell_h)) ** 2
-            ok = got >= int(qk[gi]) and float(dmax.get(q, np.inf)) < guard
+            ok = got >= int(qk[gi]) and float(dmax.get(q, np.inf)) < guard_v[pos]
             if ok or ww_per[pos]:
                 accepted.append(cand[cand["query_id"] == q][["query_id", "rank", "url"]])
             else:
