@@ -18,6 +18,10 @@ import ray.data
 
 def _tagged(ds: ray.data.Dataset, key: str, side: int, n_buckets: int):
     def fn(b: pa.Table) -> pa.Table:
+        if b.column(key).null_count:
+            import pyarrow.compute as pc
+
+            b = b.filter(pc.is_valid(b.column(key)))  # null keys never join
         k = b.column(key).to_numpy().astype(np.int64)
         return pa.table(
             {
@@ -114,6 +118,10 @@ def hash_join(
 
     def tag(side: int, key: str, own: list, other: list, own_t, other_t):
         def fn(b: pa.Table) -> pa.Table:
+            if b.column(key).null_count:
+                import pyarrow.compute as pc
+
+                b = b.filter(pc.is_valid(b.column(key)))  # null keys never join
             n = b.num_rows
             k = b.column(key).to_numpy().astype(np.int64)
             cols = {

@@ -927,3 +927,22 @@ def test_interval_overlap_join_bruteforce(ray_session):
         if alo[i] < bhi[j] and blo[j] < ahi[i]
     }
     assert exp and got_set == exp
+
+
+def test_relational_joins_drop_null_keys(ray_session):
+    import ray.data
+
+    from geowave_ray.pipelines.relational import anti_join_keys, hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, None, 2, 3], pa.int64()),
+                  "a": pa.array([10, 20, 30, 40], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([2, None, 9], pa.int64()),
+                  "b": pa.array([5, 6, 7], pa.int64())})
+    )
+    j = hash_join(left, right, "k", "rk").to_pandas()
+    assert list(j["k"]) == [2] and list(j["b"]) == [5]
+    anti = set(anti_join_keys(left, right, "k", "rk").to_pandas()["k"])
+    assert anti == {1, 3}
