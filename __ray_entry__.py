@@ -2134,6 +2134,30 @@ def q_revenue_by_nation(sf_dir: str):
     return tree_aggregate(partials, ["n_name"], {"revenue_cents": "sum"})
 
 
+def q_q6_revenue(sf_dir: str):
+    """TPC-H-Q6-shaped filtered aggregate: predicate pushdown at the
+    read (shipdate range), vectorized mask, per-block integer-cent
+    partials, driver sum — one streaming pass, no exchange."""
+    li = _read_testdata(
+        sf_dir, "lineitem",
+        columns=["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    t0 = np.datetime64("1996-01-01", "us").astype(np.int64)
+    t1 = np.datetime64("1997-01-01", "us").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy().astype("datetime64[us]").astype(np.int64)
+        qty = b.column("l_quantity").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        price = b.column("l_extendedprice").to_numpy()
+        m = (ship >= t0) & (ship < t1) & (disc >= 0.05) & (disc <= 0.07) & (qty < 24.0)
+        cents = np.floor(price[m] * disc[m] * 100.0).astype(np.int64)
+        return pa.table({"c": pa.array([int(cents.sum())], pa.int64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    return pd.DataFrame({"revenue_cents": [int(parts["c"].sum())]})
+
+
 def q_topk_per_type(sf_dir: str):
     """Per-group top-k (NNProcessor maxNeighbors / per-bin ranking
     role) as a named op: top-3 events per event_type by value, ties
@@ -2568,6 +2592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_events": q_customers_no_events,
         "orders_customer_join": q_orders_customer_join,
         "revenue_by_nation": q_revenue_by_nation,
+        "q6_revenue": q_q6_revenue,
         "customers_with_events": q_customers_with_events,
         "bloom_membership": q_bloom_membership,
         # query language / relational / lookup
@@ -4276,6 +4301,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "q6_revenue": """
+            SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24.0
         """,
         "customers_no_events": """
             SELECT DISTINCT c_custkey FROM customer c
