@@ -1861,6 +1861,33 @@ def q_geohash_hist(sf_dir: str):
     )
 
 
+def q_region_areas(sf_dir: str):
+    """Polygon area scalar function (GeomArea / ST_Area role): signed
+    shoelace per region from the WKB ring, rounded to 6 decimals (the
+    oracle sums the same edge terms in SQL; summation-order float noise
+    is ~1e-13 vs the 1e-6 rounding grid)."""
+    import ray.data
+
+    from geowave_ray.geom import parse_wkb_polygon, ring_area
+
+    def areas(batch: pa.Table) -> pa.Table:
+        vals = [
+            round(ring_area(parse_wkb_polygon(w.as_py())), 6)
+            for w in batch.column("geometry_wkb")
+        ]
+        return pa.table(
+            {
+                "region_id": batch.column("region_id"),
+                "area": pa.array(np.asarray(vals, dtype=np.float64), pa.float64()),
+            }
+        )
+
+    regions = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/regions.parquet", columns=["region_id", "geometry_wkb"]
+    )
+    return regions.map_batches(areas, batch_format="pyarrow", batch_size=None)
+
+
 def q_gpx_parse(sf_dir: str):
     """GPX format-plugin parse (GPXConsumer.java role): whole-file XML
     documents expand to typed track points inside map_batches; oracle
@@ -2608,6 +2635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash_hist": q_geohash_hist,
         "xz_encode": q_xz_encode,
         "gpx_parse": q_gpx_parse,
+        "region_areas": q_region_areas,
         "rect_join_touches": q_rect_join_touches,
         "rect_join_equals": q_rect_join_equals,
         "rect_join_disjoint": q_rect_join_disjoint,
@@ -3902,6 +3930,12 @@ def oracle_sql() -> dict[str, str]:
                      * power(2.0, xz_tier)) AS BIGINT), 0),
                      CAST(power(2.0, xz_tier) AS BIGINT) - 1) AS cy
             FROM t
+        """,
+        "region_areas": f"""
+            SELECT region_id,
+                   round(0.5 * sum(x1 * y2 - x2 * y1), 6) AS area
+            FROM {REDGES}
+            GROUP BY region_id
         """,
         "gpx_parse": f"""
             SELECT track_id, seq, lon, lat, ele, ts
