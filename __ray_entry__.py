@@ -1861,6 +1861,77 @@ def q_geohash_hist(sf_dir: str):
     )
 
 
+def q_bbox_hilbert_ranges(sf_dir: str):
+    """bbox batch answered through HILBERT range decomposition
+    (HilbertSFC.decomposeRange role): rows pass a coarse membership
+    test against the merged hilbert cell-id ranges (searchsorted over
+    the broadcast range table), then the exact lon/lat filter.  The
+    count oracle fails if decomposition ever drops a covering cell."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from geowave_ray.sfc import bbox_cell_ranges
+    from geowave_ray.stages.cell_encode import encode_points
+
+    TIER = 10
+    qt = pq.read_table(f"{_fx(sf_dir)}/queries.parquet")
+    qt = qt.filter(pc.equal(qt["kind"], "bbox"))
+    boxes = {
+        "qid": np.asarray(qt["query_id"].to_pylist(), dtype=object),
+        "xmin": qt["xmin"].to_numpy(),
+        "ymin": qt["ymin"].to_numpy(),
+        "xmax": qt["xmax"].to_numpy(),
+        "ymax": qt["ymax"].to_numpy(),
+    }
+    # per-query merged hilbert ranges, flattened for one searchsorted
+    lows, highs, owner = [], [], []
+    for i in range(len(boxes["qid"])):
+        for lo, hi in bbox_cell_ranges(
+            boxes["xmin"][i], boxes["ymin"][i], boxes["xmax"][i],
+            boxes["ymax"][i], tier=TIER, curve="hilbert",
+        ):
+            lows.append(lo)
+            highs.append(hi)
+            owner.append(i)
+    lows_a = np.asarray(lows, dtype=np.int64)
+    highs_a = np.asarray(highs, dtype=np.int64)
+    owner_a = np.asarray(owner, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        enc = encode_points(batch, tier=TIER, curve="hilbert")
+        cell = enc.column("cell_id").to_numpy()
+        lon = enc.column("lon").to_numpy()
+        lat = enc.column("lat").to_numpy()
+        qids, ns = [], []
+        for i in range(len(boxes["qid"])):
+            mine = owner_a == i
+            lo_s, hi_s = lows_a[mine], highs_a[mine]
+            pos = np.searchsorted(lo_s, cell, side="right") - 1
+            coarse = (pos >= 0) & (cell <= hi_s[np.clip(pos, 0, len(hi_s) - 1)])
+            if not coarse.any():
+                continue
+            m = (
+                coarse
+                & (lon >= boxes["xmin"][i]) & (lon <= boxes["xmax"][i])
+                & (lat >= boxes["ymin"][i]) & (lat <= boxes["ymax"][i])
+            )
+            n = int(m.sum())
+            if n:
+                qids.append(boxes["qid"][i])
+                ns.append(n)
+        return pa.table(
+            {"query_id": pa.array(qids, pa.string()), "n": pa.array(ns, pa.int64())}
+        )
+
+    return (
+        _pages(sf_dir, columns=["lon", "lat"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("query_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def q_region_areas(sf_dir: str):
     """Polygon area scalar function (GeomArea / ST_Area role): signed
     shoelace per region from the WKB ring, rounded to 6 decimals (the
@@ -2636,6 +2707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xz_encode": q_xz_encode,
         "gpx_parse": q_gpx_parse,
         "region_areas": q_region_areas,
+        "bbox_hilbert_ranges": q_bbox_hilbert_ranges,
         "rect_join_touches": q_rect_join_touches,
         "rect_join_equals": q_rect_join_equals,
         "rect_join_disjoint": q_rect_join_disjoint,
@@ -3930,6 +4002,18 @@ def oracle_sql() -> dict[str, str]:
                      * power(2.0, xz_tier)) AS BIGINT), 0),
                      CAST(power(2.0, xz_tier) AS BIGINT) - 1) AS cy
             FROM t
+        """,
+        # bbox_hilbert_ranges: identical COUNT as the plain bbox oracle
+        # — any covering cell dropped by the hilbert decomposition
+        # would under-count and fail the hash
+        "bbox_hilbert_ranges": f"""
+            SELECT q.query_id, count(*) AS n
+            FROM {QUERIES} q
+            JOIN {PAGES} p
+              ON p.lon >= q.xmin AND p.lon <= q.xmax
+             AND p.lat >= q.ymin AND p.lat <= q.ymax
+            WHERE q.kind = 'bbox'
+            GROUP BY q.query_id
         """,
         "region_areas": f"""
             SELECT region_id,
