@@ -1932,6 +1932,33 @@ def q_bbox_hilbert_ranges(sf_dir: str):
     )
 
 
+def q_track_lengths(sf_dir: str):
+    """Polyline length scalar (GeomLength / ST_Length role): per-track
+    sum of segment lengths from the vertex lists, rounded to 6
+    decimals (oracle sums the identical per-segment sqrt terms)."""
+    import ray.data
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        xs = batch.column("xs")
+        ys = batch.column("ys")
+        out = np.empty(batch.num_rows, dtype=np.float64)
+        for i in range(batch.num_rows):
+            x = np.asarray(xs[i].as_py(), dtype=np.float64)
+            y = np.asarray(ys[i].as_py(), dtype=np.float64)
+            out[i] = float(np.sum(np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)))
+        return pa.table(
+            {
+                "track_id": batch.column("track_id"),
+                "length": pa.array(np.round(out, 6), pa.float64()),
+            }
+        )
+
+    tracks = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/tracks.parquet", columns=["track_id", "xs", "ys"]
+    )
+    return tracks.map_batches(lengths, batch_format="pyarrow", batch_size=None)
+
+
 def q_region_areas(sf_dir: str):
     """Polygon area scalar function (GeomArea / ST_Area role): signed
     shoelace per region from the WKB ring, rounded to 6 decimals (the
@@ -2707,6 +2734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xz_encode": q_xz_encode,
         "gpx_parse": q_gpx_parse,
         "region_areas": q_region_areas,
+        "track_lengths": q_track_lengths,
         "bbox_hilbert_ranges": q_bbox_hilbert_ranges,
         "rect_join_touches": q_rect_join_touches,
         "rect_join_equals": q_rect_join_equals,
@@ -4020,6 +4048,13 @@ def oracle_sql() -> dict[str, str]:
                    round(0.5 * sum(x1 * y2 - x2 * y1), 6) AS area
             FROM {REDGES}
             GROUP BY region_id
+        """,
+        "track_lengths": f"""
+            SELECT track_id,
+                   round(sum(sqrt((x2 - x1) * (x2 - x1)
+                               + (y2 - y1) * (y2 - y1))), 6) AS length
+            FROM {TSEGS}
+            GROUP BY track_id
         """,
         "gpx_parse": f"""
             SELECT track_id, seq, lon, lat, ele, ts
