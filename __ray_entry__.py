@@ -1932,6 +1932,37 @@ def q_bbox_hilbert_ranges(sf_dir: str):
     )
 
 
+def q_region_centroids(sf_dir: str):
+    """Polygon centroid scalar (GeomCentroid / ST_Centroid role):
+    area-weighted vertex formula per region, rounded to 6 decimals."""
+    import ray.data
+
+    from geowave_ray.geom import _open_ring, parse_wkb_polygon
+
+    def cents(batch: pa.Table) -> pa.Table:
+        cxs, cys = [], []
+        for w in batch.column("geometry_wkb"):
+            r = _open_ring(parse_wkb_polygon(w.as_py()))
+            x, y = r[:, 0], r[:, 1]
+            x2, y2 = np.roll(x, -1), np.roll(y, -1)
+            cross = x * y2 - x2 * y
+            a6 = 3.0 * float(np.sum(cross))
+            cxs.append(round(float(np.sum((x + x2) * cross)) / a6, 6))
+            cys.append(round(float(np.sum((y + y2) * cross)) / a6, 6))
+        return pa.table(
+            {
+                "region_id": batch.column("region_id"),
+                "cx": pa.array(cxs, pa.float64()),
+                "cy": pa.array(cys, pa.float64()),
+            }
+        )
+
+    regions = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/regions.parquet", columns=["region_id", "geometry_wkb"]
+    )
+    return regions.map_batches(cents, batch_format="pyarrow", batch_size=None)
+
+
 def q_track_lengths(sf_dir: str):
     """Polyline length scalar (GeomLength / ST_Length role): per-track
     sum of segment lengths from the vertex lists, rounded to 6
@@ -2734,6 +2765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xz_encode": q_xz_encode,
         "gpx_parse": q_gpx_parse,
         "region_areas": q_region_areas,
+        "region_centroids": q_region_centroids,
         "track_lengths": q_track_lengths,
         "bbox_hilbert_ranges": q_bbox_hilbert_ranges,
         "rect_join_touches": q_rect_join_touches,
@@ -4046,6 +4078,15 @@ def oracle_sql() -> dict[str, str]:
         "region_areas": f"""
             SELECT region_id,
                    round(0.5 * sum(x1 * y2 - x2 * y1), 6) AS area
+            FROM {REDGES}
+            GROUP BY region_id
+        """,
+        "region_centroids": f"""
+            SELECT region_id,
+                   round(sum((x1 + x2) * (x1 * y2 - x2 * y1))
+                         / (3 * sum(x1 * y2 - x2 * y1)), 6) AS cx,
+                   round(sum((y1 + y2) * (x1 * y2 - x2 * y1))
+                         / (3 * sum(x1 * y2 - x2 * y1)), 6) AS cy
             FROM {REDGES}
             GROUP BY region_id
         """,
