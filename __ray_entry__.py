@@ -1932,6 +1932,59 @@ def q_bbox_hilbert_ranges(sf_dir: str):
     )
 
 
+def q_points_hull(sf_dir: str):
+    """Distributed convex hull boundary (the hulls surface of the
+    clustering pipelines, made exact-oracle): hull-of-partial-hulls
+    over a deterministic page sample, KEEPING collinear boundary
+    points — the quantized geotag lattice puts many sample points on
+    hull edges, and 'on the boundary' is the set the SQL
+    supporting-half-plane predicate decides."""
+
+    def hull_boundary(pts: np.ndarray) -> np.ndarray:
+        pts = np.unique(pts, axis=0)
+        if len(pts) <= 2:
+            return pts
+        order = np.lexsort((pts[:, 1], pts[:, 0]))
+        pts = pts[order]
+
+        def half(points):
+            out = []
+            for p in points:
+                while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) < 0:
+                    out.pop()
+                out.append(p)
+            return out
+
+        lower = half(pts)
+        upper = half(pts[::-1])
+        return np.unique(np.array(lower + upper), axis=0)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rid = batch.column("row_id").to_numpy()
+        keep = rid % 1000 == 0
+        lon = batch.column("lon").to_numpy()[keep]
+        lat = batch.column("lat").to_numpy()[keep]
+        if len(lon) == 0:
+            return pa.table(
+                {"lon": pa.array([], pa.float64()), "lat": pa.array([], pa.float64())}
+            )
+        h = hull_boundary(np.column_stack([lon, lat]))
+        return pa.table(
+            {"lon": pa.array(h[:, 0], pa.float64()),
+             "lat": pa.array(h[:, 1], pa.float64())}
+        )
+
+    parts = (
+        _pages(sf_dir, columns=["row_id", "lon", "lat"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    h = hull_boundary(
+        np.column_stack([parts["lon"].to_numpy(), parts["lat"].to_numpy()])
+    )
+    return pd.DataFrame({"lon": h[:, 0], "lat": h[:, 1]})
+
+
 def q_region_centroids(sf_dir: str):
     """Polygon centroid scalar (GeomCentroid / ST_Centroid role):
     area-weighted vertex formula per region, rounded to 6 decimals."""
@@ -2766,6 +2819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gpx_parse": q_gpx_parse,
         "region_areas": q_region_areas,
         "region_centroids": q_region_centroids,
+        "points_hull": q_points_hull,
         "track_lengths": q_track_lengths,
         "bbox_hilbert_ranges": q_bbox_hilbert_ranges,
         "rect_join_touches": q_rect_join_touches,
@@ -4080,6 +4134,22 @@ def oracle_sql() -> dict[str, str]:
                    round(0.5 * sum(x1 * y2 - x2 * y1), 6) AS area
             FROM {REDGES}
             GROUP BY region_id
+        """,
+        "points_hull": f"""
+            WITH p AS (SELECT DISTINCT lon, lat FROM {PAGES}
+                       WHERE row_id % 1000 = 0)
+            SELECT a.lon, a.lat FROM p a
+            WHERE EXISTS (
+              SELECT 1 FROM p b
+              WHERE (b.lon <> a.lon OR b.lat <> a.lat)
+                AND NOT EXISTS (
+                  SELECT 1 FROM p c
+                  WHERE (c.lon <> a.lon OR c.lat <> a.lat)
+                    AND (c.lon <> b.lon OR c.lat <> b.lat)
+                    AND (b.lon - a.lon) * (c.lat - a.lat)
+                      - (b.lat - a.lat) * (c.lon - a.lon) < 0
+                )
+            )
         """,
         "region_centroids": f"""
             SELECT region_id,
