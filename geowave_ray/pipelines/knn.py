@@ -232,7 +232,14 @@ def knn_pruned_exact(
         ds, _info = read_pages_pruned_multi(
             store_root, boxes, columns=["url", "lon", "lat"]
         )
-        bref = ray.put((x0, y0, x1, y1))
+        # box_filter is half-open at top/right (lon < x1), so a point at
+        # exactly LON_MAX/LAT_MAX would never be scanned while the
+        # world-clipped guard assumes it was (ADVICE r2): close the
+        # filter on world-clipped edges by nudging those bounds past the
+        # domain max (pruning boxes above stay world-clipped).
+        fx1 = np.where(qcx[unsat] + r >= n - 1, x1 + cell_w, x1)
+        fy1 = np.where(qcy[unsat] + r >= n - 1, y1 + cell_h, y1)
+        bref = ray.put((x0, y0, fx1, fy1))
 
         def box_filter(batch: pa.Table) -> pa.Table:
             bx0, by0, bx1, by1 = ray.get(bref)

@@ -131,6 +131,9 @@ def interval_overlap_join(
     no dedup exchange is needed.
     """
 
+    if a_id == b_id:  # validate before any aggregation pass (ADVICE r2)
+        raise ValueError("a_id and b_id output column names must differ")
+
     def norm(ds, idc, loc, hic, side):
         def fn(t: pa.Table) -> pa.Table:
             lo = _to_us(t.column(loc)).to_numpy()
@@ -154,8 +157,16 @@ def interval_overlap_join(
     both = na.union(nb)
 
     # domain bounds: two scalar aggregates over the tagged union
-    d0 = int(both.min("lo"))
-    d1 = int(both.max("hi"))
+    lo_min = both.min("lo")
+    hi_max = both.max("hi")
+    if lo_min is None or hi_max is None:  # either input empty (ADVICE r2)
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({a_id: pa.array([], pa.string()),
+                      b_id: pa.array([], pa.string())})
+        )
+    d0, d1 = int(lo_min), int(hi_max)
     width = max((d1 - d0) // n_bins + 1, 1)
 
     def expand(t: pa.Table) -> pa.Table:
@@ -177,9 +188,6 @@ def interval_overlap_join(
                 "side": t.column("side").take(idx),
             }
         )
-
-    if a_id == b_id:
-        raise ValueError("a_id and b_id output column names must differ")
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

@@ -16,18 +16,46 @@ import pyarrow as pa
 import ray.data
 
 
-def _tagged(ds: ray.data.Dataset, key: str, side: int, n_buckets: int):
-    def fn(b: pa.Table) -> pa.Table:
-        if b.column(key).null_count:
-            import pyarrow.compute as pc
+def _check_int_key(ds: ray.data.Dataset, key: str) -> None:
+    t = dict(zip(ds.schema().names, ds.schema().types))[key]
+    if not (pa.types.is_integer(t)):
+        raise ValueError(
+            f"join key {key!r} must be integer-typed (got {t}); map it to an "
+            "int surrogate first (string keys through a sort exchange are a "
+            "known anti-pattern, NOTES_r2)"
+        )
 
-            b = b.filter(pc.is_valid(b.column(key)))  # null keys never join
+
+def _tagged(
+    ds: ray.data.Dataset,
+    key: str,
+    side: int,
+    n_buckets: int,
+    keep_nulls: bool = False,
+):
+    """Project to (bucket, key, side). Null keys are dropped (they never
+    equi-join); with ``keep_nulls`` they are retained as side=2 rows in
+    bucket 0 so NOT-EXISTS anti-join semantics can re-emit them."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = b.column(key)
+        n_null = col.null_count
+        if n_null:
+            b = b.filter(pc.is_valid(col))
         k = b.column(key).to_numpy().astype(np.int64)
+        buckets = k % np.int64(n_buckets)
+        sides = np.full(len(k), side, dtype=np.int8)
+        if keep_nulls and n_null:
+            buckets = np.concatenate([buckets, np.zeros(n_null, np.int64)])
+            k = np.concatenate([k, np.zeros(n_null, np.int64)])
+            sides = np.concatenate([sides, np.full(n_null, 2, np.int8)])
         return pa.table(
             {
-                "bucket": pa.array(k % np.int64(n_buckets), pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
                 "key": pa.array(k, pa.int64()),
-                "side": pa.array(np.full(len(k), side, dtype=np.int8), pa.int8()),
+                "side": pa.array(sides, pa.int8()),
             }
         )
 
@@ -42,8 +70,15 @@ def anti_join_keys(
     out_col: str | None = None,
     n_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Distinct left keys with NO matching right key (anti semi-join)."""
+    """Distinct left keys with NO matching right key (anti semi-join).
+
+    NOT-EXISTS semantics: a NULL left key matches nothing, so it
+    survives the anti join — emitted as one NULL row (DISTINCT), per
+    ADVICE r2. Null RIGHT keys are dropped (they never equi-match).
+    """
     out_name = out_col or left_key
+    _check_int_key(left, left_key)
+    _check_int_key(right, right_key)
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         keys = g["key"].to_numpy()
@@ -51,9 +86,12 @@ def anti_join_keys(
         lk = np.unique(keys[side == 0])
         rk = np.unique(keys[side == 1])
         keep = lk[~np.isin(lk, rk)]
-        return pd.DataFrame({out_name: keep})
+        out = pd.Series(keep, dtype="Int64")
+        if (side == 2).any():  # null left keys: NOT EXISTS is true
+            out = pd.concat([out, pd.Series([pd.NA], dtype="Int64")])
+        return pd.DataFrame({out_name: out})
 
-    tagged = _tagged(left, left_key, 0, n_buckets).union(
+    tagged = _tagged(left, left_key, 0, n_buckets, keep_nulls=True).union(
         _tagged(right, right_key, 1, n_buckets)
     )
     return (
@@ -115,6 +153,14 @@ def hash_join(
     rtypes = dict(zip(rschema.names, rschema.types))
     if set(lcols) & set(rcols):
         raise ValueError("overlapping non-key column names")
+    reserved = {"bucket", "key", "side"} & (set(lcols) | set(rschema.names))
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with the join's internal "
+            "tag columns — rename them before joining"
+        )
+    _check_int_key(left, left_key)
+    _check_int_key(right, right_key)
 
     def tag(side: int, key: str, own: list, other: list, own_t, other_t):
         def fn(b: pa.Table) -> pa.Table:
@@ -146,30 +192,38 @@ def hash_join(
         batch_format="pyarrow", batch_size=None,
     )
 
-    # pandas null-padding promotes ints to float64 — restore the
-    # source dtypes after the inner merge (no NaNs survive it)
-    out_dtype = {
-        c: (ltypes.get(c) or rtypes[c]).to_pandas_dtype() for c in lcols + rcols
-    }
+    empty_schema = pa.schema(
+        [(c, ltypes.get(c) or rtypes[c]) for c in lcols + rcols]
+    )
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        ls = g[g["side"] == 0]
-        rs = g[g["side"] == 1]
-        if ls.empty or rs.empty:
-            return pd.DataFrame(
-                {c: pd.Series([], dtype=out_dtype[c]) for c in lcols + rcols}
-            )
-        merged = ls[["key"] + lcols].merge(
-            rs[["key"] + rcols], on="key", how="inner"
-        )[lcols + rcols]
-        for c in lcols + rcols:
-            if merged[c].dtype != out_dtype[c]:
-                merged[c] = merged[c].astype(out_dtype[c])
-        return merged
+    def emit(g: pa.Table) -> pa.Table:
+        # Arrow-native inner merge: keys/values never round-trip through
+        # float64, so int64 payloads >= 2**53 survive intact (ADVICE r2).
+        side = g.column("side").to_numpy()
+        ls = g.take(np.nonzero(side == 0)[0])
+        rs = g.take(np.nonzero(side == 1)[0])
+        if ls.num_rows == 0 or rs.num_rows == 0:
+            return empty_schema.empty_table()
+        lk = ls.column("key").to_numpy()
+        rk = rs.column("key").to_numpy()
+        order = np.argsort(rk, kind="stable")
+        rk_sorted = rk[order]
+        starts = np.searchsorted(rk_sorted, lk, "left")
+        ends = np.searchsorted(rk_sorted, lk, "right")
+        counts = ends - starts
+        total = int(counts.sum())
+        if total == 0:
+            return empty_schema.empty_table()
+        li = np.repeat(np.arange(len(lk)), counts)
+        offs = np.repeat(np.cumsum(counts) - counts, counts)
+        ri = order[np.repeat(starts, counts) + (np.arange(total) - offs)]
+        cols = {c: ls.column(c).take(li) for c in lcols}
+        cols.update({c: rs.column(c).take(ri) for c in rcols})
+        return pa.table(cols)
 
     return (
         tl.union(tr)
         .repartition(16)
         .groupby("bucket")
-        .map_groups(emit, batch_format="pandas")
+        .map_groups(emit, batch_format="pyarrow")
     )
