@@ -9,14 +9,26 @@ Prints ONE JSON line:
    "queries": {...}, "sf": ..., "num_cpus": N,
    "headline_rows_per_sec": ...}
 
-``--scaling``: runs the headline in FRESH processes at num_cpus in
-{2, 4, 8, 16, 32} (two interleaved passes per level, best kept) on the
-SAME input (the ``sf_scaling`` fixture — 8M pages, large enough that
-the join is compute-bound) and reports throughput at every level plus
-the N->4N efficiencies for (2,8), (4,16), (8,32): the sandbox evidence
-for the north rule's N vs 4N cluster criterion. An untimed warmup
-(worker spawn + page-cache read) runs first so the timed window
-measures compute + shuffle, not process startup.
+Noise hardening (VERDICT r2 #4): the sandbox host has 2-4x
+noisy-neighbor load variance, so
+- every query runs in THREE INTERLEAVED passes (q1..qk, q1..qk,
+  q1..qk — a load spike poisons one pass, not one query's whole
+  best-of window); per-query best is reported, plus the max/min
+  ``spread`` per query so a noisy run is visible in the JSON;
+- a fixed single-thread probe kernel runs before each pass and its
+  times are reported as ``load_proxy_sec``: the kernel is pure
+  in-cache compute, so any value much above the quiet-host reference
+  (~``LOAD_PROXY_QUIET`` s) proves external load, independent of the
+  engine under test.
+
+``--scaling``: runs the headline AND the docs pipeline (minhash-LSH +
+two-pass exact dedup over the 1M-doc synthetic corpus) in FRESH
+processes at num_cpus in {2, 4, 8, 16, 32} (two interleaved passes per
+level, best kept) on the SAME input and reports throughput at every
+level plus the N->4N efficiencies for (2,8), (4,16), (8,32): the
+sandbox evidence for the north rule's N vs 4N cluster criterion. An
+untimed warmup (worker spawn + page-cache read) runs first so the
+timed window measures compute + shuffle, not process startup.
 """
 
 from __future__ import annotations
@@ -30,6 +42,28 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALING_CHILD = os.environ.get("GRAFT_SCALING_CHILD", "") == "1"
+N_PASSES = int(os.environ.get("GRAFT_BENCH_PASSES", "3"))
+
+# quiet-host reference for the probe kernel (measured on this box,
+# idle, after warmup: ~0.14 s); load_proxy >> this means the host was
+# loaded during that pass
+LOAD_PROXY_QUIET = 0.14
+
+
+def load_proxy() -> float:
+    """Single-thread in-cache probe kernel (~0.12 s quiet): measures
+    HOST load, not engine speed — a loaded run is self-evident."""
+    import numpy as np
+
+    a = np.arange(1_000_000, dtype=np.uint64)
+    t0 = time.perf_counter()
+    for _ in range(40):
+        a ^= a >> np.uint64(33)
+        a *= np.uint64(0xFF51AFD7ED558CCD)
+        a ^= a >> np.uint64(29)
+    if int(a[0]) == 42:  # defeat dead-code elimination
+        print("", end="")
+    return round(time.perf_counter() - t0, 3)
 
 
 def _init_ray():
@@ -69,6 +103,18 @@ def _pages_rows(fixture_root: str) -> int:
     )
 
 
+def _consume(res) -> int:
+    import pandas as pd
+
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.count()
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    return res.num_rows
+
+
 def run_bench(sf_dir: str, headline_only: bool = False) -> dict:
     import ray
 
@@ -80,62 +126,57 @@ def run_bench(sf_dir: str, headline_only: bool = False) -> dict:
     fixture_root = ensure_fixtures(sf_dir)
     _warmup(fixture_root)
 
-    timings: dict[str, float] = {}
-    n_rows: dict[str, int] = {}
-
-    def timed(name: str, fn, repeat: int = 2):
-        """Best-of-``repeat`` wall time — the sandbox host has
-        noisy-neighbor variance and the steady-state number is the one
-        that answers the design question."""
-        import pandas as pd
-
-        import ray.data as rd
-
-        best, n = None, 0
-        for _ in range(repeat):
-            t0 = time.time()
-            res = fn(sf_dir)
-            if isinstance(res, rd.Dataset):
-                n = res.count()
-            elif isinstance(res, pd.DataFrame):
-                n = len(res)
-            else:
-                n = res.num_rows
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        n_rows[name] = int(n)
-
-    # headline: spatial join (compact id-pair emit — the at-scale
-    # layout) + tile assignment (north-star metric).
-    timed("pip_join", em.q_pip_join_ids)
-    timed("tile_assign", em.q_tile_assign)
-    pruning_info = {}
+    plan: list[tuple[str, object]] = [
+        ("pip_join", em.q_pip_join_ids),
+        ("tile_assign", em.q_tile_assign),
+    ]
     if not headline_only:
-        timed("cell_hist", em.q_cell_hist)
         # warm the ingested stores OUTSIDE the timed windows (one-time
         # index build; the queries below measure the pruned READ path)
         em._ingested(sf_dir)
         em._ingested_st(sf_dir)
         em._url_index(sf_dir)
-        timed("knn", em.q_knn)               # exact ring-expansion pruned path
-        timed("knn_fullscan", em.q_knn_haversine)
-        timed("bbox_queries", em.q_bbox_queries)   # pruned cell-bucket reads
-        timed("bbox_temporal", em.q_bbox_temporal)  # spatial-temporal composite
-        timed("kde_gaussian", em.q_kde_gaussian)
-        timed("pip_join_cogroup", em.q_pip_join_cogroup)
         em._regions_store(sf_dir)  # co-partitioned store (untimed build)
-        timed("pip_join_copart", em.q_pip_join_copart)
-        timed("docs_token_stats", em.q_docs_token_stats)
-        timed("docs_minhash_pairs", em.q_docs_minhash_pairs)
-        timed("docs_tfidf", em.q_docs_tfidf)
-        timed("simhash_pairs", em.q_simhash_pairs)
-        timed("geohash_hist", em.q_geohash_hist)
-        timed("revenue_by_nation", em.q_revenue_by_nation)
-        timed("dbscan_exact", em.q_dbscan_exact)     # tile-local exact DBSCAN
-        timed("tile_merge_nodata", em.q_tile_merge_nodata)
-        timed("cql_spatial", em.q_cql_spatial)       # CQL bbox+PIP filter
-        timed("line_region_join", em.q_line_region_join)
+        plan += [
+            ("cell_hist", em.q_cell_hist),
+            ("knn", em.q_knn),               # exact ring-expansion pruned path
+            ("knn_fullscan", em.q_knn_haversine),
+            ("bbox_queries", em.q_bbox_queries),   # pruned cell-bucket reads
+            ("bbox_temporal", em.q_bbox_temporal),  # spatial-temporal composite
+            ("kde_gaussian", em.q_kde_gaussian),
+            ("pip_join_cogroup", em.q_pip_join_cogroup),
+            ("pip_join_copart", em.q_pip_join_copart),
+            ("docs_token_stats", em.q_docs_token_stats),
+            ("docs_minhash_pairs", em.q_docs_minhash_pairs),
+            ("docs_dedup_exact", em.q_docs_dedup_exact),
+            ("docs_tfidf", em.q_docs_tfidf),
+            ("simhash_pairs", em.q_simhash_pairs),
+            ("geohash_hist", em.q_geohash_hist),
+            ("revenue_by_nation", em.q_revenue_by_nation),
+            ("dbscan_exact", em.q_dbscan_exact),     # tile-local exact DBSCAN
+            ("tile_merge_nodata", em.q_tile_merge_nodata),
+            ("cql_spatial", em.q_cql_spatial),       # CQL bbox+PIP filter
+            ("line_region_join", em.q_line_region_join),
+        ]
+
+    # interleaved passes: a host-load spike poisons one PASS, and the
+    # per-query best-of still sees >= 2 clean samples
+    samples: dict[str, list[float]] = {name: [] for name, _ in plan}
+    n_rows: dict[str, int] = {}
+    proxies: list[float] = []
+    load_proxy()  # warm the kernel (first call pays numpy page faults)
+    for _ in range(N_PASSES):
+        proxies.append(load_proxy())
+        for name, fn in plan:
+            t0 = time.time()
+            n_rows[name] = int(_consume(fn(sf_dir)))
+            samples[name].append(time.time() - t0)
+
+    timings = {name: round(min(s), 3) for name, s in samples.items()}
+    spread = {name: round(max(s) / max(min(s), 1e-9), 2) for name, s in samples.items()}
+
+    pruning_info = {}
+    if not headline_only:
         # pruning-ratio evidence for the index-scan claim: per-QUERY
         # bucket counts (the 20-box UNION legitimately covers most of
         # the world; a single query's scan is the pruning story)
@@ -167,15 +208,61 @@ def run_bench(sf_dir: str, headline_only: bool = False) -> dict:
         "value": round(headline_sec, 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "rows": n_rows,
         "sf": os.path.basename(os.path.normpath(fixture_root)),
         "num_cpus": NUM_CPUS,
         "headline_rows_per_sec": round(pages_rows / headline_sec, 1),
+        "load_proxy_sec": proxies,
+        "load_proxy_quiet_ref": LOAD_PROXY_QUIET,
     }
     if pruning_info:
         result["bbox_pruning"] = pruning_info
     ray.shutdown()
     return result
+
+
+def run_docs_scaling_child(fixture_root: str) -> dict:
+    """Timed docs pipeline over the scaled synthetic corpus:
+    minhash-LSH candidate pairs + two-pass exact dedup (the two
+    exchange-disciplined docs ops — VERDICT r2 #10)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from geowave_ray.dedup import exact_dedup, minhash_lsh_pairs
+    from geowave_ray.util import read_blocks
+
+    docs_dir = os.path.join(fixture_root, "docs")
+    n_docs = sum(
+        pq.read_metadata(os.path.join(docs_dir, f)).num_rows
+        for f in os.listdir(docs_dir)
+        if f.endswith(".parquet")
+    )
+
+    def read():
+        return ray.data.read_parquet(
+            docs_dir, columns=["doc_id", "text"], override_num_blocks=read_blocks()
+        )
+
+    # untimed warmup read
+    read().count()
+    t0 = time.time()
+    n_pairs = minhash_lsh_pairs(read(), jaccard_threshold=0.5).count()
+    lsh_sec = time.time() - t0
+    t0 = time.time()
+    n_kept = exact_dedup(read()).count()
+    dedup_sec = time.time() - t0
+    total = lsh_sec + dedup_sec
+    return {
+        "docs_rows": n_docs,
+        "docs_lsh_pairs": int(n_pairs),
+        "docs_dedup_kept": int(n_kept),
+        "docs_lsh_sec": round(lsh_sec, 3),
+        "docs_dedup_sec": round(dedup_sec, 3),
+        "docs_sec": round(total, 3),
+        "docs_rows_per_sec": round(2 * n_docs / total, 1),  # both ops scan once
+    }
 
 
 def run_scaling() -> None:
@@ -216,16 +303,34 @@ def run_scaling() -> None:
     for n in (2, 4, 8, 16, 32, 2, 4, 8, 16, 32):
         r = run(n)
         if n not in results or r["value"] < results[n]["value"]:
+            best = results.get(n, {})
+            # keep the per-metric best independently (headline and docs
+            # may be poisoned by different load windows)
+            if best:
+                for k in ("docs_sec", "docs_rows_per_sec", "docs_lsh_sec", "docs_dedup_sec"):
+                    if k in best and best.get("docs_sec", 1e18) < r.get("docs_sec", 1e18):
+                        r[k] = best[k]
             results[n] = r
+        elif r.get("docs_sec", 1e18) < results[n].get("docs_sec", 1e18):
+            for k in ("docs_sec", "docs_rows_per_sec", "docs_lsh_sec", "docs_dedup_sec"):
+                results[n][k] = r[k]
     out = {"sf": results[4]["sf"], "rows": results[4]["rows"].get("pip_join")}
     for n, r in results.items():
         out[f"sec_{n}"] = r["value"]
         out[f"rows_per_sec_{n}"] = r["headline_rows_per_sec"]
+        if "docs_sec" in r:
+            out[f"docs_sec_{n}"] = r["docs_sec"]
+            out[f"docs_rows_per_sec_{n}"] = r["docs_rows_per_sec"]
     for lo, hi in ((2, 8), (4, 16), (8, 32)):
         out[f"scaling_efficiency_{lo}_to_{hi}"] = round(
             (results[hi]["headline_rows_per_sec"] / results[lo]["headline_rows_per_sec"]) / 4.0,
             3,
         )
+        if "docs_rows_per_sec" in results[lo]:
+            out[f"docs_scaling_efficiency_{lo}_to_{hi}"] = round(
+                (results[hi]["docs_rows_per_sec"] / results[lo]["docs_rows_per_sec"]) / 4.0,
+                3,
+            )
     out["scaling_efficiency"] = out["scaling_efficiency_2_to_8"]
     print(json.dumps(out))
 
@@ -234,6 +339,14 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     elif SCALING_CHILD:
-        print(json.dumps(run_bench("sf_scaling", headline_only=True)))
+        res = run_bench("sf_scaling", headline_only=True)  # shuts Ray down
+        _init_ray()  # fresh session for the docs pipeline
+        from geowave_ray.fixtures import ensure_fixtures
+
+        res.update(run_docs_scaling_child(ensure_fixtures("sf_scaling")))
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(res))
     else:
         print(json.dumps(run_bench(SF_DIR)))

@@ -88,33 +88,109 @@ def content_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(h, pa.int64()))
 
 
+def dup_content_hashes(
+    docs: ray.data.Dataset, text_col: str = "text", n_buckets: int = 64
+) -> np.ndarray:
+    """Pass 1 of two-pass exact dedup: the content hashes that occur
+    >= 2 times, as a SORTED int64 array on the driver.
+
+    Scale shape: each batch pre-combines to (hash, partial_count) — the
+    exchange ships 16 bytes per DISTINCT text per block, never the text
+    itself — then a bounded bucket groupby sums counts per hash. Output
+    size is the number of duplicated-text groups (tiny at web-corpus
+    dup rates), safe to collect + ``ray.put``. At extremes where even
+    that set outgrows the driver, swap the collect for a bloom filter
+    of the same pass-1 output; the pipeline shape is unchanged."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = (hash_utf8(b.column(text_col)) >> np.uint64(1)).astype(np.int64)
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "content_hash": pa.array(uh, pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "bucket": pa.array(uh % np.int64(n_buckets), pa.int64()),
+            }
+        )
+
+    def dups(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("content_hash", sort=False)["cnt"].sum()
+        return pd.DataFrame({"content_hash": tot.index.to_numpy()[tot.to_numpy() >= 2]})
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(_EXCHANGE_BLOCKS)
+        .groupby("bucket")
+        .map_groups(dups, batch_format="pandas")
+        .take_all()
+    )
+    return np.sort(np.array([r["content_hash"] for r in out], dtype=np.int64))
+
+
+def _two_pass_dedup(
+    docs: ray.data.Dataset,
+    keep: "callable",
+    id_col: str,
+    n_buckets: int,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Two-pass exact dedup core (VERDICT r2 #6): pass 1 learns the
+    duplicated content hashes from a (hash, count)-only exchange; pass
+    2 re-reads the corpus, map-side-splits on hash membership — rows
+    with unique hashes stream straight through with ZERO shuffle; only
+    the duplicated-hash rows (tiny) carry their text through a bounded
+    bucket exchange for the collision-safe in-group compare."""
+    import ray
+
+    dup_ref = ray.put(dup_content_hashes(docs, text_col=text_col))
+    cols = docs.schema().names
+
+    def split(keep_dup: bool):
+        def f(b: pa.Table) -> pa.Table:
+            dup = ray.get(dup_ref)
+            h = (hash_utf8(b.column(text_col)) >> np.uint64(1)).astype(np.int64)
+            if len(dup):
+                pos = np.searchsorted(dup, h)
+                isdup = (pos < len(dup)) & (dup[np.minimum(pos, len(dup) - 1)] == h)
+            else:
+                isdup = np.zeros(len(h), dtype=bool)
+            t = b.filter(pa.array(isdup if keep_dup else ~isdup))
+            if keep_dup:
+                bk = h[isdup] % np.int64(n_buckets)
+                t = t.append_column("bucket", pa.array(bk, pa.int64()))
+            return t
+
+        return f
+
+    uniques = docs.map_batches(split(False), batch_format="pyarrow", batch_size=None)
+    winners = (
+        docs.map_batches(split(True), batch_format="pyarrow", batch_size=None)
+        .repartition(_EXCHANGE_BLOCKS)
+        .groupby("bucket")
+        .map_groups(keep, batch_format="pandas")
+        .select_columns(cols)
+    )
+    return uniques.union(winners)
+
+
 def exact_dedup(
     docs: ray.data.Dataset, id_col: str = "doc_id", n_buckets: int = 256
 ) -> ray.data.Dataset:
     """Keep the min-id representative per identical text.
 
-    Scale shape: shuffle on ``content_hash % n_buckets`` (bounded group
-    count — one map_groups task per BUCKET, not per distinct text),
-    then a vectorized in-bucket drop_duplicates on the actual text
-    (collision-safe; the 8-byte hash only routes)."""
-    hashed = docs.map_batches(content_hash_batch, batch_format="pyarrow", batch_size=None)
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        bk = b.column("content_hash").to_numpy() % np.int64(n_buckets)
-        return b.append_column("bucket", pa.array(bk, pa.int64()))
+    Two-pass scale shape (see :func:`_two_pass_dedup`): the full text
+    column never rides an exchange — pass 1 ships (hash, count)
+    partials, pass 2 shuffles only the duplicated-hash rows for the
+    collision-safe text compare; unique rows stream map-side."""
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return (
             g.sort_values(id_col, kind="mergesort")
             .drop_duplicates("text", keep="first")
-            .drop(columns=["content_hash", "bucket"])
+            .drop(columns=["bucket"])
         )
 
-    return (
-        hashed.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
-        .groupby("bucket")
-        .map_groups(keep_first, batch_format="pandas")
-    )
+    return _two_pass_dedup(docs, keep_first, id_col, n_buckets)
 
 
 def dedup_keep_best(
@@ -126,28 +202,16 @@ def dedup_keep_best(
     """Exact dedup keeping the BEST duplicate per identical text —
     highest ``score_col``, ties to the smallest id (the standard
     LLM-corpus policy: among byte-identical copies keep the
-    best-scored page). Same bounded bucket shuffle as
-    :func:`exact_dedup`; in-bucket the winner falls out of one
-    vectorized stable sort."""
-    hashed = docs.map_batches(content_hash_batch, batch_format="pyarrow", batch_size=None)
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        bk = b.column("content_hash").to_numpy() % np.int64(n_buckets)
-        return b.append_column("bucket", pa.array(bk, pa.int64()))
+    best-scored page). Same two-pass shape as :func:`exact_dedup`;
+    in-bucket the winner falls out of one vectorized stable sort."""
 
     def keep_best(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
             [score_col, id_col], ascending=[False, True], kind="mergesort"
         )
-        return g.drop_duplicates("text", keep="first").drop(
-            columns=["content_hash", "bucket"]
-        )
+        return g.drop_duplicates("text", keep="first").drop(columns=["bucket"])
 
-    return (
-        hashed.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
-        .groupby("bucket")
-        .map_groups(keep_best, batch_format="pandas")
-    )
+    return _two_pass_dedup(docs, keep_best, id_col, n_buckets)
 
 
 def minhash_batch(

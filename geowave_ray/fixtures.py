@@ -48,8 +48,10 @@ SCALES = {
     "sf0.01": dict(pages=100_000, regions=1024, chunks=256),
     "sf0.1": dict(pages=1_000_000, regions=2048, chunks=512),
     # scaling-proof fixture: large enough that the headline join is
-    # compute-bound (~100s CPU), so N vs 4N parallelism separates
-    "sf_scaling": dict(pages=8_000_000, regions=2048, chunks=512),
+    # compute-bound (~100s CPU), so N vs 4N parallelism separates.
+    # ``docs`` is the scaled synthetic corpus for the docs-pipeline
+    # scaling proof (minhash-LSH + two-pass exact dedup at N vs 4N).
+    "sf_scaling": dict(pages=8_000_000, regions=2048, chunks=512, docs=1_000_000),
 }
 ROWS_PER_FILE = 50_000
 
@@ -668,6 +670,110 @@ def gen_raster_chunks_mb(n_chunks: int, bands: int = 2) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+_DOC_VOCAB = [
+    "the", "table", "row", "scan", "fast", "slow", "value", "key", "hash",
+    "part", "agg", "join", "small", "big", "line", "customer", "query",
+    "data", "column", "order", "group", "sort", "window", "batch", "stream",
+    "merge", "filter", "spark", "a", "index", "cache", "disk", "block",
+    "shard", "node", "byte", "page", "token", "graph", "model",
+]
+
+
+def _doc_mix(x: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche (local copy; fixtures stay hashing-
+    library-independent so golden texts never drift)."""
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64, copy=True)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
+    return x
+
+
+def gen_docs_slice(start: int, stop: int, n_total: int) -> pa.Table:
+    """Rows [start, stop) of the synthetic scaled docs corpus, matching
+    the testdata ``documents`` schema (doc_id, text, lang, source,
+    n_chars) with a controlled duplicate structure:
+
+    - docs with ``i % 7 == 3`` are BYTE-IDENTICAL copies of doc i-3
+      (~14% exact-dup rate — web-corpus-ish);
+    - docs with ``i % 11 == 5`` (and not exact dups) are NEAR
+      duplicates: the base text of doc i-5 plus one extra token
+      (high-Jaccard LSH candidates);
+    - everything is a pure function of the row index (seedless,
+      deterministic across slicings)."""
+    i = np.arange(start, stop, dtype=np.int64)
+    is_copy = i % 7 == 3
+    is_near = (i % 11 == 5) & ~is_copy
+    base = np.where(is_copy, np.maximum(i - 3, 0), i)
+    base = np.where(is_near, np.maximum(i - 5, 0), base)
+    n_tok = 20 + (_doc_mix(base.astype(np.uint64)) % np.uint64(80)).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(n_tok)])
+    flat_doc = np.repeat(np.arange(len(i)), n_tok)
+    flat_pos = np.arange(offsets[-1]) - offsets[flat_doc]
+    tok_ids = (
+        _doc_mix((base[flat_doc].astype(np.uint64) << np.uint64(20)) | flat_pos.astype(np.uint64))
+        % np.uint64(len(_DOC_VOCAB))
+    ).astype(np.int64)
+    vocab = np.array(_DOC_VOCAB, dtype=object)
+    words = vocab[tok_ids]
+    texts = [
+        " ".join(words[offsets[d] : offsets[d + 1]]) for d in range(len(i))
+    ]
+    for d in np.nonzero(is_near)[0]:
+        texts[d] = texts[d] + " epsilon"
+    lang_idx = (_doc_mix((i + np.int64(7919)).astype(np.uint64)) % np.uint64(100)).astype(np.int64)
+    lang_pos = np.searchsorted(LANG_CUM, lang_idx, side="right")
+    langs = [LANGS[p] for p in lang_pos]
+    sources = [f"src{k % 37}" for k in i]
+    return pa.table(
+        {
+            "doc_id": pa.array(i, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def _gen_docs_files(n_total: int, out_dir: str) -> None:
+    """Parallel (when Ray is up) generation of the docs corpus, one
+    parquet file per ROWS_PER_FILE slice."""
+    os.makedirs(out_dir, exist_ok=True)
+    slices = [
+        (s, min(s + ROWS_PER_FILE, n_total)) for s in range(0, n_total, ROWS_PER_FILE)
+    ]
+
+    def write_one(start: int, stop: int) -> None:
+        pq.write_table(
+            gen_docs_slice(start, stop, n_total),
+            os.path.join(out_dir, f"part-{start:09d}.parquet"),
+        )
+
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(slices) > 4
+    except Exception:
+        pass
+    if not use_ray:
+        for start, stop in slices:
+            write_one(start, stop)
+        return
+
+    import ray
+
+    @ray.remote
+    def gen_task(start: int, stop: int) -> None:
+        write_one(start, stop)
+
+    ray.get([gen_task.remote(s, e) for s, e in slices])
+
+
 def _fill_new_tables(out: str, cfg: dict) -> None:
     """Write tables added after v3 caches were built (idempotent)."""
     mb = os.path.join(out, "raster_chunks_mb.parquet")
@@ -691,6 +797,12 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
         files, points = gen_gpx_files(max(64, cfg["regions"] // 8))
         pq.write_table(files, gx)
         pq.write_table(points, os.path.join(out, "gpx_points.parquet"))
+    # marker lives BESIDE the docs dir (a non-parquet file inside
+    # would break read_parquet over the directory)
+    if cfg.get("docs") and not os.path.exists(os.path.join(out, "docs_DONE")):
+        _gen_docs_files(cfg["docs"], os.path.join(out, "docs"))
+        with open(os.path.join(out, "docs_DONE"), "w") as f:
+            f.write("ok\n")
 
 
 def ensure_fixtures(sf_dir: str) -> str:

@@ -944,5 +944,7 @@ def test_relational_joins_drop_null_keys(ray_session):
     )
     j = hash_join(left, right, "k", "rk").to_pandas()
     assert list(j["k"]) == [2] and list(j["b"]) == [5]
-    anti = set(anti_join_keys(left, right, "k", "rk").to_pandas()["k"])
-    assert anti == {1, 3}
+    # NOT-EXISTS anti-join semantics: a null left key matches nothing,
+    # so it SURVIVES the anti join (one DISTINCT null row; ADVICE r2).
+    anti = anti_join_keys(left, right, "k", "rk").to_pandas()["k"]
+    assert set(anti.dropna()) == {1, 3} and anti.isna().sum() == 1
