@@ -1743,6 +1743,61 @@ def q_region_query_overlaps(sf_dir: str):
     return _q_region_predicate(sf_dir, "overlaps")
 
 
+def q_region_query_concave(sf_dir: str):
+    """INTERSECTS over CONCAVE (star) regions x convex query polygons
+    through the general-ring predicate kernel (segment-pair tests +
+    even-odd parity — the JTS arbitrary-geometry path the convex SAT
+    kernel could not handle; ``GeomFunction.java:17-35`` over concave
+    inputs). Oracle: inclusive edge-pair orientation tests UNION
+    vertex-parity containment both ways."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geowave_ray.pipelines.spatial_join import polygon_intersects_join
+
+    qt = pq.read_table(f"{_fx(sf_dir)}/queries.parquet")
+    polys = qt.filter(pc.equal(qt["kind"], "polygon"))
+    regions = ray.data.read_parquet(f"{_fx(sf_dir)}/concave_regions.parquet")
+    return polygon_intersects_join(regions, polys)
+
+
+def q_region_query_holed(sf_dir: str):
+    """INTERSECTS over polygon-WITH-HOLE regions x convex query
+    polygons: hole rings are real boundaries (a query polygon entirely
+    inside the hole is DISJOINT). Engine: general-ring predicate with
+    even-odd parity over both rings; oracle: edge tests over the union
+    of both rings' edges + two-way parity."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geowave_ray.pipelines.spatial_join import polygon_intersects_join
+
+    qt = pq.read_table(f"{_fx(sf_dir)}/queries.parquet")
+    polys = qt.filter(pc.equal(qt["kind"], "polygon"))
+    regions = ray.data.read_parquet(f"{_fx(sf_dir)}/holed_regions.parquet")
+    return polygon_intersects_join(regions, polys)
+
+
+def q_region_query_concave_pairs(sf_dir: str):
+    """CONCAVE x CONCAVE intersects self-join (every 4th star as the
+    probe side) — the arbitrary-polygon large-side x small-side areal
+    join; the round-2 convex-only gap closed end-to-end."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geowave_ray.pipelines.spatial_join import polygon_intersects_join
+
+    rt = pq.read_table(f"{_fx(sf_dir)}/concave_regions.parquet")
+    idx = np.arange(rt.num_rows)
+    probe = rt.filter(pa.array(idx % 4 == 0)).select(["region_id", "geometry_wkb"])
+    probe = probe.rename_columns(["query_id", "geometry_wkb"])
+    regions = ray.data.read_parquet(f"{_fx(sf_dir)}/concave_regions.parquet")
+    return polygon_intersects_join(regions, probe)
+
+
 def _q_rect_predicate(sf_dir: str, predicate: str):
     """Boundary-exact DE-9IM predicate join over the lattice-aligned
     grid_rects fixture (GeomEquals/GeomTouches/GeomDisjoint/GeomCovers
@@ -2856,6 +2911,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_features": q_html_features,
         # areal-feature join
         "region_query_intersects": q_region_query_intersects,
+        "region_query_concave": q_region_query_concave,
+        "region_query_holed": q_region_query_holed,
+        "region_query_concave_pairs": q_region_query_concave_pairs,
         # temporal + hex binning
         "pages_by_month": q_pages_by_month,
         "hex_hist": q_hex_hist,
@@ -2973,6 +3031,62 @@ def _sql_wrap_i64(x: str) -> str:
         f"CAST(CASE WHEN ({x}) >= 9223372036854775808::HUGEINT "
         f"THEN ({x}) - {_SQL_MOD} ELSE ({x}) END AS BIGINT)"
     )
+
+
+def _general_intersects_sql(
+    left_sql: str, left_edges: str, right_sql: str, right_edges: str
+) -> str:
+    """ANSI-SQL general-polygon INTERSECTS join oracle: bbox candidate
+    pairs, then inclusive segment-pair orientation tests UNION even-odd
+    vertex-parity containment both ways (exact in general position —
+    mirrors :func:`geowave_ray.geom.general_predicate`). ``left_sql`` /
+    ``right_sql`` select (id, xmin, ymin, xmax, ymax); the id column
+    name is taken from each (first column must be the id)."""
+    lid, rid = "region_id", "query_id"
+    return f"""
+        WITH lr AS ({left_sql}), rr AS ({right_sql}),
+        cand AS (
+          SELECT l.{lid}, r.{rid}
+          FROM lr l JOIN rr r
+            ON l.xmin <= r.xmax AND l.xmax >= r.xmin
+           AND l.ymin <= r.ymax AND l.ymax >= r.ymin
+        ),
+        ecross AS (
+          SELECT DISTINCT c.{lid}, c.{rid}
+          FROM cand c
+          JOIN {left_edges} a ON a.{lid} = c.{lid}
+          JOIN {right_edges} b ON b.{rid} = c.{rid}
+          WHERE ((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1))
+              * ((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) <= 0
+            AND ((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1))
+              * ((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) <= 0
+        ),
+        lvin AS (
+          SELECT c.{lid}, c.{rid}
+          FROM cand c
+          JOIN {left_edges} v ON v.{lid} = c.{lid}
+          JOIN {right_edges} e ON e.{rid} = c.{rid}
+          GROUP BY c.{lid}, c.{rid}, v.x1, v.y1
+          HAVING sum(CASE WHEN (e.y1 > v.y1) <> (e.y2 > v.y1)
+                           AND v.x1 < (e.x2 - e.x1) * (v.y1 - e.y1)
+                                      / NULLIF(e.y2 - e.y1, 0.0) + e.x1
+                     THEN 1 ELSE 0 END) % 2 = 1
+        ),
+        rvin AS (
+          SELECT c.{lid}, c.{rid}
+          FROM cand c
+          JOIN {right_edges} v ON v.{rid} = c.{rid}
+          JOIN {left_edges} e ON e.{lid} = c.{lid}
+          GROUP BY c.{lid}, c.{rid}, v.x1, v.y1
+          HAVING sum(CASE WHEN (e.y1 > v.y1) <> (e.y2 > v.y1)
+                           AND v.x1 < (e.x2 - e.x1) * (v.y1 - e.y1)
+                                      / NULLIF(e.y2 - e.y1, 0.0) + e.x1
+                     THEN 1 ELSE 0 END) % 2 = 1
+        )
+        SELECT {lid}, {rid} FROM ecross
+        UNION SELECT {lid}, {rid} FROM lvin
+        UNION SELECT {lid}, {rid} FROM rvin
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4346,6 +4460,31 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT * FROM (SELECT * FROM sep_r UNION SELECT * FROM sep_q)
         """,
+        # general-polygon INTERSECTS (concave / holed): inclusive
+        # edge-pair orientation tests UNION even-odd vertex parity both
+        # ways — exact in general position (the engine's midpoint
+        # probes are implied: a midpoint strictly inside with both
+        # endpoints outside forces an edge crossing)
+        "region_query_concave": _general_intersects_sql(
+            f"SELECT region_id, xmin, ymin, xmax, ymax FROM {CREGIONS}",
+            CEDGES,
+            f"SELECT query_id, xmin, ymin, xmax, ymax FROM {QUERIES} WHERE kind = 'polygon'",
+            QEDGES,
+        ),
+        "region_query_holed": _general_intersects_sql(
+            f"SELECT region_id, xmin, ymin, xmax, ymax FROM {HREGIONS}",
+            HEDGES,
+            f"SELECT query_id, xmin, ymin, xmax, ymax FROM {QUERIES} WHERE kind = 'polygon'",
+            QEDGES,
+        ),
+        "region_query_concave_pairs": _general_intersects_sql(
+            f"SELECT region_id, xmin, ymin, xmax, ymax FROM {CREGIONS}",
+            CEDGES,
+            f"SELECT region_id AS query_id, xmin, ymin, xmax, ymax FROM {CREGIONS} "
+            "WHERE CAST(substr(region_id, 2) AS INT) % 4 = 0",
+            f"(SELECT region_id AS query_id, x1, y1, x2, y2 FROM {CEDGES} "
+            "WHERE CAST(substr(region_id, 2) AS INT) % 4 = 0)",
+        ),
         "range_join": f"""
             SELECT r.region_id, count(*) AS n
             FROM {PAGES} p JOIN {REGIONS} r

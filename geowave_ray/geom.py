@@ -488,6 +488,200 @@ def convex_predicate(a: np.ndarray, b: np.ndarray, predicate: str) -> bool:
     raise ValueError(f"unknown predicate {predicate!r}")
 
 
+# ---------------------------------------------------------------------------
+# general (concave / holed) polygon x polygon predicates
+# ---------------------------------------------------------------------------
+
+
+def _edges_arr(rings: list[np.ndarray]) -> np.ndarray:
+    """(n_edges, 4) stacked directed edges (x1,y1,x2,y2) over all rings."""
+    rows = []
+    for ring in rings:
+        r = _open_ring(ring)
+        rows.append(
+            np.column_stack([r[:, 0], r[:, 1], np.roll(r[:, 0], -1), np.roll(r[:, 1], -1)])
+        )
+    return np.concatenate(rows, axis=0)
+
+
+def _seg_inter_masks(A: np.ndarray, B: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inclusive and PROPER (strict-crossing) intersection masks for
+    every edge pair — (nA, nB) booleans.
+
+    The orientation-product test is exact for every configuration
+    except all-four-cross-products-zero (collinear lines), which is
+    resolved by 1-D bbox overlap on both axes."""
+    ax1, ay1, ax2, ay2 = (A[:, k][:, None] for k in range(4))
+    bx1, by1, bx2, by2 = (B[:, k][None, :] for k in range(4))
+    d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+    d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+    d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+    d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    incl = (d1 * d2 <= 0) & (d3 * d4 <= 0)
+    collinear = (d1 == 0) & (d2 == 0) & (d3 == 0) & (d4 == 0)
+    if collinear.any():
+        ovl = (
+            (np.maximum(ax1, ax2) >= np.minimum(bx1, bx2))
+            & (np.minimum(ax1, ax2) <= np.maximum(bx1, bx2))
+            & (np.maximum(ay1, ay2) >= np.minimum(by1, by2))
+            & (np.minimum(ay1, ay2) <= np.maximum(by1, by2))
+        )
+        incl = np.where(collinear, ovl, incl)
+    return incl, proper
+
+
+def _points_on_edges(px: np.ndarray, py: np.ndarray, E: np.ndarray) -> np.ndarray:
+    """True per point when it lies ON any edge of ``E`` (exact zero
+    cross product + within the edge's bbox)."""
+    x1, y1, x2, y2 = (E[:, k][None, :] for k in range(4))
+    qx, qy = px[:, None], py[:, None]
+    cross = (x2 - x1) * (qy - y1) - (y2 - y1) * (qx - x1)
+    inbb = (
+        (qx >= np.minimum(x1, x2)) & (qx <= np.maximum(x1, x2))
+        & (qy >= np.minimum(y1, y2)) & (qy <= np.maximum(y1, y2))
+    )
+    return ((cross == 0) & inbb).any(axis=1)
+
+
+def _ring_points_mids(rings: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """All vertices + edge midpoints of every ring (the probe set for
+    strict-interior tests — midpoints catch boundary segments passing
+    through the other polygon's interior between two on-boundary
+    vertices)."""
+    xs, ys = [], []
+    for ring in rings:
+        r = _open_ring(ring)
+        xs.append(r[:, 0])
+        ys.append(r[:, 1])
+        xs.append((r[:, 0] + np.roll(r[:, 0], -1)) * 0.5)
+        ys.append((r[:, 1] + np.roll(r[:, 1], -1)) * 0.5)
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def interior_point(rings: list[np.ndarray]) -> tuple[float, float]:
+    """A point STRICTLY inside a polygon-with-holes: try ear centroids
+    of the exterior ring (one must be interior for a simple polygon
+    unless a hole covers it), then midpoints of vertex pairs, then a
+    coarse bbox grid. Raises if nothing qualifies (degenerate input)."""
+    ext = _open_ring(rings[0])
+    E = _edges_arr(rings)
+    n = len(ext)
+
+    def ok(x: float, y: float) -> bool:
+        px, py = np.array([x]), np.array([y])
+        return bool(
+            pip_rings(px, py, rings)[0] and not _points_on_edges(px, py, E)[0]
+        )
+
+    for i in range(n):
+        cx = (ext[i - 1, 0] + ext[i, 0] + ext[(i + 1) % n, 0]) / 3.0
+        cy = (ext[i - 1, 1] + ext[i, 1] + ext[(i + 1) % n, 1]) / 3.0
+        if ok(cx, cy):
+            return cx, cy
+    for i in range(n):
+        for j in range(i + 2, n):
+            mx = (ext[i, 0] + ext[j, 0]) * 0.5
+            my = (ext[i, 1] + ext[j, 1]) * 0.5
+            if ok(mx, my):
+                return mx, my
+    x0, y0, x1, y1 = ring_bbox(ext)
+    for gx in np.linspace(x0, x1, 23)[1:-1]:
+        for gy in np.linspace(y0, y1, 23)[1:-1]:
+            if ok(float(gx), float(gy)):
+                return float(gx), float(gy)
+    raise ValueError("no interior point found (degenerate polygon)")
+
+
+def general_predicate(
+    a_rings: list[np.ndarray] | np.ndarray,
+    b_rings: list[np.ndarray] | np.ndarray,
+    predicate: str,
+) -> bool:
+    """DE-9IM-style predicate matrix for ARBITRARY simple polygons —
+    concave rings and interior holes included (ring[0] = exterior,
+    ring[1:] = holes; a bare (N,2) array is treated as one exterior
+    ring). The reference's JTS-backed GeomFunction family
+    (``analytics/spark/sparksql/udf/GeomFunction.java:17-35``,
+    ``core/geotime/.../filter/SpatialQueryFilter.java:37-158``).
+
+    Same semantics as :func:`convex_predicate` (boundary-inclusive
+    containment; within == covered_by, contains == covers;
+    crosses == False for area/area):
+
+    - boundary intersection: exact vectorized segment-pair tests
+      (inclusive + proper-crossing variants, collinear overlap exact);
+    - containment A ⊆ B: no proper crossing, every A vertex AND edge
+      midpoint inside-or-on B, no B vertex/midpoint strictly inside A
+      (guards B's hole ring passing through A's interior), and a
+      representative interior point of A strictly inside B (guards A
+      sitting inside a hole of B);
+    - interiors-intersect: any proper crossing, any vertex/midpoint of
+      one strictly inside the other, or either containment.
+
+    Exactness caveat: points lying ON a boundary are detected by exact
+    zero cross products — exact for coordinates where the products are
+    representable (lattice/test fixtures), best-effort for arbitrary
+    floats; a tangential graze whose contact set contains no vertex or
+    edge midpoint of either polygon can misclassify touches vs
+    overlaps (measure-zero configurations; JTS uses exact arithmetic
+    here)."""
+    if isinstance(a_rings, np.ndarray):
+        a_rings = [a_rings]
+    if isinstance(b_rings, np.ndarray):
+        b_rings = [b_rings]
+    if predicate == "crosses":
+        return False  # undefined (False) for area/area in DE-9IM
+    A = _edges_arr(a_rings)
+    B = _edges_arr(b_rings)
+    incl, proper = _seg_inter_masks(A, B)
+    boundary = bool(incl.any())
+    proper_any = bool(proper.any())
+
+    apx, apy = _ring_points_mids(a_rings)
+    bpx, bpy = _ring_points_mids(b_rings)
+    a_par = pip_rings(apx, apy, b_rings)
+    b_par = pip_rings(bpx, bpy, a_rings)
+    a_on = _points_on_edges(apx, apy, B)
+    b_on = _points_on_edges(bpx, bpy, A)
+    a_strict = a_par & ~a_on
+    b_strict = b_par & ~b_on
+
+    inter = boundary or bool(a_strict.any()) or bool(b_strict.any())
+    if predicate == "intersects":
+        return inter
+    if predicate == "disjoint":
+        return not inter
+
+    def contained(
+        p_par: np.ndarray, p_on: np.ndarray, q_strict: np.ndarray,
+        inner: list[np.ndarray], outer: list[np.ndarray],
+    ) -> bool:
+        if proper_any or not np.all(p_par | p_on) or q_strict.any():
+            return False
+        sx, sy = interior_point(inner)
+        px, py = np.array([sx]), np.array([sy])
+        return bool(pip_rings(px, py, outer)[0])
+
+    within = contained(a_par, a_on, b_strict, a_rings, b_rings)
+    contains = contained(b_par, b_on, a_strict, b_rings, a_rings)
+    if predicate in ("within", "covered_by"):
+        return within
+    if predicate in ("contains", "covers"):
+        return contains
+    if predicate == "equals":
+        return within and contains
+    interiors = (
+        proper_any or bool(a_strict.any()) or bool(b_strict.any())
+        or within or contains
+    )
+    if predicate == "touches":
+        return inter and not interiors
+    if predicate == "overlaps":
+        return interiors and not within and not contains
+    raise ValueError(f"unknown predicate {predicate!r}")
+
+
 def clamp_precision(ring: np.ndarray, decimals: int = 6) -> np.ndarray:
     """TWKB-style coordinate precision clamp
     (``core/geotime/.../util/TWKBWriter.java`` /

@@ -302,3 +302,134 @@ def test_grid_rect_predicates(ray_session):
     # the fixture exercises every mode: touches includes both an edge
     # and a corner contact, equals and covers are non-empty
     assert expected("equals") and expected("covers") and expected("touches")
+
+
+# ---------------------------------------------------------------------------
+# general (concave / holed) polygon predicates — VERDICT r2 #3
+# ---------------------------------------------------------------------------
+
+PREDICATES = [
+    "intersects", "disjoint", "within", "contains", "covers",
+    "covered_by", "equals", "touches", "overlaps", "crosses",
+]
+
+
+def _sq(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], float)
+
+
+def test_general_predicate_matches_convex_kernel():
+    """The general-ring kernel must agree with the independent convex
+    SAT/clip kernel on every predicate for random convex pairs."""
+    from geowave_ray.geom import convex_predicate, general_predicate
+
+    rng = np.random.RandomState(7)
+    for trial in range(60):
+        def poly():
+            cx, cy = rng.uniform(-4, 4, 2)
+            r = rng.uniform(0.5, 3.0)
+            k = rng.randint(3, 9)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            return np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+
+        a, b = poly(), poly()
+        for p in PREDICATES:
+            assert general_predicate(a, b, p) == convex_predicate(a, b, p), (
+                trial, p, a, b,
+            )
+
+
+def test_general_predicate_concave_holed_truth_matrix():
+    """Hand-computed DE-9IM truth matrix over concave stars and holed
+    polygons (the configurations the convex kernel cannot decide)."""
+    from geowave_ray.geom import general_predicate as gp
+
+    star = np.array(
+        [[0, 3], [1, 1], [3, 0], [1, -1], [0, -3], [-1, -1], [-3, 0], [-1, 1]],
+        float,
+    )
+    inner = _sq(-0.5, -0.5, 0.5, 0.5)      # strictly inside the star body
+    annulus = [_sq(-4, -4, 4, 4), _sq(-2, -2, 2, 2)]  # holed polygon
+    in_hole = _sq(-1, -1, 1, 1)            # strictly inside the hole
+    fills_hole = _sq(-2, -2, 2, 2)         # exactly fills the hole
+    over_hole = _sq(-3, -3, 3, 3)          # covers hole + part of body
+    body_bar = np.array([[2.5, -3], [3.5, -3], [3.5, 3], [2.5, 3]], float)
+    far = _sq(10, 10, 11, 11)
+
+    cases = {
+        # (A, B): {predicate: expected}
+        ("star", "inner"): dict(intersects=True, contains=True, covers=True,
+                                within=False, overlaps=False, touches=False),
+        ("inner", "star"): dict(within=True, covered_by=True, contains=False),
+        ("star", "far"): dict(disjoint=True, intersects=False),
+        ("annulus", "in_hole"): dict(disjoint=True, intersects=False,
+                                     contains=False),
+        ("annulus", "fills_hole"): dict(touches=True, intersects=True,
+                                        overlaps=False, contains=False),
+        ("fills_hole", "annulus"): dict(within=False, touches=True),
+        ("annulus", "over_hole"): dict(intersects=True, overlaps=True,
+                                       contains=False, touches=False),
+        ("over_hole", "annulus"): dict(within=False, overlaps=True),
+        ("body_bar", "annulus"): dict(within=True, covered_by=True,
+                                      overlaps=False),
+        ("annulus", "body_bar"): dict(contains=True, covers=True),
+        ("annulus", "annulus"): dict(equals=True, within=True, contains=True,
+                                     overlaps=False, touches=False),
+        ("star", "star"): dict(equals=True, intersects=True),
+    }
+    geoms = dict(star=star, inner=inner, annulus=annulus, in_hole=in_hole,
+                 fills_hole=fills_hole, over_hole=over_hole,
+                 body_bar=body_bar, far=far)
+    for (an, bn), expect in cases.items():
+        for pred, want in expect.items():
+            got = gp(geoms[an], geoms[bn], pred)
+            assert got == want, (an, bn, pred, got, want)
+        # crosses is always False for area/area
+        assert gp(geoms[an], geoms[bn], "crosses") is False
+
+
+def test_general_predicate_vs_bruteforce_sampling():
+    """Independent brute-force check of interiors-intersect /
+    containment for random concave pairs: dense-grid even-odd sampling
+    (no shared code path with the predicate kernel's strict-point and
+    crossing logic beyond the elementary parity test)."""
+    from geowave_ray.geom import general_predicate as gp
+    from geowave_ray.geom import pip_raycast
+
+    rng = np.random.RandomState(11)
+
+    def star(cx, cy, r_out, k, phase):
+        ang = phase + np.arange(2 * k) * (np.pi / k)
+        rad = np.where(np.arange(2 * k) % 2 == 0, r_out, r_out * 0.4)
+        return np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+
+    hits = 0
+    for _ in range(40):
+        a = star(rng.uniform(-2, 2), rng.uniform(-2, 2), rng.uniform(1, 3),
+                 rng.randint(4, 8), rng.uniform(0, np.pi))
+        b = star(rng.uniform(-2, 2), rng.uniform(-2, 2), rng.uniform(1, 3),
+                 rng.randint(4, 8), rng.uniform(0, np.pi))
+        # dense sample of the joint bbox
+        x0 = min(a[:, 0].min(), b[:, 0].min())
+        x1 = max(a[:, 0].max(), b[:, 0].max())
+        y0 = min(a[:, 1].min(), b[:, 1].min())
+        y1 = max(a[:, 1].max(), b[:, 1].max())
+        gx, gy = np.meshgrid(np.linspace(x0, x1, 90), np.linspace(y0, y1, 90))
+        px, py = gx.ravel(), gy.ravel()
+        in_a = pip_raycast(px, py, a)
+        in_b = pip_raycast(px, py, b)
+        both = in_a & in_b
+        if both.any():
+            # sampled interior overlap => interiors intersect
+            assert gp(a, b, "intersects"), "sampled overlap but disjoint"
+            assert not gp(a, b, "touches"), "sampled overlap but touches"
+            hits += 1
+        if both.any() and not (in_a & ~in_b).any():
+            # no sampled A-point outside B at this resolution: A should
+            # be within B unless the kernel sees sub-grid protrusion —
+            # only assert the implication that holds exactly:
+            if gp(a, b, "within"):
+                assert gp(b, a, "contains")
+        if gp(a, b, "within"):
+            assert not (in_a & ~in_b).any(), "within but sampled point outside"
+    assert hits >= 5  # the fixture actually exercised overlaps
