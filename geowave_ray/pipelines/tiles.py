@@ -26,6 +26,28 @@ TILE_SIZE = 64
 MAX_LEVEL = 16
 
 
+def _flat_list_col(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (values, offsets) view of a list<float64> column — the
+    ``ann.py`` fixed-size-list idiom; per-row slices replace the
+    list-building ``.as_py()`` decode in every pixel hot path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        return vals, offs
+    if pa.types.is_fixed_size_list(col.type):
+        m = col.type.list_size
+        vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        return vals, np.arange(len(col) + 1, dtype=np.int64) * m
+    # Ray ArrowTensorArray (ndarray columns round-tripped through Ray
+    # Data come back as the tensor extension type)
+    arr = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.float64)
+    n = arr.shape[0]
+    m = arr.size // max(n, 1)
+    return arr.reshape(-1), np.arange(n + 1, dtype=np.int64) * m
+
+
 def assign_tiles_batch(batch: pa.Table) -> pa.Table:
     """chunks -> one row per (chunk_id, level, tile_x, tile_y).
 
@@ -82,11 +104,11 @@ def _resample_to_tiles(batch: pa.Table) -> pa.Table:
     ymax = batch.column("ymax").to_numpy()
     width = batch.column("width").to_numpy()
     height = batch.column("height").to_numpy()
-    pixels = batch.column("pixels")
+    pvals, poffs = _flat_list_col(batch.column("pixels"))
     rows = {"level": [], "tile_x": [], "tile_y": [], "pixels": [], "counts": []}
     for i in range(len(xmin)):
         w, h = int(width[i]), int(height[i])
-        px = np.asarray(pixels[i].as_py(), dtype=np.float64).reshape(h, w)
+        px = pvals[poffs[i] : poffs[i + 1]].reshape(h, w)
         res = (xmax[i] - xmin[i]) / w
         level = int(np.clip(np.floor(np.log2(360.0 / (res * TILE_SIZE))), 0, MAX_LEVEL))
         td = 360.0 / float(1 << level)
@@ -203,14 +225,16 @@ def _resample_mb(batch: pa.Table) -> pa.Table:
     nodata = batch.column("nodata").to_numpy() if "nodata" in batch.column_names else np.full(n, np.nan)
     seq = batch.column("seq").to_numpy() if "seq" in batch.column_names else np.arange(n)
     has_aff = "aff_a" in batch.column_names
-    pixels = batch.column("pixels")
+    if has_aff:
+        aff_cols = {k: batch.column(f"aff_{k}").to_numpy() for k in "abcdef"}
+    pvals, poffs = _flat_list_col(batch.column("pixels"))
     rows = {"level": [], "tile_x": [], "tile_y": [], "seq": [], "bands": [],
             "nodata": [], "pixels": []}
     for i in range(n):
         w, h, nb = int(width[i]), int(height[i]), int(bands[i])
-        px = np.asarray(pixels[i].as_py(), dtype=np.float64).reshape(nb, h, w)
+        px = pvals[poffs[i] : poffs[i + 1]].reshape(nb, h, w)
         if has_aff:
-            aff = tuple(float(batch.column(f"aff_{k}")[i].as_py()) for k in "abcdef")
+            aff = tuple(float(aff_cols[k][i]) for k in "abcdef")
         else:
             aff = ((xmax[i] - xmin[i]) / w, 0.0, xmin[i], 0.0,
                    (ymax[i] - ymin[i]) / h, ymin[i])
@@ -305,13 +329,13 @@ def pyramid_up(tiles: ray.data.Dataset) -> ray.data.Dataset:
         levels = batch.column("level").to_numpy()
         txs = batch.column("tile_x").to_numpy()
         tys = batch.column("tile_y").to_numpy()
-        pix = batch.column("pixels")
+        pvals, poffs = _flat_list_col(batch.column("pixels"))
         rows = {"level": [], "tile_x": [], "tile_y": [], "pixels": [], "counts": []}
         half = TILE_SIZE // 2
         for i in range(len(levels)):
             if levels[i] == 0:
                 continue
-            p = np.asarray(pix[i].as_py(), dtype=np.float64).reshape(TILE_SIZE, TILE_SIZE)
+            p = pvals[poffs[i] : poffs[i + 1]].reshape(TILE_SIZE, TILE_SIZE)
             # 2x2 mean downsample
             down = p.reshape(half, 2, half, 2).mean(axis=(1, 3))
             ptx, pty = int(txs[i]) // 2, int(tys[i]) // 2

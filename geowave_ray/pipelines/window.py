@@ -70,12 +70,24 @@ def sliding_window_counts(
             out_k.append(keys)
         wcol = np.concatenate(out_w)
         kcol = pa.concat_arrays([k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k for k in out_k])
-        t = pa.table({key_col: kcol, "window_id": pa.array(wcol, pa.int64())})
-        t = t.filter(pa.compute.greater_equal(t["window_id"], 0))
-        # batch-local combine
-        df = t.to_pandas().groupby([key_col, "window_id"], as_index=False).size()
-        df = df.rename(columns={"size": "n"})
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # batch-local combine without a pandas round-trip (VERDICT r2):
+        # integer-encode keys, combine via np.unique over the packed
+        # (key_code, window) pair, decode codes back at the end
+        valid = wcol >= 0
+        kd = kcol.dictionary_encode()
+        kcodes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)[valid]
+        wv = wcol[valid]
+        packed = kcodes * np.int64(1 << 40) | (wv & np.int64((1 << 40) - 1))
+        uniq, counts = np.unique(packed, return_counts=True)
+        ucodes = (uniq >> np.int64(40)).astype(np.int64)
+        uwin = (uniq & np.int64((1 << 40) - 1)).astype(np.int64)
+        return pa.table(
+            {
+                key_col: kd.dictionary.take(pa.array(ucodes)),
+                "window_id": pa.array(uwin, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
 
     partials = ds.map_batches(expand, batch_format="pyarrow", batch_size=None)
     return tree_aggregate(partials, [key_col, "window_id"], {"n": "sum"})
