@@ -570,20 +570,23 @@ def q_bbox_temporal(sf_dir: str):
             {"query_id": pa.array(qids, pa.string()), "n": pa.array(ns, pa.int64())}
         )
 
-    from geowave_ray.pipelines.query import read_pages_st_pruned
+    from geowave_ray.pipelines.planner import Catalog, Constraints, plan_read
 
-    # served from the SPATIAL-TEMPORAL composite layout: pruning on
-    # both the bbox cell ranges and the warc_ts bin range
-    ds, _info = read_pages_st_pruned(
-        _ingested_st(sf_dir),
-        list(
-            zip(
-                boxes["xmin"], boxes["ymin"], boxes["xmax"], boxes["ymax"],
-                boxes["t0"], boxes["t1"],
-            )
+    # routed by the index PLANNER (chooseBestIndex role): bbox+time
+    # constraints pick the spatial-temporal composite layout — pruning
+    # on both the bbox cell ranges and the warc_ts bin range
+    ds, _info = plan_read(
+        Constraints(
+            boxes=list(zip(boxes["xmin"], boxes["ymin"], boxes["xmax"], boxes["ymax"])),
+            time=list(zip(boxes["t0"], boxes["t1"])),
+        ),
+        Catalog(
+            spatial_store=_ingested(sf_dir),
+            st_store=_ingested_st(sf_dir),
         ),
         columns=["lon", "lat", "warc_ts"],
     )
+    assert _info["index"] == "spatial_temporal", _info
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("query_id")
@@ -2488,11 +2491,20 @@ def q_url_lookup(sf_dir: str):
     n_rows = SCALES[name]["pages"]
     n_hosts = max(16, n_rows // 1000)
     targets = [f"https://site{i % n_hosts}.example/{i:012d}" for i in range(0, 5000, 500)]
-    ds = ray.data.read_parquet(
-        _url_index(sf_dir),
+    from geowave_ray.pipelines.planner import Catalog, Constraints, plan_read
+
+    # routed by the index planner: a pure attribute point lookup on an
+    # indexed column picks the secondary index (row-group pruned)
+    ds, info = plan_read(
+        Constraints(attr=("url", targets)),
+        Catalog(
+            spatial_store=_ingested(sf_dir),
+            attr_indexes={"url": _url_index(sf_dir)},
+            table_dir=f"{_fx(sf_dir)}/pages",
+        ),
         columns=["url", "lang", "warc_ts"],
-        filter=pc.field("url").isin(targets),
     )
+    assert info["index"] == "attribute", info
     return ds
 
 

@@ -1,0 +1,135 @@
+"""Index planner: route a query's constraints to the best physical
+layout — the ``chooseBestIndex`` role
+(``core/store/.../base/BaseDataStoreUtils.java:1004-1150``: the
+reference ranks each candidate index by how many of its dimensions the
+query constrains, preferring full-coverage matches; attribute/data-id
+lookups short-circuit to the secondary index).
+
+The repo has four physical layouts; the planner picks per query
+instead of callers hard-wiring one (VERDICT r2 #7):
+
+- ``attribute``        — column-sorted parquet secondary index
+                         (``sources/attribute_index.py``): exact/range
+                         lookups on an indexed column.
+- ``spatial_temporal`` — ``st_bucket = time_bin * n_sb + sb`` composite
+                         store: queries constraining BOTH space & time
+                         (and time-only queries — the spatial dimension
+                         degrades to all-buckets, time bins still prune).
+- ``spatial``          — ``cell_bucket`` store: bbox-only constraints
+                         (a time window, if present without the st
+                         store, filters downstream).
+- ``full_scan``        — the raw table.
+
+Every route still applies the exact fine filter downstream, so the
+planner changes I/O, never results.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import ray.data
+
+_WORLD = (-180.0, -90.0, 180.0, 90.0)
+
+
+@dataclass
+class Catalog:
+    """Available physical layouts for one logical table."""
+
+    spatial_store: str | list | None = None
+    st_store: str | None = None
+    st_bias: str = "BALANCED"
+    attr_indexes: dict[str, str] = field(default_factory=dict)
+    table_dir: str | None = None
+
+
+@dataclass
+class Constraints:
+    """Normalized query constraints.
+
+    ``boxes``: list of (xmin, ymin, xmax, ymax); ``time``: one (t0_us,
+    t1_us) half-open window applied to every box, or a LIST of per-box
+    windows aligned with ``boxes``; ``attr``: ("col", values) point
+    lookup or ("col", lo, hi) range."""
+
+    boxes: list[tuple] | None = None
+    time: tuple | list | None = None
+    attr: tuple | None = None
+
+
+def choose_best_index(c: Constraints, cat: Catalog) -> str:
+    """The routing table (ranked like ``chooseBestIndex``)."""
+    spatial = bool(c.boxes)
+    temporal = c.time is not None
+    if c.attr is not None and not spatial and not temporal:
+        if c.attr[0] in cat.attr_indexes:
+            return "attribute"
+        return "full_scan"
+    if spatial and temporal and cat.st_store:
+        return "spatial_temporal"
+    if spatial and cat.spatial_store is not None:
+        return "spatial"
+    if temporal and cat.st_store:
+        return "spatial_temporal"  # time bins prune; spatial dim open
+    return "full_scan"
+
+
+def plan_read(
+    c: Constraints, cat: Catalog, columns=None
+) -> tuple[ray.data.Dataset, dict]:
+    """Route + pruned read. Returns (dataset, info); ``info`` carries
+    the chosen index and its pruning evidence. The returned dataset is
+    a SUPERSET of the constraint (partition/row-group pruned); exact
+    predicates still run downstream, identical for every route."""
+    route = choose_best_index(c, cat)
+    info: dict = {"index": route}
+
+    if route == "attribute":
+        import pyarrow.compute as pc
+
+        from ..sources.attribute_index import row_groups_scanned
+
+        col = c.attr[0]
+        idx_dir = cat.attr_indexes[col]
+        if len(c.attr) == 2:  # point lookup(s)
+            vals = list(c.attr[1])
+            filt = pc.field(col).isin(vals)
+            lo, hi = min(vals), max(vals)
+        else:
+            lo, hi = c.attr[1], c.attr[2]
+            filt = (pc.field(col) >= lo) & (pc.field(col) <= hi)
+        scanned, total = row_groups_scanned(idx_dir, col, lo, hi)
+        info["row_groups_scanned"] = scanned
+        info["row_groups_total"] = total
+        return ray.data.read_parquet(idx_dir, columns=columns, filter=filt), info
+
+    if route == "spatial_temporal":
+        from .query import read_pages_st_pruned
+
+        boxes = c.boxes or [_WORLD]
+        times = c.time if isinstance(c.time, list) else [c.time] * len(boxes)
+        ds, pinfo = read_pages_st_pruned(
+            cat.st_store,
+            [
+                (x0, y0, x1, y1, t0, t1)
+                for (x0, y0, x1, y1), (t0, t1) in zip(boxes, times)
+            ],
+            bias=cat.st_bias,
+            columns=columns,
+        )
+        info.update(pinfo)
+        return ds, info
+
+    if route == "spatial":
+        from .query import read_pages_pruned_multi
+
+        ds, pinfo = read_pages_pruned_multi(
+            cat.spatial_store, list(c.boxes), columns=columns
+        )
+        info.update(pinfo)
+        return ds, info
+
+    if cat.table_dir is None:
+        raise ValueError("full_scan route requires Catalog.table_dir")
+    return ray.data.read_parquet(cat.table_dir, columns=columns), info

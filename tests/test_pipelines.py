@@ -382,3 +382,64 @@ def test_copart_bucket_rule_consistency(ray_session, tmp_path):
     got = set(zip(out["url"], out["region_id"]))
     for i, rid in enumerate(expect):
         assert (f"p{i}", rid) in got
+
+
+def test_index_planner_routing(ray_session, tmp_path):
+    """chooseBestIndex routing table (BaseDataStoreUtils.java:1004-1150
+    role): constraints pick the matching layout; every route is exact
+    after the downstream fine filter."""
+    from geowave_ray.pipelines.planner import (
+        Catalog, Constraints, choose_best_index,
+    )
+
+    cat = Catalog(
+        spatial_store="/s", st_store="/st",
+        attr_indexes={"url": "/u"}, table_dir="/t",
+    )
+    box = [(0.0, 0.0, 1.0, 1.0)]
+    t = (0, 10)
+    assert choose_best_index(Constraints(attr=("url", ["a"])), cat) == "attribute"
+    assert choose_best_index(Constraints(boxes=box, time=t), cat) == "spatial_temporal"
+    assert choose_best_index(Constraints(boxes=box), cat) == "spatial"
+    assert choose_best_index(Constraints(time=t), cat) == "spatial_temporal"
+    assert choose_best_index(Constraints(), cat) == "full_scan"
+    # degraded catalogs fall through the ranking
+    no_st = Catalog(spatial_store="/s", table_dir="/t")
+    assert choose_best_index(Constraints(boxes=box, time=t), no_st) == "spatial"
+    assert choose_best_index(Constraints(time=t), no_st) == "full_scan"
+    no_attr = Catalog(table_dir="/t")
+    assert choose_best_index(Constraints(attr=("url", ["a"])), no_attr) == "full_scan"
+
+
+def test_index_planner_reads(ray_session):
+    """plan_read end-to-end over the sf0.001 stores: the attribute
+    route returns the looked-up rows with row-group pruning evidence;
+    the spatial-temporal route prunes st buckets."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py"
+    )
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+    sf = "/root/testdata/sf0.001"
+    from geowave_ray.pipelines.planner import Catalog, Constraints, plan_read
+
+    cat = Catalog(
+        spatial_store=em._ingested(sf),
+        st_store=em._ingested_st(sf),
+        attr_indexes={"url": em._url_index(sf)},
+        table_dir=f"{em._fx(sf)}/pages",
+    )
+    targets = [f"https://site{i % 16}.example/{i:012d}" for i in range(0, 30, 10)]
+    ds, info = plan_read(Constraints(attr=("url", targets)), cat, columns=["url"])
+    assert info["index"] == "attribute" and info["row_groups_total"] > 0
+    got = sorted(r["url"] for r in ds.take_all())
+    assert got == sorted(targets)
+    ds, info = plan_read(
+        Constraints(boxes=[(0.0, 0.0, 20.0, 20.0)],
+                    time=(1704067200_000_000, 1720000000_000_000)),
+        cat, columns=["lon", "lat", "warc_ts"],
+    )
+    assert info["index"] == "spatial_temporal"
+    assert info["st_buckets_read"] < info["st_buckets_total"]
