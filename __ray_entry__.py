@@ -142,6 +142,128 @@ def _ingested_st(sf_dir: str, bias: str = "BALANCED") -> str:
     return store
 
 
+def _mercator_store(sf_dir: str) -> str:
+    """EPSG:3857-native store of the pages fixture (cached): rows hold
+    web-mercator meters; only the cell index lives in 4326 — the
+    declared-CRS adapter path (``FeatureDataAdapter.java:114-116``,
+    ``GeoWaveCustomCRSSpatialVectorIT.java:85-175``). Pages outside the
+    mercator-valid ±85.05112878° band are excluded (the transform is
+    undefined there; the oracle applies the identical band filter)."""
+    import os
+
+    import ray.data
+
+    from geowave_ray.crs import MERCATOR_MAX_LAT, ingest_xy_crs
+    from geowave_ray.fixtures import FIXTURE_VERSION
+    from geowave_ray.geom import to_web_mercator
+
+    base = _fx(sf_dir)
+    store = os.path.join(base, "mercator_store")
+    marker = store + f"_DONE_{FIXTURE_VERSION}"
+    if not os.path.exists(marker):
+        def to_native(b: pa.Table) -> pa.Table:
+            lat = b.column("lat").to_numpy()
+            keep = np.abs(lat) <= MERCATOR_MAX_LAT
+            b = b.filter(pa.array(keep))
+            x, y = to_web_mercator(
+                b.column("lon").to_numpy(), b.column("lat").to_numpy()
+            )
+            return pa.table(
+                {
+                    "row_id": b.column("row_id"),
+                    "url": b.column("url"),
+                    "x": pa.array(x, pa.float64()),
+                    "y": pa.array(y, pa.float64()),
+                }
+            )
+
+        ds = ray.data.read_parquet(
+            os.path.join(base, "pages"), columns=["row_id", "url", "lon", "lat"]
+        ).map_batches(to_native, batch_format="pyarrow", batch_size=None)
+        ingest_xy_crs(ds, store, "EPSG:3857")
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return store
+
+
+def q_bbox_mercator_store(sf_dir: str):
+    """bbox batch served from the EPSG:3857-NATIVE store: partition
+    pruning in 4326 index space (epsilon-padded superset), exact fine
+    filter in NATIVE meters against the forward-transformed query box
+    (monotone per axis, so the 4326 box maps to an exact native box —
+    no per-point inverse transform). Oracle filters the original 4326
+    lon/lat directly; equivalence is the transform's monotonicity."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from geowave_ray.crs import native_box, read_crs_pruned
+
+    qt = pq.read_table(f"{_fx(sf_dir)}/queries.parquet")
+    qt = qt.filter(pc.equal(qt["kind"], "bbox"))
+    qids = np.asarray(qt["query_id"].to_pylist(), object)
+    boxes = list(
+        zip(
+            qt["xmin"].to_numpy(), qt["ymin"].to_numpy(),
+            qt["xmax"].to_numpy(), qt["ymax"].to_numpy(),
+        )
+    )
+    nboxes = [native_box("EPSG:3857", *b) for b in boxes]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        out_q, out_n = [], []
+        for i, (bx0, by0, bx1, by1) in enumerate(nboxes):
+            n = int(((x >= bx0) & (x <= bx1) & (y >= by0) & (y <= by1)).sum())
+            if n:
+                out_q.append(qids[i])
+                out_n.append(n)
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.string()), "n": pa.array(out_n, pa.int64())}
+        )
+
+    ds = read_crs_pruned(
+        _mercator_store(sf_dir), "EPSG:3857", boxes, columns=["x", "y"]
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("query_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def q_pip_join_mercator(sf_dir: str):
+    """Broadcast PIP join fed from the EPSG:3857-native store: the
+    adapter reprojects each batch to 4326 at the probe (the reference's
+    reproject-at-adapter join), regions stay 4326. Per-region counts;
+    oracle runs the half-plane test on the original lon/lat (round-trip
+    noise is sub-ulp relative to the random fixture geometry)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from geowave_ray.crs import CrsAdapter, MERCATOR_MAX_LAT
+    from geowave_ray.pipelines.spatial_join import broadcast_pip_join
+
+    adapter = CrsAdapter("EPSG:3857")
+
+    def to_4326(b: pa.Table) -> pa.Table:
+        lon, lat = adapter.to_index(b.column("x").to_numpy(), b.column("y").to_numpy())
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        _mercator_store(sf_dir), columns=["url", "x", "y"]
+    ).map_batches(to_4326, batch_format="pyarrow", batch_size=None)
+    pairs = broadcast_pip_join(ds, _regions_table(sf_dir))
+    return pairs.groupby("region_id").aggregate(Count(alias_name="n"))
+
+
 def _url_index(sf_dir: str) -> str:
     """Attribute (secondary) index on url: globally url-sorted parquet
     with small row groups so point/range lookups prune via row-group
@@ -2849,6 +2971,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join_count": q_pip_join_count,
         "pip_join_anti": q_pip_join_anti,
         "pip_join_temporal": q_pip_join_temporal,
+        # declared-CRS adapter path (EPSG:3857-native store)
+        "bbox_mercator_store": q_bbox_mercator_store,
+        "pip_join_mercator": q_pip_join_mercator,
         # spatial queries
         "polygon_queries": q_polygon_queries,
         "bbox_agg": q_bbox_agg,
@@ -3768,6 +3893,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT track_id, region_id
             FROM (SELECT * FROM vin UNION ALL SELECT * FROM scross)
+        """,
+        # CRS path: the engine serves these from the EPSG:3857-native
+        # store (pruning in 4326 index space, fine filter in native
+        # meters); the oracle states the SEMANTICS directly on the
+        # original 4326 coords — agreement rests on the web-mercator
+        # transform's per-axis monotonicity (docstrings at
+        # q_bbox_mercator_store / q_pip_join_mercator)
+        "bbox_mercator_store": f"""
+            SELECT q.query_id, count(*) AS n
+            FROM (SELECT * FROM {QUERIES} WHERE kind = 'bbox') q
+            JOIN {PAGES} p
+              ON p.lon >= q.xmin AND p.lon <= q.xmax
+             AND p.lat >= q.ymin AND p.lat <= q.ymax
+            WHERE abs(p.lat) <= 85.05112878
+            GROUP BY q.query_id
+        """,
+        "pip_join_mercator": f"""
+            WITH mp AS (SELECT url, lon, lat FROM {PAGES}
+                        WHERE abs(lat) <= 85.05112878),
+            pairs AS (
+              SELECT p.url, r.region_id
+              FROM mp p JOIN {REGIONS} r
+                ON p.lon >= r.xmin AND p.lon <= r.xmax
+               AND p.lat >= r.ymin AND p.lat <= r.ymax
+              JOIN {REDGES} e ON e.region_id = r.region_id
+              GROUP BY p.url, r.region_id
+              HAVING bool_and((e.x2 - e.x1) * (p.lat - e.y1)
+                            - (e.y2 - e.y1) * (p.lon - e.x1) >= 0)
+            )
+            SELECT region_id, count(*) AS n FROM pairs GROUP BY region_id
         """,
         "pip_join_count": f"""
             SELECT category, count(*) AS n_pages FROM ({pip_pairs}) GROUP BY category

@@ -443,3 +443,37 @@ def test_index_planner_reads(ray_session):
     )
     assert info["index"] == "spatial_temporal"
     assert info["st_buckets_read"] < info["st_buckets_total"]
+
+
+def test_crs_adapter_store_roundtrip(ray_session, tmp_path):
+    """EPSG:3857-native store: ingest keeps native meters on disk, the
+    pruned read in 4326 index space returns a superset of every query
+    box, and the native fine filter is exact."""
+    import ray.data
+
+    from geowave_ray.crs import (
+        CrsAdapter, ingest_xy_crs, native_box, read_crs_pruned,
+    )
+    from geowave_ray.geom import to_web_mercator
+
+    rng = np.random.RandomState(3)
+    lon = rng.uniform(-179, 179, 4000)
+    lat = rng.uniform(-84, 84, 4000)
+    x, y = to_web_mercator(lon, lat)
+    t = pa.table({"pid": pa.array(np.arange(4000)), "x": pa.array(x), "y": pa.array(y)})
+    store = str(tmp_path / "merc")
+    ingest_xy_crs(ray.data.from_arrow(t).repartition(4), store, "EPSG:3857")
+    import glob as g
+    import os
+    assert g.glob(os.path.join(store, "cell_bucket=*", "*.parquet"))
+    box = (10.0, 10.0, 60.0, 40.0)
+    ds = read_crs_pruned(store, "EPSG:3857", [box], columns=["pid", "x", "y"])
+    got = ds.to_pandas()
+    bx0, by0, bx1, by1 = native_box("EPSG:3857", *box)
+    fine = got[(got.x >= bx0) & (got.x <= bx1) & (got.y >= by0) & (got.y <= by1)]
+    truth = ((lon >= box[0]) & (lon <= box[2]) & (lat >= box[1]) & (lat <= box[3]))
+    assert set(fine.pid) == set(np.nonzero(truth)[0])
+    # adapter inverse is the index projection
+    a = CrsAdapter("EPSG:3857")
+    rlon, rlat = a.to_index(x, y)
+    assert np.allclose(rlon, lon, atol=1e-9) and np.allclose(rlat, lat, atol=1e-9)
