@@ -1795,6 +1795,48 @@ def q_hex_hist(sf_dir: str):
     )
 
 
+def q_icosa_hist(sf_dir: str):
+    """TRUE spherical hex binning: icosahedral gnomonic aperture-7
+    lattice (the published H3 geometry pipeline —
+    ``core/geotime/.../binning/H3BinningHelper.java:41-186`` role; see
+    ``icosa.py`` for the documented id-numbering divergence from Uber
+    H3, whose base-cell tables are unavailable in this env). Count per
+    cell at res 2; the oracle replicates the whole pipeline
+    op-for-op, so ids match BIT-EXACTLY."""
+    from ray.data.aggregate import Count
+
+    from geowave_ray.icosa import icosa_cell_batch
+
+    ds = _pages(sf_dir)
+    return (
+        ds.map_batches(
+            icosa_cell_batch, fn_kwargs=dict(res=2),
+            batch_format="pyarrow", batch_size=None,
+        )
+        .groupby("icosa_cell")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_icosa_encode(sf_dir: str):
+    """Row-level icosahedral cell ids for a deterministic page sample
+    (row_id % 97 == 0) — the direct id-equality check complementing
+    the histogram."""
+    import pyarrow.compute as pc
+
+    from geowave_ray.icosa import icosa_cell_batch
+
+    ds = _pages(sf_dir)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        rid = batch.column("row_id").to_numpy()
+        batch = batch.filter(pa.array(rid % 97 == 0))
+        out = icosa_cell_batch(batch, res=3)
+        return out.select(["row_id", "icosa_cell"])
+
+    return ds.map_batches(enc, batch_format="pyarrow", batch_size=None)
+
+
 def q_pages_by_month(sf_dir: str):
     """Temporal binning (the reference's TemporalBinningStrategy year/
     month bins, core/geotime/.../dimension/TemporalBinningStrategy.java):
@@ -3054,6 +3096,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temporal + hex binning
         "pages_by_month": q_pages_by_month,
         "hex_hist": q_hex_hist,
+        "icosa_hist": q_icosa_hist,     # spherical H3-geometry binning
+        "icosa_encode": q_icosa_encode,
         # binned aggregation + text indexes
         "docs_binned_agg": q_docs_binned_agg,
         "text_search": q_text_search,
@@ -3168,6 +3212,13 @@ def _sql_wrap_i64(x: str) -> str:
         f"CAST(CASE WHEN ({x}) >= 9223372036854775808::HUGEINT "
         f"THEN ({x}) - {_SQL_MOD} ELSE ({x}) END AS BIGINT)"
     )
+
+
+def _icosa_sql(res: int) -> str:
+    """Icosahedral-hex oracle SQL for a CTE ``pts(pid, lon, lat)``."""
+    from geowave_ray.icosa import icosa_sql_expr
+
+    return icosa_sql_expr(res)
 
 
 def _general_intersects_sql(
@@ -4553,6 +4604,22 @@ def oracle_sql() -> dict[str, str]:
             FROM x GROUP BY 1, 2
         """,
         "optimal_count": f"SELECT count(*) AS n FROM {PAGES}",
+        # icosahedral aperture-7 hex binning: the oracle replays the
+        # ENTIRE published-H3-geometry pipeline (face ownership by max
+        # dot over the 20 embedded face rows, gnomonic projection,
+        # per-res rotation/scale, cube rounding) op-for-op — ids match
+        # the engine bit-exactly (icosa.py docstring for the Uber-id
+        # divergence rationale)
+        "icosa_hist": f"""
+            WITH pts AS (SELECT row_id AS pid, lon, lat FROM {PAGES})
+            SELECT cell AS icosa_cell, count(*) AS n
+            FROM ({_icosa_sql(2)}) GROUP BY cell
+        """,
+        "icosa_encode": f"""
+            WITH pts AS (SELECT row_id AS pid, lon, lat FROM {PAGES}
+                         WHERE row_id % 97 = 0)
+            SELECT pid AS row_id, cell AS icosa_cell FROM ({_icosa_sql(3)})
+        """,
         "hex_hist": f"""
             WITH h AS (
               SELECT (1.7320508075688772 / 3.0 * lon - 1.0 / 3.0 * lat) / 2.0 AS hx,

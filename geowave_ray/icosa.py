@@ -1,0 +1,295 @@
+"""Icosahedral aperture-7 hexagonal binning — the H3 geometry model in
+pure numpy (reference behavior:
+``core/geotime/.../binning/H3BinningHelper.java:41-186``, which
+delegates point binning to the published H3 ``geoToH3`` algorithm).
+
+This implements H3's geometric pipeline exactly as published: project
+the point onto the owning icosahedron face by gnomonic projection,
+overlay an aperture-7 hexagonal lattice whose grid rotates by
+``asin(sqrt(3/28))`` (~19.1066°) and shrinks by ``sqrt(7)`` per
+resolution, and round to the nearest hex center with cube rounding.
+
+WHY THE IDS ARE NOT UBER-H3 BIT-COMPATIBLE (documented limitation):
+H3's id layout depends on two large published-but-arbitrary lookup
+tables — the 122-entry base-cell table and the per-face ijk→base-cell
+orientation table — that only exist inside the H3 library, which is
+absent from this environment (no network, no vendored copy; the
+reference merely calls the library). Without those tables the exact
+bit assignment cannot be reproduced, so this module uses a canonical
+DETERMINISTIC numbering instead: faces ordered by (center z, y, x),
+cells packed as ``res | face | axial-q | axial-r``. Ids are stable,
+hierarchical (aperture-7 parent/child via the same lattice math) and
+spatially coherent; cells are face-clipped at icosahedron edges (no
+cross-face pentagon stitching — each point is owned by exactly one
+face, the one whose center it is closest to on the sphere).
+
+Everything is vectorized numpy over coordinate arrays, and the whole
+per-point computation is replicated operation-for-operation in the SQL
+oracle (``icosa_sql_expr``) so DuckDB reproduces the ids bit-exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --- canonical icosahedron ------------------------------------------------
+
+_PHI = (1.0 + np.sqrt(5.0)) / 2.0
+
+
+def _build_icosahedron() -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vertices (12,3), face centers (20,3, unit), and per-face tangent
+    bases ex/ey (20,3). Faces are ordered canonically by center
+    (z, y, x) descending so the numbering is reproducible from this
+    construction alone."""
+    v = []
+    for a in (-1.0, 1.0):
+        for b in (-_PHI, _PHI):
+            v.append((0.0, a, b))
+            v.append((a, b, 0.0))
+            v.append((b, 0.0, a))
+    verts = np.array(sorted(set(v)), dtype=np.float64)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    # faces: vertex triples at minimal pairwise chord distance
+    d = np.linalg.norm(verts[:, None, :] - verts[None, :, :], axis=2)
+    edge = np.min(d[d > 1e-9])
+    adj = np.abs(d - edge) < 1e-9
+    faces = []
+    for i in range(12):
+        for j in range(i + 1, 12):
+            if not adj[i, j]:
+                continue
+            for k in range(j + 1, 12):
+                if adj[i, k] and adj[j, k]:
+                    faces.append((i, j, k))
+    faces = np.array(faces)  # (20, 3)
+    centers = verts[faces].mean(axis=1)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    order = np.lexsort((centers[:, 0], centers[:, 1], -centers[:, 2]))
+    faces, centers = faces[order], centers[order]
+    # tangent basis: ex toward the face's first vertex, ey = n × ex
+    ex = verts[faces[:, 0]] - centers * np.sum(
+        verts[faces[:, 0]] * centers, axis=1, keepdims=True
+    )
+    ex /= np.linalg.norm(ex, axis=1, keepdims=True)
+    ey = np.cross(centers, ex)
+    return verts, centers, ex, ey
+
+
+_VERTS, _CENTERS, _EX, _EY = _build_icosahedron()
+
+# aperture-7 lattice constants (published H3 values)
+_ROT = float(np.arcsin(np.sqrt(3.0 / 28.0)))  # inter-resolution rotation
+_SQRT7 = float(np.sqrt(7.0))
+# res-0 hex size on the gnomonic plane: the face circumradius
+# (tan of the center→vertex angle ≈ 0.7639) over sqrt(7), so a face
+# spans a handful of res-0 cells
+_SIZE0 = 0.76393202250021031 / _SQRT7
+_SQRT3 = float(np.sqrt(3.0))
+_BIAS = 1 << 19  # axial coordinate offset in the packed id
+
+
+def _res_size_cos_sin(res: int) -> tuple[float, float, float]:
+    size = _SIZE0 / (_SQRT7 ** res)
+    ang = -_ROT * res
+    return size, float(np.cos(ang)), float(np.sin(ang))
+
+
+def icosa_cell(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized point → icosahedral hex cell id at ``res``.
+
+    Pipeline (mirrored 1:1 by the SQL oracle): unit vector → owning
+    face (max dot) → gnomonic projection → tangent coords → rotate by
+    ``-res·ROT`` → pointy-top axial coords → cube rounding →
+    ``res | face | (q+B) | (r+B)`` packed int64."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lam = np.radians(lon)
+    phi = np.radians(lat)
+    px = np.cos(phi) * np.cos(lam)
+    py = np.cos(phi) * np.sin(lam)
+    pz = np.sin(phi)
+    dots = (
+        px[:, None] * _CENTERS[:, 0][None, :]
+        + py[:, None] * _CENTERS[:, 1][None, :]
+        + pz[:, None] * _CENTERS[:, 2][None, :]
+    )
+    face = np.argmax(dots, axis=1)
+    d = dots[np.arange(len(face)), face]
+    # gnomonic: q = p/d - c, in the face tangent plane
+    qx = px / d - _CENTERS[face, 0]
+    qy = py / d - _CENTERS[face, 1]
+    qz = pz / d - _CENTERS[face, 2]
+    u = qx * _EX[face, 0] + qy * _EX[face, 1] + qz * _EX[face, 2]
+    v = qx * _EY[face, 0] + qy * _EY[face, 1] + qz * _EY[face, 2]
+    size, c, s = _res_size_cos_sin(res)
+    ur = u * c - v * s
+    vr = u * s + v * c
+    aq = (_SQRT3 / 3.0 * ur - 1.0 / 3.0 * vr) / size
+    ar = (2.0 / 3.0 * vr) / size
+    q_i, r_i = _cube_round(aq, ar)
+    return (
+        (np.int64(res) << np.int64(50))
+        | (face.astype(np.int64) << np.int64(40))
+        | ((q_i + _BIAS).astype(np.int64) << np.int64(20))
+        | (r_i + _BIAS).astype(np.int64)
+    )
+
+
+def _cube_round(aq: np.ndarray, ar: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cube rounding (identical tie rule to the SQL oracle:
+    floor(x + 0.5), half-away-from-negative)."""
+    x = aq
+    z = ar
+    y = -x - z
+    rx = np.floor(x + 0.5)
+    ry = np.floor(y + 0.5)
+    rz = np.floor(z + 0.5)
+    dx = np.abs(rx - x)
+    dy = np.abs(ry - y)
+    dz = np.abs(rz - z)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return rx.astype(np.int64), rz.astype(np.int64)
+
+
+def icosa_unpack(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell >> np.int64(50)
+    face = (cell >> np.int64(40)) & np.int64(0x3FF)
+    q = ((cell >> np.int64(20)) & np.int64(0xFFFFF)) - _BIAS
+    r = (cell & np.int64(0xFFFFF)) - _BIAS
+    return res, face, q, r
+
+
+def icosa_center(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cell id → (lon, lat) of the hex center (inverse pipeline)."""
+    res, face, q, r = icosa_unpack(cell)
+    out_lon = np.empty(len(res), dtype=np.float64)
+    out_lat = np.empty(len(res), dtype=np.float64)
+    for rv in np.unique(res):
+        m = res == rv
+        size, c, s = _res_size_cos_sin(int(rv))
+        x = size * (_SQRT3 * q[m] + _SQRT3 / 2.0 * r[m])
+        y = size * (1.5 * r[m])
+        # un-rotate (inverse of rotation by -res*ROT)
+        u = x * c + y * s
+        v = -x * s + y * c
+        f = face[m]
+        gx = _CENTERS[f, 0] + u * _EX[f, 0] + v * _EY[f, 0]
+        gy = _CENTERS[f, 1] + u * _EX[f, 1] + v * _EY[f, 1]
+        gz = _CENTERS[f, 2] + u * _EX[f, 2] + v * _EY[f, 2]
+        n = np.sqrt(gx * gx + gy * gy + gz * gz)
+        out_lon[m] = np.degrees(np.arctan2(gy, gx))
+        out_lat[m] = np.degrees(np.arcsin(gz / n))
+    return out_lon, out_lat
+
+
+def icosa_parent(cell: np.ndarray) -> np.ndarray:
+    """Aperture-7 parent: re-bin the exact cell center at res-1 (the
+    center of a child hex is interior to exactly one parent hex except
+    on lattice boundaries, where the cube-rounding tie rule decides
+    deterministically)."""
+    res, _, _, _ = icosa_unpack(cell)
+    lon, lat = icosa_center(cell)
+    out = np.empty(len(res), dtype=np.int64)
+    for rv in np.unique(res):
+        m = res == rv
+        out[m] = icosa_cell(lon[m], lat[m], int(rv) - 1)
+    return out
+
+
+# --- SQL oracle -----------------------------------------------------------
+
+
+def icosa_faces_sql_values() -> str:
+    """The 20 faces as a SQL VALUES list (full-precision literals):
+    (face, cx, cy, cz, exx, exy, exz, eyx, eyy, eyz)."""
+    rows = []
+    for i in range(20):
+        vals = [repr(float(x)) for x in (*_CENTERS[i], *_EX[i], *_EY[i])]
+        rows.append(f"({i}, {', '.join(vals)})")
+    return ",\n             ".join(rows)
+
+
+def icosa_sql_expr(res: int, lon_col: str = "lon", lat_col: str = "lat") -> str:
+    """DuckDB SQL producing the identical packed cell id per row of a
+    relation ``pts`` with columns (``pid``, ``lon_col``, ``lat_col``;
+    ``pid`` unique per row so duplicate coordinates survive) — every
+    arithmetic op in the same order as :func:`icosa_cell`, constants
+    embedded as full-precision literals, rounding via floor(x+0.5) on
+    both sides. Yields a relation (pid, lon, lat, cell)."""
+    size, c, s = _res_size_cos_sin(res)
+    faces = icosa_faces_sql_values()
+    return f"""
+        WITH faces(face, cx, cy, cz, exx, exy, exz, eyx, eyy, eyz) AS (
+          VALUES {faces}
+        ),
+        pvec AS (
+          SELECT pid, {lon_col} AS lon, {lat_col} AS lat,
+                 cos(radians({lat_col})) * cos(radians({lon_col})) AS px,
+                 cos(radians({lat_col})) * sin(radians({lon_col})) AS py,
+                 sin(radians({lat_col})) AS pz
+          FROM pts
+        ),
+        owned AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY pid
+                   ORDER BY (px * cx + py * cy + pz * cz) DESC, face ASC
+                 ) AS rk,
+                 (px * cx + py * cy + pz * cz) AS d
+          FROM pvec CROSS JOIN faces
+        ),
+        proj AS (
+          SELECT pid, face, lon, lat,
+                 ((px / d - cx) * exx + (py / d - cy) * exy + (pz / d - cz) * exz) AS u,
+                 ((px / d - cx) * eyx + (py / d - cy) * eyy + (pz / d - cz) * eyz) AS v
+          FROM owned WHERE rk = 1
+        ),
+        ax AS (
+          SELECT pid, face, lon, lat,
+                 (({_SQRT3!r} / 3.0 * (u * {c!r} - v * {s!r}))
+                  - (1.0 / 3.0 * (u * {s!r} + v * {c!r}))) / {size!r} AS aq,
+                 (2.0 / 3.0 * (u * {s!r} + v * {c!r})) / {size!r} AS ar
+          FROM proj
+        ),
+        rounded AS (
+          SELECT pid, face, lon, lat, aq, ar,
+                 floor(aq + 0.5) AS rx,
+                 floor((-aq - ar) + 0.5) AS ry,
+                 floor(ar + 0.5) AS rz
+          FROM ax
+        ),
+        fixed AS (
+          SELECT pid, face, lon, lat,
+                 CASE WHEN abs(rx - aq) > abs(ry - (-aq - ar))
+                       AND abs(rx - aq) > abs(rz - ar)
+                      THEN -ry - rz ELSE rx END AS qi,
+                 CASE WHEN NOT (abs(rx - aq) > abs(ry - (-aq - ar))
+                                AND abs(rx - aq) > abs(rz - ar))
+                       AND abs(rz - ar) > abs(ry - (-aq - ar))
+                      THEN -(CASE WHEN abs(rx - aq) > abs(ry - (-aq - ar))
+                                   AND abs(rx - aq) > abs(rz - ar)
+                                  THEN -ry - rz ELSE rx END) - ry
+                      ELSE rz END AS ri
+          FROM rounded
+        )
+        SELECT pid, lon, lat,
+               (CAST({res} AS BIGINT) << 50)
+             | (CAST(face AS BIGINT) << 40)
+             | (CAST(qi + {_BIAS} AS BIGINT) << 20)
+             |  CAST(ri + {_BIAS} AS BIGINT) AS cell
+        FROM fixed
+    """
+
+
+def icosa_cell_batch(batch, res: int, lon_col: str = "lon", lat_col: str = "lat"):
+    """map_batches stage: append the ``icosa_cell`` id column."""
+    import pyarrow as pa
+
+    cell = icosa_cell(
+        batch.column(lon_col).to_numpy(), batch.column(lat_col).to_numpy(), res
+    )
+    return batch.append_column("icosa_cell", pa.array(cell, pa.int64()))
