@@ -557,12 +557,24 @@ def q_pip_join_copart(sf_dir: str):
 
 
 def q_pip_join_cogroup(sf_dir: str):
+    """Cogroup join with the point side fed PRE-BUCKETED from the
+    ingested store: only region cell/geometry rows move (ray.put
+    per-bucket states); points join map-side in place. The unaligned
+    both-sides-exchange fallback (``cogroup_pip_join``) stays for
+    non-ingested inputs and is pytest-equivalence-checked."""
+    import glob
+    import os
+
     import ray.data
 
-    from geowave_ray.pipelines.spatial_join import cogroup_pip_join
+    from geowave_ray.pipelines.spatial_join import cogroup_pip_join_from_store
 
+    store = _ingested(sf_dir)
+    files = sorted(
+        glob.glob(os.path.join(store, "group=*", "cell_bucket=*", "*.parquet"))
+    )
     regions = ray.data.read_parquet(f"{_fx(sf_dir)}/regions.parquet")
-    return cogroup_pip_join(_pages(sf_dir), regions)
+    return cogroup_pip_join_from_store(files, regions)
 
 
 def q_pip_join_count(sf_dir: str):

@@ -477,3 +477,35 @@ def test_crs_adapter_store_roundtrip(ray_session, tmp_path):
     a = CrsAdapter("EPSG:3857")
     rlon, rlat = a.to_index(x, y)
     assert np.allclose(rlon, lon, atol=1e-9) and np.allclose(rlat, lat, atol=1e-9)
+
+
+def test_cogroup_store_path_matches_unaligned(ray_session):
+    """The store-fed cogroup plan (points map-side, only region rows
+    move) and the unaligned both-sides-exchange fallback produce the
+    identical pair set."""
+    import importlib.util
+
+    import ray.data
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py"
+    )
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+    sf = "/root/testdata/sf0.001"
+    import glob
+    import os
+
+    from geowave_ray.pipelines.spatial_join import (
+        cogroup_pip_join, cogroup_pip_join_from_store,
+    )
+
+    store = em._ingested(sf)
+    files = sorted(
+        glob.glob(os.path.join(store, "group=*", "cell_bucket=*", "*.parquet"))
+    )
+    regions = ray.data.read_parquet(f"{em._fx(sf)}/regions.parquet")
+    a = cogroup_pip_join_from_store(files, regions).to_pandas()
+    regions2 = ray.data.read_parquet(f"{em._fx(sf)}/regions.parquet")
+    b = cogroup_pip_join(em._pages(sf), regions2).to_pandas()
+    assert set(zip(a.url, a.region_id)) == set(zip(b.url, b.region_id))
