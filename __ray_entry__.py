@@ -2840,6 +2840,40 @@ def q_wkt_export(sf_dir: str):
     return _pages(sf_dir).map_batches(to_wkt, batch_format="pyarrow", batch_size=None)
 
 
+def q_twkb_export(sf_dir: str):
+    """TWKB export roundtrip (TWKBWriter/TWKBReader role,
+    ``core/geotime/.../util/TWKBWriter.java`` — the reference's compact
+    geometry serialization; its tests hash centroids after a TWKB
+    round trip, ``TestUtils.java:544-550``): geotagged points ->
+    vectorized TWKB POINT encode at precision 5 -> vectorized decode.
+    The decoded coordinates are the precision-quantized values
+    ``floor(v * 1e5 + 0.5) / 1e5``, replicated exactly in the SQL
+    oracle — proving the varint/zigzag/delta byte layout round-trips
+    losslessly at the declared precision."""
+    from geowave_ray.twkb import decode_point_column, encode_point_column
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        enc = encode_point_column(
+            batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False),
+            precision=5,
+        )
+        x, y = decode_point_column(enc, precision=5)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "lon5": pa.array(x, pa.float64()),
+                "lat5": pa.array(y, pa.float64()),
+                "twkb_bytes": pa.array(
+                    np.diff(np.frombuffer(enc.buffers()[1], np.int32, len(enc) + 1)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _pages(sf_dir).map_batches(roundtrip, batch_format="pyarrow", batch_size=None)
+
+
 def q_wkb_stats(sf_dir: str):
     """WKB decode verification (GeoTools vector format parse role):
     per-region vertex count + exact coordinate envelope from the
@@ -3121,6 +3155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vector export sink roundtrip
         "vector_export": q_vector_export,
         "wkt_export": q_wkt_export,
+        "twkb_export": q_twkb_export,
         "wkb_stats": q_wkb_stats,
         # CQL bridge
         "cql_filter": q_cql_filter,
@@ -4774,6 +4809,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT url,
                    'POINT (' || printf('%.10g', lon) || ' ' || printf('%.10g', lat) || ')' AS wkt
             FROM {PAGES}
+        """,
+        # TWKB roundtrip: decoded coords are the round-half-up quantized
+        # values; twkb_bytes = 2 header bytes + one varint per axis of
+        # the zigzag-encoded scaled int (threshold CASE = exact varint
+        # byte count, no float log)
+        "twkb_export": f"""
+            WITH z AS (
+                SELECT url,
+                       CAST(floor(lon * 100000 + 0.5) AS BIGINT) AS ix,
+                       CAST(floor(lat * 100000 + 0.5) AS BIGINT) AS iy
+                FROM {PAGES}
+            ), zz AS (
+                SELECT url, ix, iy,
+                       CASE WHEN ix >= 0 THEN 2*ix ELSE -2*ix - 1 END AS zx,
+                       CASE WHEN iy >= 0 THEN 2*iy ELSE -2*iy - 1 END AS zy
+                FROM z
+            )
+            SELECT url,
+                   ix / 100000.0 AS lon5,
+                   iy / 100000.0 AS lat5,
+                   2 + (CASE WHEN zx < 128 THEN 1 WHEN zx < 16384 THEN 2
+                             WHEN zx < 2097152 THEN 3 WHEN zx < 268435456 THEN 4
+                             ELSE 5 END)
+                     + (CASE WHEN zy < 128 THEN 1 WHEN zy < 16384 THEN 2
+                             WHEN zy < 2097152 THEN 3 WHEN zy < 268435456 THEN 4
+                             ELSE 5 END) AS twkb_bytes
+            FROM zz
         """,
         # WKB decode stats: vertex count (= edges + 1 closing point) and
         # exact envelope, rebuilt from the independent edge table
