@@ -1432,6 +1432,61 @@ def q_docs_clusters_exact(sf_dir: str):
     return connected_components(pairs)
 
 
+def q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the eval-overlap filter of published
+    LLM-corpus pipelines): drop every corpus doc sharing ANY word
+    4-gram with the held-out eval slice (docs with doc_id % 10 == 0).
+    The eval side is small by definition, so its distinct n-gram hash
+    set broadcasts once (ray.put, worker-cached) and the corpus streams
+    through ONE vectorized searchsorted filter — no shuffle
+    (dedup.decontaminate)."""
+    import pyarrow.parquet as pq
+
+    from geowave_ray.dedup import decontaminate
+
+    bt = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).combine_chunks()
+    bids = bt.column("doc_id").to_numpy()
+    bench_texts = bt.filter(pa.array(bids % 10 == 0)).column("text")
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def corpus(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy()
+        return b.filter(pa.array(did % 10 != 0))
+
+    ds = ds.map_batches(corpus, batch_format="pyarrow", batch_size=None)
+    return decontaminate(ds, bench_texts, n=4).select_columns(["doc_id"])
+
+
+def q_docs_quota_sample(sf_dir: str):
+    """Per-domain quota sample (cap k=3 pages per domain — the
+    per-source cap of published web-corpus curation): vectorized host
+    extraction, per-block local top-k prune, ONE bounded bucket
+    exchange, in-group lexsort rank. Deterministic by
+    (hash64(url) >> 1, url) so every parallelism level yields the same
+    sample (text.quota_sample_per_key)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from geowave_ray.text import quota_sample_per_key
+    from geowave_ray.util import read_blocks
+
+    def dom(batch: pa.Table) -> pa.Table:
+        st = pc.extract_regex(
+            batch.column("url"), r"^[a-z]+://(?P<host>[^/]+)"
+        ).combine_chunks()
+        return pa.table({"domain": st.field("host"), "url": batch.column("url")})
+
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/pages", columns=["url"], override_num_blocks=read_blocks()
+    )
+    ds = ds.map_batches(dom, batch_format="pyarrow", batch_size=None)
+    return quota_sample_per_key(ds, key_col="domain", k=3, id_col="url")
+
+
 def q_events_window(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -3090,6 +3145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_jaccard_exact": q_docs_jaccard_exact,
         "docs_clusters_exact": q_docs_clusters_exact,
+        "docs_decontaminate": q_docs_decontaminate,
+        "docs_quota_sample": q_docs_quota_sample,
         # events / relational
         "events_window": q_events_window,
         "lineitem_agg": q_lineitem_agg,
@@ -4385,6 +4442,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS doc_id, min(lab) AS cluster FROM rr GROUP BY u
         """,
+        # engine compares 64-bit token-chain hashes, SQL the n-gram
+        # strings themselves (tokens are space-free so the join key is
+        # unambiguous); equal whp — same convention as the jaccard oracles
+        "docs_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(str_split(text, ' '), t -> t <> '') AS tk
+              FROM documents
+            ), bi AS (
+              SELECT doc_id, tk, unnest(range(1, len(tk) - 2)) AS i
+              FROM toks WHERE len(tk) >= 4
+            ), grams AS (
+              SELECT doc_id,
+                     list_aggregate(tk[i:i+3], 'string_agg', ' ') AS g
+              FROM bi
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0
+            ), contaminated AS (
+              SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)
+              WHERE doc_id % 10 <> 0
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id % 10 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        # rank order replicates hash_utf8(url) >> 1 bit-exactly in
+        # HUGEINT (same chain as the sketch oracles), then url tiebreak
+        "docs_quota_sample": _sql_chain(
+            f"SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain, url "
+            f"FROM {PAGES}",
+            _sql_hash_utf8_steps("url", "h", "q"),
+            "SELECT domain, rank, url FROM ("
+            "SELECT domain, url, row_number() OVER ("
+            "PARTITION BY domain ORDER BY h // 2, url) AS rank "
+            "FROM $LAST) WHERE rank <= 3",
+        ),
         "events_window": """
             SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,
                    count(*) AS n, min(value) AS vmin, max(value) AS vmax

@@ -1164,3 +1164,62 @@ def ngram_jaccard_allpairs(
         part = docs.map_batches(pairs, batch_format="pyarrow", batch_size=None)
         out = part if out is None else out.union(part)
     return out
+
+
+def ngram_hashes(
+    texts: pa.Array | pa.ChunkedArray, n: int = 8
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """STRICT word-n-gram chain hashes: unlike ``_batch_shingles``,
+    docs with fewer than ``n`` tokens emit NOTHING (a doc with no
+    8-grams cannot overlap a benchmark 8-gram). Returns
+    ``(hash: uint64, doc_idx: int64, n_docs)``."""
+    th, doc, n_tokens = tokenize_hash(texts)
+    n_docs = len(n_tokens)
+    m = len(th) - (n - 1)
+    if m <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), n_docs
+    acc = th[:m].copy()
+    for j in range(1, n):
+        acc = mix64(acc) ^ th[j : j + m]
+    valid = doc[:m] == doc[n - 1 : n - 1 + m]
+    return mix64(acc[valid]), doc[:m][valid], n_docs
+
+
+def decontaminate(
+    docs: ray.data.Dataset,
+    benchmark_texts: pa.Array | pa.ChunkedArray,
+    n: int = 8,
+    text_col: str = "text",
+    invert: bool = False,
+) -> ray.data.Dataset:
+    """Benchmark decontamination — the training-data-pipeline op that
+    drops every document sharing ANY word ``n``-gram with a held-out
+    benchmark/eval set (the contamination filter of the published
+    LLM-corpus pipelines; complements the dedup family — reference
+    parallel: index-level DedupeFilter semantics applied across two
+    datasets).
+
+    Scale shape: the benchmark side is SMALL by definition (an eval
+    set), so its distinct n-gram hash set is built once on the driver,
+    ``ray.put`` once, and worker-cached — the corpus streams through a
+    single vectorized ``map_batches`` filter with NO shuffle. Per batch
+    the check is one ``searchsorted`` against the sorted benchmark
+    array (O(G log B)). ``invert=True`` returns the contaminated docs
+    instead (audit mode)."""
+    from .util import cached_state
+
+    bh, _, _ = ngram_hashes(benchmark_texts, n)
+    bench = np.unique(bh)
+    ref = ray.put(bench)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        b = cached_state(("decon", ref.hex()), ref)
+        sh, didx, n_docs = ngram_hashes(batch.column(text_col), n)
+        pos = np.searchsorted(b, sh)
+        pos_c = np.minimum(pos, max(len(b) - 1, 0))
+        hit = (pos < len(b)) & (b[pos_c] == sh) if len(b) else np.zeros(len(sh), bool)
+        bad = np.zeros(n_docs, bool)
+        bad[didx[hit]] = True
+        return batch.filter(pa.array(bad if invert else ~bad))
+
+    return docs.map_batches(filt, batch_format="pyarrow", batch_size=None)

@@ -430,3 +430,74 @@ def tfidf_topk(ds, k: int = 3, decimals: int = 6):
         )
 
     return ds.map_batches(topk, batch_format="pyarrow", batch_size=None)
+
+
+def quota_sample_per_key(
+    ds,
+    key_col: str,
+    k: int = 5,
+    id_col: str = "url",
+    n_buckets: int = 64,
+):
+    """Per-key quota sampling — cap the corpus at ``k`` documents per
+    key (the per-domain cap of published web-corpus curation
+    pipelines). Deterministic: within a key, rows rank by
+    ``(hash64(id), id)`` so the sample is stable across runs and
+    parallelism levels.
+
+    Scale shape: stage 1 prunes every block to its LOCAL top-k per key
+    (one vectorized lexsort + run-length rank — no Python loop), so at
+    most ``k`` rows per (key, block) enter the exchange; stage 2 is one
+    bounded bucket groupby (key-hash mod ``n_buckets``) whose in-group
+    final rank is again a single lexsort. No global funnel — unlike
+    ``agg.grouped_topk`` (kNN-shaped, repartition(1) merge), this stays
+    distributed when keys number in the millions.
+
+    Output columns: ``[key_col, 'rank', id_col]``, rank 1..k.
+    """
+    from .hashing import hash_utf8
+
+    def _ranked_prune(t: pa.Table, cap: int) -> pa.Table:
+        key = t.column(key_col).combine_chunks().dictionary_encode()
+        codes = key.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        srt = pa.table(
+            {"c": pa.array(codes), "h": t.column("_hkey"), "i": t.column(id_col)}
+        )
+        order = pc.sort_indices(
+            srt,
+            sort_keys=[("c", "ascending"), ("h", "ascending"), ("i", "ascending")],
+        ).to_numpy()
+        sc = codes[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        rank = np.arange(len(sc)) - np.repeat(starts, np.diff(np.r_[starts, len(sc)]))
+        keep_mask = rank < cap
+        out = t.take(pa.array(order[keep_mask]))
+        return out.append_column(
+            "rank", pa.array((rank[keep_mask] + 1).astype(np.int64))
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = (hash_utf8(b.column(id_col)) >> np.uint64(1)).astype(np.int64)
+        kh = (hash_utf8(b.column(key_col)) % np.uint64(n_buckets)).astype(np.int64)
+        t = pa.table(
+            {
+                key_col: b.column(key_col),
+                id_col: b.column(id_col),
+                "_hkey": pa.array(h, pa.int64()),
+                "_bucket": pa.array(kh, pa.int64()),
+            }
+        )
+        return _ranked_prune(t, k).drop_columns(["rank"])
+
+    def final(g: pa.Table) -> pa.Table:
+        out = _ranked_prune(g, k)
+        return out.select([key_col, "rank", id_col])
+
+    # coalesce before the bucketed exchange (per-block scheduling
+    # overhead dominates tiny blocks — NOTES_r2)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(16)
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pyarrow")
+    )

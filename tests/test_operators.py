@@ -948,3 +948,85 @@ def test_relational_joins_drop_null_keys(ray_session):
     # so it SURVIVES the anti join (one DISTINCT null row; ADVICE r2).
     anti = anti_join_keys(left, right, "k", "rk").to_pandas()["k"]
     assert set(anti.dropna()) == {1, 3} and anti.isna().sum() == 1
+
+
+def test_decontaminate_vs_bruteforce(ray_session):
+    import ray.data
+
+    from geowave_ray.dedup import decontaminate
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    corpus = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(2, 20))))
+        for _ in range(120)
+    ]
+    bench = [" ".join(rng.choice(vocab, size=12)) for _ in range(10)]
+    # plant real contamination: some corpus docs embed a benchmark span
+    for i in range(0, 120, 17):
+        span = bench[i % len(bench)].split()[2:2 + 4]
+        corpus[i] = corpus[i] + " " + " ".join(span)
+
+    n = 4
+
+    def grams(t: str) -> set:
+        tk = [w for w in t.split(" ") if w]
+        return {tuple(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+
+    bset = set().union(*(grams(b) for b in bench))
+    expected = {i for i, t in enumerate(corpus) if not (grams(t) & bset)}
+    assert expected and len(expected) < len(corpus)  # both classes present
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                  "text": pa.array(corpus)})
+    ).repartition(6)
+    got = set(decontaminate(ds, pa.array(bench), n=n).to_pandas()["doc_id"])
+    assert got == expected
+    # audit mode returns exactly the complement
+    bad = set(
+        decontaminate(ds, pa.array(bench), n=n, invert=True)
+        .to_pandas()["doc_id"]
+    )
+    assert bad == set(range(120)) - expected
+    # a doc shorter than n tokens can never be contaminated
+    short = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([bench[0].rsplit(" ", 10)[0]])})
+    )
+    assert decontaminate(short, pa.array(bench), n=12).count() == 1
+
+
+def test_quota_sample_per_key(ray_session):
+    import ray.data
+
+    from geowave_ray.hashing import hash_utf8
+    from geowave_ray.text import quota_sample_per_key
+
+    rng = np.random.default_rng(11)
+    keys = [f"dom{int(rng.integers(0, 9))}" for _ in range(400)]
+    ids = [f"u{i:04d}" for i in range(400)]
+    t = pa.table({"domain": pa.array(keys), "url": pa.array(ids)})
+    k = 3
+
+    got = quota_sample_per_key(
+        ray.data.from_arrow(t).repartition(8), "domain", k=k, id_col="url"
+    ).to_pandas()
+
+    # brute force: rank by (hash64(url) >> 1 as int64, url) within key
+    h = (hash_utf8(t["url"]) >> np.uint64(1)).astype(np.int64)
+    df = pd.DataFrame({"domain": keys, "url": ids, "h": h})
+    df = df.sort_values(["domain", "h", "url"], kind="mergesort")
+    df["rank"] = df.groupby("domain").cumcount() + 1
+    exp = df[df["rank"] <= k][["domain", "rank", "url"]]
+
+    a = got.sort_values(["domain", "rank"]).reset_index(drop=True)
+    b = exp.sort_values(["domain", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["domain", "rank", "url"]], b)
+
+    # parallelism-invariant: 1 block and 8 blocks agree exactly
+    got1 = quota_sample_per_key(
+        ray.data.from_arrow(t).repartition(1), "domain", k=k, id_col="url"
+    ).to_pandas().sort_values(["domain", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["domain", "rank", "url"]],
+                                  got1[["domain", "rank", "url"]])
