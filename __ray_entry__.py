@@ -1487,6 +1487,31 @@ def q_docs_quota_sample(sf_dir: str):
     return quota_sample_per_key(ds, key_col="domain", k=3, id_col="url")
 
 
+def q_docs_pack_shards(sf_dir: str):
+    """Token-budget shard packing (GPT-style sequence packing):
+    concatenate documents in doc_id order, cut every 256 tokens; a
+    doc's shard is the cut its first token falls into. Distributed
+    prefix scan — per-id-range-bucket token totals become broadcast
+    offsets, then ONE bounded bucket exchange finalizes the in-bucket
+    cumulative sums (text.pack_token_shards)."""
+    from geowave_ray.text import pack_token_shards
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_token_shards(ds, budget=256)
+
+
+def q_docs_perplexity(sf_dir: str):
+    """Corpus-unigram LM scoring (the perplexity-filter role of
+    published web-corpus pipelines): nll = -mean log2 p(token) under
+    the corpus's own unigram distribution. Vocabulary-bounded count
+    exchange, (hash -> count) table broadcast once, corpus streams
+    through one searchsorted lookup pass (text.unigram_logprob)."""
+    from geowave_ray.text import unigram_logprob
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_logprob(ds)
+
+
 def q_events_window(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -3147,6 +3172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clusters_exact": q_docs_clusters_exact,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_quota_sample": q_docs_quota_sample,
+        "docs_pack_shards": q_docs_pack_shards,
+        "docs_perplexity": q_docs_perplexity,
         # events / relational
         "events_window": q_events_window,
         "lineitem_agg": q_lineitem_agg,
@@ -4478,6 +4505,36 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY domain ORDER BY h // 2, url) AS rank "
             "FROM $LAST) WHERE rank <= 3",
         ),
+        # shard = exclusive running token count // budget over doc_id
+        # order — the SQL window IS the prefix scan the engine
+        # distributes via bucket offsets
+        "docs_pack_shards": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(str_split(text, ' '), x -> x <> '')) AS n
+              FROM documents
+            )
+            SELECT doc_id, n AS n_tokens,
+                   CAST((sum(n) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n) // 256
+                        AS BIGINT) AS shard_id
+            FROM t
+        """,
+        # engine aggregates per token HASH, SQL per token string —
+        # equal whp (same convention as the jaccard/sketch oracles);
+        # nll rounded to 6 decimals on both sides (IEEE double log2)
+        "docs_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS tok
+              FROM documents
+            ), cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            tot AS (SELECT sum(c) AS n FROM cnt)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(-avg(log2(c * 1.0 / n)), 6) AS nll
+            FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
         "events_window": """
             SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,
                    count(*) AS n, min(value) AS vmin, max(value) AS vmax

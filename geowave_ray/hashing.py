@@ -69,7 +69,11 @@ def poly_hash_segments(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     pw = _powers(int(lens.max()))
     with np.errstate(**_ERRSTATE):
         contrib = (seg + np.uint64(1)) * pw[exp]
-        sums = np.add.reduceat(contrib, np.minimum(starts, len(seg) - 1))
+        # sentinel zero so segment starts AT the buffer end (trailing
+        # empty strings) are valid reduceat indices — clamping them to
+        # len-1 instead would truncate the PRECEDING segment's range
+        contrib = np.concatenate([contrib, np.zeros(1, dtype=np.uint64)])
+        sums = np.add.reduceat(contrib, starts)
     sums[lens == 0] = 0  # reduceat yields a spurious value for empty segments
     return mix64(sums ^ mix64(lens.astype(np.uint64)))
 

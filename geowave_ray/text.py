@@ -230,10 +230,13 @@ def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
         start = np.ones(len(seg), dtype=bool)
         start[1:] = cls[1:] != cls[:-1]
         doc_starts = (offsets[:-1] - lo).astype(np.int64)
-        start[np.minimum(doc_starts, len(seg) - 1)] = True
+        start[doc_starts[doc_starts < len(seg)]] = True
         tok = (start & (cls != 2)).astype(np.int64)
         lens = np.diff(offsets)
-        counts = np.add.reduceat(tok, np.minimum(doc_starts, len(seg) - 1))
+        # sentinel zero: trailing empty docs have start == len(seg);
+        # clamping that index would truncate the PREVIOUS doc's count
+        tok = np.concatenate([tok, np.zeros(1, dtype=np.int64)])
+        counts = np.add.reduceat(tok, doc_starts)
         counts[lens == 0] = 0  # reduceat artifacts for empty docs
     return pa.table(
         {
@@ -501,3 +504,194 @@ def quota_sample_per_key(
         .groupby("_bucket")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def pack_token_shards(
+    ds,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    id_range: tuple[int, int] | None = None,
+):
+    """Token-budget shard packing (the GPT-style sequence-packing
+    front-end of training-data pipelines): concatenate documents in
+    ``id_col`` order and cut every ``budget`` tokens; a document's
+    ``shard_id`` is the cut its FIRST token falls into, i.e.
+    ``shard_id = (tokens strictly before the doc) // budget``.
+
+    This is a distributed PREFIX SCAN, not a groupby: the running sum
+    over the global id order is computed in three bounded passes —
+    (1) an id min/max aggregate, (2) per-id-range-bucket token totals
+    (one tiny combinered exchange: ``n_buckets`` rows reach the
+    driver, never the tokens), whose exclusive cumulative sums become
+    broadcast bucket offsets, and (3) ONE bounded bucket exchange
+    where each bucket sorts its own rows by id and adds its offset to
+    the in-bucket cumulative sum. Nothing full-corpus ever sits on
+    the driver; at 100 TB raise ``n_buckets`` so a bucket fits a
+    worker (and swap the even id-split for manifest quantiles if ids
+    are sparse — the offsets stay one small array either way).
+
+    Output: ``(id_col, n_tokens, shard_id)``.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .hashing import tokenize_hash
+    from .util import cached_state
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if id_range is None:
+        mm = ds.aggregate(Min(id_col), Max(id_col))
+        lo, hi = int(mm[f"min({id_col})"]), int(mm[f"max({id_col})"])
+    else:
+        lo, hi = int(id_range[0]), int(id_range[1])
+    span = max(hi - lo + 1, 1)
+
+    def _bucket_of(ids: np.ndarray) -> np.ndarray:
+        b = (ids.astype(np.int64) - lo) * np.int64(n_buckets) // np.int64(span)
+        return np.clip(b, 0, n_buckets - 1)
+
+    def counted(b: pa.Table) -> pa.Table:
+        _, _, ntok = tokenize_hash(b.column(text_col))
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "_bucket": pa.array(_bucket_of(ids), pa.int64()),
+            }
+        )
+
+    counts = ds.map_batches(counted, batch_format="pyarrow", batch_size=None)
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        bk = b.column("_bucket").to_numpy()
+        tot = np.bincount(bk, weights=b.column("n_tokens").to_numpy(),
+                          minlength=n_buckets).astype(np.int64)
+        nz = np.flatnonzero(tot)
+        return pa.table(
+            {"_bucket": pa.array(nz, pa.int64()),
+             "t_part": pa.array(tot[nz], pa.int64())}
+        )
+
+    sums = (
+        counts.map_batches(bucket_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_bucket")
+        .aggregate(Sum("t_part", alias_name="t"))
+        .to_pandas()
+    )
+    totals = np.zeros(n_buckets, dtype=np.int64)
+    totals[sums["_bucket"].to_numpy()] = sums["t"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    ref = ray.put(offsets)
+    key = ("pack_offsets", ref.hex())
+
+    def final(g: pa.Table) -> pa.Table:
+        offs = cached_state(key, ref)
+        ids = g.column(id_col).to_numpy().astype(np.int64)
+        ntok = g.column("n_tokens").to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="mergesort")
+        start = offs[int(g.column("_bucket")[0].as_py())] + np.concatenate(
+            [[0], np.cumsum(ntok[order])[:-1]]
+        )
+        shard = start // np.int64(budget)
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "n_tokens": pa.array(ntok[order], pa.int64()),
+                "shard_id": pa.array(shard, pa.int64()),
+            }
+        )
+
+    return counts.groupby("_bucket").map_groups(final, batch_format="pyarrow")
+
+
+def unigram_logprob(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+):
+    """Corpus-unigram LM scoring (the perplexity-filter role of
+    published web-corpus pipelines, with the corpus itself as the LM):
+    ``nll(doc) = -mean over tokens of log2(count(token) / N_total)``,
+    rounded to ``decimals``. High values = improbable token mix; a
+    downstream filter drops the tails.
+
+    Scale shape: pass 1 builds the global token-occurrence table by
+    batch-local combine + one vocabulary-bounded groupby-sum (token
+    HASHES ride the exchange, never text); the (hash → count) table —
+    vocabulary-sized, ≪ corpus — broadcasts once via ``ray.put`` with
+    a per-worker memo. Pass 2 streams the corpus through one
+    stateless searchsorted lookup + segment mean (``np.add.reduceat``)
+    per batch. Token identity is the shared 64-bit hash (collisions
+    merge counts — same whp convention as the sketch oracles). Docs
+    with zero tokens are dropped (no defined mean).
+
+    Output: ``(id_col, n_tokens, nll)``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .hashing import tokenize_hash
+    from .util import cached_state
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        th, _, _ = tokenize_hash(batch.column(text_col))
+        if len(th) == 0:
+            return pa.table(
+                {"_th": pa.array([], pa.int64()),
+                 "c_part": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(th, return_counts=True)
+        return pa.table(
+            {"_th": pa.array(uniq.view(np.int64), pa.int64()),
+             "c_part": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    cp = (
+        ds.map_batches(tf_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_th")
+        .aggregate(Sum("c_part", alias_name="c"))
+        .to_pandas()
+    )
+    vocab = np.sort(cp["_th"].to_numpy().view(np.uint64))
+    order = np.argsort(cp["_th"].to_numpy().view(np.uint64), kind="mergesort")
+    counts = cp["c"].to_numpy().astype(np.int64)[order]
+    n_total = int(counts.sum())
+    ref = ray.put((vocab, counts, n_total))
+    key = ("unigram_lm", ref.hex())
+
+    def build(state):
+        v, c, n = state
+        return v, -np.log2(c.astype(np.float64) / float(n))
+
+    def score(batch: pa.Table) -> pa.Table:
+        v, nlp = cached_state(key, ref, builder=build)
+        th, doc, ntok = tokenize_hash(batch.column(text_col))
+        ids = batch.column(id_col).to_numpy()
+        n_docs = len(ids)
+        per_tok = nlp[np.searchsorted(v, th)]
+        sums = np.zeros(n_docs, dtype=np.float64)
+        if len(th):
+            first = np.searchsorted(doc, np.arange(n_docs))
+            # sentinel zero keeps starts at the buffer end (trailing
+            # zero-token docs) valid without truncating the preceding
+            # doc's segment
+            ext = np.concatenate([per_tok, np.zeros(1, dtype=np.float64)])
+            seg = np.add.reduceat(ext, first)
+            sums[ntok > 0] = seg[ntok > 0]
+        keep = ntok > 0
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep]),
+                "n_tokens": pa.array(ntok[keep], pa.int64()),
+                "nll": pa.array(
+                    np.round(sums[keep] / ntok[keep], decimals), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)

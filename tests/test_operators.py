@@ -1030,3 +1030,121 @@ def test_quota_sample_per_key(ray_session):
     ).to_pandas().sort_values(["domain", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[["domain", "rank", "url"]],
                                   got1[["domain", "rank", "url"]])
+
+
+def test_pack_token_shards_prefix_scan(ray_session):
+    import ray.data
+
+    from geowave_ray.text import pack_token_shards
+
+    rng = np.random.default_rng(17)
+    n = 300
+    # non-dense, shuffled ids; variable token counts incl. empty docs
+    ids = np.sort(rng.choice(10_000, size=n, replace=False)).astype(np.int64)
+    texts = [" ".join(["w"] * int(rng.integers(0, 40))) for _ in range(n)]
+    perm = rng.permutation(n)
+    t = pa.table({"doc_id": pa.array(ids[perm]), "text": pa.array([texts[i] for i in perm])})
+    budget = 64
+
+    got = (
+        pack_token_shards(ray.data.from_arrow(t).repartition(7), budget=budget)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    ntok = np.array([len([w for w in tx.split(" ") if w]) for tx in texts], dtype=np.int64)
+    before = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+    exp = pd.DataFrame(
+        {"doc_id": ids, "n_tokens": ntok, "shard_id": before // budget}
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+    # parallelism-invariant
+    got1 = (
+        pack_token_shards(ray.data.from_arrow(t).repartition(1), budget=budget)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got1, exp)
+
+    # shard sizes: every shard except the last spans >= budget tokens
+    # counted from its first doc's start to the next shard's start
+    tot = ntok.sum()
+    assert got["shard_id"].max() == (tot - ntok[-1]) // budget if n else True
+
+
+def test_unigram_logprob_bruteforce(ray_session):
+    import math
+
+    import ray.data
+
+    from geowave_ray.text import unigram_logprob
+
+    rng = np.random.default_rng(23)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 30))))
+        for _ in range(120)
+    ] + ["", "  "]  # zero-token docs are dropped
+    ids = np.arange(len(texts), dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+    got = (
+        unigram_logprob(ray.data.from_arrow(t).repartition(6))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    toks = [[w for w in tx.split(" ") if w] for tx in texts]
+    from collections import Counter
+
+    cnt = Counter(w for ws in toks for w in ws)
+    n_total = sum(cnt.values())
+    rows = []
+    for i, ws in zip(ids, toks):
+        if not ws:
+            continue
+        nll = -sum(math.log2(cnt[w] / n_total) for w in ws) / len(ws)
+        rows.append((i, len(ws), round(nll, 6)))
+    exp = pd.DataFrame(rows, columns=["doc_id", "n_tokens", "nll"])
+    exp["doc_id"] = exp["doc_id"].astype(np.int64)
+    exp["n_tokens"] = exp["n_tokens"].astype(np.int64)
+    assert len(got) == len(exp)
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["n_tokens"].to_numpy() == exp["n_tokens"].to_numpy()).all()
+    np.testing.assert_allclose(got["nll"].to_numpy(), exp["nll"].to_numpy(),
+                               rtol=0, atol=1e-6)
+
+
+def test_hash_kernels_trailing_empty_segments():
+    """Regression: a batch whose LAST strings are empty must hash /
+    count its preceding strings identically to solo hashing — the old
+    reduceat-index clamp truncated the final non-empty segment."""
+    from geowave_ray.hashing import hash_utf8
+    from geowave_ray.text import bpe_token_count_batch
+
+    cases = [
+        ["t11"], ["t11", ""], ["", "t11"], ["a", "", "b", "", ""],
+        ["", ""], [""], ["xy", "x", ""], ["abc"] * 3 + [""] * 2,
+    ]
+    for c in cases:
+        h = hash_utf8(pa.array(c))
+        solo = np.array(
+            [hash_utf8(pa.array([s]))[0] for s in c], dtype=np.uint64
+        )
+        assert (h == solo).all(), c
+
+    for texts, exp in [
+        (["ab", ""], [1, 0]),
+        (["a b9", "", " ", "x"], [3, 0, 0, 1]),
+        ([""], [0]),
+        (["ab"], [1]),
+    ]:
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)}
+        )
+        got = bpe_token_count_batch(t).column("n_bpe_tokens").to_pylist()
+        assert got == exp, (texts, got, exp)
