@@ -1681,6 +1681,19 @@ def q_emb_neardup_pairs(sf_dir: str):
     return cosine_neardup_pairs(ds, threshold=0.35)
 
 
+def q_emb_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup: assign to the nearest of 8
+    deterministic seed centroids (embeddings of the 8 smallest ids),
+    drop rows with a lower-id same-cluster neighbor at cosine >= 0.35.
+    Broadcast seeds + one matmul assign pass + ONE bounded
+    groupby(cluster) exchange with an id-ordered blocked matmul prune
+    (ann.semantic_dedup)."""
+    from geowave_ray.ann import semantic_dedup
+
+    ds = _read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, n_clusters=8, threshold=0.35)
+
+
 def q_within_distance(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -3184,6 +3197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "emb_neardup_pairs": q_emb_neardup_pairs,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         # sketches / aggregates
         "events_percentiles": q_events_percentiles,
         "topk_per_type": q_topk_per_type,
@@ -4948,6 +4962,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        # nearest-seed argmax ties break to the smallest seed id on
+        # both sides (numpy first-max == ORDER BY sim DESC, sid)
+        "emb_semantic_dedup": """
+            WITH c AS (
+              SELECT vec_id AS sid, embedding AS se FROM embeddings
+              WHERE vec_id < 8
+            ), r AS (
+              SELECT e.vec_id, c.sid,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, c.se) DESC,
+                                c.sid) AS rn
+              FROM embeddings e CROSS JOIN c
+            ), a AS (SELECT vec_id, sid AS cluster FROM r WHERE rn = 1),
+            dom AS (
+              SELECT DISTINCT hi.vec_id
+              FROM a hi JOIN a lo
+                ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id
+              JOIN embeddings eh ON eh.vec_id = hi.vec_id
+              JOIN embeddings el ON el.vec_id = lo.vec_id
+              WHERE list_cosine_similarity(eh.embedding, el.embedding) >= 0.35
+            )
+            SELECT vec_id, cluster FROM a
+            WHERE vec_id NOT IN (SELECT vec_id FROM dom)
         """,
         "vector_export": """
             SELECT doc_id, lang, n_chars FROM documents

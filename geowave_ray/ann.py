@@ -307,3 +307,103 @@ def ann_ivf_topk(
         survivors, query_vecs, query_ids, k=k, concurrency=concurrency,
         exclude_self=exclude_self,
     )
+
+
+def semantic_dedup(
+    embeddings: ray.data.Dataset,
+    n_clusters: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    block: int = 2048,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    rows are assigned to the nearest of ``n_clusters`` DETERMINISTIC
+    seed centroids (the embeddings of the ``n_clusters`` smallest ids
+    — reproducible across runs and parallelism levels, unlike a
+    trained k-means), then within each cluster a row is a semantic
+    duplicate iff some LOWER-id row of the same cluster has cosine
+    similarity >= ``threshold``. Survivors keep ``(id, cluster)``.
+
+    Scale shape: seeds come from a bounded per-block smallest-k prune
+    (k rows per block reach the merge, never the corpus); the seed
+    matrix broadcasts once via ``ray.put`` with a per-worker memo; the
+    assignment pass is one stateless matmul ``map_batches``; the
+    within-cluster prune is ONE bounded groupby exchange (embeddings
+    ride it — inherent to SemDeDup, which compares raw vectors inside
+    a cluster) followed by an id-ordered blocked matmul, so transient
+    memory is ``block × cluster_size`` not ``cluster_size²``. At
+    corpus scale raise ``n_clusters`` so clusters fit a worker —
+    dedup quality degrades gracefully (cross-cluster near-dups are
+    SemDeDup's accepted miss, not an error of this implementation).
+
+    Ties in the nearest-centroid argmax break to the smallest seed id
+    (numpy argmax-first == SQL ``ORDER BY sim DESC, seed_id``).
+    """
+    from .util import cached_state
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy()
+        take = min(n_clusters, len(ids))
+        sel = np.argpartition(ids, take - 1)[:take] if len(ids) > take else np.arange(len(ids))
+        return b.select([id_col, emb_col]).take(pa.array(np.sort(sel)))
+
+    seed_t = (
+        embeddings.map_batches(seed_partial, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(seed_partial, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    seed_t = pa.Table.from_pylist(seed_t)
+    sids = seed_t.column(id_col).to_numpy()
+    order = np.argsort(sids, kind="mergesort")
+    seeds = _normalize(_emb_matrix(seed_t.column(emb_col)))[order]
+    ref = ray.put((sids[order].astype(np.int64), seeds))
+    key = ("semantic_seeds", ref.hex())
+
+    def assign(b: pa.Table) -> pa.Table:
+        sid, s = cached_state(key, ref)
+        x = _normalize(_emb_matrix(b.column(emb_col)))
+        cl = sid[np.argmax(x @ s.T, axis=1)]
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                emb_col: b.column(emb_col),
+                "cluster": pa.array(cl, pa.int64()),
+            }
+        )
+
+    def prune(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy()
+        o = np.argsort(ids, kind="mergesort")
+        x = _normalize(_emb_matrix(g.column(emb_col)))[o]
+        ids = ids[o]
+        n = len(ids)
+        dominated = np.zeros(n, dtype=bool)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            if s == 0 and e == n:
+                sims = x[s:e] @ x[:e].T
+                tri = np.tril(sims >= threshold, k=-1)
+                dominated[s:e] = tri.any(axis=1)
+            else:
+                sims = x[s:e] @ x[:e].T  # (e-s, e)
+                col = np.arange(e)
+                row = np.arange(s, e)
+                mask = col[None, :] < row[:, None]
+                dominated[s:e] = ((sims >= threshold) & mask).any(axis=1)
+        keep = ~dominated
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "cluster": pa.array(
+                    g.column("cluster").to_numpy()[o][keep], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        embeddings.map_batches(assign, batch_format="pyarrow", batch_size=None)
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pyarrow")
+    )

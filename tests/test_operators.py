@@ -1148,3 +1148,58 @@ def test_hash_kernels_trailing_empty_segments():
         )
         got = bpe_token_count_batch(t).column("n_bpe_tokens").to_pylist()
         assert got == exp, (texts, got, exp)
+
+
+def test_semantic_dedup_bruteforce(ray_session):
+    import ray.data
+
+    from geowave_ray.ann import semantic_dedup
+
+    rng = np.random.default_rng(31)
+    n, d, k = 200, 16, 5
+    base = rng.normal(size=(k, d))
+    emb = base[rng.integers(0, k, n)] + 0.35 * rng.normal(size=(n, d))
+    ids = np.arange(100, 100 + n, dtype=np.int64)  # non-zero-based ids
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.astype(np.float32).ravel(), pa.float32()), d
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    tau = 0.9
+
+    got = (
+        semantic_dedup(
+            ray.data.from_arrow(t).repartition(6), n_clusters=k, threshold=tau
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # brute force in numpy (float64, same convention)
+    x = emb.astype(np.float32).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    seeds = x[:k]  # k smallest ids are the first k rows
+    cl = ids[np.argmax(x @ seeds.T, axis=1)]
+    dominated = np.zeros(n, dtype=bool)
+    sims = x @ x.T
+    for i in range(n):
+        dominated[i] = bool(((sims[i, :i] >= tau) & (cl[:i] == cl[i])).any())
+    exp = pd.DataFrame({"vec_id": ids[~dominated], "cluster": cl[~dominated]})
+    exp = exp.reset_index(drop=True)
+    assert len(got) < n  # something was actually removed
+    pd.testing.assert_frame_equal(got, exp)
+
+    # parallelism-invariant
+    got1 = (
+        semantic_dedup(
+            ray.data.from_arrow(t).repartition(1), n_clusters=k, threshold=tau
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got1, exp)
