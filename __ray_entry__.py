@@ -1512,6 +1512,23 @@ def q_docs_perplexity(sf_dir: str):
     return unigram_logprob(ds)
 
 
+def q_docs_scrub_spans(sf_dir: str):
+    """Repeated-span scrubbing (C4 'duplicated three-sentence span' /
+    RefinedWeb line-dedup role, token-window form): drop every token
+    covered by a word 6-gram occurring >= 2 times corpus-wide. Pass 1
+    ships (gram_hash, count) partials through one bounded bucket
+    exchange; pass 2 streams the corpus through a single vectorized
+    map_batches with the duplicated-gram set broadcast once (ray.put +
+    worker cache) — the text column never rides a shuffle
+    (dedup.scrub_dup_spans)."""
+    from geowave_ray.dedup import scrub_dup_spans
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return scrub_dup_spans(ds, n=6, min_count=2).select_columns(
+        ["doc_id", "text_clean", "n_tokens", "n_removed"]
+    )
+
+
 def q_events_window(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -3187,6 +3204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quota_sample": q_docs_quota_sample,
         "docs_pack_shards": q_docs_pack_shards,
         "docs_perplexity": q_docs_perplexity,
+        "docs_scrub_spans": q_docs_scrub_spans,
         # events / relational
         "events_window": q_events_window,
         "lineitem_agg": q_lineitem_agg,
@@ -4548,6 +4566,44 @@ def oracle_sql() -> dict[str, str]:
                    round(-avg(log2(c * 1.0 / n)), 6) AS nll
             FROM toks JOIN cnt USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        # engine removes per gram HASH, SQL per gram string — equal
+        # whp (same convention as the jaccard/decontaminate oracles)
+        "docs_scrub_spans": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(str_split(text, ' '), t -> t <> '') AS tk
+              FROM documents
+            ), bi AS (
+              SELECT doc_id, tk, unnest(range(1, len(tk) - 4)) AS i
+              FROM toks WHERE len(tk) >= 6
+            ), grams AS (
+              SELECT doc_id, i, list_aggregate(tk[i:i+5], 'string_agg', ' ') AS g
+              FROM bi
+            ), dup AS (
+              SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+            ), cov AS (
+              SELECT DISTINCT gr.doc_id, gr.i + d.d AS p
+              FROM grams gr JOIN dup USING (g),
+                   (SELECT unnest(range(0, 6)) AS d) d
+            ), tok_pos AS (
+              SELECT doc_id, unnest(tk) AS tok,
+                     unnest(range(1, len(tk) + 1)) AS p
+              FROM toks
+            ), keep AS (
+              SELECT tp.doc_id, tp.tok, tp.p
+              FROM tok_pos tp LEFT JOIN cov USING (doc_id, p)
+              WHERE cov.p IS NULL
+            )
+            SELECT t.doc_id,
+                   coalesce(k.txt, '') AS text_clean,
+                   len(t.tk) AS n_tokens,
+                   len(t.tk) - coalesce(k.nk, 0) AS n_removed
+            FROM toks t
+            LEFT JOIN (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt,
+                     count(*) AS nk
+              FROM keep GROUP BY doc_id
+            ) k USING (doc_id)
         """,
         "events_window": """
             SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,

@@ -1166,6 +1166,20 @@ def ngram_jaccard_allpairs(
     return out
 
 
+def _gram_chain(th: np.ndarray, doc: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Chain hashes of every length-``n`` token window that stays
+    inside one doc. Returns ``(hash: uint64, start: int64)`` where
+    ``start`` indexes the flattened token arrays ``th``/``doc``."""
+    m = len(th) - (n - 1)
+    if m <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    acc = th[:m].copy()
+    for j in range(1, n):
+        acc = mix64(acc) ^ th[j : j + m]
+    valid = doc[:m] == doc[n - 1 : n - 1 + m]
+    return mix64(acc[valid]), np.nonzero(valid)[0].astype(np.int64)
+
+
 def ngram_hashes(
     texts: pa.Array | pa.ChunkedArray, n: int = 8
 ) -> tuple[np.ndarray, np.ndarray, int]:
@@ -1175,14 +1189,8 @@ def ngram_hashes(
     ``(hash: uint64, doc_idx: int64, n_docs)``."""
     th, doc, n_tokens = tokenize_hash(texts)
     n_docs = len(n_tokens)
-    m = len(th) - (n - 1)
-    if m <= 0:
-        return np.empty(0, np.uint64), np.empty(0, np.int64), n_docs
-    acc = th[:m].copy()
-    for j in range(1, n):
-        acc = mix64(acc) ^ th[j : j + m]
-    valid = doc[:m] == doc[n - 1 : n - 1 + m]
-    return mix64(acc[valid]), doc[:m][valid], n_docs
+    gh, starts = _gram_chain(th, doc, n)
+    return gh, doc[starts] if len(starts) else np.empty(0, np.int64), n_docs
 
 
 def decontaminate(
@@ -1223,3 +1231,132 @@ def decontaminate(
         return batch.filter(pa.array(bad if invert else ~bad))
 
     return docs.map_batches(filt, batch_format="pyarrow", batch_size=None)
+
+
+def dup_ngram_set(
+    docs: ray.data.Dataset,
+    n: int = 6,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> np.ndarray:
+    """Pass 1 of duplicated-span scrubbing: the word-``n``-gram chain
+    hashes occurring >= ``min_count`` times corpus-wide, as a SORTED
+    int64 array (hash >> 1) on the driver.
+
+    Scale shape mirrors :func:`dup_content_hashes`: each batch
+    pre-combines to (gram_hash, partial_count) — 16 bytes per DISTINCT
+    gram per block, never tokens — then one bounded bucket exchange
+    sums per hash. The output is only the DUPLICATED grams (the
+    repeated-boilerplate fraction of the corpus, small after exact
+    dedup); where even that outgrows the driver, swap the collect for
+    per-bucket sorted arrays probed via a second id-only exchange —
+    the pipeline shape is unchanged."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        gh, _, _ = ngram_hashes(b.column(text_col), n)
+        h = (gh >> np.uint64(1)).astype(np.int64)
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "gram_hash": pa.array(uh, pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "bucket": pa.array(uh % np.int64(_EXCHANGE_BLOCKS), pa.int64()),
+            }
+        )
+
+    def dups(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("gram_hash", sort=False)["cnt"].sum()
+        return pd.DataFrame(
+            {"gram_hash": tot.index.to_numpy()[tot.to_numpy() >= min_count]}
+        )
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(_EXCHANGE_BLOCKS)
+        .groupby("bucket")
+        .map_groups(dups, batch_format="pandas")
+        .take_all()
+    )
+    return np.sort(np.array([r["gram_hash"] for r in out], dtype=np.int64))
+
+
+def scrub_dup_spans(
+    docs: ray.data.Dataset,
+    n: int = 6,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Repeated-span scrubbing (the C4 'three-sentence span' /
+    RefinedWeb line-dedup role, token-window form): remove from every
+    document each token covered by ANY word-``n``-gram that occurs
+    >= ``min_count`` times corpus-wide, keeping the remaining tokens in
+    order. Complements document-level dedup — it strips boilerplate
+    spans shared across otherwise-distinct pages (reference parallel:
+    DedupeFilter semantics pushed below record granularity).
+
+    Two-pass scale shape: pass 1 (:func:`dup_ngram_set`) ships
+    (hash, count) partials only; pass 2 streams the corpus through ONE
+    ``map_batches`` with the duplicated-gram set ``ray.put`` once and
+    worker-cached — no shuffle, no text movement. Per batch everything
+    is vectorized: one tokenize pass, one chain-hash pass, one
+    ``searchsorted`` membership probe, a +1/-1 difference array
+    cumsum for span coverage, and an Arrow ``binary_join`` rebuild.
+
+    Output: input columns with ``text_col`` replaced by
+    ``text_clean`` plus ``n_tokens`` / ``n_removed`` diagnostics.
+    Tokenization is the corpus convention (single-space split, empties
+    dropped), so ``text_clean`` is whitespace-normalized."""
+    import pyarrow.compute as pc
+
+    from .util import cached_state
+
+    dup = dup_ngram_set(docs, n=n, min_count=min_count, text_col=text_col)
+    ref = ray.put(dup)
+
+    def scrub(b: pa.Table) -> pa.Table:
+        dset = cached_state(("dupspan", ref.hex()), ref)
+        texts = b.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_docs = len(texts)
+        lst = pc.split_pattern(pc.fill_null(texts, ""), " ")
+        flat = pc.list_flatten(lst)
+        counts_all = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        doc_all = np.repeat(np.arange(n_docs, dtype=np.int64), counts_all)
+        nonempty = pc.binary_length(flat).to_numpy().astype(np.int64) > 0
+        toks = flat.filter(pa.array(nonempty))
+        th = hash_utf8(flat)[nonempty]
+        doc = doc_all[nonempty]
+        n_tokens = np.bincount(doc, minlength=n_docs).astype(np.int64)
+
+        gh, starts = _gram_chain(th, doc, n)
+        h = (gh >> np.uint64(1)).astype(np.int64)
+        if len(dset):
+            pos = np.searchsorted(dset, h)
+            hit = (pos < len(dset)) & (dset[np.minimum(pos, len(dset) - 1)] == h)
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        s = starts[hit]
+        # span coverage: +1 at each duplicated-gram start, -1 n tokens
+        # later (gram validity guarantees the window stays in-doc, so
+        # the -1 lands exactly at the next doc's first token or later
+        # in the same doc — coverage never leaks across docs)
+        delta = np.zeros(len(th) + n + 1, dtype=np.int64)
+        np.add.at(delta, s, 1)
+        np.add.at(delta, s + n, -1)
+        keep_tok = np.cumsum(delta[: len(th)]) <= 0
+        kept = np.bincount(doc[keep_tok], minlength=n_docs).astype(np.int64)
+        offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(kept, out=offs[1:])
+        vals = toks.filter(pa.array(keep_tok))
+        la = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
+        clean = pc.binary_join(la, " ")
+        out = b.drop_columns([text_col])
+        out = out.append_column("text_clean", clean)
+        out = out.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
+        out = out.append_column(
+            "n_removed", pa.array(n_tokens - kept, pa.int64())
+        )
+        return out
+
+    return docs.map_batches(scrub, batch_format="pyarrow", batch_size=None)

@@ -1203,3 +1203,70 @@ def test_semantic_dedup_bruteforce(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got1, exp)
+
+
+def test_scrub_dup_spans_vs_bruteforce(ray_session):
+    import ray.data
+
+    from geowave_ray.dedup import scrub_dup_spans
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(25)]
+    corpus = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(3, 30))))
+        for _ in range(150)
+    ]
+    # plant repeated boilerplate spans across otherwise-distinct docs
+    boiler = " ".join(rng.choice(vocab, size=9))
+    for i in range(0, 150, 11):
+        corpus[i] = corpus[i] + " " + boiler
+    n, min_count = 6, 2
+
+    def doc_grams(t: str):
+        tk = [w for w in t.split(" ") if w]
+        return [tuple(tk[i:i + n]) for i in range(len(tk) - n + 1)], tk
+
+    from collections import Counter
+
+    cnt = Counter(g for t in corpus for g in doc_grams(t)[0])
+    dup = {g for g, c in cnt.items() if c >= min_count}
+    assert dup  # boilerplate actually repeats
+
+    expected = {}
+    for did, t in enumerate(corpus):
+        grams, tk = doc_grams(t)
+        covered = set()
+        for i, g in enumerate(grams):
+            if g in dup:
+                covered.update(range(i, i + n))
+        keep = [w for p, w in enumerate(tk) if p not in covered]
+        expected[did] = (" ".join(keep), len(tk), len(tk) - len(keep))
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(150), pa.int64()),
+                  "text": pa.array(corpus)})
+    ).repartition(7)
+    got = scrub_dup_spans(ds, n=n, min_count=min_count).to_pandas()
+    assert len(got) == 150
+    for r in got.itertuples():
+        exp_txt, exp_n, exp_rm = expected[r.doc_id]
+        assert (r.text_clean, r.n_tokens, r.n_removed) == (exp_txt, exp_n, exp_rm)
+    # some docs scrubbed, some untouched, boilerplate-only repeats gone
+    assert (got["n_removed"] > 0).any() and (got["n_removed"] == 0).any()
+
+    # parallelism invariance: same result at a different block count
+    got2 = (
+        scrub_dup_spans(
+            ray.data.from_arrow(
+                pa.table({"doc_id": pa.array(range(150), pa.int64()),
+                          "text": pa.array(corpus)})
+            ).repartition(2),
+            n=n, min_count=min_count,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True), got2
+    )
