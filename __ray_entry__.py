@@ -1529,6 +1529,18 @@ def q_docs_scrub_spans(sf_dir: str):
     )
 
 
+def q_docs_top_bigrams(sf_dir: str):
+    """Corpus-wide top-20 word bigrams (the vocabulary/boilerplate
+    census run before picking dedup thresholds): per-block vectorized
+    gram build + combiner partials, gram-hash bucket exchange of
+    (gram, count) rows only, per-bucket exact local top-k, bounded
+    buckets x k driver merge (text.top_ngrams)."""
+    from geowave_ray.text import top_ngrams
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return top_ngrams(ds, n=2, k=20)
+
+
 def q_events_window(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -3205,6 +3217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_shards": q_docs_pack_shards,
         "docs_perplexity": q_docs_perplexity,
         "docs_scrub_spans": q_docs_scrub_spans,
+        "docs_top_bigrams": q_docs_top_bigrams,
         # events / relational
         "events_window": q_events_window,
         "lineitem_agg": q_lineitem_agg,
@@ -4604,6 +4617,22 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS nk
               FROM keep GROUP BY doc_id
             ) k USING (doc_id)
+        """,
+        "docs_top_bigrams": """
+            WITH toks AS (
+              SELECT list_filter(str_split(text, ' '), t -> t <> '') AS tk
+              FROM documents
+            ), bi AS (
+              SELECT tk, unnest(range(1, len(tk))) AS i
+              FROM toks WHERE len(tk) >= 2
+            ), grams AS (
+              SELECT list_aggregate(tk[i:i+1], 'string_agg', ' ') AS gram
+              FROM bi
+            ), cnt AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY gram)
+            SELECT gram, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT)
+                     AS rank
+            FROM cnt ORDER BY cnt DESC, gram LIMIT 20
         """,
         "events_window": """
             SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,

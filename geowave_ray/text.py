@@ -695,3 +695,79 @@ def unigram_logprob(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def top_ngrams(ds, n: int = 2, k: int = 20, exchange_blocks: int = 16):
+    """Corpus-wide top-``k`` word ``n``-grams with counts and rank —
+    the vocabulary/boilerplate census of web-corpus curation (what you
+    run before choosing dedup thresholds and stopword lists).
+
+    Scale shape: per block ONE tokenize pass builds gram strings
+    vectorized (``binary_join_element_wise`` over shifted token
+    arrays), combines to (gram, partial_count) via a factorize +
+    bincount — so the exchange ships one row per DISTINCT gram per
+    block, never tokens. Grams are routed to buckets by their 64-bit
+    hash; each bucket sums partials and keeps only its LOCAL top-k
+    (exact: a gram lives in exactly one bucket), and the driver merges
+    ``buckets x k`` rows — bounded by k, not by vocabulary.
+
+    Ranking is deterministic: count desc, gram asc; ``rank`` is
+    1-based. Returns a pyarrow Table (small result)."""
+    import pandas as pd
+
+    from .hashing import hash_utf8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"gram": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64()),
+             "bucket": pa.array([], pa.int64())}
+        )
+        flat, doc_all, keep, _ = _split_tokens(batch.column("text"))
+        toks = flat.filter(pa.array(keep))
+        doc = doc_all[keep]
+        m = len(toks) - (n - 1)
+        if m <= 0:
+            return empty
+        valid = doc[:m] == doc[n - 1 : n - 1 + m]
+        if not valid.any():
+            return empty
+        parts = []
+        for j in range(n):
+            parts.append(toks.slice(j, m).filter(pa.array(valid)))
+        sep = pa.scalar(" ", parts[0].type)  # match large_string inputs
+        grams = pc.binary_join_element_wise(*parts, sep)
+        codes, uniq = pd.factorize(grams.to_numpy(zero_copy_only=False))
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        ug = pa.array(uniq, pa.string())
+        bucket = (hash_utf8(ug) % np.uint64(exchange_blocks)).astype(np.int64)
+        return pa.table(
+            {"gram": ug, "cnt": pa.array(cnt, pa.int64()),
+             "bucket": pa.array(bucket, pa.int64())}
+        )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("gram", sort=False)["cnt"].sum().reset_index()
+        tot = tot.sort_values(
+            ["cnt", "gram"], ascending=[False, True], kind="mergesort"
+        )
+        return tot.head(k)
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(exchange_blocks)
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .take_all()
+    )
+    merged = pd.DataFrame(rows, columns=["gram", "cnt"])
+    merged = merged.sort_values(
+        ["cnt", "gram"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pa.table(
+        {
+            "gram": pa.array(merged["gram"].to_numpy(), pa.string()),
+            "cnt": pa.array(merged["cnt"].to_numpy(), pa.int64()),
+            "rank": pa.array(np.arange(1, len(merged) + 1), pa.int64()),
+        }
+    )

@@ -1270,3 +1270,32 @@ def test_scrub_dup_spans_vs_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         got.sort_values("doc_id").reset_index(drop=True), got2
     )
+
+
+def test_top_ngrams_vs_bruteforce(ray_session):
+    import ray.data
+
+    from geowave_ray.text import top_ngrams
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(12)]
+    corpus = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 25))))
+        for _ in range(200)
+    ]
+    for n in (2, 3):
+        from collections import Counter
+
+        cnt = Counter()
+        for t in corpus:
+            tk = [w for w in t.split(" ") if w]
+            for i in range(len(tk) - n + 1):
+                cnt[" ".join(tk[i:i + n])] += 1
+        exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+
+        ds = ray.data.from_arrow(
+            pa.table({"text": pa.array(corpus)})
+        ).repartition(9)
+        got = top_ngrams(ds, n=n, k=15).to_pandas()
+        assert list(got["rank"]) == list(range(1, len(exp) + 1))
+        assert list(zip(got["gram"], got["cnt"])) == exp
