@@ -1541,6 +1541,27 @@ def q_docs_top_bigrams(sf_dir: str):
     return top_ngrams(ds, n=2, k=20)
 
 
+_BLOCKED_DOMAINS = ["site3.example", "site7.example", "site11.example"]
+
+
+def q_url_blocklist(sf_dir: str):
+    """URL domain blocklist filter (UT1-blocklist role): drop pages
+    whose host equals a blocked domain or is one of its subdomains
+    (label-boundary suffix match). Blocklist ships once via ray.put,
+    grouped by label count; each batch runs one anchored extract_regex
+    per distinct label count + pc.is_in — zero shuffle
+    (text.blocklist_filter)."""
+    import ray.data
+
+    from geowave_ray.text import blocklist_filter
+    from geowave_ray.util import read_blocks
+
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/pages", columns=["url"], override_num_blocks=read_blocks()
+    )
+    return blocklist_filter(ds, _BLOCKED_DOMAINS)
+
+
 def q_events_window(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -3218,6 +3239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_perplexity": q_docs_perplexity,
         "docs_scrub_spans": q_docs_scrub_spans,
         "docs_top_bigrams": q_docs_top_bigrams,
+        "url_blocklist": q_url_blocklist,
         # events / relational
         "events_window": q_events_window,
         "lineitem_agg": q_lineitem_agg,
@@ -4633,6 +4655,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT)
                      AS rank
             FROM cnt ORDER BY cnt DESC, gram LIMIT 20
+        """,
+        "url_blocklist": f"""
+            WITH h AS (
+              SELECT url,
+                     regexp_extract(lower(url),
+                       '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+              FROM {PAGES}
+            )
+            SELECT url FROM h
+            WHERE NOT ({
+                " OR ".join(
+                    f"host = '{d}' OR host LIKE '%.{d}'"
+                    for d in _BLOCKED_DOMAINS
+                )
+            })
         """,
         "events_window": """
             SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,

@@ -771,3 +771,60 @@ def top_ngrams(ds, n: int = 2, k: int = 20, exchange_blocks: int = 16):
             "rank": pa.array(np.arange(1, len(merged) + 1), pa.int64()),
         }
     )
+
+
+def blocklist_filter(
+    ds,
+    blocked_domains,
+    url_col: str = "url",
+    invert: bool = False,
+):
+    """URL domain blocklist filter (the UT1/adult-blocklist role of
+    published web-corpus pipelines): drop every row whose url host
+    equals a blocked domain OR is a subdomain of one (suffix match at
+    a label boundary — ``ads.site3.example`` matches ``site3.example``
+    but ``notsite3.example`` does not).
+
+    Scale shape: the blocklist (thousands to millions of entries)
+    ships once via ``ray.put`` and is worker-cached grouped by label
+    count; each batch runs one anchored ``extract_regex`` per DISTINCT
+    label count in the list (a handful) + ``pc.is_in`` — fully
+    vectorized, zero shuffle. ``invert=True`` keeps only the blocked
+    rows (audit mode)."""
+    import ray
+
+    from .util import cached_state
+
+    by_depth: dict[int, list[str]] = {}
+    for d in blocked_domains:
+        d = d.strip().lower().strip(".")
+        if d:
+            by_depth.setdefault(d.count(".") + 1, []).append(d)
+    ref = ray.put(by_depth)
+    key = ("blocklist", ref.hex())
+
+    def build(state):
+        return {
+            c: pa.array(sorted(set(v)), pa.string()) for c, v in state.items()
+        }
+
+    def filt(batch: pa.Table) -> pa.Table:
+        depth_sets = cached_state(key, ref, builder=build)
+        urls = batch.column(url_col)
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        st = pc.extract_regex(
+            pc.utf8_lower(pc.fill_null(urls, "")), r"^[a-z][a-z0-9+.-]*://(?P<host>[^/:?#]+)"
+        )
+        host = pc.fill_null(st.field("host") if len(st) else pa.array([], pa.string()), "")
+        blocked = np.zeros(len(batch), dtype=bool)
+        for c, entries in depth_sets.items():
+            # last c labels of the host, anchored at a dot boundary
+            pat = "(?:^|\\.)(?P<sfx>(?:[^.]+\\.){%d}[^.]+)$" % (c - 1)
+            sfx = pc.extract_regex(host, pat)
+            lab = sfx.field("sfx") if len(sfx) else pa.array([], host.type)
+            hit = pc.fill_null(pc.is_in(lab, value_set=entries), False)
+            blocked |= hit.to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(blocked if invert else ~blocked))
+
+    return ds.map_batches(filt, batch_format="pyarrow", batch_size=None)

@@ -1299,3 +1299,36 @@ def test_top_ngrams_vs_bruteforce(ray_session):
         got = top_ngrams(ds, n=n, k=15).to_pandas()
         assert list(got["rank"]) == list(range(1, len(exp) + 1))
         assert list(zip(got["gram"], got["cnt"])) == exp
+
+
+def test_blocklist_filter_subdomains(ray_session):
+    import ray.data
+
+    from geowave_ray.text import blocklist_filter
+
+    urls = [
+        "https://site3.example/a",          # exact host block
+        "https://ads.site3.example/b",      # subdomain block
+        "https://deep.ads.site3.example/c", # multi-level subdomain block
+        "https://notsite3.example/d",       # NOT a label-boundary match
+        "https://site4.example/e",          # clean
+        "https://bad.tld/f",                # single-label blocklist entry
+        "https://sub.bad.tld/g",            # its subdomain
+        "https://HTTPS://x",                # junk — no host match, kept
+        "http://SITE3.EXAMPLE/upper",       # case-insensitive host
+    ]
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)})).repartition(3)
+    kept = set(
+        blocklist_filter(ds, ["site3.example", "bad.tld"]).to_pandas()["url"]
+    )
+    assert kept == {
+        "https://notsite3.example/d",
+        "https://site4.example/e",
+        "https://HTTPS://x",
+    }
+    # audit mode = exact complement
+    bad = set(
+        blocklist_filter(ds, ["site3.example", "bad.tld"], invert=True)
+        .to_pandas()["url"]
+    )
+    assert bad == set(urls) - kept
