@@ -1562,6 +1562,22 @@ def q_url_blocklist(sf_dir: str):
     return blocklist_filter(ds, _BLOCKED_DOMAINS)
 
 
+def q_url_split(sf_dir: str):
+    """Deterministic train/val/test assignment: hash64(url) % 100 →
+    90/5/5 bucket ranges. Pure map-side (stable under reshuffling and
+    cluster-size changes — a doc can never migrate across the eval
+    boundary); one vectorized hash pass per batch (text.hash_split)."""
+    import ray.data
+
+    from geowave_ray.text import hash_split
+    from geowave_ray.util import read_blocks
+
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/pages", columns=["url"], override_num_blocks=read_blocks()
+    )
+    return hash_split(ds, id_col="url")
+
+
 def q_events_window(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -3240,6 +3256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_scrub_spans": q_docs_scrub_spans,
         "docs_top_bigrams": q_docs_top_bigrams,
         "url_blocklist": q_url_blocklist,
+        "url_split": q_url_split,
         # events / relational
         "events_window": q_events_window,
         "lineitem_agg": q_lineitem_agg,
@@ -4656,6 +4673,15 @@ def oracle_sql() -> dict[str, str]:
                      AS rank
             FROM cnt ORDER BY cnt DESC, gram LIMIT 20
         """,
+        # bit-exact: the split bucket replicates hash_utf8(url) % 100
+        # in HUGEINT (same chain as the sketch/sampling oracles)
+        "url_split": _sql_chain(
+            f"SELECT url FROM {PAGES}",
+            _sql_hash_utf8_steps("url", "h", "sp"),
+            "SELECT url, CASE WHEN h % 100 < 90 THEN 'train' "
+            "WHEN h % 100 < 95 THEN 'val' ELSE 'test' END AS split "
+            "FROM $LAST",
+        ),
         "url_blocklist": f"""
             WITH h AS (
               SELECT url,

@@ -828,3 +828,35 @@ def blocklist_filter(
         return batch.filter(pa.array(blocked if invert else ~blocked))
 
     return ds.map_batches(filt, batch_format="pyarrow", batch_size=None)
+
+
+def hash_split(
+    ds,
+    id_col: str = "url",
+    fractions=(("train", 90), ("val", 5), ("test", 5)),
+    n_buckets: int = 100,
+):
+    """Deterministic corpus split (train/val/test assignment): bucket =
+    ``hash64(id) % n_buckets``; consecutive bucket ranges map to the
+    named splits in order. Pure map-side — assignment depends only on
+    the id bytes, so it is stable under reshuffling, resumable
+    ingestion, and cluster-size changes (the property a training
+    pipeline needs: a doc can NEVER migrate across the eval boundary).
+    Weights must sum to ``n_buckets``. Zero shuffle, one vectorized
+    hash pass per batch."""
+    from .hashing import hash_utf8
+
+    names = [n for n, _ in fractions]
+    bounds = np.cumsum([w for _, w in fractions]).astype(np.uint64)
+    if int(bounds[-1]) != n_buckets:
+        raise ValueError("fractions must sum to n_buckets")
+    labels = np.array(names, dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = hash_utf8(batch.column(id_col)) % np.uint64(n_buckets)
+        idx = np.searchsorted(bounds, b, side="right")
+        return batch.append_column(
+            "split", pa.array(labels[idx].tolist(), pa.string())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)

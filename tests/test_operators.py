@@ -1332,3 +1332,26 @@ def test_blocklist_filter_subdomains(ray_session):
         .to_pandas()["url"]
     )
     assert bad == set(urls) - kept
+
+
+def test_hash_split_deterministic(ray_session):
+    import ray.data
+
+    from geowave_ray.text import hash_split
+
+    ids = [f"https://h{i}.x/{i}" for i in range(1000)]
+    t = pa.table({"url": pa.array(ids)})
+    a = (
+        hash_split(ray.data.from_arrow(t).repartition(8))
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    b = (
+        hash_split(ray.data.from_arrow(t).repartition(2))
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)  # parallelism-invariant
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.85 < frac["train"] < 0.95  # ~90/5/5
+    assert set(a["split"]) == {"train", "val", "test"}
+    with pytest.raises(ValueError):
+        hash_split(ray.data.from_arrow(t), fractions=(("a", 50), ("b", 49)))
