@@ -1578,6 +1578,36 @@ def q_url_split(sf_dir: str):
     return hash_split(ds, id_col="url")
 
 
+def q_docs_curate(sf_dir: str):
+    """END-TO-END corpus curation (the composed LLM-data pipeline):
+    exact dedup (two-pass, min-id winner) → Gopher-style repetition
+    quality filter → deterministic hash train/val/test split. Each
+    stage is the already-oracled operator; this entry proves they
+    COMPOSE as one streaming Dataset lineage — dedup's bounded bucket
+    exchange is the only shuffle, the filter and split are map-side."""
+    import pyarrow.compute as pc
+
+    from geowave_ray.dedup import exact_dedup
+    from geowave_ray.text import hash_split, repetition_stats_batch
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = exact_dedup(ds)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = repetition_stats_batch(batch)
+        mask = pc.and_(
+            pc.less_equal(m.column("top_unigram_frac"), pa.scalar(0.09)),
+            pc.greater_equal(m.column("n_tokens"), pa.scalar(50, pa.int64())),
+        )
+        t = m.filter(mask).select(["doc_id", "n_tokens"])
+        return t.append_column("key", pc.cast(t.column("doc_id"), pa.string()))
+
+    ds = ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    return hash_split(ds, id_col="key").select_columns(
+        ["doc_id", "n_tokens", "split"]
+    )
+
+
 def q_events_window(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -3257,6 +3287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_bigrams": q_docs_top_bigrams,
         "url_blocklist": q_url_blocklist,
         "url_split": q_url_split,
+        "docs_curate": q_docs_curate,
         # events / relational
         "events_window": q_events_window,
         "lineitem_agg": q_lineitem_agg,
@@ -4673,6 +4704,25 @@ def oracle_sql() -> dict[str, str]:
                      AS rank
             FROM cnt ORDER BY cnt DESC, gram LIMIT 20
         """,
+        # composed pipeline: dedup (min-id per text) -> Gopher-style
+        # repetition filter -> bit-exact hash split on CAST(doc_id AS
+        # VARCHAR) — each clause is the already-verified per-op oracle
+        "docs_curate": _sql_chain(
+            f"""
+            SELECT doc_id, n_tokens, CAST(doc_id AS VARCHAR) AS key
+            FROM (
+              {_REPETITION_SQL.replace(
+                  "FROM documents",
+                  "FROM (SELECT min(doc_id) AS doc_id, text "
+                  "FROM documents GROUP BY text)")}
+            )
+            WHERE top_unigram_frac <= 0.09 AND n_tokens >= 50
+            """,
+            _sql_hash_utf8_steps("key", "h", "cu"),
+            "SELECT doc_id, n_tokens, CASE WHEN h % 100 < 90 THEN 'train' "
+            "WHEN h % 100 < 95 THEN 'val' ELSE 'test' END AS split "
+            "FROM $LAST",
+        ),
         # bit-exact: the split bucket replicates hash_utf8(url) % 100
         # in HUGEINT (same chain as the sketch/sampling oracles)
         "url_split": _sql_chain(
