@@ -1608,6 +1608,17 @@ def q_docs_curate(sf_dir: str):
     )
 
 
+def q_docs_normalize(sf_dir: str):
+    """Whitespace/control-char normalization (the cleaning pass ahead
+    of hashing/dedup): control chars → space, whitespace runs
+    collapsed, trimmed. Three vectorized RE2/utf8 kernels per batch,
+    zero shuffle (text.normalize_text)."""
+    from geowave_ray.text import normalize_text
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return normalize_text(ds).select_columns(["doc_id", "text", "n_chars_norm"])
+
+
 def q_events_window(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -3288,6 +3299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist": q_url_blocklist,
         "url_split": q_url_split,
         "docs_curate": q_docs_curate,
+        "docs_normalize": q_docs_normalize,
         # events / relational
         "events_window": q_events_window,
         "lineitem_agg": q_lineitem_agg,
@@ -4703,6 +4715,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT)
                      AS rank
             FROM cnt ORDER BY cnt DESC, gram LIMIT 20
+        """,
+        "docs_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                     '\s+', ' ', 'g')) AS text,
+                   CAST(length(trim(regexp_replace(
+                     regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                     '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+            FROM documents
         """,
         # composed pipeline: dedup (min-id per text) -> Gopher-style
         # repetition filter -> bit-exact hash split on CAST(doc_id AS

@@ -1355,3 +1355,31 @@ def test_hash_split_deterministic(ray_session):
     assert set(a["split"]) == {"train", "val", "test"}
     with pytest.raises(ValueError):
         hash_split(ray.data.from_arrow(t), fractions=(("a", 50), ("b", 49)))
+
+
+def test_normalize_text_messy(ray_session):
+    import ray.data
+
+    from geowave_ray.text import normalize_text
+
+    rows = [
+        "  a\tb\n\nc  ",
+        "x\x00y\x1fz",
+        "CLEAN one",
+        "",
+        None,
+        "\r\n\t",
+    ]
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(rows, pa.string())})
+    got = (
+        normalize_text(ray.data.from_arrow(t).repartition(3))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(got["text"]) == ["a b c", "x y z", "CLEAN one", "", "", ""]
+    assert list(got["n_chars_norm"]) == [5, 5, 9, 0, 0, 0]
+    low = (
+        normalize_text(ray.data.from_arrow(t).repartition(2), lowercase=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert low["text"][2] == "clean one"
