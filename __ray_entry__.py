@@ -1761,6 +1761,26 @@ def q_ann_lsh(sf_dir: str):
     return ann_lsh_topk(ds, qvecs, qids, k=10, concurrency=_pool())
 
 
+def q_ann_int8(sf_dir: str):
+    """int8-quantized ANN: scan the 4x-smaller quantized corpus for
+    overfetched candidates, then exact-rescore only those rows'
+    float embeddings (bounded semi-join by broadcast candidate set).
+    Approximate overall — recall vs brute force asserted in pytest
+    (ann.ann_int8_topk)."""
+    import pyarrow.parquet as pq
+
+    from geowave_ray.ann import ann_int8_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qmask = np.asarray([v < 5 for v in t["vec_id"].to_pylist()])
+    qvecs = np.array(
+        [t["embedding"][i].as_py() for i in np.nonzero(qmask)[0]], dtype=np.float64
+    )
+    qids = np.asarray(t["vec_id"].to_numpy()[qmask])
+    ds = _read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_int8_topk(ds, qvecs, qids, k=10, concurrency=_pool())
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF-style ANN: coarse k-means quantizer -> nprobe inverted lists
     -> exact scoring of survivors only (approximate; recall vs the
@@ -3309,6 +3329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_int8": q_ann_int8,
         "emb_neardup_pairs": q_emb_neardup_pairs,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         # sketches / aggregates

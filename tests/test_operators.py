@@ -1383,3 +1383,43 @@ def test_normalize_text_messy(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert low["text"][2] == "clean one"
+
+
+def test_ann_int8_recall(ray_session):
+    """int8 quantization keeps ~all cosine structure: with 4x
+    overfetch + exact rescoring, recall@10 vs brute force >= 0.95;
+    quantize roundtrip error is bounded by the scalar step."""
+    import ray.data
+
+    from geowave_ray.ann import (
+        ann_bruteforce_topk,
+        ann_int8_topk,
+        quantize_int8_batch,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((600, 48)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(600), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    # quantize roundtrip: |x - codes*scale| <= scale/2 elementwise
+    qt = quantize_int8_batch(t)
+    codes = np.asarray(qt["codes"].combine_chunks().flatten()).reshape(600, 48)
+    scale = qt["scale"].to_numpy()
+    err = np.abs(vecs.astype(np.float64) - codes * scale[:, None])
+    assert (err <= scale[:, None] / 2 + 1e-12).all()
+
+    ds = ray.data.from_arrow(t).repartition(6)
+    exact = ann_bruteforce_topk(
+        ds, vecs[:5], np.arange(5), k=10, concurrency=2, exclude_self=False
+    ).to_pandas()
+    approx = ann_int8_topk(ds, vecs[:5], np.arange(5), k=10, concurrency=2).to_pandas()
+    recalls = []
+    for q in range(5):
+        e = set(exact[exact.query_vec_id == q]["vec_id"])
+        a = set(approx[approx.query_vec_id == q]["vec_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    assert np.mean(recalls) >= 0.95
