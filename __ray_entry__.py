@@ -947,6 +947,17 @@ def q_tile_pixel_sum(sf_dir: str):
     )
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics (raster×vector): per polygon region, the
+    count/sum/mean of raster pixels whose center falls inside it.
+    Broadcast GridIndex probe + in-batch pre-aggregation — the
+    exchange carries at most n_regions rows per block
+    (tiles.zonal_stats)."""
+    from geowave_ray.pipelines.tiles import zonal_stats
+
+    return zonal_stats(_read(sf_dir, "raster_chunks"), _regions_table(sf_dir))
+
+
 def q_tile_merge_sum(sf_dir: str):
     from geowave_ray.pipelines.tiles import merge_tiles
 
@@ -3292,6 +3303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # raster tiles
         "tile_pixel_sum": q_tile_pixel_sum,
         "tile_merge_sum": q_tile_merge_sum,
+        "zonal_stats": q_zonal_stats,
         # documents / text
         "docs_dedup_best": q_docs_dedup_best,
         "docs_lang_count": q_docs_lang_count,
@@ -4481,6 +4493,35 @@ def oracle_sql() -> dict[str, str]:
                    sum(s.chunk_sum) AS pixel_sum, count(*) AS n_chunks
             FROM a JOIN s USING (chunk_id)
             GROUP BY a.level, a.tile_x, a.tile_y
+        """,
+        # pixel centers re-derived with the engine's exact operand
+        # order; sums of integer-valued doubles are order-independent
+        "zonal_stats": f"""
+            WITH px AS (
+              SELECT chunk_id, xmin, ymin, xmax, ymax, width, height,
+                     unnest(pixels) AS v,
+                     generate_subscripts(pixels, 1) AS idx
+              FROM {CHUNKS}
+            ), pt AS (
+              SELECT chunk_id, idx, v,
+                     xmin + (((idx - 1) % width) + 0.5) * (xmax - xmin)
+                          / width AS lon,
+                     ymin + (((idx - 1) // width) + 0.5) * (ymax - ymin)
+                          / height AS lat
+              FROM px
+            ), hit AS (
+              SELECT pt.chunk_id, pt.idx, pt.v, r.region_id
+              FROM pt JOIN {REGIONS} r
+                ON pt.lon >= r.xmin AND pt.lon <= r.xmax
+               AND pt.lat >= r.ymin AND pt.lat <= r.ymax
+              JOIN {REDGES} e ON e.region_id = r.region_id
+              GROUP BY pt.chunk_id, pt.idx, pt.v, pt.lon, pt.lat, r.region_id
+              HAVING bool_and((e.x2 - e.x1) * (pt.lat - e.y1)
+                            - (e.y2 - e.y1) * (pt.lon - e.x1) >= 0)
+            )
+            SELECT region_id, count(*) AS n_px, sum(v) AS px_sum,
+                   sum(v) / count(*) AS px_mean
+            FROM hit GROUP BY region_id
         """,
         "docs_dedup_exact": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text

@@ -379,3 +379,102 @@ def pyramid_up(tiles: ray.data.Dataset) -> ray.data.Dataset:
     return contrib.groupby(["level", "tile_x", "tile_y"]).map_groups(
         merge, batch_format="pandas"
     )
+
+
+def zonal_stats(
+    chunks: ray.data.Dataset,
+    regions: pa.Table,
+    index_tier: int = 7,
+    min_count: int = 1,
+) -> ray.data.Dataset:
+    """Zonal statistics — the raster×vector cross operator (GeoWave
+    runs this shape as a raster query under a spatial constraint,
+    ``RasterDataAdapter`` tiles filtered by ``SpatialQueryFilter``):
+    per polygon zone, count/sum/mean of every raster pixel whose
+    CENTER falls inside the polygon.
+
+    Scale shape: the polygon ``GridIndex`` broadcasts once (``ray.put``
+    + worker memo — same index as the broadcast PIP join); each chunk
+    batch expands pixel centers VIRTUALLY (numpy arithmetic over the
+    zero-copy flattened pixel buffer — the (lon, lat) arrays never
+    become rows), probes the index, and pre-aggregates to
+    (region_idx, partial_sum, partial_count) — so the exchange carries
+    at most ``n_regions`` rows per block regardless of raster size.
+    One tiny groupby finalizes."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..util import cached_state
+    from .spatial_join import build_region_index
+
+    index_ref = ray.put(build_region_index(regions, tier=index_tier, convex=True))
+    rid_col = regions["region_id"].combine_chunks()
+    n_regions = len(regions)
+    key = ("zonal", index_ref.hex())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        index, _aux = cached_state(key, index_ref)
+        pix = batch.column("pixels")
+        if isinstance(pix, pa.ChunkedArray):
+            pix = pix.combine_chunks()
+        flat = pc.list_flatten(pix).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(pix).to_numpy().astype(np.int64)
+        starts = np.zeros(len(batch) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        w = batch.column("width").to_numpy().astype(np.int64)
+        h = batch.column("height").to_numpy().astype(np.int64)
+        x0 = batch.column("xmin").to_numpy()
+        x1 = batch.column("xmax").to_numpy()
+        y0 = batch.column("ymin").to_numpy()
+        y1 = batch.column("ymax").to_numpy()
+        ch = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        pos = np.arange(len(flat), dtype=np.int64) - starts[ch]
+        col = pos % w[ch]
+        row = pos // w[ch]
+        # operand order matches the SQL oracle exactly:
+        # xmin + (col + 0.5) * (xmax - xmin) / width
+        lon = x0[ch] + (col + 0.5) * (x1 - x0)[ch] / w[ch]
+        lat = y0[ch] + (row + 0.5) * (y1 - y0)[ch] / h[ch]
+        pi, pj = index.query_points(lon, lat)
+        if len(pi) == 0:
+            return pa.table(
+                {"region_idx": pa.array([], pa.int64()),
+                 "px_sum_p": pa.array([], pa.float64()),
+                 "n_px_p": pa.array([], pa.int64())}
+            )
+        sums = np.bincount(pj, weights=flat[pi], minlength=n_regions)
+        cnts = np.bincount(pj, minlength=n_regions)
+        nz = np.nonzero(cnts)[0]
+        return pa.table(
+            {
+                "region_idx": pa.array(nz, pa.int64()),
+                "px_sum_p": pa.array(sums[nz], pa.float64()),
+                "n_px_p": pa.array(cnts[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        chunks.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("region_idx")
+        .aggregate(Sum("px_sum_p", alias_name="px_sum"),
+                   Sum("n_px_p", alias_name="n_px"))
+    )
+    rid_ref = ray.put(rid_col)
+    fkey = ("zonal_rid", rid_ref.hex())
+
+    def finalize(b: pa.Table) -> pa.Table:
+        rids = cached_state(fkey, rid_ref)
+        keep = b.column("n_px").to_numpy() >= min_count
+        b = b.filter(pa.array(keep))
+        ridx = pa.array(b.column("region_idx").to_numpy(), pa.int64())
+        mean = b.column("px_sum").to_numpy() / b.column("n_px").to_numpy()
+        return pa.table(
+            {
+                "region_id": rids.take(ridx),
+                "n_px": b.column("n_px"),
+                "px_sum": b.column("px_sum"),
+                "px_mean": pa.array(mean, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)

@@ -509,3 +509,61 @@ def test_cogroup_store_path_matches_unaligned(ray_session):
     regions2 = ray.data.read_parquet(f"{em._fx(sf)}/regions.parquet")
     b = cogroup_pip_join(em._pages(sf), regions2).to_pandas()
     assert set(zip(a.url, a.region_id)) == set(zip(b.url, b.region_id))
+
+
+def test_zonal_stats_bruteforce(ray_session):
+    """Zonal stats vs a per-pixel brute force on a tiny raster and two
+    square zones (one overlapping chunk pair, one empty zone)."""
+    import ray.data
+
+    from geowave_ray.geom import polygon_wkb
+    from geowave_ray.pipelines.tiles import zonal_stats
+
+    # two 4x4 chunks: [0,4]x[0,4] and overlapping [2,6]x[0,4]
+    def chunk(cid, x0, y0, x1, y1, w, h, seed):
+        vals = ((seed + np.arange(w * h)) % 7).astype(np.float64)
+        return dict(chunk_id=cid, xmin=x0, ymin=y0, xmax=x1, ymax=y1,
+                    width=w, height=h, pixels=vals)
+
+    chunks = [chunk("a", 0, 0, 4, 4, 4, 4, 1), chunk("b", 2, 0, 6, 4, 4, 4, 5)]
+    t = pa.table({
+        "chunk_id": pa.array([c["chunk_id"] for c in chunks]),
+        "xmin": pa.array([c["xmin"] for c in chunks], pa.float64()),
+        "ymin": pa.array([c["ymin"] for c in chunks], pa.float64()),
+        "xmax": pa.array([c["xmax"] for c in chunks], pa.float64()),
+        "ymax": pa.array([c["ymax"] for c in chunks], pa.float64()),
+        "width": pa.array([c["width"] for c in chunks], pa.int32()),
+        "height": pa.array([c["height"] for c in chunks], pa.int32()),
+        "pixels": pa.array([c["pixels"] for c in chunks], pa.list_(pa.float64())),
+    })
+    # zones: CCW squares (convex) — z1 covers [1,3]x[1,3], z2 far away
+    def sq(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float64)
+
+    regions = pa.table({
+        "region_id": pa.array(["z1", "z2"]),
+        "geometry_wkb": pa.array(
+            [polygon_wkb(sq(1, 1, 3, 3)), polygon_wkb(sq(50, 50, 60, 60))],
+            pa.binary()),
+        "xmin": pa.array([1.0, 50.0]), "ymin": pa.array([1.0, 50.0]),
+        "xmax": pa.array([3.0, 60.0]), "ymax": pa.array([3.0, 60.0]),
+    })
+
+    got = zonal_stats(
+        ray.data.from_arrow(t).repartition(2), regions
+    ).to_pandas().set_index("region_id")
+
+    # brute force
+    exp_n, exp_s = 0, 0.0
+    for c in chunks:
+        w, h = c["width"], c["height"]
+        for p in range(w * h):
+            lon = c["xmin"] + (p % w + 0.5) * (c["xmax"] - c["xmin"]) / w
+            lat = c["ymin"] + (p // w + 0.5) * (c["ymax"] - c["ymin"]) / h
+            if 1 <= lon <= 3 and 1 <= lat <= 3:
+                exp_n += 1
+                exp_s += c["pixels"][p]
+    assert "z2" not in got.index  # empty zone emits nothing
+    assert got.loc["z1", "n_px"] == exp_n
+    assert got.loc["z1", "px_sum"] == exp_s
+    assert got.loc["z1", "px_mean"] == exp_s / exp_n
