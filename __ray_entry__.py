@@ -1630,6 +1630,17 @@ def q_docs_normalize(sf_dir: str):
     return normalize_text(ds).select_columns(["doc_id", "text", "n_chars_norm"])
 
 
+def q_events_median_by_type(sf_dir: str):
+    """Per-group EXACT median (quantile_disc semantics) WITHOUT a
+    global sort: iterative histogram refinement, one shared streaming
+    pass per round for all still-active groups
+    (stats.grouped_exact_quantile)."""
+    from geowave_ray.stats import grouped_exact_quantile
+
+    ds = _read_testdata(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_exact_quantile(ds, "event_type", "value", q=0.5)
+
+
 def q_events_window(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -3332,6 +3343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_split": q_url_split,
         "docs_curate": q_docs_curate,
         "docs_normalize": q_docs_normalize,
+        "events_median_by_type": q_events_median_by_type,
         # events / relational
         "events_window": q_events_window,
         "lineitem_agg": q_lineitem_agg,
@@ -4777,6 +4789,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT)
                      AS rank
             FROM cnt ORDER BY cnt DESC, gram LIMIT 20
+        """,
+        "events_median_by_type": """
+            SELECT event_type, quantile_disc(value, 0.5) AS q_value
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
         """,
         "docs_normalize": r"""
             SELECT doc_id,

@@ -453,3 +453,160 @@ def optimal_count(manifest_dir: str) -> int | None:
     for e in entries:
         seen_groups[e.get("output_dir")] = e.get("group_rows", 0)
     return int(sum(seen_groups.values()))
+
+
+def grouped_exact_quantile(
+    ds: ray.data.Dataset,
+    group_col: str,
+    col: str,
+    q: float = 0.5,
+    bins: int = 2048,
+    collect_threshold: int = 50_000,
+    max_rounds: int = 8,
+) -> pa.Table:
+    """EXACT per-group q-quantile (``quantile_disc`` semantics: the
+    ceil(q*n)-th smallest, 1-based) WITHOUT a global sort — the
+    grouped form of :func:`exact_kth_value`.
+
+    Each refinement round is ONE streaming pass shared by every
+    still-active group: a batch emits (group, bin, count) partials for
+    each group's current candidate interval, the driver narrows every
+    group's interval independently, and groups whose candidate count
+    fits ``collect_threshold`` finish with one shared survivor-collect
+    pass. Designed for CATEGORICAL keys (dozens-to-thousands of
+    groups: per-round driver state is O(groups), per-batch work loops
+    over groups with vectorized masks); for million-key quotas use the
+    bucketed exchanges of ``text.quota_sample_per_key`` instead.
+    """
+    import math
+
+    if not (0.0 < q <= 1.0):
+        raise ValueError("q must be in (0, 1]")
+
+    def gstats(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(col).to_numpy()
+        ok = ~np.isnan(v)
+        g, v = g[ok], v[ok]
+        if len(v) == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        codes, uniq = pd.factorize(g)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        lo = np.full(len(uniq), np.inf)
+        hi = np.full(len(uniq), -np.inf)
+        np.minimum.at(lo, codes, v)
+        np.maximum.at(hi, codes, v)
+        return pa.table({"g": pa.array([str(u) for u in uniq], pa.string()),
+                         "n": pa.array(n, pa.int64()),
+                         "lo": pa.array(lo, pa.float64()),
+                         "hi": pa.array(hi, pa.float64())})
+
+    gm = ds.map_batches(gstats, batch_format="pyarrow", batch_size=None).to_pandas()
+    agg = gm.groupby("g").agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    # state per group: [k (0-based), lo, hi, incl, done, result]
+    state = {
+        g: {"k": int(math.ceil(q * r.n)) - 1, "lo": float(r.lo),
+            "hi": float(r.hi), "incl": True, "done": False, "res": None,
+            "n_cand": int(r.n)}
+        for g, r in agg.iterrows()
+    }
+
+    def active_spec():
+        return {
+            g: (s["lo"], s["hi"], s["incl"])
+            for g, s in state.items() if not s["done"] and s["res"] is None
+        }
+
+    for _ in range(max_rounds):
+        spec = {
+            g: v for g, v in active_spec().items()
+            if state[g]["n_cand"] > collect_threshold
+        }
+        # groups at lo == hi are decided without a pass
+        for g, s in state.items():
+            if s["res"] is None and not s["done"] and s["lo"] == s["hi"]:
+                s["res"], s["done"] = s["lo"], True
+                spec.pop(g, None)
+        if not spec:
+            break
+        edges_by_g = {
+            g: np.linspace(lo, hi, bins + 1) for g, (lo, hi, _) in spec.items()
+        }
+        sref = ray.put((spec, edges_by_g))
+
+        def ghist(batch: pa.Table, sref=sref) -> pa.Table:
+            sp, eb = ray.get(sref)
+            gcol = batch.column(group_col).to_numpy(zero_copy_only=False)
+            v = batch.column(col).to_numpy()
+            gs, bs, ns = [], [], []
+            for g, (lo, hi, incl) in sp.items():
+                m = (gcol == g) & (v >= lo) & ((v <= hi) if incl else (v < hi))
+                if not m.any():
+                    continue
+                idx = np.searchsorted(eb[g], v[m], side="right") - 1
+                np.clip(idx, 0, bins - 1, out=idx)
+                c = np.bincount(idx, minlength=bins)
+                nz = np.nonzero(c)[0]
+                gs.extend([g] * len(nz))
+                bs.extend(nz.tolist())
+                ns.extend(c[nz].tolist())
+            return pa.table({"g": pa.array(gs, pa.string()),
+                             "bin": pa.array(bs, pa.int64()),
+                             "n": pa.array(ns, pa.int64())})
+
+        parts = ds.map_batches(ghist, batch_format="pyarrow", batch_size=None).to_pandas()
+        for g in spec:
+            s = state[g]
+            counts = np.zeros(bins, dtype=np.int64)
+            pg = parts[parts["g"] == g]
+            np.add.at(counts, pg["bin"].to_numpy(), pg["n"].to_numpy())
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, s["k"] + 1))
+            if b >= bins:
+                raise IndexError(f"group {g}: k out of range")
+            s["k"] -= int(cum[b - 1]) if b else 0
+            edges = edges_by_g[g]
+            new_lo, new_hi = float(edges[b]), float(edges[b + 1])
+            new_incl = s["incl"] and b == bins - 1
+            if (new_lo, new_hi) == (s["lo"], s["hi"]):
+                s["n_cand"] = 0  # force collect
+            else:
+                s["n_cand"] = int(counts[b])
+            s["lo"], s["hi"], s["incl"] = new_lo, new_hi, new_incl
+
+    # one shared survivor-collect pass for everything unresolved
+    spec = active_spec()
+    if spec:
+        sref = ray.put(spec)
+
+        def survivors(batch: pa.Table, sref=sref) -> pa.Table:
+            sp = ray.get(sref)
+            gcol = batch.column(group_col).to_numpy(zero_copy_only=False)
+            v = batch.column(col).to_numpy()
+            gs, vs = [], []
+            for g, (lo, hi, incl) in sp.items():
+                m = (gcol == g) & (v >= lo) & ((v <= hi) if incl else (v < hi))
+                vv = v[m]
+                gs.extend([g] * len(vv))
+                vs.extend(vv.tolist())
+            return pa.table({"g": pa.array(gs, pa.string()),
+                             "v": pa.array(vs, pa.float64())})
+
+        sv = ds.map_batches(survivors, batch_format="pyarrow", batch_size=None).to_pandas()
+        for g in spec:
+            vals = np.sort(sv[sv["g"] == g]["v"].to_numpy())
+            state[g]["res"] = float(vals[state[g]["k"]])
+            state[g]["done"] = True
+
+    gs = sorted(state)
+    return pa.table(
+        {
+            group_col: pa.array(gs, pa.string()),
+            "q_value": pa.array([state[g]["res"] for g in gs], pa.float64()),
+        }
+    )

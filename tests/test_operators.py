@@ -1423,3 +1423,28 @@ def test_ann_int8_recall(ray_session):
         a = set(approx[approx.query_vec_id == q]["vec_id"])
         recalls.append(len(e & a) / max(1, len(e)))
     assert np.mean(recalls) >= 0.95
+
+
+def test_grouped_exact_quantile(ray_session):
+    import math
+
+    import ray.data
+
+    from geowave_ray.stats import grouped_exact_quantile
+
+    rng = np.random.default_rng(31)
+    groups = rng.choice(["a", "b", "c"], size=5000)
+    vals = np.where(
+        groups == "a", rng.normal(10, 3, 5000),
+        np.where(groups == "b", rng.exponential(5, 5000), rng.uniform(-4, 4, 5000)),
+    )
+    t = pa.table({"g": pa.array(groups), "v": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(8)
+    for q in (0.5, 0.25, 0.9):
+        got = grouped_exact_quantile(
+            ds, "g", "v", q=q, bins=64, collect_threshold=50
+        ).to_pandas().set_index("g")["q_value"]
+        for g in ("a", "b", "c"):
+            sv = np.sort(vals[groups == g])
+            exp = sv[math.ceil(q * len(sv)) - 1]  # quantile_disc rule
+            assert got[g] == exp, (q, g)
