@@ -958,6 +958,17 @@ def q_zonal_stats(sf_dir: str):
     return zonal_stats(_read(sf_dir, "raster_chunks"), _regions_table(sf_dir))
 
 
+def q_hotspot_blobs(sf_dir: str):
+    """Heatmap hot-spot extraction: 4-connected blobs of tier-8 grid
+    cells with >= 3 pages, summarized (blob id = min global cell key,
+    cell/page counts, bbox). One bounded tile-grouped exchange;
+    per-tile vectorized min-label propagation; driver merges only
+    blob roots (kde.hotspot_blobs)."""
+    from geowave_ray.pipelines.kde import hotspot_blobs
+
+    return hotspot_blobs(_pages(sf_dir), tier=8, min_count=3)
+
+
 def q_tile_merge_sum(sf_dir: str):
     from geowave_ray.pipelines.tiles import merge_tiles
 
@@ -3315,6 +3326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pixel_sum": q_tile_pixel_sum,
         "tile_merge_sum": q_tile_merge_sum,
         "zonal_stats": q_zonal_stats,
+        "hotspot_blobs": q_hotspot_blobs,
         # documents / text
         "docs_dedup_best": q_docs_dedup_best,
         "docs_lang_count": q_docs_lang_count,
@@ -4505,6 +4517,37 @@ def oracle_sql() -> dict[str, str]:
                    sum(s.chunk_sum) AS pixel_sum, count(*) AS n_chunks
             FROM a JOIN s USING (chunk_id)
             GROUP BY a.level, a.tile_x, a.tile_y
+        """,
+        # connected components via the same recursive min-label CTE as
+        # the dbscan_exact oracle, over tier-8 hot cells
+        "hotspot_blobs": f"""
+            WITH cells AS (
+              SELECT CAST(floor((lon + 180.0) / 360.0 * 256.0) AS BIGINT) AS cx,
+                     CAST(floor((lat + 90.0) / 180.0 * 256.0) AS BIGINT) AS cy,
+                     count(*) AS n
+              FROM {PAGES} GROUP BY 1, 2 HAVING count(*) >= 3
+            ), keyed AS (SELECT cy * 256 + cx AS k, cx, cy, n FROM cells),
+            adj AS (
+              SELECT a.k AS ia, b.k AS ib FROM keyed a JOIN keyed b
+              ON (b.cx = a.cx + 1 AND b.cy = a.cy)
+              OR (b.cx = a.cx AND b.cy = a.cy + 1)
+            ),
+            edges AS (SELECT ia, ib FROM adj UNION ALL SELECT ib, ia FROM adj),
+            r AS (
+              WITH RECURSIVE rr(k, lab) AS (
+                SELECT k, k FROM keyed
+                UNION
+                SELECT e.ib, rr.lab FROM rr JOIN edges e ON e.ia = rr.k
+                WHERE rr.lab < e.ib
+              ) SELECT * FROM rr
+            ),
+            lab AS (SELECT k, min(lab) AS root FROM r GROUP BY k)
+            SELECT root AS blob_id, CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(sum(n) AS BIGINT) AS n_pages,
+                   min(cx) AS min_cx, min(cy) AS min_cy,
+                   max(cx) AS max_cx, max(cy) AS max_cy
+            FROM lab JOIN keyed USING (k)
+            GROUP BY root
         """,
         # pixel centers re-derived with the engine's exact operand
         # order; sums of integer-valued doubles are order-independent

@@ -299,9 +299,18 @@ def run_scaling() -> None:
     # a real 4N-node cluster multiplies memory bandwidth with CPUs,
     # this one-box sandbox does not). Two interleaved passes per
     # level, best kept (multi-minute host load variance).
+    levels = tuple(
+        int(x) for x in os.environ.get(
+            "GRAFT_SCALING_LEVELS", "2,4,8,16,32"
+        ).split(",")
+    )
+    passes = int(os.environ.get("GRAFT_SCALING_PASSES", "2"))
     results: dict[int, dict] = {}
-    for n in (2, 4, 8, 16, 32, 2, 4, 8, 16, 32):
+    for n in levels * passes:
+        t0 = time.time()
         r = run(n)
+        print(f"[scaling] ncpu={n} child done in {time.time() - t0:.0f}s",
+              file=sys.stderr, flush=True)
         if n not in results or r["value"] < results[n]["value"]:
             best = results.get(n, {})
             # keep the per-metric best independently (headline and docs
@@ -314,7 +323,8 @@ def run_scaling() -> None:
         elif r.get("docs_sec", 1e18) < results[n].get("docs_sec", 1e18):
             for k in ("docs_sec", "docs_rows_per_sec", "docs_lsh_sec", "docs_dedup_sec"):
                 results[n][k] = r[k]
-    out = {"sf": results[4]["sf"], "rows": results[4]["rows"].get("pip_join")}
+    first = results[min(results)]
+    out = {"sf": first["sf"], "rows": first["rows"].get("pip_join")}
     for n, r in results.items():
         out[f"sec_{n}"] = r["value"]
         out[f"rows_per_sec_{n}"] = r["headline_rows_per_sec"]
@@ -322,6 +332,8 @@ def run_scaling() -> None:
             out[f"docs_sec_{n}"] = r["docs_sec"]
             out[f"docs_rows_per_sec_{n}"] = r["docs_rows_per_sec"]
     for lo, hi in ((2, 8), (4, 16), (8, 32)):
+        if lo not in results or hi not in results:
+            continue
         out[f"scaling_efficiency_{lo}_to_{hi}"] = round(
             (results[hi]["headline_rows_per_sec"] / results[lo]["headline_rows_per_sec"]) / 4.0,
             3,
@@ -331,7 +343,12 @@ def run_scaling() -> None:
                 (results[hi]["docs_rows_per_sec"] / results[lo]["docs_rows_per_sec"]) / 4.0,
                 3,
             )
-    out["scaling_efficiency"] = out["scaling_efficiency_2_to_8"]
+    eff_keys = [k for k in out if k.startswith("scaling_efficiency_")]
+    if eff_keys:
+        out["scaling_efficiency"] = out[
+            "scaling_efficiency_2_to_8"
+            if "scaling_efficiency_2_to_8" in out else eff_keys[0]
+        ]
     print(json.dumps(out))
 
 

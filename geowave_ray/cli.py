@@ -69,6 +69,24 @@ def main(argv=None) -> int:
     ps = sub.add_parser("stats")
     ps.add_argument("manifest_dir")
 
+    pd_ = sub.add_parser("dedup", help="exact dedup of a documents table")
+    pd_.add_argument("docs_parquet")
+    pd_.add_argument("out_dir")
+    pd_.add_argument("--id-col", default="doc_id")
+
+    pc_ = sub.add_parser(
+        "curate",
+        help="blocklist -> exact dedup -> quality filter -> split -> write",
+    )
+    pc_.add_argument("docs_parquet")
+    pc_.add_argument("out_dir")
+    pc_.add_argument("--id-col", default="doc_id")
+    pc_.add_argument("--block", action="append", default=[],
+                     help="blocked domain (repeatable; needs --url-col)")
+    pc_.add_argument("--url-col", default=None)
+    pc_.add_argument("--min-tokens", type=int, default=50)
+    pc_.add_argument("--max-top-unigram", type=float, default=0.09)
+
     args = p.parse_args(argv)
     if args.cmd == "stats":  # driver-side only, no Ray needed
         from .state import manifest as mf
@@ -123,6 +141,52 @@ def main(argv=None) -> int:
 
             out = knn(pages(args.pages_dir), pqt.read_table(args.knn_queries))
             print(json.dumps({"rows": out.count()}))
+        elif args.cmd == "dedup":
+            from .dedup import exact_dedup
+
+            ds = exact_dedup(
+                ray.data.read_parquet(args.docs_parquet), id_col=args.id_col
+            )
+            ds.write_parquet(args.out_dir)
+            print(json.dumps({"rows": ray.data.read_parquet(args.out_dir).count()}))
+        elif args.cmd == "curate":
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            from .dedup import exact_dedup
+            from .text import blocklist_filter, hash_split, repetition_stats_batch
+
+            ds = ray.data.read_parquet(args.docs_parquet)
+            if args.block:
+                if not args.url_col:
+                    raise SystemExit("--block requires --url-col")
+                ds = blocklist_filter(ds, args.block, url_col=args.url_col)
+            ds = exact_dedup(ds, id_col=args.id_col)
+            min_tok, max_top = args.min_tokens, args.max_top_unigram
+            id_col = args.id_col
+
+            def keep(batch: "pa.Table") -> "pa.Table":
+                m = repetition_stats_batch(batch)
+                mask = pc.and_(
+                    pc.less_equal(m.column("top_unigram_frac"), pa.scalar(max_top)),
+                    pc.greater_equal(
+                        m.column("n_tokens"), pa.scalar(min_tok, pa.int64())
+                    ),
+                )
+                t = batch.filter(mask)
+                return t.append_column(
+                    "split_key", pc.cast(t.column(id_col), pa.string())
+                )
+
+            ds = ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+            ds = hash_split(ds, id_col="split_key").drop_columns(["split_key"])
+            ds.write_parquet(args.out_dir, partition_cols=["split"])
+            out = ray.data.read_parquet(args.out_dir)
+            counts = {
+                r["split"]: r["count()"]
+                for r in out.groupby("split").count().take_all()
+            }
+            print(json.dumps({"rows": sum(counts.values()), "splits": counts}))
         elif args.cmd == "gwql":
             from . import gwql
 

@@ -28,6 +28,7 @@ import pyarrow as pa
 import ray.data
 
 from .hashing import hash_utf8, mix64, tokenize_hash
+from .util import exchange_blocks
 
 # Block count fed into each bucketed exchange: Ray's sort-based
 # shuffle pays per-block scheduling overhead, so many tiny blocks cost
@@ -119,7 +120,7 @@ def dup_content_hashes(
 
     out = (
         docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .repartition(_EXCHANGE_BLOCKS)
+        .repartition(exchange_blocks())
         .groupby("bucket")
         .map_groups(dups, batch_format="pandas")
         .take_all()
@@ -165,7 +166,7 @@ def _two_pass_dedup(
     uniques = docs.map_batches(split(False), batch_format="pyarrow", batch_size=None)
     winners = (
         docs.map_batches(split(True), batch_format="pyarrow", batch_size=None)
-        .repartition(_EXCHANGE_BLOCKS)
+        .repartition(exchange_blocks())
         .groupby("bucket")
         .map_groups(keep, batch_format="pandas")
         .select_columns(cols)
@@ -275,8 +276,13 @@ def _minhash_lsh_fused(
     tradeoff). The first-equal-band rule makes emission exactly-once:
     for every pair the set of segment-equal bands is a fixed property
     of the two signatures, and only the minimum such band emits."""
+    from .util import exchange_blocks
+
     rpb = num_perm // bands
-    docs = docs.repartition(_EXCHANGE_BLOCKS)
+    # NOTE: no head coalesce here — the signature computation is the
+    # compute-heavy stage and must run at full read parallelism (a
+    # fixed 16-block cap measured 2x LSH wall at 32 CPUs on the 1M-doc
+    # scaling corpus); only the band exchange below is width-bounded.
     sigs = docs.map_batches(
         minhash_batch, fn_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n),
         batch_format="pyarrow", batch_size=None,
@@ -314,7 +320,7 @@ def _minhash_lsh_fused(
 
     banded = sigs.map_batches(
         to_band_rows, batch_format="pyarrow", batch_size=None
-    ).repartition(_EXCHANGE_BLOCKS)
+    ).repartition(exchange_blocks())
 
     def emit_verified(g: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -382,11 +388,20 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     band_group_cap: int = 512,
     n_buckets: int = 256,
-    fused: bool = True,
+    fused: bool | None = None,
 ) -> ray.data.Dataset:
     """Near-dup pairs via banded LSH. Returns (doc_a, doc_b, sim)
     with doc_a < doc_b and sim = signature-equality fraction >=
     ``jaccard_threshold``.
+
+    ``fused=None`` (default) picks the plan by corpus size — fused
+    below 100k docs, byte-minimal above (measured on the 1M-doc
+    scaling corpus at 32 CPUs: fused 151 s vs non-fused 25 s — the
+    8 KB/doc signature traffic dominates; at 5k docs the ordering
+    flips, 1.0 s vs 6.0 s — three exchange round costs dominate).
+    The size probe is one ``docs.count()`` (metadata-only on a plain
+    parquet read); pass ``fused`` explicitly for derived inputs to
+    avoid the extra pass.
 
     Two physical plans, same logical output on cap-free data
     (asserted equal in pytest):
@@ -408,16 +423,19 @@ def minhash_lsh_pairs(
       traffic dominates the per-exchange round cost.
     """
     rows_per_band = num_perm // bands
+    if fused is None:
+        fused = docs.count() <= 100_000
     if fused:
         return _minhash_lsh_fused(
             docs, num_perm, bands, shingle_n, jaccard_threshold,
             band_group_cap, n_buckets,
         )
-    # one coalesce at the head: Ray oversplits small inputs (64 blocks
-    # for a 5k-row file) and every downstream stage then pays 64 task
-    # schedules; the whole pipeline is bounded-bucket exchanges, so
-    # _EXCHANGE_BLOCKS tasks per stage is the right width at any size
-    docs = docs.repartition(_EXCHANGE_BLOCKS)
+    from .util import exchange_blocks
+
+    # signature computation runs at the input's read parallelism (the
+    # compute-heavy stage — never cap it); the materialized sigs table
+    # is re-read by to_bands and both attach passes, and every
+    # exchange below is width-bounded at its repartition
     sigs = docs.map_batches(
         minhash_batch, fn_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n),
         batch_format="pyarrow", batch_size=None,
@@ -451,33 +469,77 @@ def minhash_lsh_pairs(
         return b.append_column("bucket", pa.array(bk, pa.int64()))
 
     def emit_candidates(g: pd.DataFrame) -> pd.DataFrame:
-        """All-pairs per (band, band_hash), vectorized via triu
-        indices; groups beyond the cap emit star pairs instead
-        (connectivity preserved, no O(n²) on skewed hashes)."""
-        a_out: list[np.ndarray] = []
-        b_out: list[np.ndarray] = []
-        for _, sub in g.groupby(["band", "band_hash"], sort=False):
-            ids = np.unique(sub["doc_id"].to_numpy())
-            m = len(ids)
-            if m < 2:
-                continue
-            if m > band_group_cap:
-                a_out.append(np.full(m - 1, ids[0]))
-                b_out.append(ids[1:])
-            else:
-                iu, ju = np.triu_indices(m, k=1)
-                a_out.append(ids[iu])
-                b_out.append(ids[ju])
-        if not a_out:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64)})
+        """All-pairs per (band, band_hash) segment, fully vectorized:
+        one lexsort defines the segments, pair indices for ALL small
+        segments are generated in one arange/searchsorted pass (no
+        per-group Python — a 1M-doc corpus has millions of band
+        groups and a pandas groupby loop was the plan's wall); groups
+        beyond the cap emit star pairs (connectivity preserved, no
+        O(n²) on skewed hashes)."""
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64)})
+        ids = g["doc_id"].to_numpy()
+        band = g["band"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        order = np.lexsort((ids, bh, band))
+        ids, band, bh = ids[order], band[order], bh[order]
+        if len(ids) == 0:
+            return empty
+        # drop duplicate (band, hash, id) rows
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = (
+            (band[1:] != band[:-1]) | (bh[1:] != bh[:-1]) | (ids[1:] != ids[:-1])
+        )
+        ids, band, bh = ids[first], band[first], bh[first]
+        seg_start = np.ones(len(ids), dtype=bool)
+        seg_start[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(seg_start)
+        sizes = np.diff(np.r_[starts, len(ids)])
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        # star segments (skew cap)
+        big = sizes > band_group_cap
+        if big.any():
+            bs, bz = starts[big], sizes[big]
+            out_a.append(np.repeat(ids[bs], bz - 1))
+            mask = np.ones(len(ids), dtype=bool)
+            mask[bs] = False
+            take = np.zeros(len(ids), dtype=bool)
+            for s, z in zip(bs, bz):  # few capped segments by contract
+                take[s + 1 : s + z] = True
+            out_b.append(ids[take])
+        # all-pairs segments, one vectorized index build for ALL of them
+        sm = (~big) & (sizes >= 2)
+        if sm.any():
+            ss, sz = starts[sm], sizes[sm]
+            np_pairs = sz * (sz - 1) // 2
+            total = int(np_pairs.sum())
+            if total:
+                seg_of = np.repeat(np.arange(len(ss)), np_pairs)
+                off = np.arange(total) - np.repeat(
+                    np.r_[0, np.cumsum(np_pairs)[:-1]], np_pairs
+                )
+                m = sz[seg_of]
+                # row i of the strict upper triangle, from flat offset:
+                # i = m-2 - floor((sqrt(8*(T-1-off)+1)-1)/2) with
+                # T = m*(m-1)/2 — exact for m <= cap via float64
+                rev = (m * (m - 1) // 2 - 1 - off).astype(np.float64)
+                i = (m - 2 - np.floor((np.sqrt(8 * rev + 1) - 1) / 2)).astype(
+                    np.int64
+                )
+                rows_before = i * (2 * m - i - 1) // 2  # pairs in rows < i
+                j = off - rows_before + i + 1
+                out_a.append(ids[ss[seg_of] + i])
+                out_b.append(ids[ss[seg_of] + j])
+        if not out_a:
+            return empty
         return pd.DataFrame(
-            {"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out)}
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
         )
 
     cands = (
         banded.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
-        .repartition(_EXCHANGE_BLOCKS)
+        .repartition(exchange_blocks())
         .groupby("bucket")
         .map_groups(emit_candidates, batch_format="pandas")
     )
@@ -556,7 +618,7 @@ def _attach_value(
         pairs.map_batches(probe_rows, batch_format="pyarrow", batch_size=None)
         .union(table.map_batches(label_rows, batch_format="pyarrow", batch_size=None))
         .map_batches(bucketed, batch_format="pyarrow", batch_size=None)
-        .repartition(_EXCHANGE_BLOCKS)
+        .repartition(exchange_blocks())
     )
 
     def join_group(t: pa.Table) -> pa.Table:
@@ -703,7 +765,7 @@ def _attach_sig(
     u = (
         probe.union(labels)
         .map_batches(bucketed, batch_format="pyarrow", batch_size=None)
-        .repartition(_EXCHANGE_BLOCKS)
+        .repartition(exchange_blocks())
     )
 
     def join_group(t: pa.Table) -> pa.Table:
@@ -894,9 +956,9 @@ def simhash_pairs(
         )
 
     return (
-        docs.repartition(_EXCHANGE_BLOCKS)
+        docs.repartition(exchange_blocks())
         .map_batches(expand, batch_format="pyarrow", batch_size=None)
-        .repartition(_EXCHANGE_BLOCKS)
+        .repartition(exchange_blocks())
         .groupby("bucket")
         .map_groups(emit, batch_format="pandas")
     )
@@ -958,7 +1020,7 @@ def connected_components(
 
         return (
             ds.map_batches(bucketed, batch_format="pyarrow", batch_size=None)
-            .repartition(_EXCHANGE_BLOCKS)
+            .repartition(exchange_blocks())
             .groupby("bucket")
             .map_groups(reduce_group, batch_format="pandas")
         )
@@ -1260,7 +1322,7 @@ def dup_ngram_set(
             {
                 "gram_hash": pa.array(uh, pa.int64()),
                 "cnt": pa.array(cnt, pa.int64()),
-                "bucket": pa.array(uh % np.int64(_EXCHANGE_BLOCKS), pa.int64()),
+                "bucket": pa.array(uh % np.int64(exchange_blocks()), pa.int64()),
             }
         )
 
@@ -1272,7 +1334,7 @@ def dup_ngram_set(
 
     out = (
         docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .repartition(_EXCHANGE_BLOCKS)
+        .repartition(exchange_blocks())
         .groupby("bucket")
         .map_groups(dups, batch_format="pandas")
         .take_all()

@@ -1448,3 +1448,42 @@ def test_grouped_exact_quantile(ray_session):
             sv = np.sort(vals[groups == g])
             exp = sv[math.ceil(q * len(sv)) - 1]  # quantile_disc rule
             assert got[g] == exp, (q, g)
+
+
+def test_cli_dedup_and_curate(tmp_path, ray_session):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from geowave_ray.cli import main
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=80)) for _ in range(120)]
+    texts += texts[:30]  # exact duplicates
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "url": pa.array([f"https://h{i % 7}.x/{i}" for i in range(len(texts))]),
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, str(src))
+
+    out1 = tmp_path / "dedup"
+    assert main(["dedup", str(src), str(out1)]) == 0
+    got = pq.read_table(str(out1)).num_rows
+    assert got == 120  # duplicates collapsed to min-id winners
+
+    out2 = tmp_path / "curated"
+    assert main([
+        "curate", str(src), str(out2),
+        "--block", "h3.x", "--url-col", "url", "--min-tokens", "10",
+        "--max-top-unigram", "0.5",
+    ]) == 0
+    cur = pq.read_table(str(out2)).to_pandas()
+    assert len(cur) > 0
+    assert "split" in cur.columns and set(cur["split"]) <= {"train", "val", "test"}
+    # blocked domain gone entirely
+    assert not cur["url"].str.contains("//h3.x/").any()
+    # no duplicate texts survive
+    assert cur["text"].is_unique

@@ -567,3 +567,67 @@ def test_zonal_stats_bruteforce(ray_session):
     assert got.loc["z1", "n_px"] == exp_n
     assert got.loc["z1", "px_sum"] == exp_s
     assert got.loc["z1", "px_mean"] == exp_s / exp_n
+
+
+def test_hotspot_blobs_bruteforce(ray_session):
+    """Cross-tile blob merging against a brute-force flood fill; small
+    tile=4 so components straddle many tile boundaries."""
+    import ray.data
+
+    from geowave_ray.pipelines.kde import hotspot_blobs
+
+    rng = np.random.default_rng(47)
+    tier = 5  # 32x32 grid
+    n = 1 << tier
+    # scatter points: an L-shaped dense band + random noise cells
+    pts = []
+    for cx in range(3, 20):  # horizontal band at cy=10
+        pts += [(cx, 10)] * 3
+    for cy in range(10, 25):  # vertical band at cx=19 (connected at corner)
+        pts += [(19, cy)] * 3
+    for _ in range(40):  # noise: single-point cells (below min_count)
+        pts.append((int(rng.integers(0, n)), int(rng.integers(0, n))))
+    # cell center -> lon/lat
+    lon = np.array([-180 + (cx + 0.5) * 360 / n for cx, _ in pts])
+    lat = np.array([-90 + (cy + 0.5) * 180 / n for _, cy in pts])
+    ds = ray.data.from_arrow(
+        pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+    ).repartition(5)
+
+    got = hotspot_blobs(ds, tier=tier, min_count=3, tile=4).to_pandas()
+
+    # brute force flood fill over hot cells
+    from collections import Counter, deque
+
+    cnt = Counter(pts)
+    hot = {c for c, k in cnt.items() if k >= 3}
+    seen, blobs = set(), []
+    for c in sorted(hot):
+        if c in seen:
+            continue
+        comp, dq = [], deque([c])
+        seen.add(c)
+        while dq:
+            x, y = dq.popleft()
+            comp.append((x, y))
+            for nb in ((x+1, y), (x-1, y), (x, y+1), (x, y-1)):
+                if nb in hot and nb not in seen:
+                    seen.add(nb)
+                    dq.append(nb)
+        blobs.append(comp)
+    exp = sorted(
+        (min(cy * n + cx for cx, cy in comp), len(comp),
+         sum(cnt[c] for c in comp),
+         min(c[0] for c in comp), min(c[1] for c in comp),
+         max(c[0] for c in comp), max(c[1] for c in comp))
+        for comp in blobs
+    )
+    got_rows = sorted(
+        tuple(int(v) for v in r)
+        for r in got[["blob_id", "n_cells", "n_pages",
+                      "min_cx", "min_cy", "max_cx", "max_cy"]].to_numpy()
+    )
+    assert got_rows == exp
+    # the L-band is ONE blob spanning many 4x4 tiles
+    big = max(exp, key=lambda b: b[1])
+    assert big[1] == 17 + 15 - 1
