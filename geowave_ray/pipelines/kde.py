@@ -211,7 +211,7 @@ def hotspot_blobs(
 
     rows = (
         pages.map_batches(cells, batch_format="pyarrow", batch_size=None)
-        .repartition(16)
+        .repartition(_xb())
         .groupby("tile_key")
         .map_groups(label_tile, batch_format="pandas")
         .to_pandas()
@@ -266,3 +266,8 @@ def hotspot_blobs(
             "max_cy": pa.array(agg["max_cy"].to_numpy(), pa.int64()),
         }
     )
+
+
+def _xb():
+    from ..util import exchange_blocks
+    return exchange_blocks()

@@ -91,7 +91,7 @@ def range_join_count(
     u = (
         left.map_batches(left_rows, batch_format="pyarrow", batch_size=None)
         .union(right.map_batches(right_rows, batch_format="pyarrow", batch_size=None))
-        .repartition(16)
+        .repartition(_xb())
     )
 
     def group_fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -218,7 +218,12 @@ def interval_overlap_join(
 
     return (
         both.map_batches(expand, batch_format="pyarrow", batch_size=None)
-        .repartition(16)
+        .repartition(_xb())
         .groupby("bin")
         .map_groups(emit, batch_format="pandas")
     )
+
+
+def _xb():
+    from ..util import exchange_blocks
+    return exchange_blocks()

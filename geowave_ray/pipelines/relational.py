@@ -95,7 +95,7 @@ def anti_join_keys(
         _tagged(right, right_key, 1, n_buckets)
     )
     return (
-        tagged.repartition(16)
+        tagged.repartition(_xb())
         .groupby("bucket")
         .map_groups(emit, batch_format="pandas")
     )
@@ -123,7 +123,7 @@ def semi_join_keys(
         _tagged(right, right_key, 1, n_buckets)
     )
     return (
-        tagged.repartition(16)
+        tagged.repartition(_xb())
         .groupby("bucket")
         .map_groups(emit, batch_format="pandas")
     )
@@ -223,7 +223,12 @@ def hash_join(
 
     return (
         tl.union(tr)
-        .repartition(16)
+        .repartition(_xb())
         .groupby("bucket")
         .map_groups(emit, batch_format="pyarrow")
     )
+
+
+def _xb():
+    from ..util import exchange_blocks
+    return exchange_blocks()

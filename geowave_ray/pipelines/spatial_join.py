@@ -487,14 +487,16 @@ def _cogroup_single_tier(
     if DataContext.get_current().shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE:
         # HASH repartition by the group key (no global sort): whole
         # groups land in one block each; the matcher runs once per block.
-        parted = both.repartition(32, keys=group_key, sort=False)
+        parted = both.repartition(_ncpu(), keys=group_key, sort=False)
         return parted.map_batches(
             join_partition, batch_format="pyarrow", batch_size=None
         )
     # sort-based exchange: coalesce first — per-block scheduling
     # dominates Ray's sort (204 blocks of 7k rows measured 16s wall on
     # 2.3s compute); the matcher handles a whole reduce partition.
-    both = both.repartition(24)
+    # Width 3/4 of the cores (= the tuned 24 on the 32-CPU bench host),
+    # scaled to the cluster instead of hardcoded.
+    both = both.repartition(max(8, (3 * _ncpu()) // 4))
     return both.groupby(group_key).map_groups(
         join_partition, batch_format="pyarrow"
     )
@@ -572,7 +574,7 @@ def ingest_regions_store(
     ds = regions if isinstance(regions, rd.Dataset) else rd.from_arrow(regions)
     (
         ds.map_batches(encode, batch_format="pyarrow", batch_size=None)
-        .repartition(16)
+        .repartition(_xb())
         .groupby("bucket")
         .map_groups(write_bucket, batch_format="pyarrow")
         .count()  # drive the partitioned write to completion
@@ -982,3 +984,14 @@ def polygon_intersects_join(
         )
 
     return left.map_batches(probe, batch_format="pyarrow", batch_size=None)
+
+
+def _xb():
+    from ..util import exchange_blocks
+    return exchange_blocks()
+
+
+def _ncpu():
+    from ..util import ncpus
+
+    return ncpus()

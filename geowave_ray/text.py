@@ -325,11 +325,14 @@ class PatternScrubber:
         )
 
 
-def document_frequency(ds, exchange_blocks: int = 16):
+def document_frequency(ds, exchange_blocks: int | None = None):
     """Per-term document frequency: per-batch partial (unique
     (doc, term) → per-term counts, the classic combiner) followed by
     one bounded groupby-sum over term partials.  A doc lives entirely
-    inside one batch, so batch-local distinct-doc counts sum exactly."""
+    inside one batch, so batch-local distinct-doc counts sum exactly.
+    ``exchange_blocks`` defaults to the CPU-scaled exchange width."""
+    if exchange_blocks is None:
+        exchange_blocks = _xb()
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -500,7 +503,7 @@ def quota_sample_per_key(
     # overhead dominates tiny blocks — NOTES_r2)
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .repartition(16)
+        .repartition(_xb())
         .groupby("_bucket")
         .map_groups(final, batch_format="pyarrow")
     )
@@ -697,7 +700,7 @@ def unigram_logprob(
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
-def top_ngrams(ds, n: int = 2, k: int = 20, exchange_blocks: int = 16):
+def top_ngrams(ds, n: int = 2, k: int = 20, exchange_blocks: int | None = None):
     """Corpus-wide top-``k`` word ``n``-grams with counts and rank —
     the vocabulary/boilerplate census of web-corpus curation (what you
     run before choosing dedup thresholds and stopword lists).
@@ -713,6 +716,8 @@ def top_ngrams(ds, n: int = 2, k: int = 20, exchange_blocks: int = 16):
 
     Ranking is deterministic: count desc, gram asc; ``rank`` is
     1-based. Returns a pyarrow Table (small result)."""
+    if exchange_blocks is None:
+        exchange_blocks = _xb()
     import pandas as pd
 
     from .hashing import hash_utf8
@@ -887,3 +892,8 @@ def normalize_text(ds, text_col: str = "text", lowercase: bool = False):
         )
 
     return ds.map_batches(norm, batch_format="pyarrow", batch_size=None)
+
+
+def _xb():
+    from .util import exchange_blocks
+    return exchange_blocks()
