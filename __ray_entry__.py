@@ -2570,6 +2570,56 @@ def q_gpx_parse(sf_dir: str):
     return read_gpx_table(files)
 
 
+def q_tdrive_parse(sf_dir: str):
+    """T-Drive format-plugin parse (TdriveIngestPlugin.java:85-110):
+    whole CSV files expand to typed taxi points (4-field validation,
+    epoch-0 timestamp fallback, per-file pointinstance counter) via
+    one Arrow kernel chain inside map_batches; oracle is the
+    generator's flat truth table."""
+    import ray.data
+
+    from geowave_ray.sources.delimited import read_tdrive_table
+
+    files = ray.data.read_parquet(f"{_fx(sf_dir)}/tdrive_files.parquet")
+    return read_tdrive_table(files)
+
+
+def q_geolife_parse(sf_dir: str):
+    """GeoLife .plt parse (GeoLifeIngestPlugin.java:137-210): 7-field
+    rule self-skips the header, altitude -777 -> null, coordinates
+    wrapped into CRS range."""
+    import ray.data
+
+    from geowave_ray.sources.delimited import read_geolife_table
+
+    files = ray.data.read_parquet(f"{_fx(sf_dir)}/geolife_files.parquet")
+    return read_geolife_table(files)
+
+
+def q_geolife_tracks(sf_dir: str):
+    """GeoLife per-file track summary (GeoLifeUtils.java:38-60):
+    start/end timestamp, duration ms, point count — batch = whole
+    files so the summary is batch-local, no shuffle."""
+    import ray.data
+
+    from geowave_ray.sources.delimited import read_geolife_tracks
+
+    files = ray.data.read_parquet(f"{_fx(sf_dir)}/geolife_files.parquet")
+    return read_geolife_tracks(files)
+
+
+def q_gdelt_parse(sf_dir: str):
+    """GDELT daily-export parse (GDELTIngestPlugin.java:184-260):
+    57/58 tab-column layouts, geo-type-0 and empty-lat/lon rows
+    dropped, empty optional strings -> null, supplemental fields."""
+    import ray.data
+
+    from geowave_ray.sources.delimited import read_gdelt_table
+
+    files = ray.data.read_parquet(f"{_fx(sf_dir)}/gdelt_files.parquet")
+    return read_gdelt_table(files)
+
+
 def q_gwql_select(sf_dir: str):
     """GWQL string query end-to-end (parser -> expr -> Dataset)."""
     from geowave_ray import gwql
@@ -3384,6 +3434,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_query_within": q_region_query_within,
         "region_query_overlaps": q_region_query_overlaps,
         "gpx_parse": q_gpx_parse,
+        "tdrive_parse": q_tdrive_parse,
+        "geolife_parse": q_geolife_parse,
+        "geolife_tracks": q_geolife_tracks,
+        "gdelt_parse": q_gdelt_parse,
         "region_areas": q_region_areas,
         "region_centroids": q_region_centroids,
         "track_lengths": q_track_lengths,
@@ -5062,6 +5116,25 @@ def oracle_sql() -> dict[str, str]:
         "gpx_parse": f"""
             SELECT track_id, seq, lon, lat, ele, ts
             FROM read_parquet('{fx}/gpx_points.parquet')
+        """,
+        "tdrive_parse": f"""
+            SELECT taxiid, pointinstance, ts, lon, lat
+            FROM read_parquet('{fx}/tdrive_points.parquet')
+        """,
+        "geolife_parse": f"""
+            SELECT trackid, pointinstance, ts, lat, lon, elevation
+            FROM read_parquet('{fx}/geolife_points.parquet')
+        """,
+        "geolife_tracks": f"""
+            SELECT trackid, start_ts, end_ts, duration_ms, n_points
+            FROM read_parquet('{fx}/geolife_tracks.parquet')
+        """,
+        "gdelt_parse": f"""
+            SELECT eventid, ts, lat, lon, actor1Name, actor2Name,
+                   countryCode, sourceUrl, actor1CountryCode,
+                   actor2CountryCode, numMentions, numSources,
+                   numArticles, avgTone
+            FROM read_parquet('{fx}/gdelt_events.parquet')
         """,
         # -- rect_join_*: boundary-exact DE-9IM predicates over the
         # lattice-aligned grid_rects fixture; every coordinate is an

@@ -613,6 +613,219 @@ def gen_gpx_files(n_files: int) -> tuple[pa.Table, pa.Table]:
     return files, points
 
 
+def gen_tdrive_files(n_files: int) -> tuple[pa.Table, pa.Table]:
+    """T-Drive CSV files + flat ground truth (format-plugin fixture,
+    ``extensions/formats/tdrive/`` role).  Each file holds 24 valid
+    ``taxiid,ts,lon,lat`` lines, one wrong-field-count line (must be
+    skipped) and one bad-timestamp line (kept, timestamp -> epoch 0
+    per ``TdriveIngestPlugin.java:100-105``).  Coordinates print with
+    %.5f and the truth stores ``float(printed)`` so the parse is
+    bit-identical by construction."""
+    f_id, f_txt = [], []
+    g_tid, g_pi, g_ts, g_lon, g_lat = [], [], [], [], []
+    t0 = np.datetime64("2008-02-02T13:30:00", "s")
+    for j in range(n_files):
+        taxi = 9000 + j
+        lines = []
+        pi = 0
+        for i in range(26):
+            if i == 7:
+                lines.append(f"{taxi},broken-line")  # 2 fields: skipped
+                continue
+            lon_s = f"{116.0 + 0.01 * ((i * (j + 1)) % 40):.5f}"
+            lat_s = f"{39.5 + 0.01 * ((i * (j + 3)) % 30):.5f}"
+            if i == 13:
+                ts_s = "not-a-time"  # kept, ts -> epoch 0
+                ts_v = np.datetime64(0, "us")
+            else:
+                ts = t0 + np.timedelta64(j * 7200 + i * 300, "s")
+                ts_s = str(ts).replace("T", " ")
+                ts_v = ts.astype("datetime64[us]")
+            lines.append(f"{taxi},{ts_s},{lon_s},{lat_s}")
+            g_tid.append(float(taxi))
+            g_pi.append(pi)
+            g_ts.append(ts_v)
+            g_lon.append(float(lon_s))
+            g_lat.append(float(lat_s))
+            pi += 1
+        f_id.append(f"{taxi}.txt")
+        f_txt.append("\n".join(lines) + "\n")
+    files = pa.table({"file_id": pa.array(f_id), "content": pa.array(f_txt)})
+    points = pa.table(
+        {
+            "taxiid": pa.array(np.asarray(g_tid, dtype=np.float64), pa.float64()),
+            "pointinstance": pa.array(np.asarray(g_pi, dtype=np.int64), pa.int64()),
+            "ts": pa.array(
+                np.asarray(g_ts, dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+            "lon": pa.array(np.asarray(g_lon, dtype=np.float64), pa.float64()),
+            "lat": pa.array(np.asarray(g_lat, dtype=np.float64), pa.float64()),
+        }
+    )
+    return files, points
+
+
+def gen_geolife_files(n_files: int) -> tuple[pa.Table, pa.Table, pa.Table]:
+    """GeoLife ``.plt`` files + flat truth points + per-file track
+    summaries (``extensions/formats/geolife/`` role).  Real 6-line
+    header (self-skipped by the 7-field rule); altitude ``-777`` ->
+    null elevation."""
+    header = (
+        "Geolife trajectory\nWGS 84\nAltitude is in Feet\nReserved 3\n"
+        "0,2,255,My Track,0,0,2,8421376\n0\n"
+    )
+    f_id, f_txt = [], []
+    g_tid, g_pi, g_ts, g_lat, g_lon, g_ele = [], [], [], [], [], []
+    k_tid, k_st, k_et, k_dur, k_n = [], [], [], [], []
+    t0 = np.datetime64("2008-10-23T02:53:04", "s")
+    for j in range(n_files):
+        name = f"200810{23 + (j % 7):02d}{j:06d}.plt"
+        lines = [header.rstrip("\n")]
+        first_ts = last_ts = None
+        for i in range(20):
+            lat_s = f"{39.9 + 0.001 * ((i * (j + 2)) % 50):.6f}"
+            lon_s = f"{116.3 + 0.001 * ((i * (j + 5)) % 60):.6f}"
+            alt = -777 if (i + j) % 9 == 4 else 400 + (3 * i + j) % 200
+            ts = t0 + np.timedelta64(j * 3600 + i * 5, "s")
+            d = np.datetime_as_string(ts, unit="s")
+            date_s, time_s = d.split("T")
+            days_s = f"{39744.0 + j + i / 17280.0:.10f}"
+            lines.append(f"{lat_s},{lon_s},0,{alt},{days_s},{date_s},{time_s}")
+            tsu = ts.astype("datetime64[us]")
+            g_tid.append(name)
+            g_pi.append(i)
+            g_ts.append(tsu)
+            g_lat.append(float(lat_s))
+            g_lon.append(float(lon_s))
+            g_ele.append(None if alt == -777 else float(alt))
+            if first_ts is None:
+                first_ts = tsu
+            last_ts = tsu
+        f_id.append(name)
+        f_txt.append("\n".join(lines) + "\n")
+        k_tid.append(name)
+        k_st.append(first_ts)
+        k_et.append(last_ts)
+        k_dur.append(int((last_ts - first_ts) / np.timedelta64(1, "ms")))
+        k_n.append(20)
+    files = pa.table({"file_id": pa.array(f_id), "content": pa.array(f_txt)})
+    points = pa.table(
+        {
+            "trackid": pa.array(g_tid, pa.string()),
+            "pointinstance": pa.array(np.asarray(g_pi, dtype=np.int64), pa.int64()),
+            "ts": pa.array(
+                np.asarray(g_ts, dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+            "lat": pa.array(np.asarray(g_lat, dtype=np.float64), pa.float64()),
+            "lon": pa.array(np.asarray(g_lon, dtype=np.float64), pa.float64()),
+            "elevation": pa.array(g_ele, pa.float64()),
+        }
+    )
+    tracks = pa.table(
+        {
+            "trackid": pa.array(k_tid, pa.string()),
+            "start_ts": pa.array(
+                np.asarray(k_st, dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+            "end_ts": pa.array(
+                np.asarray(k_et, dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+            "duration_ms": pa.array(np.asarray(k_dur, dtype=np.int64), pa.int64()),
+            "n_points": pa.array(np.asarray(k_n, dtype=np.int64), pa.int64()),
+        }
+    )
+    return files, points, tracks
+
+
+def gen_gdelt_files(n_files: int, lines_per_file: int = 200) -> tuple[pa.Table, pa.Table]:
+    """GDELT daily-export files (57/58 tab columns) + flat truth
+    (``extensions/formats/gdelt/`` role).  Exercises every reference
+    filter: geo-type-0 rows, empty-lat rows, 57-column legacy layout
+    (no sourceUrl), empty optional strings -> null."""
+    actors = ["POLICE", "GOVERNMENT", "", "PROTESTER", "ARMY", ""]
+    ccs = ["US", "CN", "FR", "", "BR"]
+    f_id, f_txt = [], []
+    t_eid, t_ts, t_lat, t_lon = [], [], [], []
+    t_a1, t_a2, t_cc, t_url = [], [], [], []
+    t_a1c, t_a2c, t_nm, t_ns, t_na, t_tone = [], [], [], [], [], []
+    eid = 300000000
+    for j in range(n_files):
+        day = f"201304{j % 28 + 1:02d}"
+        lines = []
+        for i in range(lines_per_file):
+            ncols = 57 if (i % 13) == 5 else 58
+            vals = [f"c{k}" for k in range(ncols)]
+            eid += 1
+            vals[0] = str(eid)
+            vals[1] = day
+            a1 = actors[(i + j) % len(actors)]
+            a2 = actors[(i + 2 * j + 3) % len(actors)]
+            cc = ccs[(i * 7 + j) % len(ccs)]
+            vals[6], vals[16], vals[51] = a1, a2, cc
+            vals[31] = str(1 + (i % 12))
+            vals[32] = str(1 + (i % 5))
+            vals[33] = str(1 + (i % 9))
+            tone = f"{((i * 37 + j * 11) % 200 - 100) / 10.0:.2f}"
+            vals[34] = tone
+            vals[37] = ccs[(i + 1) % len(ccs)]
+            vals[44] = ccs[(i + 3) % len(ccs)]
+            if i % 17 == 2:
+                vals[49] = "0"  # no geo: dropped
+                vals[53], vals[54] = "1.0", "2.0"
+                lines.append("\t".join(vals))
+                continue
+            vals[49] = str(1 + (i % 4))
+            if i % 19 == 7:
+                vals[53], vals[54] = "", "3.0"  # empty lat: dropped
+                lines.append("\t".join(vals))
+                continue
+            lat_s = f"{((i * 13 + j * 5) % 1600) / 10.0 - 80.0:.4f}"
+            lon_s = f"{((i * 29 + j * 3) % 3400) / 10.0 - 170.0:.4f}"
+            vals[53], vals[54] = lat_s, lon_s
+            url = "" if i % 23 == 11 else f"http://news.example/{eid}"
+            if ncols == 58:
+                vals[57] = url
+            lines.append("\t".join(vals))
+            t_eid.append(eid)
+            t_ts.append(np.datetime64(f"{day[:4]}-{day[4:6]}-{day[6:]}", "us"))
+            t_lat.append(float(lat_s))
+            t_lon.append(float(lon_s))
+            t_a1.append(a1 or None)
+            t_a2.append(a2 or None)
+            t_cc.append(cc or None)
+            t_url.append(url if (ncols == 58 and url) else None)
+            t_a1c.append(ccs[(i + 1) % len(ccs)] or None)
+            t_a2c.append(ccs[(i + 3) % len(ccs)] or None)
+            t_nm.append(1 + (i % 12))
+            t_ns.append(1 + (i % 5))
+            t_na.append(1 + (i % 9))
+            t_tone.append(float(tone))
+        f_id.append(f"{day}.export.CSV")
+        f_txt.append("\n".join(lines) + "\n")
+    files = pa.table({"file_id": pa.array(f_id), "content": pa.array(f_txt)})
+    events = pa.table(
+        {
+            "eventid": pa.array(np.asarray(t_eid, dtype=np.int64), pa.int64()),
+            "ts": pa.array(
+                np.asarray(t_ts, dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+            "lat": pa.array(np.asarray(t_lat, dtype=np.float64), pa.float64()),
+            "lon": pa.array(np.asarray(t_lon, dtype=np.float64), pa.float64()),
+            "actor1Name": pa.array(t_a1, pa.string()),
+            "actor2Name": pa.array(t_a2, pa.string()),
+            "countryCode": pa.array(t_cc, pa.string()),
+            "sourceUrl": pa.array(t_url, pa.string()),
+            "actor1CountryCode": pa.array(t_a1c, pa.string()),
+            "actor2CountryCode": pa.array(t_a2c, pa.string()),
+            "numMentions": pa.array(np.asarray(t_nm, dtype=np.int64), pa.int64()),
+            "numSources": pa.array(np.asarray(t_ns, dtype=np.int64), pa.int64()),
+            "numArticles": pa.array(np.asarray(t_na, dtype=np.int64), pa.int64()),
+            "avgTone": pa.array(np.asarray(t_tone, dtype=np.float64), pa.float64()),
+        }
+    )
+    return files, events
+
+
 def gen_raster_chunks_mb(n_chunks: int, bands: int = 2) -> pa.Table:
     """Multi-band chunks with nodata holes and a merge sequence — the
     NoDataMergeStrategy fixture (latest-wins, fill holes from earlier;
@@ -797,6 +1010,22 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
         files, points = gen_gpx_files(max(64, cfg["regions"] // 8))
         pq.write_table(files, gx)
         pq.write_table(points, os.path.join(out, "gpx_points.parquet"))
+    td = os.path.join(out, "tdrive_files.parquet")
+    if not os.path.exists(td):
+        files, points = gen_tdrive_files(max(48, cfg["regions"] // 8))
+        pq.write_table(files, td)
+        pq.write_table(points, os.path.join(out, "tdrive_points.parquet"))
+    gl = os.path.join(out, "geolife_files.parquet")
+    if not os.path.exists(gl):
+        files, points, tracks = gen_geolife_files(max(48, cfg["regions"] // 8))
+        pq.write_table(files, gl)
+        pq.write_table(points, os.path.join(out, "geolife_points.parquet"))
+        pq.write_table(tracks, os.path.join(out, "geolife_tracks.parquet"))
+    gd = os.path.join(out, "gdelt_files.parquet")
+    if not os.path.exists(gd):
+        files, events = gen_gdelt_files(max(4, cfg["regions"] // 512))
+        pq.write_table(files, gd)
+        pq.write_table(events, os.path.join(out, "gdelt_events.parquet"))
     # marker lives BESIDE the docs dir (a non-parquet file inside
     # would break read_parquet over the directory)
     if cfg.get("docs") and not os.path.exists(os.path.join(out, "docs_DONE")):

@@ -92,3 +92,100 @@ def test_gpx_parse_roundtrip(ray_session):
     )
     exp = points.to_pandas().sort_values(["track_id", "seq"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_tdrive_parse_roundtrip(ray_session):
+    """Valid lines round-trip exactly; wrong-field-count lines skipped;
+    bad timestamps kept at epoch 0 (TdriveIngestPlugin.java:100-105)."""
+    import pandas as pd
+    import ray.data
+
+    from geowave_ray.fixtures import gen_tdrive_files
+    from geowave_ray.sources.delimited import read_tdrive_table
+
+    files, points = gen_tdrive_files(6)
+    got = (
+        read_tdrive_table(ray.data.from_arrow(files))
+        .to_pandas()
+        .sort_values(["taxiid", "pointinstance"])
+        .reset_index(drop=True)
+    )
+    exp = points.to_pandas().sort_values(["taxiid", "pointinstance"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # one epoch-0 row per file (the bad-timestamp line is KEPT)
+    assert (got["ts"] == pd.Timestamp(0)).sum() == 6
+
+
+def test_tdrive_validate():
+    from geowave_ray.sources.delimited import tdrive_validate
+
+    assert tdrive_validate("1,2008-02-02 13:30:00,116.1,39.9\nmore")
+    assert not tdrive_validate("<gpx></gpx>")
+
+
+def test_geolife_parse_roundtrip(ray_session):
+    """Header self-skips via the 7-field rule; -777 altitude -> null;
+    per-file track summaries match."""
+    import pandas as pd
+    import ray.data
+
+    from geowave_ray.fixtures import gen_geolife_files
+    from geowave_ray.sources.delimited import read_geolife_table, read_geolife_tracks
+
+    files, points, tracks = gen_geolife_files(5)
+    got = (
+        read_geolife_table(ray.data.from_arrow(files))
+        .to_pandas()
+        .sort_values(["trackid", "pointinstance"])
+        .reset_index(drop=True)
+    )
+    exp = points.to_pandas().sort_values(["trackid", "pointinstance"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["elevation"].isna().any()
+
+    got_t = (
+        read_geolife_tracks(ray.data.from_arrow(files))
+        .to_pandas()
+        .sort_values("trackid")
+        .reset_index(drop=True)
+    )
+    exp_t = tracks.to_pandas().sort_values("trackid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_t, exp_t)
+
+
+def test_geolife_wrap_to_range():
+    import numpy as np
+
+    from geowave_ray.sources.delimited import wrap_to_range
+
+    # expectations traced through GeometryUtils.java:850-865 by hand —
+    # the reference's loop-around maps the exact bounds to their
+    # opposite edge (180 -> -180, -180 -> 180)
+    lon = np.array([181.0, -181.0, 0.0, 540.0, -180.0, 180.0, 17.5])
+    out = wrap_to_range(lon, -180.0, 180.0)
+    assert np.allclose(out, [-179.0, 179.0, 0.0, -180.0, 180.0, -180.0, 17.5])
+
+
+def test_gdelt_parse_roundtrip(ray_session):
+    """57/58-column layouts, geo-type-0 / empty-lat drops, empty
+    optional strings -> null all match the truth table."""
+    import pandas as pd
+    import ray.data
+
+    from geowave_ray.fixtures import gen_gdelt_files
+    from geowave_ray.sources.delimited import read_gdelt_table
+
+    files, events = gen_gdelt_files(3)
+    got = (
+        read_gdelt_table(ray.data.from_arrow(files))
+        .to_pandas()
+        .sort_values("eventid")
+        .reset_index(drop=True)
+    )
+    exp = events.to_pandas().sort_values("eventid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # supplemental off drops exactly the six extra columns
+    got_min = read_gdelt_table(
+        ray.data.from_arrow(files), include_supplemental=False
+    ).schema()
+    assert "numMentions" not in got_min.names and "eventid" in got_min.names

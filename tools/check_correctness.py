@@ -54,7 +54,9 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                eq = np.array_equal(av.astype(np.float64), bv.astype(np.float64))
+                eq = np.array_equal(
+                    av.astype(np.float64), bv.astype(np.float64), equal_nan=True
+                )
             else:
                 eq = (pd.Series(av).astype(str) == pd.Series(bv).astype(str)).all()
             if not eq:
