@@ -2620,6 +2620,52 @@ def q_gdelt_parse(sf_dir: str):
     return read_gdelt_table(files)
 
 
+def q_docs_para_dedup(sf_dir: str):
+    """Paragraph-level corpus dedup (CCNet/RefinedWeb paragraph-hash
+    role): every paragraph keeps only its first occurrence
+    (min (doc_id, idx)); docs rebuilt from survivors. Two passes +
+    one id-only exchange; text never rides a shuffle; winner map is
+    keyed by paragraph TEXT so hash collisions cost nothing."""
+    import ray.data
+
+    from geowave_ray.dedup import drop_dup_paragraphs
+
+    docs = ray.data.read_parquet(f"{_fx(sf_dir)}/para_docs.parquet")
+    return drop_dup_paragraphs(docs)
+
+
+def q_url_canonicalize(sf_dir: str):
+    """URL canonicalization (scheme/host case, default ports,
+    fragments, tracking params, param order, trailing slashes) —
+    vectorized Arrow kernels, zero shuffle. Oracle is the fixture's
+    independently-composed canonical column (the engine reads only
+    uid+url)."""
+    import ray.data
+
+    from geowave_ray.text import canonicalize_urls
+
+    urls = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/messy_urls.parquet", columns=["uid", "url"]
+    )
+    return canonicalize_urls(urls).select_columns(["uid", "canon_url"])
+
+
+def q_url_canonical_dedup(sf_dir: str):
+    """Canonical-URL dedup (the crawl pipeline's first dedup stage):
+    min-uid survivor per canonical form, two-pass exchange — unique
+    canonicals never shuffle."""
+    import ray.data
+
+    from geowave_ray.text import canonical_url_dedup
+
+    urls = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/messy_urls.parquet", columns=["uid", "url"]
+    )
+    return canonical_url_dedup(urls, id_col="uid").select_columns(
+        ["uid", "canon_url"]
+    )
+
+
 def q_gwql_select(sf_dir: str):
     """GWQL string query end-to-end (parser -> expr -> Dataset)."""
     from geowave_ray import gwql
@@ -3400,6 +3446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_shards": q_docs_pack_shards,
         "docs_perplexity": q_docs_perplexity,
         "docs_scrub_spans": q_docs_scrub_spans,
+        "docs_para_dedup": q_docs_para_dedup,
+        "url_canonicalize": q_url_canonicalize,
+        "url_canonical_dedup": q_url_canonical_dedup,
         "docs_top_bigrams": q_docs_top_bigrams,
         "url_blocklist": q_url_blocklist,
         "url_split": q_url_split,
@@ -4870,6 +4919,41 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS nk
               FROM keep GROUP BY doc_id
             ) k USING (doc_id)
+        """,
+        "docs_para_dedup": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     unnest(str_split(text, chr(10))) AS para,
+                     unnest(range(0, len(str_split(text, chr(10))))) AS i
+              FROM read_parquet('{fx}/para_docs.parquet')
+            ), win AS (
+              SELECT para, min(doc_id * 100000 + i) AS w
+              FROM p WHERE para <> '' GROUP BY para HAVING count(*) >= 2
+            ), keep AS (
+              SELECT p.doc_id, p.para, p.i
+              FROM p LEFT JOIN win USING (para)
+              WHERE win.w IS NULL OR p.doc_id * 100000 + p.i = win.w
+            )
+            SELECT d.doc_id,
+                   coalesce(k.txt, '') AS text_clean,
+                   CAST(len(str_split(d.text, chr(10))) AS BIGINT) AS n_paras,
+                   CAST(len(str_split(d.text, chr(10))) - coalesce(k.nk, 0)
+                        AS BIGINT) AS n_removed
+            FROM read_parquet('{fx}/para_docs.parquet') d
+            LEFT JOIN (
+              SELECT doc_id, string_agg(para, chr(10) ORDER BY i) AS txt,
+                     count(*) AS nk
+              FROM keep GROUP BY doc_id
+            ) k USING (doc_id)
+        """,
+        "url_canonicalize": f"""
+            SELECT uid, canon_truth AS canon_url
+            FROM read_parquet('{fx}/messy_urls.parquet')
+        """,
+        "url_canonical_dedup": f"""
+            SELECT min(uid) AS uid, canon_truth AS canon_url
+            FROM read_parquet('{fx}/messy_urls.parquet')
+            GROUP BY canon_truth
         """,
         "docs_top_bigrams": """
             WITH toks AS (

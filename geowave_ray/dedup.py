@@ -175,9 +175,12 @@ def _two_pass_dedup(
 
 
 def exact_dedup(
-    docs: ray.data.Dataset, id_col: str = "doc_id", n_buckets: int = 256
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    text_col: str = "text",
 ) -> ray.data.Dataset:
-    """Keep the min-id representative per identical text.
+    """Keep the min-id representative per identical ``text_col``.
 
     Two-pass scale shape (see :func:`_two_pass_dedup`): the full text
     column never rides an exchange — pass 1 ships (hash, count)
@@ -187,11 +190,11 @@ def exact_dedup(
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return (
             g.sort_values(id_col, kind="mergesort")
-            .drop_duplicates("text", keep="first")
+            .drop_duplicates(text_col, keep="first")
             .drop(columns=["bucket"])
         )
 
-    return _two_pass_dedup(docs, keep_first, id_col, n_buckets)
+    return _two_pass_dedup(docs, keep_first, id_col, n_buckets, text_col=text_col)
 
 
 def dedup_keep_best(
@@ -1293,6 +1296,173 @@ def decontaminate(
         return batch.filter(pa.array(bad if invert else ~bad))
 
     return docs.map_batches(filt, batch_format="pyarrow", batch_size=None)
+
+
+def _batch_paragraphs(
+    b: pa.Table, text_col: str, id_col: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array, np.ndarray]:
+    """Split a batch into flat paragraphs: returns (doc ids repeated
+    per paragraph, batch-local row index repeated, 0-based paragraph
+    index within doc, flat paragraph StringArray, paragraphs per row).
+    One ``split_pattern`` over the whole batch — no per-row Python."""
+    import pyarrow.compute as pc
+
+    texts = b.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lst = pc.split_pattern(pc.fill_null(texts, ""), pattern="\n")
+    flat = pc.list_flatten(lst)
+    counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+    row = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+    ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.zeros(len(b) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    idx = np.arange(counts.sum(), dtype=np.int64) - np.repeat(starts[:-1], counts)
+    return ids[row], row, idx, flat, counts
+
+
+def dup_paragraph_winners(
+    docs: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> dict[str, tuple[int, int]]:
+    """Pass 1+1.5 of paragraph dedup: for every paragraph TEXT that
+    occurs >= 2 times corpus-wide, its first occurrence (min
+    ``(doc_id, para_idx)``).
+
+    Scale shape: pass 1 ships per-block ``(para_hash, partial_count)``
+    uniques only (16 B per distinct paragraph per block) through one
+    bounded bucket exchange; pass 1.5 streams the corpus ONCE more
+    map-side with the duplicated-hash set broadcast, emitting
+    ``(paragraph, doc, idx)`` for the duplicated fraction only (the
+    boilerplate slice — small after exact doc dedup).  Winners are
+    grouped by paragraph TEXT, not hash, so a 64-bit collision between
+    two distinct paragraphs costs nothing (each text wins itself)."""
+    import pyarrow.compute as pc
+
+    from .util import cached_state
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, _, _, flat, _ = _batch_paragraphs(b, text_col, id_col)
+        nonempty = pc.binary_length(flat).to_numpy().astype(np.int64) > 0
+        h = (hash_utf8(flat) >> np.uint64(1)).astype(np.int64)[nonempty]
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "para_hash": pa.array(uh, pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "bucket": pa.array(uh % np.int64(exchange_blocks()), pa.int64()),
+            }
+        )
+
+    def dups(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("para_hash", sort=False)["cnt"].sum()
+        return pd.DataFrame(
+            {"para_hash": tot.index.to_numpy()[tot.to_numpy() >= 2]}
+        )
+
+    rows = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(exchange_blocks())
+        .groupby("bucket")
+        .map_groups(dups, batch_format="pandas")
+        .take_all()
+    )
+    cand = np.sort(np.array([r["para_hash"] for r in rows], dtype=np.int64))
+    if cand.size == 0:
+        return {}
+    ref = ray.put(cand)
+
+    def emit_candidates(b: pa.Table) -> pa.Table:
+        cset = cached_state(("parawin", ref.hex()), ref)
+        doc, _, idx, flat, _ = _batch_paragraphs(b, text_col, id_col)
+        nonempty = pc.binary_length(flat).to_numpy().astype(np.int64) > 0
+        h = (hash_utf8(flat) >> np.uint64(1)).astype(np.int64)
+        pos = np.searchsorted(cset, h)
+        hit = (
+            nonempty
+            & (pos < len(cset))
+            & (cset[np.minimum(pos, len(cset) - 1)] == h)
+        )
+        return pa.table(
+            {
+                "para": flat.filter(pa.array(hit)),
+                "doc": pa.array(doc[hit], pa.int64()),
+                "idx": pa.array(idx[hit], pa.int64()),
+            }
+        )
+
+    winners: dict[str, tuple[int, int]] = {}
+    for r in docs.map_batches(
+        emit_candidates, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        key = (r["doc"], r["idx"])
+        w = winners.get(r["para"])
+        if w is None or key < w:
+            winners[r["para"]] = key
+    return winners
+
+
+def drop_dup_paragraphs(
+    docs: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Paragraph-level corpus dedup (the CCNet / RefinedWeb paragraph
+    dedup role; reference parallel: DedupeFilter semantics pushed
+    below record granularity, like :func:`scrub_dup_spans`): every
+    paragraph keeps only its FIRST occurrence corpus-wide (min
+    ``(doc_id, paragraph index)``); later copies are removed and the
+    document is rebuilt from the surviving paragraphs in order.  Empty
+    lines are structure, not content — always kept.
+
+    Pass 2 streams the corpus through one ``map_batches`` with the
+    winner map broadcast via ``ray.put``; probe is a vectorized
+    ``searchsorted`` on the duplicated-hash array, and only actual
+    duplicate instances (the boilerplate fraction) pay a dict lookup.
+    Text never rides a shuffle.  Output: ``id_col``, ``text_clean``,
+    ``n_paras``, ``n_removed``."""
+    import pyarrow.compute as pc
+
+    from .util import cached_state
+
+    winners = dup_paragraph_winners(docs, text_col=text_col, id_col=id_col)
+    wref = ray.put(winners)
+    hashes = np.sort(
+        (hash_utf8(pa.array(list(winners), pa.string())) >> np.uint64(1)).astype(
+            np.int64
+        )
+    ) if winners else np.empty(0, np.int64)
+    href = ray.put(hashes)
+
+    def scrub(b: pa.Table) -> pa.Table:
+        wmap: dict = cached_state(("parawmap", wref.hex()), wref)
+        hset: np.ndarray = cached_state(("parawhash", href.hex()), href)
+        doc, row, idx, flat, _ = _batch_paragraphs(b, text_col, id_col)
+        n = len(flat)
+        keep = np.ones(n, dtype=bool)
+        if len(hset):
+            h = (hash_utf8(flat) >> np.uint64(1)).astype(np.int64)
+            pos = np.searchsorted(hset, h)
+            hit = (pos < len(hset)) & (hset[np.minimum(pos, len(hset) - 1)] == h)
+            for i in np.flatnonzero(hit):
+                w = wmap.get(flat[i].as_py())
+                if w is not None and w != (doc[i], idx[i]):
+                    keep[i] = False
+        kept = np.bincount(row[keep], minlength=len(b)).astype(np.int64)
+        offs = np.zeros(len(b) + 1, dtype=np.int64)
+        np.cumsum(kept, out=offs[1:])
+        la = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), flat.filter(pa.array(keep))
+        )
+        clean = pc.binary_join(la, pa.scalar("\n", flat.type))
+        n_paras = np.bincount(row, minlength=len(b)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "text_clean": clean,
+                "n_paras": pa.array(n_paras, pa.int64()),
+                "n_removed": pa.array(n_paras - kept, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(scrub, batch_format="pyarrow", batch_size=None)
 
 
 def dup_ngram_set(

@@ -559,6 +559,130 @@ def gen_grid_rects(n: int) -> pa.Table:
     )
 
 
+def gen_para_docs(n_docs: int) -> pa.Table:
+    """Multi-paragraph documents for paragraph-level dedup (the CCNet
+    paragraph-hash dedup fixture).  Mix of: unique paragraphs,
+    boilerplate paragraphs shared across MANY docs (cookie banner,
+    newsletter plea), pairwise-shared paragraphs, empty lines, and a
+    handful of all-boilerplate docs.  Texts are deterministic; the
+    oracle recomputes keep-first-occurrence dedup from the raw text in
+    SQL, so there is no truth column to leak engine logic into."""
+    boiler = [
+        "accept all cookies to continue reading this site",
+        "subscribe to our newsletter for weekly updates",
+        "copyright 2024 example media all rights reserved",
+        "share this article on your favorite social network",
+    ]
+    words = [
+        "river", "stone", "market", "signal", "harbor", "lantern",
+        "meadow", "copper", "saddle", "winter", "orchard", "beacon",
+    ]
+    ids, texts = [], []
+    for d in range(n_docs):
+        paras = []
+        # leading boilerplate on ~2/3 of docs
+        if d % 3 != 2:
+            paras.append(boiler[d % len(boiler)])
+        n_body = 2 + (d * 7) % 4
+        for p in range(n_body):
+            if d % 11 == 5 and p == 1 and d >= 11:
+                # pairwise share: repeat a body paragraph of doc d-11
+                src = d - 11
+                paras.append(
+                    " ".join(
+                        words[(src * 5 + p * 3 + k) % len(words)]
+                        for k in range(9)
+                    )
+                    + f" body {src} {p}"
+                )
+            else:
+                paras.append(
+                    " ".join(
+                        words[(d * 5 + p * 3 + k) % len(words)]
+                        for k in range(9)
+                    )
+                    + f" body {d} {p}"
+                )
+        if d % 5 == 1:
+            paras.insert(1 + d % 2, "")  # blank line survives dedup
+        if d % 7 == 3:
+            paras.append(boiler[(d + 1) % len(boiler)])
+        if d % 23 == 9:
+            paras = [boiler[d % len(boiler)], boiler[(d + 2) % len(boiler)]]
+        ids.append(d)
+        texts.append("\n".join(paras))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def gen_messy_urls(n_clusters: int) -> pa.Table:
+    """Messy URL fixture for canonicalization + canonical dedup:
+    each cluster is ONE canonical URL rendered through several messy
+    variants (scheme/host case, default port, tracking params,
+    shuffled param order, fragments, trailing slashes).  The truth
+    column ``canon_truth`` is COMPOSED from the clean components the
+    generator already holds — it never runs the engine's parser, so
+    engine and oracle are independent."""
+    hosts = ["Example.COM", "news.site.org", "Blog.Example.net", "data.archive.io"]
+    schemes = ["http", "https"]
+    tracking = [
+        "utm_source=feed", "utm_medium=mail", "fbclid=abc123", "gclid=9z",
+        "ref=home", "mc_cid=77", "msclkid=q1", "utm_campaign=x",
+    ]
+    real_pools = [[], ["id=3"], ["q=hello", "page=2"], ["sort=asc", "id=12", "v=2"]]
+    uids, urls, canons = [], [], []
+    uid = 0
+    for c in range(n_clusters):
+        scheme = schemes[c % 2]
+        host = hosts[c % len(hosts)]
+        port = "8080" if c % 11 == 6 else ""
+        seg = f"/p{c}" + ("/sub" if c % 3 == 0 else "")
+        path = "" if c % 7 == 5 else seg
+        real = real_pools[c % len(real_pools)]
+        canon = (
+            f"{scheme}://{host.lower()}"
+            + (f":{port}" if port else "")
+            + (path if path else "/")
+            + (("?" + "&".join(sorted(real))) if real else "")
+        )
+        n_var = 2 + c % 3
+        for v in range(n_var):
+            s = scheme.upper() if v % 2 else scheme
+            h = host if v % 2 == 0 else host.lower()
+            p = port or ("80" if scheme == "http" else "443")
+            pp = f":{p}" if (v % 3 == 0 or port) else ""
+            params = list(real)
+            if v % 2:
+                params = params[::-1]
+            params = params + [tracking[(c + v) % len(tracking)]]
+            if v % 3 == 2:
+                params.insert(0, tracking[(c + v + 3) % len(tracking)])
+            qs = "?" + "&".join(params) if params else ""
+            frag = f"#sec{v}" if v % 2 else ""
+            trail = "/" if (v % 3 == 1 and path) else ""
+            pad = "  " if v % 5 == 4 else ""
+            uids.append(uid)
+            urls.append(f"{pad}{s}://{h}{pp}{path}{trail}{qs}{frag}{pad}")
+            canons.append(canon)
+            uid += 1
+        if c % 13 == 4:  # non-URL garbage passes through trimmed
+            uids.append(uid)
+            urls.append(f"  not a url {c}  ")
+            canons.append(f"not a url {c}")
+            uid += 1
+    return pa.table(
+        {
+            "uid": pa.array(np.asarray(uids, dtype=np.int64), pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "canon_truth": pa.array(canons, pa.string()),
+        }
+    )
+
+
 def gen_gpx_files(n_files: int) -> tuple[pa.Table, pa.Table]:
     """GPX XML documents + flat ground-truth points (the
     format-plugin parse fixture, ``extensions/formats/gpx/`` role).
@@ -1026,6 +1150,12 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
         files, events = gen_gdelt_files(max(4, cfg["regions"] // 512))
         pq.write_table(files, gd)
         pq.write_table(events, os.path.join(out, "gdelt_events.parquet"))
+    pd_ = os.path.join(out, "para_docs.parquet")
+    if not os.path.exists(pd_):
+        pq.write_table(gen_para_docs(max(400, cfg["regions"])), pd_)
+    mu = os.path.join(out, "messy_urls.parquet")
+    if not os.path.exists(mu):
+        pq.write_table(gen_messy_urls(max(200, cfg["regions"] // 4)), mu)
     # marker lives BESIDE the docs dir (a non-parquet file inside
     # would break read_parquet over the directory)
     if cfg.get("docs") and not os.path.exists(os.path.join(out, "docs_DONE")):

@@ -897,3 +897,129 @@ def normalize_text(ds, text_col: str = "text", lowercase: bool = False):
 def _xb():
     from .util import exchange_blocks
     return exchange_blocks()
+
+
+# ----------------------------------------------------------- URL canonical
+
+# Canonicalization rules (the CCNet/web-pipeline URL-dedup key;
+# reference parallel: dedup at the data-id level,
+# core/store/.../query/filter/DedupeFilter.java — here the "data id"
+# is the canonical URL):
+#   1. scheme and host lowercased
+#   2. default port dropped (http:80, https:443); other ports kept
+#   3. fragment dropped
+#   4. query params: empties and tracking params dropped (utm_*,
+#      fbclid, gclid, msclkid, ref, mc_cid, mc_eid), the rest SORTED
+#      and rejoined; '?' dropped when nothing survives
+#   5. trailing slashes stripped from the path; empty path -> '/'
+#   6. non-URL strings (no scheme://host) pass through trimmed
+# IPv6 host literals are out of scope (documented; the host grammar
+# is [^:]+).
+_URL_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<hostport>[^/?#]+)"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#(?P<frag>.*))?$"
+)
+_HOSTPORT_RE = r"^(?P<host>[^:]+)(?::(?P<port>[0-9]+))?$"
+_TRACKING_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)(=.*)?$"
+
+
+def canonicalize_url_batch(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized URL canonicalization over a whole batch: one
+    extract_regex for structure, one for host:port, one tracking-param
+    match, and ONE Arrow sort for all rows' param ordering — no
+    per-row Python."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    u0 = pc.utf8_trim_whitespace(pc.fill_null(urls, ""))
+    m = pc.extract_regex(u0, _URL_RE)
+    valid = m.is_valid()
+
+    scheme = pc.utf8_lower(pc.struct_field(m, "scheme"))
+    hm = pc.extract_regex(
+        pc.utf8_lower(pc.fill_null(pc.struct_field(m, "hostport"), "")),
+        _HOSTPORT_RE,
+    )
+    host = pc.struct_field(hm, "host")
+    port = pc.fill_null(pc.struct_field(hm, "port"), "")
+    default_port = pc.if_else(
+        pc.equal(scheme, "http"),
+        pa.scalar("80"),
+        pc.if_else(pc.equal(scheme, "https"), pa.scalar("443"), pa.scalar("")),
+    )
+    keep_port = pc.and_(
+        pc.not_equal(port, ""), pc.not_equal(port, pc.fill_null(default_port, ""))
+    )
+    portpart = pc.if_else(
+        pc.fill_null(keep_port, False),
+        pc.binary_join_element_wise(pa.scalar(":"), port, pa.scalar("")),
+        pa.scalar(""),
+    )
+
+    path = pc.replace_substring_regex(
+        pc.fill_null(pc.struct_field(m, "path"), ""), "/+$", ""
+    )
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
+
+    # query params: flatten all rows' params, drop empties/tracking,
+    # one global (row, param) Arrow sort, segment-rebuild, rejoin
+    q = pc.fill_null(pc.struct_field(m, "query"), "")
+    qlist = pc.split_pattern(q, "&")
+    flat = pc.list_flatten(qlist)
+    counts = pc.list_value_length(qlist).to_numpy().astype(np.int64)
+    row = np.repeat(np.arange(len(u0), dtype=np.int64), counts)
+    keepm = pc.and_(
+        pc.not_equal(flat, ""),
+        pc.invert(pc.match_substring_regex(flat, _TRACKING_RE)),
+    ).to_numpy(zero_copy_only=False)
+    keepm = np.asarray(keepm, dtype=bool)
+    srt = pa.table(
+        {"row": pa.array(row[keepm], pa.int64()), "p": flat.filter(pa.array(keepm))}
+    ).sort_by([("row", "ascending"), ("p", "ascending")])
+    kept_per_row = np.bincount(
+        srt.column("row").to_numpy(), minlength=len(u0)
+    ).astype(np.int64)
+    offs = np.zeros(len(u0) + 1, dtype=np.int64)
+    np.cumsum(kept_per_row, out=offs[1:])
+    la = pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()), srt.column("p").combine_chunks()
+    )
+    qjoin = pc.binary_join(la, "&")
+    qpart = pc.if_else(
+        pc.not_equal(qjoin, ""),
+        pc.binary_join_element_wise(pa.scalar("?"), qjoin, pa.scalar("")),
+        pa.scalar(""),
+    )
+
+    canon = pc.binary_join_element_wise(
+        scheme, pa.scalar("://"), host, portpart, path, qpart, pa.scalar("")
+    )
+    return pc.if_else(valid, canon, u0)
+
+
+def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canon_url"):
+    """Append the canonical form of ``url_col`` as ``out_col``.
+    Pure map-side, zero shuffle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            out_col, canonicalize_url_batch(batch.column(url_col))
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def canonical_url_dedup(ds, url_col: str = "url", id_col: str = "row_id"):
+    """URL-level dedup: keep the min-id row per CANONICAL url (the
+    first dedup stage of a crawl pipeline — collapses tracking-param /
+    case / port / fragment variants before any content hashing).
+    Composition: map-side canonicalize + the two-pass exact dedup
+    keyed on the canonical column (unique canonicals never shuffle;
+    only duplicated ones carry their row through one bounded
+    exchange)."""
+    from .dedup import exact_dedup
+
+    return exact_dedup(
+        canonicalize_urls(ds, url_col=url_col),
+        id_col=id_col,
+        text_col="canon_url",
+    )

@@ -1487,3 +1487,116 @@ def test_cli_dedup_and_curate(tmp_path, ray_session):
     assert not cur["url"].str.contains("//h3.x/").any()
     # no duplicate texts survive
     assert cur["text"].is_unique
+
+
+def test_drop_dup_paragraphs_vs_bruteforce(ray_session):
+    """Engine paragraph dedup == brute-force keep-first-occurrence
+    over (doc_id, paragraph index), empties always kept."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.dedup import drop_dup_paragraphs
+    from geowave_ray.fixtures import gen_para_docs
+
+    docs = gen_para_docs(160)
+    got = (
+        drop_dup_paragraphs(ray.data.from_arrow(docs).repartition(7))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    seen: set[str] = set()
+    exp_text, exp_np, exp_rm = [], [], []
+    for did, text in sorted(
+        zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+    ):
+        paras = text.split("\n")
+        kept = []
+        for p in paras:
+            if p == "" or p not in seen:
+                kept.append(p)
+                if p != "":
+                    seen.add(p)
+        exp_text.append("\n".join(kept))
+        exp_np.append(len(paras))
+        exp_rm.append(len(paras) - len(kept))
+
+    assert got["text_clean"].tolist() == exp_text
+    assert got["n_paras"].tolist() == exp_np
+    assert got["n_removed"].tolist() == exp_rm
+    # the fixture must actually exercise removal and empty-line keep
+    assert sum(exp_rm) > 50
+    assert any("\n\n" in t for t in exp_text)
+
+
+def test_drop_dup_paragraphs_no_dups(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.dedup import drop_dup_paragraphs
+
+    t = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array(["a\nb", "c\nd"], pa.string())}
+    )
+    got = drop_dup_paragraphs(ray.data.from_arrow(t)).to_pandas()
+    assert got["n_removed"].sum() == 0
+    assert sorted(got["text_clean"]) == ["a\nb", "c\nd"]
+
+
+def test_canonicalize_url_rules():
+    """Each documented rule traced by hand."""
+    import pyarrow as pa
+
+    from geowave_ray.text import canonicalize_url_batch
+
+    cases = {
+        "HTTP://Ex.COM:80/a/b/?b=2&utm_source=x&a=1#f": "http://ex.com/a/b?a=1&b=2",
+        "https://x.org": "https://x.org/",
+        "https://x.org:443/": "https://x.org/",
+        "https://h.net:8080/p/?z=1&y=2": "https://h.net:8080/p?y=2&z=1",
+        "  https://A.com/q  ": "https://a.com/q",
+        "https://a.com/?utm_medium=m&fbclid=1&gclid=2&ref=r": "https://a.com/",
+        "https://a.com/x//": "https://a.com/x",
+        "not a url": "not a url",
+        "": "",
+        "http://a.com/?id=5&id=3": "http://a.com/?id=3&id=5",
+    }
+    got = canonicalize_url_batch(pa.array(list(cases), pa.string())).to_pylist()
+    assert got == list(cases.values())
+    assert canonicalize_url_batch(pa.array([None], pa.string())).to_pylist() == [""]
+
+
+def test_canonical_url_dedup_keeps_min_uid(ray_session):
+    """Survivors == brute-force min-uid per truth canonical, and the
+    engine canonical equals the independently composed truth."""
+    import pandas as pd
+    import ray.data
+
+    from geowave_ray.fixtures import gen_messy_urls
+    from geowave_ray.text import canonical_url_dedup
+
+    t = gen_messy_urls(40)
+    got = (
+        canonical_url_dedup(
+            ray.data.from_arrow(t.select(["uid", "url"])).repartition(5),
+            id_col="uid",
+        )
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    truth = t.to_pandas()
+    exp = (
+        truth.groupby("canon_truth", as_index=False)
+        .agg(uid=("uid", "min"))
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    assert got["uid"].tolist() == exp["uid"].tolist()
+    merged = got.merge(truth[["uid", "canon_truth"]], on="uid")
+    assert (merged["canon_url"] == merged["canon_truth"]).all()
+    # the fixture really collapses clusters
+    assert len(got) < len(truth) / 2
