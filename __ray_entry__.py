@@ -2634,6 +2634,30 @@ def q_docs_para_dedup(sf_dir: str):
     return drop_dup_paragraphs(docs)
 
 
+def q_docs_novel(sf_dir: str):
+    """Bloom-gated incremental dedup: shard (doc_id % 2 == 0) vs
+    store (doc_id % 3 == 0) — the overlap (multiples of 6) carries
+    byte-identical text, so the Bloom prefilter + exact text verify
+    both do real work. Result is EXACT (text-compared); three
+    map-side passes, zero shuffle."""
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.dedup import novel_against_store
+
+    def _mod_filter(m: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy()
+            return b.filter(pa.array(ids % m == 0))
+
+        return f
+
+    docs = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    shard = docs.map_batches(_mod_filter(2), batch_format="pyarrow", batch_size=None)
+    store = docs.map_batches(_mod_filter(3), batch_format="pyarrow", batch_size=None)
+    return novel_against_store(shard, store).select_columns(["doc_id", "text"])
+
+
 def q_url_canonicalize(sf_dir: str):
     """URL canonicalization (scheme/host case, default ports,
     fragments, tracking params, param order, trailing slashes) —
@@ -3449,6 +3473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_para_dedup": q_docs_para_dedup,
         "url_canonicalize": q_url_canonicalize,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "docs_novel": q_docs_novel,
         "docs_top_bigrams": q_docs_top_bigrams,
         "url_blocklist": q_url_blocklist,
         "url_split": q_url_split,
@@ -4949,6 +4974,13 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": f"""
             SELECT uid, canon_truth AS canon_url
             FROM read_parquet('{fx}/messy_urls.parquet')
+        """,
+        "docs_novel": """
+            SELECT s.doc_id, s.text FROM documents s
+            WHERE s.doc_id % 2 = 0 AND NOT EXISTS (
+              SELECT 1 FROM documents t
+              WHERE t.doc_id % 3 = 0 AND t.text = s.text
+            )
         """,
         "url_canonical_dedup": f"""
             SELECT min(uid) AS uid, canon_truth AS canon_url

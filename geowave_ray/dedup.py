@@ -1465,6 +1465,110 @@ def drop_dup_paragraphs(
     return docs.map_batches(scrub, batch_format="pyarrow", batch_size=None)
 
 
+def novel_against_store(
+    shard: ray.data.Dataset,
+    store: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 20,
+    k: int = 5,
+) -> ray.data.Dataset:
+    """Incremental corpus dedup: the rows of ``shard`` whose
+    ``text_col`` does NOT already exist in ``store`` — the
+    "new crawl against existing corpus" pass that runs before any
+    in-shard dedup (reference parallel: DedupeFilter's
+    already-seen-id suppression at query time,
+    ``core/store/.../query/filter/DedupeFilter.java``, lifted to
+    content identity across datasets).
+
+    Scale shape (three bounded map-side passes, ZERO shuffle):
+      1. ``store`` streams once into per-block Bloom partials
+         (``n_bits/8`` bytes per block ride to the driver and OR-merge
+         — swap for a tree combine when blocks × bitset outgrows the
+         driver; text never moves).
+      2. ``shard`` streams once probing the broadcast Bloom:
+         bloom-NEGATIVE rows are definitely novel (no false
+         negatives); only positive rows' hashes (true dups + the FP
+         rate) are collected as the candidate set.
+      3. ``store`` streams once more, map-side-filtered by the
+         broadcast candidate-hash set, emitting (text) for matches
+         only — the boilerplate-sized slice.  The final shard pass is
+         one vectorized ``is_in`` against that verified text set, so
+         the result is EXACT (hash collisions and Bloom FPs both die
+         on the text compare)."""
+    import pyarrow.compute as pc
+
+    from .stats import BloomFilter
+    from .util import cached_state
+
+    def bloom_partial(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits=n_bits, k=k)
+        bf.add(b.column(text_col))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    bf = BloomFilter(n_bits=n_bits, k=k)
+    for r in store.map_batches(
+        bloom_partial, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        bf.bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+    bref = ray.put(bf)
+
+    def candidate_hashes(b: pa.Table) -> pa.Table:
+        f: BloomFilter = cached_state(("novelbf", bref.hex()), bref)
+        t = b.column(text_col)
+        pos = f.contains(t)
+        h = (hash_utf8(t) >> np.uint64(1)).astype(np.int64)[pos]
+        return pa.table({"h": pa.array(np.unique(h), pa.int64())})
+
+    cand = np.unique(
+        np.array(
+            [
+                r["h"]
+                for r in shard.map_batches(
+                    candidate_hashes, batch_format="pyarrow", batch_size=None
+                ).take_all()
+            ],
+            dtype=np.int64,
+        )
+    )
+    cref = ray.put(cand)
+
+    def store_matches(b: pa.Table) -> pa.Table:
+        cs: np.ndarray = cached_state(("novelcand", cref.hex()), cref)
+        t = b.column(text_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        h = (hash_utf8(t) >> np.uint64(1)).astype(np.int64)
+        if len(cs):
+            p = np.searchsorted(cs, h)
+            hit = (p < len(cs)) & (cs[np.minimum(p, len(cs) - 1)] == h)
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        return pa.table({"t": pc.unique(t.filter(pa.array(hit)))})
+
+    seen = pc.unique(
+        pa.array(
+            [
+                r["t"]
+                for r in store.map_batches(
+                    store_matches, batch_format="pyarrow", batch_size=None
+                ).take_all()
+            ],
+            pa.string(),
+        )
+    )
+    sref = ray.put(seen)
+
+    def keep_novel(b: pa.Table) -> pa.Table:
+        vs = cached_state(("novelseen", sref.hex()), sref)
+        t = b.column(text_col)
+        if len(vs) == 0:
+            return b
+        return b.filter(pc.invert(pc.is_in(t, value_set=vs)))
+
+    return shard.map_batches(keep_novel, batch_format="pyarrow", batch_size=None)
+
+
 def dup_ngram_set(
     docs: ray.data.Dataset,
     n: int = 6,

@@ -1600,3 +1600,33 @@ def test_canonical_url_dedup_keeps_min_uid(ray_session):
     assert (merged["canon_url"] == merged["canon_truth"]).all()
     # the fixture really collapses clusters
     assert len(got) < len(truth) / 2
+
+
+def test_novel_against_store_exact_despite_bloom_fps(ray_session):
+    """With a tiny Bloom (forced false positives) the exact text
+    verify still yields precisely the brute-force novel set."""
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.dedup import novel_against_store
+
+    store_texts = [f"stored document number {i} with words" for i in range(300)]
+    shard_texts = [f"stored document number {i} with words" for i in range(0, 300, 3)]
+    shard_texts += [f"fresh shard document {i} body" for i in range(200)]
+    shard = pa.table(
+        {"doc_id": pa.array(range(len(shard_texts)), pa.int64()),
+         "text": pa.array(shard_texts, pa.string())}
+    )
+    store = pa.table(
+        {"doc_id": pa.array(range(1000, 1000 + len(store_texts)), pa.int64()),
+         "text": pa.array(store_texts, pa.string())}
+    )
+    got = novel_against_store(
+        ray.data.from_arrow(shard).repartition(4),
+        ray.data.from_arrow(store).repartition(4),
+        n_bits=256,  # tiny: guarantees Bloom false positives at n=300
+        k=2,
+    ).to_pandas()
+    exp = sorted(t for t in shard_texts if t not in set(store_texts))
+    assert sorted(got["text"]) == exp
+    assert len(got) == 200
