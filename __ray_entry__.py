@@ -2608,6 +2608,20 @@ def q_geolife_tracks(sf_dir: str):
     return read_geolife_tracks(files)
 
 
+def q_twitter_parse(sf_dir: str):
+    """Twitter JSON-lines parse (TwitterIngestPlugin.java:155-260):
+    whole dump files -> tweet point features via one vectorized
+    pyarrow.json read per batch; reference skip rules (bad coords /
+    date / missing required fields) as Arrow validity masks; corrupt
+    JSON lines handled by the documented per-line fallback."""
+    import ray.data
+
+    from geowave_ray.sources.twitter import read_twitter_table
+
+    files = ray.data.read_parquet(f"{_fx(sf_dir)}/twitter_files.parquet")
+    return read_twitter_table(files)
+
+
 def q_gdelt_parse(sf_dir: str):
     """GDELT daily-export parse (GDELTIngestPlugin.java:184-260):
     57/58 tab-column layouts, geo-type-0 and empty-lat/lon rows
@@ -3512,6 +3526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geolife_parse": q_geolife_parse,
         "geolife_tracks": q_geolife_tracks,
         "gdelt_parse": q_gdelt_parse,
+        "twitter_parse": q_twitter_parse,
         "region_areas": q_region_areas,
         "region_centroids": q_region_centroids,
         "track_lengths": q_track_lengths,
@@ -5251,6 +5266,12 @@ def oracle_sql() -> dict[str, str]:
                    actor2CountryCode, numMentions, numSources,
                    numArticles, avgTone
             FROM read_parquet('{fx}/gdelt_events.parquet')
+        """,
+        "twitter_parse": f"""
+            SELECT tweet_id, user_id, user_name, text,
+                   in_reply_to_user_id, in_reply_to_status_id,
+                   retweet_count, lang, dtg, lon, lat
+            FROM read_parquet('{fx}/twitter_tweets.parquet')
         """,
         # -- rect_join_*: boundary-exact DE-9IM predicates over the
         # lattice-aligned grid_rects fixture; every coordinate is an

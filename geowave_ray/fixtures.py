@@ -950,6 +950,83 @@ def gen_gdelt_files(n_files: int, lines_per_file: int = 200) -> tuple[pa.Table, 
     return files, events
 
 
+def gen_twitter_files(n_files: int, tweets_per_file: int = 40) -> tuple[pa.Table, pa.Table]:
+    """Tweet-dump JSON-lines files + flat truth
+    (``extensions/formats/twitter/`` role).  Exercises every reference
+    skip rule: null/missing coordinates, bad ``created_at``, missing
+    ``retweet_count``, malformed JSON lines (whole-buffer fallback),
+    null optional fields -> empty string."""
+    import datetime as _dt
+    import json as _json
+
+    f_id, f_txt = [], []
+    t_tid, t_uid, t_un, t_tx, t_ru, t_rs = [], [], [], [], [], []
+    t_rc, t_lg, t_dtg, t_lon, t_lat = [], [], [], [], []
+    base = _dt.datetime(2013, 4, 1, 13, 30, 0)
+    for j in range(n_files):
+        lines = []
+        for i in range(tweets_per_file):
+            ts = base + _dt.timedelta(hours=j, seconds=17 * i)
+            tid = f"{300000 + j * 1000 + i}"
+            lon = -170.0 + ((i * 29 + j * 13) % 3400) / 10.0
+            lat = -80.0 + ((i * 7 + j * 3) % 1600) / 10.0
+            tw = {
+                "id_str": tid,
+                "created_at": ts.strftime("%a %b %d %H:%M:%S +0000 %Y"),
+                "coordinates": {"type": "Point", "coordinates": [lon, lat]},
+                "user": {"id_str": f"u{(i * 3 + j) % 50}", "name": f"user {(i * 3 + j) % 50}"},
+                "text": f"tweet {tid} says hello number {i}",
+                "in_reply_to_user_id_str": f"u{(i + 1) % 50}" if i % 4 == 1 else None,
+                "in_reply_to_status_id_str": f"{300000 + i - 1}" if i % 5 == 2 else None,
+                "retweet_count": (i * j) % 7,
+                "lang": None if i % 9 == 4 else ["en", "de", "fr"][i % 3],
+            }
+            if i % 10 == 3:
+                tw["coordinates"] = None  # dropped (plugin:176-194)
+            elif i % 10 == 6:
+                del tw["coordinates"]  # dropped
+            elif i % 13 == 7:
+                tw["created_at"] = "yesterday-ish"  # dropped (plugin:199-210)
+            elif i % 17 == 9:
+                del tw["retweet_count"]  # dropped (catch-all continue)
+            elif i % 19 == 11:
+                lines.append('{"id_str": "broken')  # malformed line
+                continue
+            lines.append(_json.dumps(tw))
+            if i % 10 in (3, 6) or (i % 13 == 7) or (i % 17 == 9):
+                continue
+            t_tid.append(tid)
+            t_uid.append(f"u{(i * 3 + j) % 50}")
+            t_un.append(f"user {(i * 3 + j) % 50}")
+            t_tx.append(f"tweet {tid} says hello number {i}")
+            t_ru.append(f"u{(i + 1) % 50}" if i % 4 == 1 else "")
+            t_rs.append(f"{300000 + i - 1}" if i % 5 == 2 else "")
+            t_rc.append((i * j) % 7)
+            t_lg.append("" if i % 9 == 4 else ["en", "de", "fr"][i % 3])
+            t_dtg.append(np.datetime64(ts, "us"))
+            t_lon.append(lon)
+            t_lat.append(lat)
+        f_id.append(f"201304{(j % 28) + 1:02d}-{130000 + j:06d}.txt.gz")
+        f_txt.append("\n".join(lines) + "\n")
+    files = pa.table({"file_id": pa.array(f_id), "content": pa.array(f_txt)})
+    tweets = pa.table(
+        {
+            "tweet_id": pa.array(t_tid, pa.string()),
+            "user_id": pa.array(t_uid, pa.string()),
+            "user_name": pa.array(t_un, pa.string()),
+            "text": pa.array(t_tx, pa.string()),
+            "in_reply_to_user_id": pa.array(t_ru, pa.string()),
+            "in_reply_to_status_id": pa.array(t_rs, pa.string()),
+            "retweet_count": pa.array(np.asarray(t_rc, dtype=np.int64), pa.int64()),
+            "lang": pa.array(t_lg, pa.string()),
+            "dtg": pa.array(np.asarray(t_dtg, dtype="datetime64[us]"), pa.timestamp("us")),
+            "lon": pa.array(np.asarray(t_lon, dtype=np.float64), pa.float64()),
+            "lat": pa.array(np.asarray(t_lat, dtype=np.float64), pa.float64()),
+        }
+    )
+    return files, tweets
+
+
 def gen_raster_chunks_mb(n_chunks: int, bands: int = 2) -> pa.Table:
     """Multi-band chunks with nodata holes and a merge sequence — the
     NoDataMergeStrategy fixture (latest-wins, fill holes from earlier;
@@ -1156,6 +1233,11 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
     mu = os.path.join(out, "messy_urls.parquet")
     if not os.path.exists(mu):
         pq.write_table(gen_messy_urls(max(200, cfg["regions"] // 4)), mu)
+    tw = os.path.join(out, "twitter_files.parquet")
+    if not os.path.exists(tw):
+        files, tweets = gen_twitter_files(max(24, cfg["regions"] // 16))
+        pq.write_table(files, tw)
+        pq.write_table(tweets, os.path.join(out, "twitter_tweets.parquet"))
     # marker lives BESIDE the docs dir (a non-parquet file inside
     # would break read_parquet over the directory)
     if cfg.get("docs") and not os.path.exists(os.path.join(out, "docs_DONE")):

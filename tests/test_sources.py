@@ -189,3 +189,30 @@ def test_gdelt_parse_roundtrip(ray_session):
         ray.data.from_arrow(files), include_supplemental=False
     ).schema()
     assert "numMentions" not in got_min.names and "eventid" in got_min.names
+
+
+def test_twitter_parse_roundtrip(ray_session):
+    """Valid tweets round-trip exactly; coordinate/date/required-field
+    failures drop exactly the reference's lines; malformed JSON lines
+    take the per-line fallback without losing neighbors."""
+    import pandas as pd
+    import ray.data
+
+    from geowave_ray.fixtures import gen_twitter_files
+    from geowave_ray.sources.twitter import read_twitter_table, twitter_validate
+
+    files, tweets = gen_twitter_files(5)
+    got = (
+        read_twitter_table(ray.data.from_arrow(files))
+        .to_pandas()
+        .sort_values("tweet_id")
+        .reset_index(drop=True)
+    )
+    exp = tweets.to_pandas().sort_values("tweet_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # fixture really exercised the skip rules and nullable defaults
+    assert len(exp) < 5 * 40
+    assert (exp["in_reply_to_user_id"] == "").any()
+    assert (exp["lang"] == "").any()
+    assert twitter_validate("20130401-130000.txt.gz")
+    assert not twitter_validate("tweets.json")
