@@ -2672,6 +2672,17 @@ def q_docs_novel(sf_dir: str):
     return novel_against_store(shard, store).select_columns(["doc_id", "text"])
 
 
+def q_docs_score(sf_dir: str):
+    """Batched model inference as an actor pool: fastText-style hashed
+    bag-of-words linear scorer; weight table built once per actor in
+    __init__, integer milli-unit weights so the SQL oracle replicates
+    the score bit-exactly through the HUGEINT hash chain."""
+    from geowave_ray.text import score_documents
+
+    docs = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return score_documents(docs, concurrency=2)
+
+
 def q_url_canonicalize(sf_dir: str):
     """URL canonicalization (scheme/host case, default ports,
     fragments, tracking params, param order, trailing slashes) —
@@ -3488,6 +3499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": q_url_canonicalize,
         "url_canonical_dedup": q_url_canonical_dedup,
         "docs_novel": q_docs_novel,
+        "docs_score": q_docs_score,
         "docs_top_bigrams": q_docs_top_bigrams,
         "url_blocklist": q_url_blocklist,
         "url_split": q_url_split,
@@ -3936,6 +3948,26 @@ def oracle_sql() -> dict[str, str]:
         f"CASE WHEN 2 * s{j} > nt THEN {1 << (j - 1)} ELSE 0 END"
         for j in range(1, 64)
     )
+    # -- docs_score: hashed-BoW linear scorer (text.LinearTextScorer);
+    # bucket = (hash_utf8(tok) >> 1) % 4096, integer milli-weight
+    # w = (bucket*2654435761 + seed) % 2001 - 1000, score = sum(w)
+    docs_score_sql = _sql_chain(
+        "SELECT doc_id, unnest(list_filter(string_split(text, ' '),"
+        " t -> t <> '')) AS tok FROM documents",
+        _sql_hash_utf8_steps("tok", "sth", "_q"),
+        """, _s AS (
+            SELECT doc_id,
+                   sum((((sth // 2) % 4096) * 2654435761::HUGEINT) % 2001
+                       - 1000) AS sm
+            FROM $LAST GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(_s.sm, 0) AS BIGINT) AS score_milli,
+               CAST(CASE WHEN coalesce(_s.sm, 0) > 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS label
+        FROM documents d LEFT JOIN _s ON d.doc_id = _s.doc_id
+        """,
+    )
+
     docs_simhash_sql = _sql_chain(
         "SELECT doc_id, unnest(list_filter(string_split(text, ' '),"
         " t -> t <> '')) AS tok FROM documents",
@@ -5697,6 +5729,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_hist": s2_hist_sql,
         "sample_weighted": sample_weighted_sql,
         "docs_simhash": docs_simhash_sql,
+        "docs_score": docs_score_sql,
         # docs_tfidf / docs_df_topterms: identical tokenizer
         # (space-split, empties dropped) and the identical IEEE double
         # idf expression ln((1+N)/(1+df)); ties broken by term ASC

@@ -1023,3 +1023,60 @@ def canonical_url_dedup(ds, url_col: str = "url", id_col: str = "row_id"):
         id_col=id_col,
         text_col="canon_url",
     )
+
+
+# ------------------------------------------------------ model scoring
+
+class LinearTextScorer:
+    """Batched model-inference stage: a fastText-style linear
+    classifier over hashed bag-of-words features (the quality-
+    classifier slot of an LLM data pipeline; reference parallel: the
+    per-feature scoring UDFs of
+    ``analytics/spark/sparksql/udf/GeomFunction.java`` generalized to
+    text).  Used as a CALLABLE CLASS with ``map_batches(cls,
+    concurrency=N)``: the weight table materializes ONCE per actor in
+    ``__init__`` (the model-load slot — swap the deterministic table
+    for a real checkpoint read), and ``__call__`` scores a whole batch
+    with two vectorized passes (tokenize+hash, bincount gather).
+
+    Weights are INTEGER milli-units derived from the bucket id
+    (``w[b] = (b*2654435761 + seed) % 2001 - 1000``) so the score is
+    an exact integer sum — bit-replicable in SQL (float64 accumulation
+    of integers this small is exact in any order)."""
+
+    def __init__(self, n_buckets: int = 4096, seed: int = 0, text_col: str = "text"):
+        b = np.arange(n_buckets, dtype=np.uint64)
+        self.w = (
+            ((b * np.uint64(2654435761) + np.uint64(seed)) % np.uint64(2001))
+            .astype(np.int64)
+            - 1000
+        )
+        self.n_buckets = n_buckets
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .hashing import tokenize_hash
+
+        th, doc, _ = tokenize_hash(batch.column(self.text_col))
+        bk = ((th >> np.uint64(1)) % np.uint64(self.n_buckets)).astype(np.int64)
+        s = np.bincount(
+            doc, weights=self.w[bk].astype(np.float64), minlength=len(batch)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score_milli": pa.array(s, pa.int64()),
+                "label": pa.array((s > 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def score_documents(ds, n_buckets: int = 4096, seed: int = 0, concurrency: int = 2):
+    """Actor-pool scoring pass: weights load once per actor, batches
+    stream through; zero shuffle."""
+    return ds.map_batches(
+        LinearTextScorer,
+        fn_constructor_kwargs={"n_buckets": n_buckets, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

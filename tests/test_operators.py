@@ -1630,3 +1630,40 @@ def test_novel_against_store_exact_despite_bloom_fps(ray_session):
     exp = sorted(t for t in shard_texts if t not in set(store_texts))
     assert sorted(got["text"]) == exp
     assert len(got) == 200
+
+
+def test_linear_scorer_deterministic_and_seeded(ray_session):
+    """Scores are an exact integer sum; seed changes the model; empty
+    docs score 0/label 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.text import LinearTextScorer, score_documents
+
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": pa.array(["alpha beta gamma", "", "alpha alpha"], pa.string())}
+    )
+    s0 = LinearTextScorer(seed=0)(t).to_pandas()
+    # brute force: per-token bucket weights
+    from geowave_ray.hashing import hash_utf8
+
+    def w(tok, seed=0):
+        h = hash_utf8(pa.array([tok]))[0]
+        b = int((h >> np.uint64(1)) % np.uint64(4096))
+        return (b * 2654435761 + seed) % 2001 - 1000
+
+    assert s0.loc[0, "score_milli"] == w("alpha") + w("beta") + w("gamma")
+    assert s0.loc[1, "score_milli"] == 0 and s0.loc[1, "label"] == 0
+    assert s0.loc[2, "score_milli"] == 2 * w("alpha")
+    s7 = LinearTextScorer(seed=7)(t).to_pandas()
+    assert (s0["score_milli"] != s7["score_milli"]).any()
+    # actor-pool path returns the same values
+    pooled = (
+        score_documents(ray.data.from_arrow(t), concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert pooled["score_milli"].tolist() == s0["score_milli"].tolist()
