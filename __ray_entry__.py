@@ -2672,6 +2672,23 @@ def q_docs_novel(sf_dir: str):
     return novel_against_store(shard, store).select_columns(["doc_id", "text"])
 
 
+def q_docs_mixture_sample(sf_dir: str):
+    """Domain-mixture resampling (DSIR/DoReMi role, deterministic):
+    sources src0..src3 sampled to a 40/30/20/10 mixture of 40 docs,
+    selection by (hash64(doc_id), doc_id) rank — stable across runs
+    and parallelism."""
+    from geowave_ray.text import mixture_sample
+
+    docs = _read_testdata(sf_dir, "documents", columns=["doc_id", "source"])
+    return mixture_sample(
+        docs,
+        key_col="source",
+        target={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        n_total=40,
+        id_col="doc_id",
+    )
+
+
 def q_docs_score(sf_dir: str):
     """Batched model inference as an actor pool: fastText-style hashed
     bag-of-words linear scorer; weight table built once per actor in
@@ -3500,6 +3517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "docs_novel": q_docs_novel,
         "docs_score": q_docs_score,
+        "docs_mixture_sample": q_docs_mixture_sample,
         "docs_top_bigrams": q_docs_top_bigrams,
         "url_blocklist": q_url_blocklist,
         "url_split": q_url_split,
@@ -4923,6 +4941,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT domain, url, row_number() OVER ("
             "PARTITION BY domain ORDER BY h // 2, url) AS rank "
             "FROM $LAST) WHERE rank <= 3",
+        ),
+        # per-domain quota = round(target * n_total): 16/12/8/4 of 40
+        "docs_mixture_sample": _sql_chain(
+            "SELECT source, doc_id, CAST(doc_id AS VARCHAR) AS sid "
+            "FROM documents WHERE source IN ('src0','src1','src2','src3')",
+            _sql_hash_utf8_steps("sid", "h", "mx"),
+            "SELECT source, rank, doc_id FROM ("
+            "SELECT source, doc_id, row_number() OVER ("
+            "PARTITION BY source ORDER BY h // 2, doc_id) AS rank "
+            "FROM $LAST) WHERE rank <= CASE source "
+            "WHEN 'src0' THEN 16 WHEN 'src1' THEN 12 "
+            "WHEN 'src2' THEN 8 ELSE 4 END",
         ),
         # shard = exclusive running token count // budget over doc_id
         # order — the SQL window IS the prefix scan the engine

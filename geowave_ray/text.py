@@ -1080,3 +1080,84 @@ def score_documents(ds, n_buckets: int = 4096, seed: int = 0, concurrency: int =
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def mixture_sample(
+    ds,
+    key_col: str,
+    target: dict[str, float],
+    n_total: int,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+):
+    """Domain-mixture resampling (the DSIR / DoReMi domain-reweighting
+    role, deterministic form): sample the corpus so each ``key_col``
+    domain contributes ``round(target[k] * n_total)`` rows; domains
+    absent from ``target`` are dropped, and a domain with fewer rows
+    than its quota contributes everything it has.  Selection within a
+    domain is by ``(hash64(id), id)`` rank, so the sample is identical
+    across runs and parallelism levels.
+
+    Same two-stage scale shape as :func:`quota_sample_per_key` — block-
+    local top-quota prune, then ONE bounded key-hash bucket exchange —
+    but with a per-key cap vectorized through a dictionary lookup over
+    each batch's UNIQUE keys (never per row).  Output:
+    ``[key_col, 'rank', id_col]``, rank 1..quota."""
+    import ray
+
+    from .hashing import hash_utf8
+
+    quotas = {k: int(round(f * n_total)) for k, f in target.items()}
+    qref = ray.put(quotas)
+
+    def _capped_prune(t: pa.Table) -> pa.Table:
+        from .util import cached_state
+
+        q: dict = cached_state(("mixq", qref.hex()), qref)
+        key = t.column(key_col).combine_chunks().dictionary_encode()
+        codes = key.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        caps_u = np.array(
+            [q.get(k, 0) for k in key.dictionary.to_pylist()], dtype=np.int64
+        )
+        srt = pa.table(
+            {"c": pa.array(codes), "h": t.column("_hkey"), "i": t.column(id_col)}
+        )
+        order = pc.sort_indices(
+            srt,
+            sort_keys=[("c", "ascending"), ("h", "ascending"), ("i", "ascending")],
+        ).to_numpy()
+        sc = codes[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        rank = np.arange(len(sc)) - np.repeat(starts, np.diff(np.r_[starts, len(sc)]))
+        keep_mask = rank < caps_u[sc]
+        out = t.take(pa.array(order[keep_mask]))
+        return out.append_column(
+            "rank", pa.array((rank[keep_mask] + 1).astype(np.int64))
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_s = ids if pa.types.is_string(ids.type) else pc.cast(ids, pa.string())
+        h = (hash_utf8(ids_s) >> np.uint64(1)).astype(np.int64)
+        kh = (hash_utf8(b.column(key_col)) % np.uint64(n_buckets)).astype(np.int64)
+        t = pa.table(
+            {
+                key_col: b.column(key_col),
+                id_col: b.column(id_col),
+                "_hkey": pa.array(h, pa.int64()),
+                "_bucket": pa.array(kh, pa.int64()),
+            }
+        )
+        return _capped_prune(t).drop_columns(["rank"])
+
+    def final(g: pa.Table) -> pa.Table:
+        return _capped_prune(g).select([key_col, "rank", id_col])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(_xb())
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pyarrow")
+    )

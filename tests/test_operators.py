@@ -1667,3 +1667,39 @@ def test_linear_scorer_deterministic_and_seeded(ray_session):
         .reset_index(drop=True)
     )
     assert pooled["score_milli"].tolist() == s0["score_milli"].tolist()
+
+
+def test_mixture_sample_quotas_and_determinism(ray_session):
+    """Quotas hit exactly when the domain has enough rows; short
+    domains contribute everything; sample identical across
+    parallelism levels."""
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.text import mixture_sample
+
+    keys = ["a"] * 50 + ["b"] * 50 + ["tiny"] * 3 + ["drop"] * 20
+    t = pa.table(
+        {"doc_id": pa.array(range(len(keys)), pa.int64()),
+         "source": pa.array(keys, pa.string())}
+    )
+    target = {"a": 0.5, "b": 0.3, "tiny": 0.2}
+
+    def run(parts):
+        return (
+            mixture_sample(
+                ray.data.from_arrow(t).repartition(parts),
+                key_col="source", target=target, n_total=20, id_col="doc_id",
+            )
+            .to_pandas()
+            .sort_values(["source", "rank"])
+            .reset_index(drop=True)
+        )
+
+    one, many = run(1), run(9)
+    assert one.equals(many)
+    got = one.groupby("source")["doc_id"].count().to_dict()
+    assert got == {"a": 10, "b": 6, "tiny": 3}  # tiny has only 3 rows
+    assert "drop" not in set(one["source"])
+    assert (one.groupby("source")["rank"].max()
+            == one.groupby("source")["rank"].count()).all()
