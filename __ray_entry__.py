@@ -2732,6 +2732,33 @@ def q_url_canonical_dedup(sf_dir: str):
     )
 
 
+def q_geojson_roundtrip(sf_dir: str):
+    """GeoJSON export sink + re-read (VectorLocalExportCommand GeoJSON
+    role): regions -> distributed NDJSON-feature files (one per block)
+    -> read back -> exact envelope per region. Oracle rebuilds the
+    envelopes from the independent edge table, so the whole
+    WKB -> GeoJSON -> WKB coordinate roundtrip must be bit-exact."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from geowave_ray.formats import read_geojson_dir, wkb_stats_batch, write_geojson
+
+    regions = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/regions.parquet", columns=["region_id", "geometry_wkb"]
+    )
+    out = tempfile.mkdtemp(prefix="gw_geojson_", dir="/tmp")
+    try:
+        write_geojson(regions, out)
+        back = read_geojson_dir(out)
+        return back.map_batches(
+            wkb_stats_batch, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_gwql_select(sf_dir: str):
     """GWQL string query end-to-end (parser -> expr -> Dataset)."""
     from geowave_ray import gwql
@@ -3598,6 +3625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wkt_export": q_wkt_export,
         "twkb_export": q_twkb_export,
         "wkb_stats": q_wkb_stats,
+        "geojson_roundtrip": q_geojson_roundtrip,
         # CQL bridge
         "cql_filter": q_cql_filter,
     }
@@ -5642,6 +5670,19 @@ def oracle_sql() -> dict[str, str]:
         # WKB decode stats: vertex count (= edges + 1 closing point) and
         # exact envelope, rebuilt from the independent edge table
         "wkb_stats": f"""
+            SELECT r.region_id,
+                   count(*) + 1 AS n_points,
+                   min(LEAST(e.x1, e.x2)) AS gxmin,
+                   min(LEAST(e.y1, e.y2)) AS gymin,
+                   max(GREATEST(e.x1, e.x2)) AS gxmax,
+                   max(GREATEST(e.y1, e.y2)) AS gymax
+            FROM {REGIONS} r JOIN {REDGES} e USING (region_id)
+            GROUP BY r.region_id
+        """,
+        # GeoJSON export/import roundtrip: same envelope check as
+        # wkb_stats — the WKB -> GeoJSON text -> WKB chain must
+        # reproduce every coordinate bit-exactly for the hash to match.
+        "geojson_roundtrip": f"""
             SELECT r.region_id,
                    count(*) + 1 AS n_points,
                    min(LEAST(e.x1, e.x2)) AS gxmin,

@@ -293,12 +293,10 @@ def geom_to_geojson(geom) -> dict:
     }
 
 
-def read_geojson(path: str, parallelism: int = -1):
-    """GeoJSON FeatureCollection (or NDJSON of features) -> Dataset of
-    (properties..., geometry_wkb). Small-file format ingest: the parse
-    happens once; downstream stages operate on the WKB column."""
-    import ray.data
-
+def _parse_geojson_file(path: str) -> pa.Table:
+    """One GeoJSON FeatureCollection file (or NDJSON of Features) ->
+    (properties..., geometry_wkb) Arrow table. Runs INSIDE read tasks —
+    never on the driver for multi-file ingest."""
     with open(path) as f:
         head = f.read(64)
         f.seek(0)
@@ -317,8 +315,16 @@ def read_geojson(path: str, parallelism: int = -1):
         for k in rows:
             if len(rows[k]) < len(wkbs):
                 rows[k].append(None)
-    tbl = pa.table({**rows, "geometry_wkb": pa.array(wkbs, pa.binary())})
-    ds = ray.data.from_arrow(tbl)
+    return pa.table({**rows, "geometry_wkb": pa.array(wkbs, pa.binary())})
+
+
+def read_geojson(path: str, parallelism: int = -1):
+    """GeoJSON FeatureCollection (or NDJSON of features) -> Dataset of
+    (properties..., geometry_wkb). Single-file format ingest: the parse
+    happens once; downstream stages operate on the WKB column."""
+    import ray.data
+
+    ds = ray.data.from_arrow(_parse_geojson_file(path))
     return ds if parallelism < 0 else ds.repartition(parallelism)
 
 
@@ -358,3 +364,77 @@ def wkb_stats_batch(batch: pa.Table, col: str = "geometry_wkb") -> pa.Table:
     ):
         t = t.append_column(name, pa.array(vals, typ))
     return t
+
+
+def geojson_feature_lines(
+    batch: pa.Table, wkb_col: str = "geometry_wkb"
+) -> list[str]:
+    """One NDJSON GeoJSON Feature string per row (properties = every
+    non-geometry column). Export boundary: the output is row-formatted
+    text by definition, so this is the one deliberate per-row loop —
+    everything upstream stays columnar."""
+    props_cols = [n for n in batch.column_names if n != wkb_col]
+    props = batch.select(props_cols).to_pylist() if props_cols else [{}] * len(batch)
+    out = []
+    for i, v in enumerate(batch.column(wkb_col)):
+        ft = {
+            "type": "Feature",
+            "geometry": geom_to_geojson(wkb_decode(v.as_py())),
+            "properties": props[i],
+        }
+        out.append(json.dumps(ft, separators=(",", ":"), default=str))
+    return out
+
+
+def write_geojson(ds, out_dir: str, wkb_col: str = "geometry_wkb") -> None:
+    """Distributed GeoJSON export sink (VectorLocalExportCommand role,
+    ``extensions/cli/.../VectorLocalExportCommand.java``, GeoJSON
+    format): each block writes ONE newline-delimited-feature file
+    under ``out_dir`` (partitioned, resumable layout — never a single
+    giant file). Readable back by :func:`read_geojson`."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(batch: pa.Table) -> pa.Table:
+        if len(batch):
+            name = f"part-{uuid.uuid4().hex}.geojsonl"
+            tmp = os.path.join(out_dir, "." + name)
+            with open(tmp, "w") as f:
+                f.write("\n".join(geojson_feature_lines(batch, wkb_col)) + "\n")
+            os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"n": pa.array([len(batch)], pa.int64())})
+
+    ds.map_batches(sink, batch_format="pyarrow", batch_size=None).count()
+
+
+def read_geojson_dir(path: str, parallelism: int = -1):
+    """Read a directory of ``.geojsonl`` files (the write_geojson
+    layout) or a single file. Distributed: the file list fans out as a
+    Dataset and each read task parses its files — the driver never
+    touches feature text, so the reader scales with file count."""
+    import os
+
+    if os.path.isdir(path):
+        import ray.data
+
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".geojsonl") or f.endswith(".json")
+        )
+        if not files:
+            raise FileNotFoundError(f"no geojson files under {path}")
+
+        def parse(batch: pa.Table) -> pa.Table:
+            return pa.concat_tables(
+                [_parse_geojson_file(p.as_py()) for p in batch.column("path")],
+                promote_options="default",
+            )
+
+        ds = ray.data.from_arrow(pa.table({"path": pa.array(files)})).map_batches(
+            parse, batch_format="pyarrow", batch_size=1
+        )
+        return ds if parallelism < 0 else ds.repartition(parallelism)
+    return read_geojson(path, parallelism)
