@@ -3330,6 +3330,24 @@ def q_wkb_stats(sf_dir: str):
     return ds.map_batches(wkb_stats_batch, batch_format="pyarrow", batch_size=None)
 
 
+def q_geom_measures(sf_dir: str):
+    """Scalar geometry UDFs (ST_Area / ST_Centroid / perimeter roles,
+    ``analytics/spark/sparksql/udf/GeomFunction.java`` +
+    ``GeometryUtils.java``): area, perimeter and centroid per region
+    from the decoded WKB. Quantized-integer shoelace (see
+    geom.ring_measures_q) makes every float bit-reproducible by an
+    order-free SQL aggregate over the independent edge table."""
+    import ray.data
+
+    from geowave_ray.formats import wkb_measures_batch
+
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/regions.parquet",
+        columns=["region_id", "geometry_wkb", "xmin", "ymin"],
+    )
+    return ds.map_batches(wkb_measures_batch, batch_format="pyarrow", batch_size=None)
+
+
 def q_cql_filter(sf_dir: str):
     """CQL text -> expression AST -> Arrow batch filter over events
     (CQLToGeoWaveFilterVisitor + temporal After/Before role)."""
@@ -3626,6 +3644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twkb_export": q_twkb_export,
         "wkb_stats": q_wkb_stats,
         "geojson_roundtrip": q_geojson_roundtrip,
+        "geom_measures": q_geom_measures,
         # CQL bridge
         "cql_filter": q_cql_filter,
     }
@@ -5691,6 +5710,37 @@ def oracle_sql() -> dict[str, str]:
                    max(GREATEST(e.y1, e.y2)) AS gymax
             FROM {REGIONS} r JOIN {REDGES} e USING (region_id)
             GROUP BY r.region_id
+        """,
+        # Scalar geometry measures: quantized-integer shoelace relative
+        # to (xmin, ymin) — int sums are order-free, so the unordered
+        # edge table reproduces each float bit-for-bit. Per-edge sqrt
+        # lengths round to integer micro-units BEFORE the sum for the
+        # same reason. Mirrors geom.ring_measures_q exactly.
+        "geom_measures": f"""
+            WITH q AS (
+              SELECT e.region_id, r.xmin, r.ymin,
+                     CAST(floor((e.x1 - r.xmin) * 10000 + 0.5) AS BIGINT) AS qx1,
+                     CAST(floor((e.y1 - r.ymin) * 10000 + 0.5) AS BIGINT) AS qy1,
+                     CAST(floor((e.x2 - r.xmin) * 10000 + 0.5) AS BIGINT) AS qx2,
+                     CAST(floor((e.y2 - r.ymin) * 10000 + 0.5) AS BIGINT) AS qy2,
+                     CAST(floor(sqrt((e.x2 - e.x1) * (e.x2 - e.x1)
+                                   + (e.y2 - e.y1) * (e.y2 - e.y1)) * 1000000 + 0.5)
+                          AS BIGINT) AS len_u
+              FROM {REDGES} e JOIN {REGIONS} r USING (region_id)
+            ), s AS (
+              SELECT region_id, any_value(xmin) AS xmin, any_value(ymin) AS ymin,
+                     sum(qx1 * qy2 - qx2 * qy1) AS a2,
+                     sum((qx1 + qx2) * (qx1 * qy2 - qx2 * qy1)) AS cxn,
+                     sum((qy1 + qy2) * (qx1 * qy2 - qx2 * qy1)) AS cyn,
+                     sum(len_u) AS plen
+              FROM q GROUP BY region_id
+            )
+            SELECT region_id,
+                   CAST(a2 AS DOUBLE) / 200000000.0 AS area,
+                   CAST(plen AS DOUBLE) / 1000000.0 AS perimeter,
+                   xmin + (CAST(cxn AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE))) / 10000.0 AS centroid_x,
+                   ymin + (CAST(cyn AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE))) / 10000.0 AS centroid_y
+            FROM s
         """,
         # Gaussian splat KDE: each page adds exp(-(dx^2+dy^2)/2) to its
         # 3x3 tier-7 cell ring; rounded to 6 decimals on both sides.

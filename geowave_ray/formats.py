@@ -438,3 +438,39 @@ def read_geojson_dir(path: str, parallelism: int = -1):
         )
         return ds if parallelism < 0 else ds.repartition(parallelism)
     return read_geojson(path, parallelism)
+
+
+def wkb_measures_batch(batch: pa.Table, col: str = "geometry_wkb") -> pa.Table:
+    """Scalar geometry measures per row (ST_Area / ST_Centroid /
+    perimeter UDF roles): quantized-integer shoelace relative to the
+    row's declared (xmin, ymin) origin so every value is exactly
+    reproducible by an order-free SQL aggregate over the edge table —
+    see :func:`geowave_ray.geom.ring_measures_q`."""
+    from .geom import ring_measures_q
+
+    x0s = batch.column("xmin").to_numpy()
+    y0s = batch.column("ymin").to_numpy()
+    areas, perims, cxs, cys = [], [], [], []
+    for i, v in enumerate(batch.column(col)):
+        t, c = wkb_decode(v.as_py())
+        if t == "Polygon":
+            rings = c
+        elif t == "MultiPolygon":
+            rings = [r for p in c for r in p]
+        else:
+            raise ValueError(f"measures need polygonal WKB, got {t}")
+        a2, cxn, cyn, perim_u = ring_measures_q(rings, float(x0s[i]), float(y0s[i]))
+        areas.append(a2 / 200000000.0)
+        perims.append(perim_u / 1000000.0)
+        cxs.append(float(x0s[i]) + (cxn / (3.0 * a2)) / 10000.0)
+        cys.append(float(y0s[i]) + (cyn / (3.0 * a2)) / 10000.0)
+    keep = [n for n in batch.column_names if n not in (col, "xmin", "ymin")]
+    t = batch.select(keep)
+    for name, vals in (
+        ("area", areas),
+        ("perimeter", perims),
+        ("centroid_x", cxs),
+        ("centroid_y", cys),
+    ):
+        t = t.append_column(name, pa.array(vals, pa.float64()))
+    return t

@@ -690,3 +690,47 @@ def clamp_precision(ring: np.ndarray, decimals: int = 6) -> np.ndarray:
     reference's test oracle hashes centroids after a TWKB round trip,
     ``TestUtils.java:544-550``)."""
     return np.round(np.asarray(ring, dtype=np.float64), decimals)
+
+
+def ring_measures_q(
+    rings: list[np.ndarray], x0: float, y0: float, scale: float = 1e4
+) -> tuple[int, int, int, int]:
+    """Quantized-integer shoelace measures over a ring set (exterior
+    CCW, holes CW subtract via the signed sum) — the scalar half of the
+    reference's GeomFunction UDF family (ST_Area / ST_Centroid /
+    perimeter roles, ``analytics/spark/sparksql/udf/GeomFunction.java``
+    + ``GeometryUtils.java``). Coordinates snap to ``1/scale`` relative
+    to the declared origin ``(x0, y0)``, then everything is EXACT int64
+    arithmetic — sums are order-independent, so a SQL oracle over the
+    unordered edge table reproduces each value bit-for-bit (the same
+    fixed-precision model as the TWKB codec).
+
+    Returns (area2, cx_num, cy_num, perim_u):
+      area  = area2 / (2*scale^2)
+      cx    = x0 + cx_num / (3*area2) / scale   (same for cy)
+      perim = perim_u / 1e6  (per-edge sqrt rounded to integer
+              micro-units BEFORE the sum, keeping the sum order-free)
+    """
+    area2 = 0
+    cxn = 0
+    cyn = 0
+    perim = 0
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) < 3:
+            continue
+        nxt = np.roll(r, -1, axis=0)
+        qx1 = np.floor((r[:, 0] - x0) * scale + 0.5).astype(np.int64)
+        qy1 = np.floor((r[:, 1] - y0) * scale + 0.5).astype(np.int64)
+        qx2 = np.roll(qx1, -1)
+        qy2 = np.roll(qy1, -1)
+        cross = qx1 * qy2 - qx2 * qy1
+        area2 += int(cross.sum())
+        cxn += int(((qx1 + qx2) * cross).sum())
+        cyn += int(((qy1 + qy2) * cross).sum())
+        dx = nxt[:, 0] - r[:, 0]
+        dy = nxt[:, 1] - r[:, 1]
+        perim += int(
+            np.floor(np.sqrt(dx * dx + dy * dy) * 1e6 + 0.5).astype(np.int64).sum()
+        )
+    return area2, cxn, cyn, perim

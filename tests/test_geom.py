@@ -433,3 +433,44 @@ def test_general_predicate_vs_bruteforce_sampling():
         if gp(a, b, "within"):
             assert not (in_a & ~in_b).any(), "within but sampled point outside"
     assert hits >= 5  # the fixture actually exercised overlaps
+
+
+def test_ring_measures_q_square():
+    from geowave_ray.geom import ring_measures_q
+
+    # unit square at origin, CCW: area 1, perimeter 4, centroid (.5, .5)
+    sq = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    a2, cxn, cyn, perim_u = ring_measures_q([sq], 0.0, 0.0)
+    assert a2 / 2e8 == 1.0
+    assert perim_u / 1e6 == 4.0
+    assert cxn / (3.0 * a2) / 1e4 == 0.5
+    assert cyn / (3.0 * a2) / 1e4 == 0.5
+
+
+def test_ring_measures_q_closure_invariant():
+    from geowave_ray.geom import ring_measures_q
+
+    rng = np.random.default_rng(7)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 9))
+    ring = np.column_stack([3 + 2 * np.cos(ang), -1 + 2 * np.sin(ang)])
+    closed = np.vstack([ring, ring[:1]])
+    assert ring_measures_q([ring], 1.0, -3.0) == ring_measures_q([closed], 1.0, -3.0)
+
+
+def test_ring_measures_q_hole_subtracts():
+    from geowave_ray.geom import ring_measures_q
+
+    outer = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])  # CCW
+    hole = np.array([[1.0, 1.0], [1.0, 3.0], [3.0, 3.0], [3.0, 1.0]])  # CW
+    a2, _, _, perim_u = ring_measures_q([outer, hole], 0.0, 0.0)
+    assert a2 / 2e8 == 16.0 - 4.0
+    assert perim_u / 1e6 == 16.0 + 8.0
+
+
+def test_ring_measures_q_translation_invariant_area():
+    from geowave_ray.geom import ring_measures_q
+
+    tri = np.array([[0.0, 0.0], [2.0, 0.0], [0.0, 2.0]])
+    a2_a, _, _, p_a = ring_measures_q([tri], 0.0, 0.0)
+    a2_b, _, _, p_b = ring_measures_q([tri + 10.0], 10.0, 10.0)
+    assert a2_a == a2_b and p_a == p_b
