@@ -3348,6 +3348,22 @@ def q_geom_measures(sf_dir: str):
     return ds.map_batches(wkb_measures_batch, batch_format="pyarrow", batch_size=None)
 
 
+def q_geom_distance(sf_dir: str):
+    """GeomDistance UDF (``analytics/spark/sparksql/udf/GeomDistance
+    .java`` / JTS Geometry.distance): per kNN probe point, the nearest
+    region under true polygon distance (0 inside, else min boundary
+    segment distance; ties to the smallest region_id). Exact oracle:
+    the only reductions are min/argmin, which are order-free."""
+    import ray.data
+
+    from geowave_ray.pipelines.distance_join import boundary_distance_join
+
+    points = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/knn_queries.parquet", columns=["query_id", "lon", "lat"]
+    )
+    return boundary_distance_join(points, _regions_table(sf_dir))
+
+
 def q_cql_filter(sf_dir: str):
     """CQL text -> expression AST -> Arrow batch filter over events
     (CQLToGeoWaveFilterVisitor + temporal After/Before role)."""
@@ -3645,6 +3661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wkb_stats": q_wkb_stats,
         "geojson_roundtrip": q_geojson_roundtrip,
         "geom_measures": q_geom_measures,
+        "geom_distance": q_geom_distance,
         # CQL bridge
         "cql_filter": q_cql_filter,
     }
@@ -5741,6 +5758,47 @@ def oracle_sql() -> dict[str, str]:
                    xmin + (CAST(cxn AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE))) / 10000.0 AS centroid_x,
                    ymin + (CAST(cyn AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE))) / 10000.0 AS centroid_y
             FROM s
+        """,
+        # GeomDistance: per probe the nearest region under true polygon
+        # distance. Every per-pair value is the SAME IEEE expression
+        # tree as the engine (no FMA on either side); the reductions
+        # are min / argmin-by-(dist, region_id) — order-free — so the
+        # floats hash-match with no rounding.
+        "geom_distance": f"""
+            WITH pe AS (
+              SELECT q.query_id, e.region_id, q.lon, q.lat,
+                     LEAST(GREATEST(
+                       ((q.lon - e.x1) * (e.x2 - e.x1) + (q.lat - e.y1) * (e.y2 - e.y1))
+                       / ((e.x2 - e.x1) * (e.x2 - e.x1) + (e.y2 - e.y1) * (e.y2 - e.y1)),
+                       0.0), 1.0) AS tc,
+                     e.x1, e.y1, e.x2, e.y2
+              FROM {KNNQ} q CROSS JOIN {REDGES} e
+            ), d AS (
+              SELECT query_id, region_id,
+                     min(sqrt((lon - (x1 + tc * (x2 - x1))) * (lon - (x1 + tc * (x2 - x1)))
+                            + (lat - (y1 + tc * (y2 - y1))) * (lat - (y1 + tc * (y2 - y1))))) AS bd
+              FROM pe GROUP BY query_id, region_id
+            ), inside AS (
+              SELECT q.query_id, r.region_id
+              FROM {KNNQ} q
+              JOIN {REGIONS} r
+                ON q.lon >= r.xmin AND q.lon <= r.xmax
+               AND q.lat >= r.ymin AND q.lat <= r.ymax
+              JOIN {REDGES} e ON e.region_id = r.region_id
+              GROUP BY q.query_id, r.region_id
+              HAVING bool_and((e.x2 - e.x1) * (q.lat - e.y1)
+                            - (e.y2 - e.y1) * (q.lon - e.x1) >= 0)
+            ), dd AS (
+              SELECT d.query_id, d.region_id,
+                     CASE WHEN i.region_id IS NOT NULL THEN 0.0 ELSE d.bd END AS dist
+              FROM d LEFT JOIN inside i
+                ON i.query_id = d.query_id AND i.region_id = d.region_id
+            )
+            SELECT query_id, region_id AS nearest_region, dist
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY dist, region_id) AS rn
+                  FROM dd)
+            WHERE rn = 1
         """,
         # Gaussian splat KDE: each page adds exp(-(dx^2+dy^2)/2) to its
         # 3x3 tier-7 cell ring; rounded to 6 decimals on both sides.

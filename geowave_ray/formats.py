@@ -462,8 +462,12 @@ def wkb_measures_batch(batch: pa.Table, col: str = "geometry_wkb") -> pa.Table:
         a2, cxn, cyn, perim_u = ring_measures_q(rings, float(x0s[i]), float(y0s[i]))
         areas.append(a2 / 200000000.0)
         perims.append(perim_u / 1000000.0)
-        cxs.append(float(x0s[i]) + (cxn / (3.0 * a2)) / 10000.0)
-        cys.append(float(y0s[i]) + (cyn / (3.0 * a2)) / 10000.0)
+        if a2 == 0:  # degenerate ring: centroid undefined
+            cxs.append(float("nan"))
+            cys.append(float("nan"))
+        else:
+            cxs.append(float(x0s[i]) + (cxn / (3.0 * a2)) / 10000.0)
+            cys.append(float(y0s[i]) + (cyn / (3.0 * a2)) / 10000.0)
     keep = [n for n in batch.column_names if n not in (col, "xmin", "ymin")]
     t = batch.select(keep)
     for name, vals in (

@@ -176,3 +176,37 @@ def test_read_geojson_ndjson(tmp_path, ray_session):
     p.write_text("\n".join(lines))
     ds = read_geojson(str(p))
     assert ds.count() == 5
+
+
+def test_write_geojson_roundtrip_dir(tmp_path, ray_session):
+    import ray.data
+
+    from geowave_ray.formats import (
+        read_geojson_dir,
+        wkb_encode,
+        write_geojson,
+    )
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-50, 50, size=(64, 2))
+    tbl = pa.table(
+        {
+            "fid": pa.array([f"f{i:03d}" for i in range(64)]),
+            "score": pa.array(rng.uniform(0, 1, 64), pa.float64()),
+            "geometry_wkb": pa.array(
+                [wkb_encode(("Point", p)) for p in pts], pa.binary()
+            ),
+        }
+    )
+    out = tmp_path / "gj"
+    write_geojson(ray.data.from_arrow(tbl).repartition(4), str(out))
+    files = [f for f in out.iterdir() if f.suffix == ".geojsonl"]
+    assert len(files) >= 2  # partitioned layout, never one giant file
+    back = read_geojson_dir(str(out)).to_pandas().sort_values("fid")
+    assert list(back["fid"]) == [f"f{i:03d}" for i in range(64)]
+    # float64 properties and WKB coordinates roundtrip bit-exactly
+    assert np.array_equal(back["score"].to_numpy(), tbl["score"].to_numpy())
+    from geowave_ray.formats import wkb_decode
+
+    got = np.array([wkb_decode(b)[1] for b in back["geometry_wkb"]])
+    assert np.array_equal(got, pts[np.argsort(tbl["fid"].to_pylist())])

@@ -631,3 +631,50 @@ def test_hotspot_blobs_bruteforce(ray_session):
     # the L-band is ONE blob spanning many 4x4 tiles
     big = max(exp, key=lambda b: b[1])
     assert big[1] == 17 + 15 - 1
+
+
+def test_boundary_distance_matches_bruteforce(small):
+    from geowave_ray.pipelines.distance_join import boundary_distance_join
+
+    pages, regions, _ = small
+    pts = pa.table(
+        {
+            "query_id": pa.array([f"p{i}" for i in range(40)]),
+            "lon": pages["lon"].to_numpy()[:40],
+            "lat": pages["lat"].to_numpy()[:40],
+        }
+    )
+    got = (
+        boundary_distance_join(ray.data.from_arrow(pts), regions)
+        .to_pandas()
+        .set_index("query_id")
+    )
+    # brute force: per point, true polygon distance over every region
+    for i in range(len(pts)):
+        px, py = pts["lon"][i].as_py(), pts["lat"][i].as_py()
+        best = (np.inf, None)
+        for j in range(regions.num_rows):
+            ring = parse_wkb_polygon(regions["geometry_wkb"][j].as_py())
+            rid = regions["region_id"][j].as_py()
+            if pip_convex(np.array([px]), np.array([py]), ring)[0]:
+                d = 0.0
+            else:
+                a, b = ring[:-1], ring[1:]
+                dxe, dye = b[:, 0] - a[:, 0], b[:, 1] - a[:, 1]
+                t = np.clip(
+                    ((px - a[:, 0]) * dxe + (py - a[:, 1]) * dye)
+                    / (dxe * dxe + dye * dye),
+                    0,
+                    1,
+                )
+                d = float(
+                    np.sqrt(
+                        (px - (a[:, 0] + t * dxe)) ** 2
+                        + (py - (a[:, 1] + t * dye)) ** 2
+                    ).min()
+                )
+            if d < best[0] or (d == best[0] and rid < best[1]):
+                best = (d, rid)
+        row = got.loc[f"p{i}"]
+        assert row["nearest_region"] == best[1]
+        assert abs(row["dist"] - best[0]) < 1e-9
