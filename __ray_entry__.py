@@ -912,6 +912,32 @@ def q_kmeans_lloyd(sf_dir: str):
     )
 
 
+_KJ_INIT = [
+    (-90.0e6, -45.0e6),
+    (-90.0e6, 45.0e6),
+    (90.0e6, -45.0e6),
+    (90.0e6, 45.0e6),
+    (0.0, 0.0),
+    (-150.0e6, 0.0),
+]
+_KJ_KS = (2, 3, 4, 5, 6)
+_KJ_ITERS = 3
+
+
+def q_kmeans_jump(sf_dir: str):
+    """KMeansJump (``geowave analytic kmeansjump``,
+    KMeansJumpJobRunner.java + DistortionGroupManagement.bestCount):
+    Lloyd's for k in 2..6, Sugar-James transformed distortion
+    ((SSE/n)/D)^(-D/2), best k = max jump d_k - d_{k-1}. Exact oracle:
+    integer-quantized coords make SSE numerators exact ints; every
+    float after that is one shared IEEE expression tree."""
+    from geowave_ray.pipelines.clustering import kmeans_jump
+
+    return kmeans_jump(
+        _pages(sf_dir), np.array(_KJ_INIT), k_range=_KJ_KS, n_iter=_KJ_ITERS
+    )
+
+
 def q_knn_haversine(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -3629,6 +3655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distance join / clustering / sampling
         "within_distance": q_within_distance,
         "kmeans": q_kmeans,
+        "kmeans_jump": q_kmeans_jump,
         "kmeans_pp": q_kmeans_pp,
         "kmeans_hulls": q_kmeans_hulls,
         "dbscan": q_dbscan,
@@ -3995,6 +4022,99 @@ def oracle_sql() -> dict[str, str]:
                           c.cid) AS rn
           FROM pts p CROSS JOIN c{_KM_ITERS} c
         ) WHERE rn = 1
+        """
+    )
+
+    # -- kmeans_jump: per-k unrolled Lloyd's + Sugar-James distortion.
+    # Quantized-int coords make per-cluster SSE numerators exact
+    # HUGEINTs (n*sum(v^2) - sum(v)^2); every later float is the same
+    # IEEE expression tree as the engine, and the k-term SSE sum is
+    # added in ascending-cid order — bit-exact, no rounding.
+    _kj = [
+        f"pts AS (SELECT url, CAST(floor(lon * 1000000.0) AS BIGINT) AS x,"
+        f" CAST(floor(lat * 1000000.0) AS BIGINT) AS y FROM {PAGES})",
+    ]
+    _kj_selects = []
+    for _k in _KJ_KS:
+        _vals = ", ".join(
+            f"({i}, {cx!r}::DOUBLE, {cy!r}::DOUBLE)"
+            for i, (cx, cy) in enumerate(_KJ_INIT[:_k])
+        )
+        _kj.append(f"j{_k}c0 AS (SELECT * FROM (VALUES {_vals}) _v(cid, cx, cy))")
+        for it in range(1, _KJ_ITERS + 1):
+            _kj.append(
+                f"""j{_k}a{it} AS (
+                  SELECT url, x, y, cid FROM (
+                    SELECT p.url, p.x, p.y, c.cid,
+                           row_number() OVER (
+                             PARTITION BY p.url
+                             ORDER BY (CAST(p.x AS DOUBLE) - c.cx) * (CAST(p.x AS DOUBLE) - c.cx)
+                                    + (CAST(p.y AS DOUBLE) - c.cy) * (CAST(p.y AS DOUBLE) - c.cy),
+                                    c.cid) AS rn
+                    FROM pts p CROSS JOIN j{_k}c{it - 1} c
+                  ) WHERE rn = 1
+                )"""
+            )
+            _kj.append(
+                f"""j{_k}c{it} AS (
+                  SELECT o.cid,
+                         CASE WHEN m.n > 0 THEN CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)
+                              ELSE o.cx END AS cx,
+                         CASE WHEN m.n > 0 THEN CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)
+                              ELSE o.cy END AS cy
+                  FROM j{_k}c{it - 1} o LEFT JOIN (
+                    SELECT cid, sum(x) AS sx, sum(y) AS sy, count(*) AS n
+                    FROM j{_k}a{it} GROUP BY cid
+                  ) m ON o.cid = m.cid
+                )"""
+            )
+        # final assignment against c{N}, then exact per-cluster sums
+        _kj.append(
+            f"""j{_k}s AS (
+              SELECT cid, count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy
+              FROM (
+                SELECT x, y, cid FROM (
+                  SELECT p.x, p.y, c.cid,
+                         row_number() OVER (
+                           PARTITION BY p.url
+                           ORDER BY (CAST(p.x AS DOUBLE) - c.cx) * (CAST(p.x AS DOUBLE) - c.cx)
+                                  + (CAST(p.y AS DOUBLE) - c.cy) * (CAST(p.y AS DOUBLE) - c.cy),
+                                  c.cid) AS rn
+                  FROM pts p CROSS JOIN j{_k}c{_KJ_ITERS} c
+                ) WHERE rn = 1
+              ) GROUP BY cid
+            )"""
+        )
+        # ascending-cid unrolled sum matches the engine's += order
+        _terms = " + ".join(
+            f"coalesce(max(CASE WHEN cid = {cid} THEN term END), 0.0)"
+            for cid in range(_k)
+        )
+        _kj.append(
+            f"""j{_k}d AS (
+              SELECT CAST({_k} AS BIGINT) AS k, sum(n) AS n, {_terms} AS sse
+              FROM (SELECT cid, n,
+                           CAST((n * sxx - sx * sx) + (n * syy - sy * sy) AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS term
+                    FROM j{_k}s)
+            )"""
+        )
+        _kj_selects.append(f"SELECT k, n, sse FROM j{_k}d")
+    kmeans_jump_sql = (
+        "WITH " + ", ".join(_kj)
+        + f""", jall AS ({' UNION ALL '.join(_kj_selects)}),
+        jd AS (SELECT k, n, sse,
+                      1.0 / ((sse / CAST(n AS DOUBLE)) / 2.0) AS distortion
+               FROM jall),
+        jj AS (SELECT k, n, sse, distortion,
+                      distortion - coalesce(lag(distortion) OVER (ORDER BY k), 0.0) AS jump
+               FROM jd)
+        SELECT k, n, sse, distortion, jump,
+               CAST(CASE WHEN row_number() OVER (ORDER BY jump DESC, k) = 1
+                    THEN 1 ELSE 0 END AS BIGINT) AS best
+        FROM jj
         """
     )
 
@@ -5904,6 +6024,7 @@ def oracle_sql() -> dict[str, str]:
         # hashing.py — see the _sql_* helpers above): these were
         # rows-only in round 1; each now compares bit-for-bit.
         "kmeans_lloyd": kmeans_lloyd_sql,
+        "kmeans_jump": kmeans_jump_sql,
         "s2_cell_encode": s2_cell_encode_sql,
         "s2_hist": s2_hist_sql,
         "sample_weighted": sample_weighted_sql,

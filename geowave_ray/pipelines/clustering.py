@@ -1004,3 +1004,153 @@ def dbscan(
         )
 
     return points.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def kmeans_jump(
+    points: ray.data.Dataset,
+    init_pool: np.ndarray,
+    k_range: tuple[int, ...] = (2, 3, 4, 5, 6),
+    n_iter: int = 3,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: float = 1e6,
+) -> pa.Table:
+    """KMeans clustering using the Jump Method (``geowave analytic
+    kmeansjump``): run Lloyd's for every k in ``k_range``, compute the
+    transformed distortion d_k = ((SSE/n)/D)^(-D/2) per Sugar & James
+    (``KMeansDistortionMapReduce.java:87-217``), and select the k with
+    the largest jump d_k - d_{k-1} with d_{kmin-1}=0
+    (``DistortionGroupManagement.java:273-292``: earliest max wins).
+
+    Exactness contract: coordinates are integer-quantized (same rule
+    as :func:`kmeans_lloyd_exact`), so every per-cluster sum is an
+    exact integer; SSE numerators use the identity
+    n*sum((v-mean)^2) = n*sum(v^2) - sum(v)^2 evaluated in unbounded
+    Python ints (engine) / HUGEINT (SQL oracle); every float after
+    that is one fixed IEEE expression tree shared with the oracle,
+    and the k-term SSE sum is added in ascending-cid order on both
+    sides — results hash-match bit-for-bit with no rounding.
+
+    Scale shape: like the reference (one full MR job per k and
+    iteration), each k costs ``n_iter + 1`` streaming passes; every
+    pass is a ``map_batches`` partial with a k-row payload per block
+    (sum of int64 hi/lo-split squares, so no int64 overflow at any
+    block size) and a driver-side merge over k rows — no shuffle.
+
+    Returns one row per k: (k, n, sse, distortion, jump, best).
+    """
+    init_pool = np.asarray(init_pool, dtype=np.float64)
+    ks = sorted(int(k) for k in k_range)
+    if max(ks) > len(init_pool):
+        raise ValueError("init_pool smaller than max k")
+
+    def quant(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        x = np.floor(batch.column(lon_col).to_numpy() * scale).astype(np.int64)
+        y = np.floor(batch.column(lat_col).to_numpy() * scale).astype(np.int64)
+        return x, y
+
+    rows = []
+    prev_d = 0.0
+    for k in ks:
+        c = init_pool[:k].copy()
+        for _ in range(n_iter):
+            cref = ray.put(c)
+
+            def partial(batch: pa.Table) -> pa.Table:
+                cc = ray.get(cref)
+                x, y = quant(batch)
+                d = (x[None, :] - cc[:, 0:1]) ** 2 + (y[None, :] - cc[:, 1:2]) ** 2
+                a = np.argmin(d, axis=0)
+                sx = np.zeros(len(cc), dtype=np.int64)
+                sy = np.zeros(len(cc), dtype=np.int64)
+                n = np.zeros(len(cc), dtype=np.int64)
+                np.add.at(sx, a, x)
+                np.add.at(sy, a, y)
+                np.add.at(n, a, 1)
+                return pa.table(
+                    {
+                        "cid": pa.array(np.arange(len(cc)), pa.int64()),
+                        "sx": pa.array(sx, pa.int64()),
+                        "sy": pa.array(sy, pa.int64()),
+                        "n": pa.array(n, pa.int64()),
+                    }
+                )
+
+            parts = points.map_batches(
+                partial, batch_format="pyarrow", batch_size=None
+            ).to_pandas()
+            agg = parts.groupby("cid", sort=True).sum()
+            for cid in range(k):
+                if cid in agg.index and agg.loc[cid, "n"] > 0:
+                    c[cid] = (
+                        float(agg.loc[cid, "sx"]) / float(agg.loc[cid, "n"]),
+                        float(agg.loc[cid, "sy"]) / float(agg.loc[cid, "n"]),
+                    )
+
+        # final assignment + exact integer SSE partials; x*x fits
+        # int64 (|x| <= 1.8e8) but block sums would overflow, so each
+        # square is split hi/lo 32-bit and summed separately
+        cref = ray.put(c)
+
+        def stats(batch: pa.Table) -> pa.Table:
+            cc = ray.get(cref)
+            x, y = quant(batch)
+            d = (x[None, :] - cc[:, 0:1]) ** 2 + (y[None, :] - cc[:, 1:2]) ** 2
+            a = np.argmin(d, axis=0)
+            xx = x * x
+            yy = y * y
+            mask = np.int64(0xFFFFFFFF)
+            out = {}
+            for name, v in (
+                ("n", np.ones(len(x), dtype=np.int64)),
+                ("sx", x),
+                ("sy", y),
+                ("xxhi", xx >> np.int64(32)),
+                ("xxlo", xx & mask),
+                ("yyhi", yy >> np.int64(32)),
+                ("yylo", yy & mask),
+            ):
+                acc = np.zeros(len(cc), dtype=np.int64)
+                np.add.at(acc, a, v)
+                out[name] = pa.array(acc, pa.int64())
+            out["cid"] = pa.array(np.arange(len(cc)), pa.int64())
+            return pa.table(out)
+
+        st = (
+            points.map_batches(stats, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+            .groupby("cid", sort=True)
+            .sum()
+        )
+        n_total = int(st["n"].sum())
+        sse = 0.0
+        for cid in range(k):
+            if cid in st.index and int(st.loc[cid, "n"]) > 0:
+                r = st.loc[cid]
+                nc = int(r["n"])
+                sxx = (int(r["xxhi"]) << 32) + int(r["xxlo"])
+                syy = (int(r["yyhi"]) << 32) + int(r["yylo"])
+                numer = (nc * sxx - int(r["sx"]) ** 2) + (
+                    nc * syy - int(r["sy"]) ** 2
+                )
+                sse += float(numer) / float(nc)
+            else:
+                sse += 0.0
+        mse = (sse / float(n_total)) / 2.0  # per-point, per-dimension
+        dk = 1.0 / mse  # (mse)^(-D/2) with D=2
+        rows.append((k, n_total, sse, dk, dk - prev_d))
+        prev_d = dk
+
+    best_i = max(range(len(rows)), key=lambda i: rows[i][4])
+    return pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "sse": pa.array([r[2] for r in rows], pa.float64()),
+            "distortion": pa.array([r[3] for r in rows], pa.float64()),
+            "jump": pa.array([r[4] for r in rows], pa.float64()),
+            "best": pa.array(
+                [1 if i == best_i else 0 for i in range(len(rows))], pa.int64()
+            ),
+        }
+    )

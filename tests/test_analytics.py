@@ -194,3 +194,41 @@ def test_kmeans_parallel_init(ray_session):
         assert (((c_pp - (cx, cy)) ** 2).sum(axis=1) ** 0.5).min() < 1.0
     c_pp2, _ = kmeans(ds.repartition(9), k=4, n_iter=6, init="kmeans||")
     assert np.allclose(c_pp, c_pp2)
+
+
+def test_kmeans_jump_recovers_true_k(ray_session):
+    """Jump method (Sugar-James) picks the true blob count on
+    well-separated clusters, and the distortion column is monotone
+    increasing in k (more centroids never raise SSE here)."""
+    from geowave_ray.pipelines.clustering import kmeans_jump
+
+    rng = np.random.default_rng(11)
+    centers = np.array([(-60.0, -30.0), (-60.0, 30.0), (60.0, -30.0), (60.0, 30.0)])
+    pts = np.concatenate(
+        [c + rng.normal(0, 1.5, size=(300, 2)) for c in centers]
+    )
+    tbl = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(len(pts))]),
+            "lon": pa.array(pts[:, 0], pa.float64()),
+            "lat": pa.array(pts[:, 1], pa.float64()),
+        }
+    )
+    init = np.array(
+        [(-90e6, -45e6), (-90e6, 45e6), (90e6, -45e6), (90e6, 45e6), (0.0, 0.0), (-150e6, 0.0)]
+    )
+    out = kmeans_jump(
+        ray.data.from_arrow(tbl), init, k_range=(2, 3, 4, 5, 6), n_iter=4
+    ).to_pandas()
+    assert list(out["k"]) == [2, 3, 4, 5, 6]
+    best = out.loc[out["best"] == 1, "k"].iloc[0]
+    assert best == 4
+    # distortion never decreases with k (extra centroids may stay
+    # empty on separated blobs, so the tail can plateau)
+    d = out["distortion"].to_numpy()
+    assert (np.diff(d) >= 0).all()
+    # determinism at different parallelism
+    out2 = kmeans_jump(
+        ray.data.from_arrow(tbl).repartition(7), init, k_range=(2, 3, 4, 5, 6), n_iter=4
+    ).to_pandas()
+    assert np.array_equal(out["sse"].to_numpy(), out2["sse"].to_numpy())
