@@ -3374,6 +3374,68 @@ def q_geom_measures(sf_dir: str):
     return ds.map_batches(wkb_measures_batch, batch_format="pyarrow", batch_size=None)
 
 
+def q_twkb_roundtrip(sf_dir: str):
+    """TWKB binary geometry codec (``core/geotime/.../util/TWKBWriter
+    .java`` / ``TWKBReader.java``, published TWKB spec): regions WKB
+    -> TWKB (precision 4, bbox+size headers) -> decode -> per-region
+    vertex count, quantized envelope and coordinate sums. The batch fn
+    asserts decoded coords equal the direct half-up quantization and
+    that the header bbox matches the coords, so a green oracle proves
+    the full encode/decode path bit-for-bit. Byte-level golden vectors
+    (spec examples) live in tests/test_twkb.py."""
+    import ray.data
+
+    from geowave_ray import twkb
+    from geowave_ray.formats import wkb_decode
+
+    PREC = 4
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n, qxmin, qymin, qxmax, qymax, sqx, sqy = ([] for _ in range(7))
+        for b in batch.column("geometry_wkb"):
+            g = wkb_decode(b.as_py())
+            buf = twkb.encode(g, PREC, with_size=True, with_bbox=True)
+            g2, info = twkb.decode(buf, return_meta=True)
+            rings = g2[1]
+            # decoded rings are re-closed; drop the dup closing point
+            pts = np.concatenate([np.asarray(r)[:-1] for r in rings])
+            qx = twkb.quantize(pts[:, 0], PREC)
+            qy = twkb.quantize(pts[:, 1], PREC)
+            # roundtrip proof: decode == direct quantization of source
+            src = np.concatenate(
+                [np.asarray(r)[:-1] for r in g[1]]
+            )
+            assert np.array_equal(qx, twkb.quantize(src[:, 0], PREC))
+            assert np.array_equal(qy, twkb.quantize(src[:, 1], PREC))
+            bb = info["bbox"]
+            assert twkb.quantize(bb[0], PREC) == qx.min()
+            assert twkb.quantize(bb[3], PREC) == qy.max()
+            n.append(len(pts))
+            qxmin.append(int(qx.min()))
+            qymin.append(int(qy.min()))
+            qxmax.append(int(qx.max()))
+            qymax.append(int(qy.max()))
+            sqx.append(int(qx.sum()))
+            sqy.append(int(qy.sum()))
+        return pa.table(
+            {
+                "region_id": batch.column("region_id"),
+                "n_points": pa.array(n, pa.int64()),
+                "qxmin": pa.array(qxmin, pa.int64()),
+                "qymin": pa.array(qymin, pa.int64()),
+                "qxmax": pa.array(qxmax, pa.int64()),
+                "qymax": pa.array(qymax, pa.int64()),
+                "sqx": pa.array(sqx, pa.int64()),
+                "sqy": pa.array(sqy, pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/regions.parquet", columns=["region_id", "geometry_wkb"]
+    )
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=None)
+
+
 def q_geom_distance(sf_dir: str):
     """GeomDistance UDF (``analytics/spark/sparksql/udf/GeomDistance
     .java`` / JTS Geometry.distance): per kNN probe point, the nearest
@@ -3688,6 +3750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wkb_stats": q_wkb_stats,
         "geojson_roundtrip": q_geojson_roundtrip,
         "geom_measures": q_geom_measures,
+        "twkb_roundtrip": q_twkb_roundtrip,
         "geom_distance": q_geom_distance,
         # CQL bridge
         "cql_filter": q_cql_filter,
@@ -5853,6 +5916,22 @@ def oracle_sql() -> dict[str, str]:
         # edge table reproduces each float bit-for-bit. Per-edge sqrt
         # lengths round to integer micro-units BEFORE the sum for the
         # same reason. Mirrors geom.ring_measures_q exactly.
+        # TWKB codec roundtrip: every region vertex appears exactly
+        # once as an edge START in the directed edge table, so count /
+        # min / max / sum over half-up-quantized starts reproduce the
+        # engine's decoded-TWKB stats exactly (quantization in twkb.py
+        # is floor(v * 10^4 + 0.5), replicated verbatim here).
+        "twkb_roundtrip": f"""
+            SELECT region_id,
+                   count(*) AS n_points,
+                   min(CAST(floor(x1 * 10000 + 0.5) AS BIGINT)) AS qxmin,
+                   min(CAST(floor(y1 * 10000 + 0.5) AS BIGINT)) AS qymin,
+                   max(CAST(floor(x1 * 10000 + 0.5) AS BIGINT)) AS qxmax,
+                   max(CAST(floor(y1 * 10000 + 0.5) AS BIGINT)) AS qymax,
+                   sum(CAST(floor(x1 * 10000 + 0.5) AS BIGINT)) AS sqx,
+                   sum(CAST(floor(y1 * 10000 + 0.5) AS BIGINT)) AS sqy
+            FROM {REDGES} GROUP BY region_id
+        """,
         "geom_measures": f"""
             WITH q AS (
               SELECT e.region_id, r.xmin, r.ymin,

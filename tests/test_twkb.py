@@ -1,77 +1,129 @@
-"""TWKB codec tests: public-spec golden vectors + roundtrip properties
-(TWKBWriter/TWKBReader role, core/geotime/.../util/TWKBWriter.java)."""
+"""TWKB codec (reference TWKBWriter/TWKBReader role; byte layout from
+the published TWKB spec — github.com/TWKB/Specification)."""
 
 import numpy as np
 import pyarrow as pa
 import pytest
 
-from geowave_ray.twkb import (
-    decode_geometry,
-    decode_point_column,
-    encode_linestring,
-    encode_point_column,
-    encode_polygon,
-)
+from geowave_ray import twkb
+from geowave_ray.formats import wkb_decode, wkb_encode
+
+
+def _flat(geom) -> np.ndarray:
+    t, c = geom
+    if t == "Point":
+        return np.asarray(c, dtype=np.float64).reshape(1, 2)
+    if t in ("LineString", "MultiPoint"):
+        return np.asarray(c, dtype=np.float64).reshape(-1, 2)
+    if t == "Polygon":
+        return np.concatenate([np.asarray(r)[:-1] if _closed(r) else np.asarray(r) for r in c])
+    if t == "MultiLineString":
+        return np.concatenate([np.asarray(p) for p in c])
+    return np.concatenate(
+        [np.asarray(r)[:-1] if _closed(r) else np.asarray(r) for poly in c for r in poly]
+    )
+
+
+def _closed(r) -> bool:
+    r = np.asarray(r)
+    return len(r) > 1 and r[0][0] == r[-1][0] and r[0][1] == r[-1][1]
 
 
 def test_spec_golden_vectors():
-    # github.com/TWKB/Specification examples, precision 0
-    pt = encode_point_column(np.array([1.0]), np.array([1.0]), precision=0)
-    assert pt[0].as_py() == bytes.fromhex("01000202")
-    ls = encode_linestring(np.array([[1, 1], [5, 5]], float), 0)
-    assert ls == bytes.fromhex("02000202020808")
-    pg = encode_polygon([np.array([[0, 0], [0, 4], [4, 4], [4, 0], [0, 0]], float)], 0)
-    assert pg == bytes.fromhex("030001040000000808000007")
+    """Byte-exact examples from the TWKB specification (also what
+    PostGIS ST_AsTWKB emits)."""
+    assert twkb.encode(("Point", np.array([1.0, 2.0])), 0).hex() == "01000204"
+    assert (
+        twkb.encode(("LineString", np.array([[1.0, 1.0], [5.0, 5.0]])), 0).hex()
+        == "02000202020808"
+    )
 
 
-def test_point_roundtrip_exact_quantization():
-    rng = np.random.default_rng(11)
-    lon = rng.uniform(-180, 180, 50_000)
-    lat = rng.uniform(-90, 90, 50_000)
-    enc = encode_point_column(lon, lat, precision=5)
-    x, y = decode_point_column(enc, precision=5)
-    assert np.array_equal(x, np.floor(lon * 1e5 + 0.5) / 1e5)
-    assert np.array_equal(y, np.floor(lat * 1e5 + 0.5) / 1e5)
-    # idempotent: re-encoding the quantized coords is byte-identical
-    enc2 = encode_point_column(x, y, precision=5)
-    assert enc2.equals(enc)
+@pytest.mark.parametrize("precision", [-2, -1, 0, 3, 4, 6, 7])
+@pytest.mark.parametrize("with_size", [False, True])
+@pytest.mark.parametrize("with_bbox", [False, True])
+def test_roundtrip_all_types(precision, with_size, with_bbox):
+    rng = np.random.default_rng(17)
+
+    def ring(n, lo, hi):
+        r = rng.uniform(lo, hi, (n, 2))
+        return np.vstack([r, r[:1]])
+
+    geoms = [
+        ("Point", rng.uniform(-180, 180, 2)),
+        ("LineString", rng.uniform(-90, 90, (7, 2))),
+        ("Polygon", [ring(5, -50, 50), ring(4, -10, 10)]),
+        ("MultiPoint", rng.uniform(-180, 180, (4, 2))),
+        ("MultiLineString", [rng.uniform(-9, 9, (3, 2)), rng.uniform(-9, 9, (5, 2))]),
+        ("MultiPolygon", [[ring(4, -5, 5)], [ring(6, 20, 30), ring(3, 22, 24)]]),
+    ]
+    for g in geoms:
+        buf = twkb.encode(g, precision, with_size=with_size, with_bbox=with_bbox)
+        g2, info = twkb.decode(buf, return_meta=True)
+        assert g2[0] == g[0]
+        assert info["precision"] == precision
+        q = twkb.quantize(_flat(g), precision)
+        q2 = twkb.quantize(_flat(g2), precision)
+        assert np.array_equal(q, q2), (g[0], precision)
+        if with_bbox:
+            bb = info["bbox"]
+            assert twkb.quantize(bb[0], precision) == q[:, 0].min()
+            assert twkb.quantize(bb[2], precision) == q[:, 0].max()
+        if with_size:
+            # size varint counts every byte after itself
+            assert buf[2:].startswith(b"") and info["size"] is not None
+            header_len = len(buf) - info["size"]
+            assert buf[header_len:] == buf[len(buf) - info["size"]:]
 
 
-def test_point_header_and_edge_values():
-    # max-magnitude coords still fit (<= 5 varint bytes at precision 5)
-    lon = np.array([-180.0, 180.0, 0.0, -0.000005])
-    lat = np.array([-90.0, 90.0, 0.0, 0.000004])
-    enc = encode_point_column(lon, lat, precision=5)
-    for b in enc.to_pylist():
-        assert b[0] == (5 << 5) | 1 and b[1] == 0  # zigzag(5)=10 -> 0xA1
-    x, y = decode_point_column(enc)
-    assert np.array_equal(x, np.floor(lon * 1e5 + 0.5) / 1e5)
-    assert np.array_equal(y, np.floor(lat * 1e5 + 0.5) / 1e5)
+def test_double_delta_chain_crosses_parts():
+    """Deltas carry across rings and multi-parts (one running prev per
+    dimension) — a second part close to the first costs few bytes."""
+    near = ("MultiPoint", np.array([[100.0, 50.0], [100.0001, 50.0001]]))
+    far = ("MultiPoint", np.array([[100.0, 50.0], [-100.0, -50.0]]))
+    assert len(twkb.encode(near, 4)) < len(twkb.encode(far, 4))
 
 
-def test_polygon_roundtrip_delta_chained_rings():
-    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
-    hole = np.array([[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]], float) + 0.125
-    b = encode_polygon([outer, hole], precision=3)
-    kind, rings = decode_geometry(b)
-    assert kind == "polygon" and len(rings) == 2
-    assert np.array_equal(rings[0], outer)
-    assert np.allclose(rings[1], hole, atol=1e-3)
-    # rings do not repeat the first point on the wire: 4 pts each
-    assert b[2] == 2  # nrings
-
-
-def test_linestring_roundtrip_negative_and_precision():
-    c = np.array([[-122.05531, 37.36156], [-122.0, 37.4], [10.5, -45.25]], float)
-    kind, back = decode_geometry(encode_linestring(c, precision=5))
-    assert kind == "linestring"
-    assert np.array_equal(back, np.floor(c * 1e5 + 0.5) / 1e5)
-
-
-def test_decode_rejects_mixed_types():
-    pt = encode_point_column(np.array([1.0]), np.array([2.0]), precision=0)
-    bad = pa.array([encode_linestring(np.array([[0, 0], [1, 1]], float), 0)], pa.binary())
+def test_idlist_and_empty():
+    g = ("MultiPoint", np.array([[1.0, 2.0], [3.0, 4.0]]))
+    g2, info = twkb.decode(twkb.encode(g, 0, ids=[10, -3]), return_meta=True)
+    assert info["ids"] == [10, -3]
     with pytest.raises(ValueError):
-        decode_point_column(bad)
-    with pytest.raises(ValueError):
-        decode_point_column(pt, precision=7)
+        twkb.encode(g, 0, ids=[1])
+    e, info = twkb.decode(twkb.encode(("Polygon", []), 2), return_meta=True)
+    assert info["empty"] and e == ("Polygon", [])
+
+
+def test_precision_controls_size_and_loss():
+    g = ("LineString", np.array([[1.234567, -7.654321], [1.234568, -7.654322]]))
+    b2 = twkb.encode(g, 2)
+    b6 = twkb.encode(g, 6)
+    assert len(b2) < len(b6)
+    g2 = twkb.decode(b6)
+    assert np.allclose(np.asarray(g2[1]), np.asarray(g[1]), atol=1e-6)
+
+
+def test_vectorized_point_column_matches_scalar():
+    rng = np.random.default_rng(3)
+    lon = np.concatenate([rng.uniform(-180, 180, 500), [0.0, -180.0, 179.999999]])
+    lat = np.concatenate([rng.uniform(-90, 90, 500), [0.0, 90.0, -89.999999]])
+    col = twkb.encode_point_column(lon, lat, 6)
+    for i in list(range(0, len(lon), 37)) + [len(lon) - 3, len(lon) - 2, len(lon) - 1]:
+        assert col[i].as_py() == twkb.encode(("Point", np.array([lon[i], lat[i]])), 6)
+    # and decodes back to the quantized values
+    g = twkb.decode(col[5].as_py())
+    assert twkb.quantize(g[1][0], 6) == twkb.quantize(lon[5], 6)
+
+
+def test_wkb_twkb_batch_roundtrip():
+    rng = np.random.default_rng(5)
+    rings = [np.vstack([r, r[:1]]) for r in [rng.uniform(-60, 60, (6, 2)) for _ in range(8)]]
+    wkbs = [wkb_encode(("Polygon", [r])) for r in rings]
+    batch = pa.table({"geometry_wkb": pa.array(wkbs, pa.binary())})
+    enc = twkb.twkb_encode_batch(batch, precision=6)
+    assert all(len(t.as_py()) < len(w.as_py()) for t, w in zip(enc["twkb"], enc["geometry_wkb"]))
+    dec = twkb.twkb_decode_batch(enc.select(["twkb"]))
+    for w, w2 in zip(wkbs, dec["geometry_wkb"]):
+        a = np.asarray(wkb_decode(w)[1][0])
+        b = np.asarray(wkb_decode(w2.as_py())[1][0])
+        assert np.array_equal(twkb.quantize(a, 6), twkb.quantize(b, 6))
