@@ -297,57 +297,103 @@ def decode(buf: bytes, return_meta: bool = False):
 # vectorized point-column fast path (the 100-TB side is points)
 # ---------------------------------------------------------------------------
 
+_MAXV = 10  # max varint bytes for a 64-bit value
+
+
+def _zigzag_arr(n: np.ndarray) -> np.ndarray:
+    n = n.astype(np.int64, copy=False)
+    return ((n << 1) ^ (n >> 63)).view(np.uint64)
+
+
+def _unzigzag_arr(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64, copy=False)
+    return ((u >> np.uint64(1)).view(np.int64)) ^ -(u & np.uint64(1)).view(np.int64)
+
+
+def _varint_groups(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All 7-bit groups (n, 10) with continuation bits set, plus the
+    per-value byte length. Vectorized over the whole array."""
+    n = len(u)
+    groups = np.empty((n, _MAXV), np.uint8)
+    tmp = u.astype(np.uint64, copy=True)
+    for k in range(_MAXV):
+        groups[:, k] = (tmp & np.uint64(0x7F)).astype(np.uint8)
+        tmp >>= np.uint64(7)
+    nz = groups != 0
+    hi = np.where(nz.any(axis=1), (_MAXV - 1) - np.argmax(nz[:, ::-1], axis=1), 0)
+    lens = hi + 1
+    cont = np.arange(_MAXV)[None, :] < hi[:, None]
+    np.bitwise_or(groups, np.uint8(0x80), out=groups, where=cont)
+    return groups, lens.astype(np.int64)
+
+
+def _varint_parse(data: np.ndarray, pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Parse one varint per cursor position; returns (uint64 values,
+    advanced positions). Vectorized: loops over byte INDEX (≤10), not
+    over geometries."""
+    m = len(pos)
+    val = np.zeros(m, np.uint64)
+    cur = pos.astype(np.int64, copy=True)
+    active = np.arange(m)
+    shift = np.uint64(0)
+    while len(active):
+        b = data[cur[active]]
+        val[active] |= (b & np.uint8(0x7F)).astype(np.uint64) << shift
+        cur[active] += 1
+        active = active[b >= 0x80]
+        shift += np.uint64(7)
+    return val, cur
+
 
 def encode_point_column(
-    lon: np.ndarray, lat: np.ndarray, precision: int = 6
+    lon: np.ndarray, lat: np.ndarray, precision: int = 5
 ) -> pa.Array:
     """Vectorized TWKB POINT encoder: whole-column numpy (no Python
     per-row work) building one contiguous byte buffer + offsets, so a
     ``map_batches`` stage can compact a point store at full batch
     rate. Each value is the standalone 2-byte header + two zigzag
     varints (delta base 0 per value, matching ``encode`` row-wise)."""
-    sx = quantize(lon, precision)
-    sy = quantize(lat, precision)
-    zx = ((sx << 1) ^ (sx >> 63)).astype(np.uint64)
-    zy = ((sy << 1) ^ (sy >> 63)).astype(np.uint64)
-
-    def nbytes(z: np.ndarray) -> np.ndarray:
-        # number of 7-bit groups; value 0 still takes 1 byte
-        n = np.ones(len(z), dtype=np.int64)
-        v = z.copy()
-        for k in range(1, 10):
-            v >>= np.uint64(7)
-            n = np.where(v > 0, k + 1, n)
-        return n
-
-    nx, ny = nbytes(zx), nbytes(zy)
-    total = 2 + nx + ny
-    offsets = np.zeros(len(zx) + 1, dtype=np.int64)
+    n = len(lon)
+    tp = (1 & 0x0F) | ((_zigzag(precision) & 0x0F) << 4)
+    xg, xl = _varint_groups(_zigzag_arr(quantize(lon, precision)))
+    yg, yl = _varint_groups(_zigzag_arr(quantize(lat, precision)))
+    width = 2 + _MAXV * 2
+    out = np.zeros((n, width), np.uint8)
+    out[:, 0] = tp
+    out[:, 1] = 0
+    r, c = np.nonzero(np.arange(_MAXV)[None, :] < xl[:, None])
+    out[r, 2 + c] = xg[r, c]
+    r, c = np.nonzero(np.arange(_MAXV)[None, :] < yl[:, None])
+    out[r, 2 + xl[r] + c] = yg[r, c]
+    total = 2 + xl + yl
+    flat = out[np.arange(width)[None, :] < total[:, None]]
+    offsets = np.zeros(n + 1, np.int32)
     np.cumsum(total, out=offsets[1:])
-    buf = np.zeros(offsets[-1], dtype=np.uint8)
-    header = (1 & 0x0F) | ((_zigzag(precision) & 0x0F) << 4)
-    buf[offsets[:-1]] = header
-    buf[offsets[:-1] + 1] = 0
-    for z, n, base in ((zx, nx, offsets[:-1] + 2), (zy, ny, offsets[:-1] + 2 + nx)):
-        v = z.copy()
-        for k in range(int(n.max())):
-            sel = n > k
-            byte = (v[sel] & np.uint64(0x7F)).astype(np.uint8)
-            cont = (n[sel] > k + 1).astype(np.uint8) << 7
-            buf[base[sel] + k] = byte | cont
-            v = v >> np.uint64(7)
-    if offsets[-1] <= np.iinfo(np.int32).max:
-        return pa.BinaryArray.from_buffers(
-            pa.binary(),
-            len(zx),
-            [None, pa.py_buffer(offsets.astype(np.int32).tobytes()),
-             pa.py_buffer(buf.tobytes())],
-        )
-    return pa.LargeBinaryArray.from_buffers(
-        pa.large_binary(),
-        len(zx),
-        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(flat)]
     )
+
+
+def decode_point_column(
+    arr: pa.BinaryArray, precision: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized TWKB POINT decode -> (lon, lat) float64 arrays. The
+    precision is read from each header (``precision`` arg just
+    validates when given)."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    offsets = np.frombuffer(arr.buffers()[1], np.int32, len(arr) + 1, arr.offset * 4)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    head = data[offsets[:-1]]
+    if not (head & 0x0F == 1).all():
+        raise ValueError("not all TWKB POINTs")
+    zp = (head >> 4).astype(np.int64)
+    prec = _unzigzag_arr(zp.astype(np.uint64)).astype(np.float64)
+    if precision is not None and not (prec == precision).all():
+        raise ValueError("precision mismatch")
+    scale = 10.0 ** prec
+    ux, pos = _varint_parse(data, offsets[:-1] + 2)
+    uy, _ = _varint_parse(data, pos)
+    return _unzigzag_arr(ux) / scale, _unzigzag_arr(uy) / scale
 
 
 # ---------------------------------------------------------------------------

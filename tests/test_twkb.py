@@ -127,3 +127,51 @@ def test_wkb_twkb_batch_roundtrip():
         a = np.asarray(wkb_decode(w)[1][0])
         b = np.asarray(wkb_decode(w2.as_py())[1][0])
         assert np.array_equal(twkb.quantize(a, 6), twkb.quantize(b, 6))
+
+
+def test_point_roundtrip_exact_quantization():
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 50_000)
+    lat = rng.uniform(-90, 90, 50_000)
+    enc = twkb.encode_point_column(lon, lat, precision=5)
+    x, y = twkb.decode_point_column(enc, precision=5)
+    assert np.array_equal(x, np.floor(lon * 1e5 + 0.5) / 1e5)
+    assert np.array_equal(y, np.floor(lat * 1e5 + 0.5) / 1e5)
+    # idempotent: re-encoding the quantized coords is byte-identical
+    enc2 = twkb.encode_point_column(x, y, precision=5)
+    assert enc2.equals(enc)
+
+
+def test_point_header_and_edge_values():
+    # max-magnitude coords still fit (<= 5 varint bytes at precision 5)
+    lon = np.array([-180.0, 180.0, 0.0, -0.000005])
+    lat = np.array([-90.0, 90.0, 0.0, 0.000004])
+    enc = twkb.encode_point_column(lon, lat, precision=5)
+    for b in enc.to_pylist():
+        assert b[0] == (5 << 5) | 1 and b[1] == 0  # zigzag(5)=10 -> 0xA1
+    x, y = twkb.decode_point_column(enc)
+    assert np.array_equal(x, np.floor(lon * 1e5 + 0.5) / 1e5)
+    assert np.array_equal(y, np.floor(lat * 1e5 + 0.5) / 1e5)
+
+
+def test_decode_point_column_rejects_mixed_types():
+    pt = twkb.encode_point_column(np.array([1.0]), np.array([2.0]), precision=0)
+    bad = pa.array(
+        [twkb.encode(("LineString", np.array([[0.0, 0.0], [1.0, 1.0]])), 0)],
+        pa.binary(),
+    )
+    with pytest.raises(ValueError):
+        twkb.decode_point_column(bad)
+    with pytest.raises(ValueError):
+        twkb.decode_point_column(pt, precision=7)
+
+
+def test_point_column_scalar_equivalence_precision5():
+    # the column fast path and the generic encoder agree byte-for-byte
+    lon = np.array([-122.05531, 0.0, 179.999994])
+    lat = np.array([37.36156, 0.0, -89.999994])
+    col = twkb.encode_point_column(lon, lat, precision=5)
+    for i in range(3):
+        assert col[i].as_py() == twkb.encode(
+            ("Point", np.array([lon[i], lat[i]])), 5
+        )
