@@ -3436,6 +3436,91 @@ def q_twkb_roundtrip(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=None)
 
 
+def _store_agg_by_bucket(files_or_dir, n_buckets: int):
+    """Per-bucket (count, sum(cell_id)) over a store, bucket re-derived
+    from cell_id — layout-independent content digest used by the
+    maintenance oracles. One map_batches partial + driver merge of
+    n_buckets rows."""
+    import ray.data
+
+    shift = np.uint64(2 * 16 - 8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell_id").to_numpy().astype(np.uint64)
+        b = ((cell >> shift) % np.uint64(n_buckets)).astype(np.int64)
+        n = np.zeros(n_buckets, np.int64)
+        s = np.zeros(n_buckets, np.int64)
+        np.add.at(n, b, 1)
+        np.add.at(s, b, cell.astype(np.int64))
+        return pa.table(
+            {
+                "cell_bucket": pa.array(np.arange(n_buckets), pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "cell_sum": pa.array(s, pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(files_or_dir, columns=["cell_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    agg = parts.groupby("cell_bucket", as_index=False).sum()
+    return pa.Table.from_pandas(agg[agg["n"] > 0], preserve_index=False)
+
+
+def q_store_compact(sf_dir: str):
+    """Index compaction (``CompactIndexCommand.java`` — the reference
+    delegates to the KV store's major compaction; here each
+    cell_bucket's per-ingest-group files merge into one sorted file,
+    one Ray task per bucket, zero shuffle). The query returns the
+    compacted store's per-bucket content digest (count + cell-id sum),
+    which the oracle recomputes from the raw pages table through the
+    full grid→Morton→bucket pipeline — proving compaction moved bytes
+    but not rows."""
+    import glob as _glob
+    import os
+
+    from geowave_ray.fixtures import FIXTURE_VERSION
+    from geowave_ray.pipelines.maintenance import compact_store
+
+    store = _ingested(sf_dir)
+    out = os.path.join(_fx(sf_dir), "compacted_store")
+    marker = os.path.join(out, f"_DONE_{FIXTURE_VERSION}")
+    if not os.path.exists(marker):
+        summary = compact_store(store, out)
+        # every bucket merged to ONE file at fixture scale, rows conserved
+        assert summary["files_out"] == summary["buckets"], summary
+        assert summary["files_in"] > summary["files_out"] or summary["buckets"] == summary["files_in"]
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    files = sorted(_glob.glob(os.path.join(out, "cell_bucket=*", "*.parquet")))
+    return _store_agg_by_bucket(files, 64)
+
+
+def q_store_copy_rebucket(sf_dir: str):
+    """Store copy into a NEW index configuration
+    (``CopyStoreCommand.java`` + ``AddSpatialIndexCommand`` params):
+    the 64-bucket store is rewritten as a 16-bucket store (one bounded
+    exchange, groupby-consolidated partitioned write). Digest proves
+    content equality under the new partitioning."""
+    import glob as _glob
+    import os
+
+    from geowave_ray.fixtures import FIXTURE_VERSION
+    from geowave_ray.pipelines.maintenance import copy_store
+
+    store = _ingested(sf_dir)
+    out = os.path.join(_fx(sf_dir), "rebucketed_store")
+    marker = os.path.join(out, f"_DONE_{FIXTURE_VERSION}")
+    if not os.path.exists(marker):
+        copy_store(store, out, n_buckets=16)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    files = sorted(_glob.glob(os.path.join(out, "cell_bucket=*", "*.parquet")))
+    return _store_agg_by_bucket(files, 16)
+
+
 def q_geom_distance(sf_dir: str):
     """GeomDistance UDF (``analytics/spark/sparksql/udf/GeomDistance
     .java`` / JTS Geometry.distance): per kNN probe point, the nearest
@@ -3751,6 +3836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geojson_roundtrip": q_geojson_roundtrip,
         "geom_measures": q_geom_measures,
         "twkb_roundtrip": q_twkb_roundtrip,
+        "store_compact": q_store_compact,
+        "store_copy_rebucket": q_store_copy_rebucket,
         "geom_distance": q_geom_distance,
         # CQL bridge
         "cql_filter": q_cql_filter,
@@ -4456,6 +4543,32 @@ def oracle_sql() -> dict[str, str]:
                        * {float(1 << by)}) AS BIGINT), 0), {(1 << by) - 1}) AS cy
               FROM {src_table})
             SELECT {gh} AS geohash, count(*) AS n FROM g GROUP BY 1
+        """
+
+    def _morton_bucket_sql(n_buckets: int) -> str:
+        """Per-bucket content digest of the ingested store, recomputed
+        from the raw pages table: grid coords at tier 16, full 32-term
+        Morton bit interleave (x even bits), bucket = top-8-bits mod
+        n_buckets — the exact ingest rule (sfc.grid_coords /
+        morton_encode, ingest._encode_stage)."""
+        tier = 16
+        n = 1 << tier
+        terms = []
+        for t in range(tier):
+            terms.append(f"((cx // {1 << t}) % 2) * {1 << (2 * t)}")
+            terms.append(f"((cy // {1 << t}) % 2) * {1 << (2 * t + 1)}")
+        cell = " + ".join(terms)
+        return f"""
+            WITH g AS (
+              SELECT LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0
+                       * {float(n)}) AS BIGINT), 0), {n - 1}) AS cx,
+                     LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0
+                       * {float(n)}) AS BIGINT), 0), {n - 1}) AS cy
+              FROM {PAGES}),
+            c AS (SELECT {cell} AS cell FROM g)
+            SELECT (cell // {1 << (2 * tier - 8)}) % {n_buckets} AS cell_bucket,
+                   count(*) AS n, sum(cell) AS cell_sum
+            FROM c GROUP BY 1
         """
 
     GRECTS = f"read_parquet('{fx}/grid_rects.parquet')"
@@ -5916,6 +6029,11 @@ def oracle_sql() -> dict[str, str]:
         # edge table reproduces each float bit-for-bit. Per-edge sqrt
         # lengths round to integer micro-units BEFORE the sum for the
         # same reason. Mirrors geom.ring_measures_q exactly.
+        # store maintenance: compaction / copy must preserve content
+        # exactly; the digest is recomputed from raw pages through the
+        # full grid -> Morton -> bucket pipeline in SQL.
+        "store_compact": _morton_bucket_sql(64),
+        "store_copy_rebucket": _morton_bucket_sql(16),
         # TWKB codec roundtrip: every region vertex appears exactly
         # once as an edge START in the directed edge table, so count /
         # min / max / sum over half-up-quantized starts reproduce the

@@ -87,7 +87,34 @@ def main(argv=None) -> int:
     pc_.add_argument("--min-tokens", type=int, default=50)
     pc_.add_argument("--max-top-unigram", type=float, default=0.09)
 
+    pe = sub.add_parser(
+        "explain",
+        help="show the index a query would use + pruning, without running it",
+    )
+    pe.add_argument("store_dir", help="cell-bucket store root")
+    pe.add_argument("--bbox", nargs=4, type=float, required=True)
+    pe.add_argument("--st-store", default=None)
+    pe.add_argument("--time", nargs=2, type=int, default=None,
+                    help="t0_us t1_us (half-open)")
+
+    pm = sub.add_parser(
+        "compact", help="merge each cell_bucket partition's files (sorted)"
+    )
+    pm.add_argument("store_dir")
+    pm.add_argument("out_dir")
+    pm.add_argument("--rows-per-file", type=int, default=4_000_000)
+
     args = p.parse_args(argv)
+    if args.cmd == "explain":  # driver-side only: routing + footer math
+        from .pipelines.planner import Catalog, Constraints, explain
+
+        cat = Catalog(spatial_store=args.store_dir, st_store=args.st_store)
+        c = Constraints(
+            boxes=[tuple(args.bbox)],
+            time=tuple(args.time) if args.time else None,
+        )
+        print(json.dumps(explain(c, cat)))
+        return 0
     if args.cmd == "stats":  # driver-side only, no Ray needed
         from .state import manifest as mf
         from .stats import optimal_count
@@ -187,6 +214,12 @@ def main(argv=None) -> int:
                 for r in out.groupby("split").count().take_all()
             }
             print(json.dumps({"rows": sum(counts.values()), "splits": counts}))
+        elif args.cmd == "compact":
+            from .pipelines.maintenance import compact_store
+
+            print(json.dumps(compact_store(
+                args.store_dir, args.out_dir, rows_per_file=args.rows_per_file
+            )))
         elif args.cmd == "gwql":
             from . import gwql
 

@@ -1,0 +1,183 @@
+"""Store maintenance — the reference's index lifecycle commands
+re-expressed over the partitioned-Parquet store:
+
+- :func:`compact_store` — ``geowave index compact``
+  (``core/store/.../cli/store/CompactIndexCommand.java``; in the
+  reference this triggers the KV store's major compaction so each
+  range lives in one sorted run). Here: every ``cell_bucket``
+  partition's files (one per ingest group) merge into the minimum
+  number of sorted files — zero shuffle, one task per bucket.
+- :func:`copy_store` — ``geowave store copy`` / ``CopyCommand``
+  (``core/store/.../cli/store/CopyStoreCommand.java``): rewrite a
+  store into a new index configuration (different bucket count /
+  curve), streaming one bounded exchange.
+
+Scale notes: compaction is embarrassingly parallel over buckets; a
+bucket whose rows exceed ``rows_per_file`` is split into several
+sorted files at row-group-aligned cut points, so no task ever needs
+more than one bucket in memory and the 100-TB variant just raises the
+task count. ``copy_store`` is a partitioned re-write — the exchange is
+the point (the data must move to its new partition) — and reuses the
+ingest path's groupby-consolidated write so output file count stays
+``O(buckets)``, not ``O(blocks × buckets)``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..sfc import MAX_TIER
+from .query import _bucket_dirs
+
+
+def _bucket_files(store_dir, col: str = "cell_bucket") -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {}
+    for b, d in _bucket_dirs(store_dir, col=col):
+        out.setdefault(b, []).extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    return out
+
+
+def compact_store(
+    store_dir: str,
+    out_dir: str,
+    col: str = "cell_bucket",
+    sort_col: str = "cell_id",
+    rows_per_file: int = 4_000_000,
+) -> dict:
+    """Merge every bucket's ingest-group files into sorted compacted
+    files under ``out_dir/<col>=N/``. Returns a summary dict with
+    per-store file counts before/after and total rows.
+
+    One Ray task per bucket (no exchange — the store is already
+    partitioned by bucket on disk); each task k-way-merges its
+    already-sorted inputs via a concat + stable sort and splits the
+    output at ``rows_per_file``. The lineage manifest is carried over
+    unchanged (compaction moves bytes, never rows), plus a
+    ``_compaction.json`` audit record.
+    """
+    buckets = _bucket_files(store_dir, col)
+    if not buckets:
+        raise ValueError(f"no {col}= partitions under {store_dir}")
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    items = [
+        {"bucket": b, "files": files, "dest": os.path.join(tmp, f"{col}={b}")}
+        for b, files in sorted(buckets.items())
+    ]
+
+    def compact_one(batch: pa.Table) -> pa.Table:
+        rows = []
+        for item in batch.to_pylist():
+            files = list(item["files"])
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            if sort_col in t.column_names:
+                t = t.sort_by(sort_col)
+            os.makedirs(item["dest"], exist_ok=True)
+            n_out = 0
+            for off in range(0, max(len(t), 1), rows_per_file):
+                part = t.slice(off, rows_per_file)
+                pq.write_table(
+                    part, os.path.join(item["dest"], f"part-{n_out:05d}.parquet")
+                )
+                n_out += 1
+            rows.append(
+                {
+                    "bucket": item["bucket"],
+                    "files_in": len(files),
+                    "files_out": n_out,
+                    "rows": len(t),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    stats = (
+        ray.data.from_items(items)
+        .map_batches(compact_one, batch_size=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    manifest = os.path.join(store_dir, "_manifest")
+    if os.path.isdir(manifest):
+        shutil.copytree(manifest, os.path.join(tmp, "_manifest"))
+    summary = {
+        "buckets": int(len(stats)),
+        "files_in": int(stats["files_in"].sum()),
+        "files_out": int(stats["files_out"].sum()),
+        "rows": int(stats["rows"].sum()),
+    }
+    with open(os.path.join(tmp, "_compaction.json"), "w") as f:
+        json.dump(summary, f)
+    os.replace(tmp, out_dir)
+    return summary
+
+
+def copy_store(
+    store_dir: str,
+    out_dir: str,
+    n_buckets: int = 64,
+    tier: int = MAX_TIER,
+    col: str = "cell_bucket",
+    sort_col: str = "cell_id",
+) -> dict:
+    """Rewrite a cell-bucket store under a NEW bucket count (index
+    reconfiguration; ``CopyStoreCommand`` + ``AddSpatialIndexCommand``
+    with different params). Buckets are the top 8 bits of the cell id
+    mod ``n_buckets`` — same rule as ingest — so the pruned readers
+    work on the copy unchanged."""
+    files = [f for fs in _bucket_files(store_dir, col).values() for f in fs]
+    if not files:
+        raise ValueError(f"no {col}= partitions under {store_dir}")
+    shift = np.uint64(2 * tier - 8)
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        cell = batch.column(sort_col).to_numpy().astype(np.uint64)
+        b = ((cell >> shift) % np.uint64(n_buckets)).astype(np.int64)
+        # drop hive partition columns inferred from the SOURCE layout
+        # (old bucket, ingest group) — the copy defines its own
+        stale = [c for c in (col, "group") if c in batch.column_names]
+        if stale:
+            batch = batch.drop_columns(stale)
+        return batch.append_column(col, pa.array(b, pa.int64()))
+
+    ds = ray.data.read_parquet(files).map_batches(
+        rebucket, batch_format="pyarrow", batch_size=None
+    )
+    ds = ds.groupby(col).map_groups(
+        lambda t: t.sort_by(sort_col), batch_format="pyarrow"
+    )
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_parquet(tmp, partition_cols=[col])
+    os.replace(tmp, out_dir)
+    rows = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(out_dir, f"{col}=*", "*.parquet"))
+    )
+    return {"rows": rows, "n_buckets": n_buckets, "out_dir": out_dir}
+
+
+def delete_pyramid_level(
+    tiles_dir: str, out_dir: str, level: int, level_col: str = "level"
+) -> dict:
+    """``DeletePyramidLevelCommand`` role: drop one pyramid level from
+    a tile store by streaming filter + partitioned rewrite."""
+    ds = ray.data.read_parquet(tiles_dir).filter(
+        expr=f"{level_col} != {int(level)}"
+    )
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_parquet(tmp, partition_cols=[level_col])
+    os.replace(tmp, out_dir)
+    return {"out_dir": out_dir}

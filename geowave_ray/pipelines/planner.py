@@ -133,3 +133,61 @@ def plan_read(
     if cat.table_dir is None:
         raise ValueError("full_scan route requires Catalog.table_dir")
     return ray.data.read_parquet(cat.table_dir, columns=columns), info
+
+
+def explain(c: Constraints, cat: Catalog) -> dict:
+    """``geowave explain`` role (``ExplainCommand.java`` — prints the
+    chosen index and the scan ranges a query WOULD use, without
+    running it). Driver-side only: route + pruning arithmetic, no
+    Dataset is built and no data files are opened (attribute route
+    reads parquet FOOTERS only)."""
+    route = choose_best_index(c, cat)
+    info: dict = {"index": route}
+    if route == "attribute":
+        from ..sources.attribute_index import row_groups_scanned
+
+        col = c.attr[0]
+        if len(c.attr) == 2:
+            vals = list(c.attr[1])
+            lo, hi = min(vals), max(vals)
+        else:
+            lo, hi = c.attr[1], c.attr[2]
+        scanned, total = row_groups_scanned(cat.attr_indexes[col], col, lo, hi)
+        info.update(row_groups_scanned=scanned, row_groups_total=total)
+        return info
+    if route == "spatial":
+        from .query import _bucket_dirs, buckets_for_bbox
+
+        union: set[int] = set()
+        for (x0, y0, x1, y1) in c.boxes:
+            union |= buckets_for_bbox(x0, y0, x1, y1)
+        pairs = _bucket_dirs(cat.spatial_store)
+        info.update(
+            buckets_read=len(union),
+            buckets_total=64,
+            dirs_read=sum(1 for b, _ in pairs if b in union),
+            dirs_total=len(pairs),
+        )
+        return info
+    if route == "spatial_temporal":
+        from .ingest import ST_BIAS, _DAY_US
+        from .query import _bucket_dirs, buckets_for_bbox
+
+        cfg = ST_BIAS[cat.st_bias]
+        nsb = cfg["n_spatial_buckets"]
+        bin_us = cfg["bin_days"] * _DAY_US
+        boxes = c.boxes or [_WORLD]
+        times = c.time if isinstance(c.time, list) else [c.time] * len(boxes)
+        wanted: set[int] = set()
+        for (x0, y0, x1, y1), (t0, t1) in zip(boxes, times):
+            sbs = buckets_for_bbox(x0, y0, x1, y1, n_buckets=nsb)
+            for tb in range(int(t0) // bin_us, (int(t1) - 1) // bin_us + 1):
+                for sb in sbs:
+                    wanted.add(tb * nsb + sb)
+        pairs = _bucket_dirs(cat.st_store, col="st_bucket")
+        info.update(
+            st_buckets_read=len([b for b, _ in pairs if b in wanted]),
+            st_buckets_total=len(pairs),
+        )
+        return info
+    return info
