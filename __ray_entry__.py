@@ -3521,6 +3521,27 @@ def q_store_copy_rebucket(sf_dir: str):
     return _store_agg_by_bucket(files, 16)
 
 
+def q_stats_recalc(sf_dir: str):
+    """Statistics recalculation (``RecalculateStatsCommand.java``):
+    per-bucket row counts rebuilt from the store's parquet FOOTERS
+    only (one Ray task per bucket, zero data pages read); oracle
+    recomputes the true histogram from raw pages through the full
+    grid -> Morton -> bucket rule."""
+    from geowave_ray.pipelines.maintenance import recalc_stats
+
+    return recalc_stats(_ingested(sf_dir))
+
+
+def q_presplit_partitions(sf_dir: str):
+    """Row-balanced pre-split points
+    (``PreSplitPartitionIdCommand.java`` — the reference pre-creates
+    evenly loaded KV ranges): 7 boundaries at k/8 of cumulative row
+    count over the bucket histogram, integer-exact."""
+    from geowave_ray.pipelines.maintenance import presplit_partitions
+
+    return presplit_partitions(_ingested(sf_dir), n_splits=8)
+
+
 def q_geom_distance(sf_dir: str):
     """GeomDistance UDF (``analytics/spark/sparksql/udf/GeomDistance
     .java`` / JTS Geometry.distance): per kNN probe point, the nearest
@@ -3838,6 +3859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twkb_roundtrip": q_twkb_roundtrip,
         "store_compact": q_store_compact,
         "store_copy_rebucket": q_store_copy_rebucket,
+        "stats_recalc": q_stats_recalc,
+        "presplit_partitions": q_presplit_partitions,
         "geom_distance": q_geom_distance,
         # CQL bridge
         "cql_filter": q_cql_filter,
@@ -4545,12 +4568,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT {gh} AS geohash, count(*) AS n FROM g GROUP BY 1
         """
 
-    def _morton_bucket_sql(n_buckets: int) -> str:
-        """Per-bucket content digest of the ingested store, recomputed
-        from the raw pages table: grid coords at tier 16, full 32-term
-        Morton bit interleave (x even bits), bucket = top-8-bits mod
-        n_buckets — the exact ingest rule (sfc.grid_coords /
-        morton_encode, ingest._encode_stage)."""
+    def _morton_hist_cte(n_buckets: int) -> str:
+        """CTE prefix computing the ingested store's per-bucket
+        histogram ``h(cell_bucket, n, cell_sum)`` from the raw pages
+        table: grid coords at tier 16, full 32-term Morton bit
+        interleave (x even bits), bucket = top-8-bits mod n_buckets —
+        the exact ingest rule (sfc.grid_coords / morton_encode,
+        ingest._encode_stage)."""
         tier = 16
         n = 1 << tier
         terms = []
@@ -4565,11 +4589,19 @@ def oracle_sql() -> dict[str, str]:
                      LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0
                        * {float(n)}) AS BIGINT), 0), {n - 1}) AS cy
               FROM {PAGES}),
-            c AS (SELECT {cell} AS cell FROM g)
-            SELECT (cell // {1 << (2 * tier - 8)}) % {n_buckets} AS cell_bucket,
-                   count(*) AS n, sum(cell) AS cell_sum
-            FROM c GROUP BY 1
+            c AS (SELECT {cell} AS cell FROM g),
+            h AS (
+              SELECT (cell // {1 << (2 * tier - 8)}) % {n_buckets} AS cell_bucket,
+                     count(*) AS n, sum(cell) AS cell_sum
+              FROM c GROUP BY 1
+            )
         """
+
+    def _morton_bucket_sql(n_buckets: int) -> str:
+        return (
+            _morton_hist_cte(n_buckets)
+            + " SELECT cell_bucket, n, cell_sum FROM h"
+        )
 
     GRECTS = f"read_parquet('{fx}/grid_rects.parquet')"
     _rect_sides = f"""
@@ -6034,6 +6066,28 @@ def oracle_sql() -> dict[str, str]:
         # full grid -> Morton -> bucket pipeline in SQL.
         "store_compact": _morton_bucket_sql(64),
         "store_copy_rebucket": _morton_bucket_sql(16),
+        # footer-only stats rebuild: counts must equal the true
+        # ingest-rule histogram
+        "stats_recalc": _morton_hist_cte(64)
+        + " SELECT cell_bucket, n FROM h",
+        # row-balanced split points: boundary k = first bucket whose
+        # cumulative count reaches k/8 of total (integer comparison,
+        # same rule as maintenance.presplit_partitions)
+        "presplit_partitions": _morton_hist_cte(64)
+        + f""",
+            cu AS (SELECT cell_bucket,
+                          sum(n) OVER (ORDER BY cell_bucket) AS cum
+                   FROM h),
+            t AS (SELECT sum(n) AS total FROM h),
+            k AS (SELECT unnest(generate_series(1, 7)) AS split_idx),
+            bb AS (
+              SELECT k.split_idx, min(cu.cell_bucket) AS boundary_bucket
+              FROM k CROSS JOIN t JOIN cu ON cu.cum * 8 >= k.split_idx * t.total
+              GROUP BY k.split_idx
+            )
+            SELECT bb.split_idx, bb.boundary_bucket, cu.cum AS rows_below
+            FROM bb JOIN cu ON cu.cell_bucket = bb.boundary_bucket
+        """,
         # TWKB codec roundtrip: every region vertex appears exactly
         # once as an edge START in the directed edge table, so count /
         # min / max / sum over half-up-quantized starts reproduce the

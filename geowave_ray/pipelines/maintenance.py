@@ -181,3 +181,63 @@ def delete_pyramid_level(
     ds.write_parquet(tmp, partition_cols=[level_col])
     os.replace(tmp, out_dir)
     return {"out_dir": out_dir}
+
+
+def recalc_stats(store_dir: str, col: str = "cell_bucket") -> pa.Table:
+    """``RecalculateStatsCommand`` role: rebuild the per-bucket
+    row-count statistic from the store's parquet FOOTERS — no data
+    pages are read. Fans one Ray task per bucket (footer I/O bound),
+    so a 100-TB store with O(10^5) files still recalculates in one
+    short wave. Returns (bucket, n) sorted by bucket."""
+    buckets = _bucket_files(store_dir, col)
+    if not buckets:
+        raise ValueError(f"no {col}= partitions under {store_dir}")
+    items = [{"bucket": b, "files": fs} for b, fs in sorted(buckets.items())]
+
+    def count_one(batch: pa.Table) -> pa.Table:
+        rows = [
+            {
+                "cell_bucket": it["bucket"],
+                "n": sum(pq.read_metadata(f).num_rows for f in it["files"]),
+            }
+            for it in batch.to_pylist()
+        ]
+        return pa.Table.from_pylist(rows)
+
+    out = (
+        ray.data.from_items(items)
+        .map_batches(count_one, batch_size=1, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("cell_bucket")
+    )
+    return pa.table(
+        {
+            "cell_bucket": pa.array(out["cell_bucket"].to_numpy(), pa.int64()),
+            "n": pa.array(out["n"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def presplit_partitions(
+    store_dir: str, n_splits: int, col: str = "cell_bucket"
+) -> pa.Table:
+    """``PreSplitPartitionIdCommand`` role: pick ``n_splits - 1``
+    bucket boundaries that balance ROW COUNT (not key space) using the
+    footer histogram, so a re-partition / new cluster can pre-create
+    evenly loaded ranges. Boundary k = smallest bucket whose cumulative
+    count reaches k/n_splits of the total (exact integer comparison
+    ``cum * n_splits >= k * total`` — no float quantiles)."""
+    hist = recalc_stats(store_dir, col)
+    b = hist.column("cell_bucket").to_numpy()
+    n = hist.column("n").to_numpy()
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+    ks = np.arange(1, n_splits)
+    idx = np.searchsorted(cum * n_splits, ks * total, side="left")
+    return pa.table(
+        {
+            "split_idx": pa.array(ks, pa.int64()),
+            "boundary_bucket": pa.array(b[idx], pa.int64()),
+            "rows_below": pa.array(cum[idx], pa.int64()),
+        }
+    )

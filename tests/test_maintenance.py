@@ -138,3 +138,42 @@ def test_explain_cli(store):
     assert r.returncode == 0, r.stderr
     info = json.loads(r.stdout.strip().splitlines()[-1])
     assert info["index"] == "spatial" and info["buckets_read"] > 0
+
+
+def test_recalc_stats_footer_only(store, ray_session):
+    import pyarrow.parquet as _pq
+
+    from geowave_ray.pipelines.maintenance import recalc_stats
+
+    hist = recalc_stats(store).to_pandas()
+    files = glob.glob(os.path.join(store, "group=*", "cell_bucket=*", "*.parquet"))
+    truth = {}
+    for f in files:
+        b = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        truth[b] = truth.get(b, 0) + _pq.read_metadata(f).num_rows
+    got = dict(zip(hist["cell_bucket"], hist["n"]))
+    assert got == truth
+    assert hist["n"].sum() == 4000
+
+
+def test_presplit_balanced(store, ray_session):
+    from geowave_ray.pipelines.maintenance import presplit_partitions, recalc_stats
+
+    n_splits = 8
+    sp = presplit_partitions(store, n_splits=n_splits).to_pandas()
+    assert list(sp["split_idx"]) == list(range(1, n_splits))
+    hist = recalc_stats(store).to_pandas()
+    total = hist["n"].sum()
+    cum = dict(zip(hist["cell_bucket"], hist["n"].cumsum()))
+    b = list(hist["cell_bucket"])
+    for _, r in sp.iterrows():
+        bb = int(r["boundary_bucket"])
+        # boundary reaches the k/n quantile...
+        assert cum[bb] * n_splits >= r["split_idx"] * total
+        # ...and is the FIRST bucket that does
+        prev = [x for x in b if x < bb]
+        if prev:
+            assert cum[prev[-1]] * n_splits < r["split_idx"] * total
+        assert r["rows_below"] == cum[bb]
+    # boundaries are monotone
+    assert (sp["boundary_bucket"].diff().dropna() >= 0).all()
