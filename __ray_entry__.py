@@ -3521,6 +3521,41 @@ def q_store_copy_rebucket(sf_dir: str):
     return _store_agg_by_bucket(files, 16)
 
 
+def q_geom_buffer(sf_dir: str):
+    """Geometry buffer UDF (``analytics/spark/sparksql/udf/
+    BufferOperation.java`` — JTS ``Geometry.buffer``): octagonal point
+    buffer (quadrantSegments=2), one vertex row per (query, k). The
+    octagon offsets are built from sqrt(0.5) only — sqrt is IEEE
+    correctly-rounded (sin/cos are not), so the SQL oracle's
+    ``sqrt(0.5)`` reproduces every vertex float bit-for-bit with no
+    quantization."""
+    import ray.data
+
+    from geowave_ray.geom import buffer_points_octagon
+
+    RADIUS = 5.0
+
+    def verts(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        v = buffer_points_octagon(lon, lat, RADIUS)
+        n = len(lon)
+        qid = np.repeat(np.asarray(batch.column("query_id")), 8)
+        return pa.table(
+            {
+                "query_id": pa.array(qid),
+                "vertex_idx": pa.array(np.tile(np.arange(8), n), pa.int64()),
+                "vx": pa.array(v[:, :, 0].ravel(), pa.float64()),
+                "vy": pa.array(v[:, :, 1].ravel(), pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/knn_queries.parquet", columns=["query_id", "lon", "lat"]
+    )
+    return ds.map_batches(verts, batch_format="pyarrow", batch_size=None)
+
+
 def q_stats_recalc(sf_dir: str):
     """Statistics recalculation (``RecalculateStatsCommand.java``):
     per-bucket row counts rebuilt from the store's parquet FOOTERS
@@ -3861,6 +3896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_copy_rebucket": q_store_copy_rebucket,
         "stats_recalc": q_stats_recalc,
         "presplit_partitions": q_presplit_partitions,
+        "geom_buffer": q_geom_buffer,
         "geom_distance": q_geom_distance,
         # CQL bridge
         "cql_filter": q_cql_filter,
@@ -6066,6 +6102,20 @@ def oracle_sql() -> dict[str, str]:
         # full grid -> Morton -> bucket pipeline in SQL.
         "store_compact": _morton_bucket_sql(64),
         "store_copy_rebucket": _morton_bucket_sql(16),
+        # octagonal buffer vertices: offsets from sqrt(0.5) only, so
+        # the identical IEEE expression tree runs on both sides
+        "geom_buffer": f"""
+            WITH o AS (SELECT * FROM (VALUES
+              (0, 1.0, 0.0), (1, sqrt(0.5), sqrt(0.5)),
+              (2, 0.0, 1.0), (3, -sqrt(0.5), sqrt(0.5)),
+              (4, -1.0, 0.0), (5, -sqrt(0.5), -sqrt(0.5)),
+              (6, 0.0, -1.0), (7, sqrt(0.5), -sqrt(0.5))
+            ) _o(vertex_idx, ox, oy))
+            SELECT q.query_id, o.vertex_idx,
+                   q.lon + 5.0 * o.ox AS vx,
+                   q.lat + 5.0 * o.oy AS vy
+            FROM {KNNQ} q CROSS JOIN o
+        """,
         # footer-only stats rebuild: counts must equal the true
         # ingest-rule histogram
         "stats_recalc": _morton_hist_cte(64)

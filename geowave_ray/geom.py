@@ -734,3 +734,78 @@ def ring_measures_q(
             np.floor(np.sqrt(dx * dx + dy * dy) * 1e6 + 0.5).astype(np.int64).sum()
         )
     return area2, cxn, cyn, perim
+
+
+# ---------------------------------------------------------------------------
+# buffer (BufferOperation role)
+# ---------------------------------------------------------------------------
+
+# CCW regular-octagon unit offsets starting at angle 0. Built from
+# sqrt(0.5) only (sqrt is IEEE correctly-rounded, unlike sin/cos), so
+# a SQL oracle computing `sqrt(0.5)` reproduces every vertex float
+# bit-for-bit.
+_OCT_S = float(np.sqrt(0.5))
+OCTAGON_OFFSETS = (
+    (1.0, 0.0), (_OCT_S, _OCT_S), (0.0, 1.0), (-_OCT_S, _OCT_S),
+    (-1.0, 0.0), (-_OCT_S, -_OCT_S), (0.0, -1.0), (_OCT_S, -_OCT_S),
+)
+
+
+def buffer_points_octagon(
+    lon: np.ndarray, lat: np.ndarray, radius: float
+) -> np.ndarray:
+    """Octagonal point buffer (``analytics/spark/sparksql/udf/
+    BufferOperation.java`` / JTS ``Geometry.buffer`` with
+    quadrantSegments=2): returns (n, 8, 2) CCW rings. The octagon is
+    INSCRIBED in the radius circle (vertices exactly at distance
+    ``radius``), matching JTS's vertex placement."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    out = np.empty((len(lon), 8, 2), np.float64)
+    for k, (ox, oy) in enumerate(OCTAGON_OFFSETS):
+        out[:, k, 0] = lon + radius * ox
+        out[:, k, 1] = lat + radius * oy
+    return out
+
+
+def buffer_convex_ring(ring: np.ndarray, radius: float) -> np.ndarray:
+    """Minkowski sum of a CONVEX CCW ring with the CCW octagon — the
+    exact octagonal buffer of a convex polygon (concave inputs raise;
+    the reference delegates those to JTS's full arc machinery, out of
+    scope here). Standard convex Minkowski: merge the two edge
+    sequences by polar angle; O(n + 8) vertices."""
+    r = _open_ring(np.asarray(ring, np.float64))
+    e = np.roll(r, -1, axis=0) - r
+    ang = np.arctan2(e[:, 1], e[:, 0])
+    if len(r) >= 3:
+        cross = np.cross(e, np.roll(e, -1, axis=0))
+        if (cross < 0).any():
+            raise ValueError("buffer_convex_ring requires a convex CCW ring")
+    oct_pts = np.array(OCTAGON_OFFSETS) * radius
+    oe = np.roll(oct_pts, -1, axis=0) - oct_pts
+    oang = np.arctan2(oe[:, 1], oe[:, 0])
+    # start both sequences at their lowest-angle edge, then merge
+    i0 = int(np.argmin(ang))
+    j0 = int(np.argmin(oang))
+    pi, pj = i0, j0
+    # starting vertex: polygon's start vertex + octagon vertex whose
+    # OUTGOING edge is the first octagon edge in the merge
+    verts = []
+    cur = r[i0] + oct_pts[j0]
+    n, m = len(r), 8
+    ti, tj = 0, 0
+    while ti < n or tj < m:
+        # each rotated sequence has increasing absolute angles, so a
+        # plain two-pointer merge on angle interleaves the edges
+        ai = ang[pi % n] if ti < n else np.inf
+        aj = oang[pj % m] if tj < m else np.inf
+        verts.append(cur.copy())
+        if ai <= aj:
+            cur = cur + e[pi % n]
+            pi += 1
+            ti += 1
+        else:
+            cur = cur + oe[pj % m]
+            pj += 1
+            tj += 1
+    return np.asarray(verts)

@@ -474,3 +474,76 @@ def test_ring_measures_q_translation_invariant_area():
     a2_a, _, _, p_a = ring_measures_q([tri], 0.0, 0.0)
     a2_b, _, _, p_b = ring_measures_q([tri + 10.0], 10.0, 10.0)
     assert a2_a == a2_b and p_a == p_b
+
+
+def test_buffer_points_octagon_radius_exact():
+    from geowave_ray.geom import buffer_points_octagon
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-170, 170, 100)
+    lat = rng.uniform(-80, 80, 100)
+    v = buffer_points_octagon(lon, lat, 3.0)
+    d = np.hypot(v[:, :, 0] - lon[:, None], v[:, :, 1] - lat[:, None])
+    assert np.allclose(d, 3.0, atol=1e-12)
+    # CCW orientation
+    from geowave_ray.geom import ring_area
+
+    assert all(ring_area(v[i]) > 0 for i in range(len(v)))
+
+
+def test_buffer_convex_ring_minkowski():
+    from geowave_ray.geom import buffer_convex_ring, pip_convex, ring_area
+
+    rng = np.random.default_rng(13)
+    for _ in range(20):
+        # random convex ring via hull of random points
+        pts = rng.uniform(-50, 50, (12, 2))
+        hull = _hull(pts)
+        r = float(rng.uniform(0.5, 5.0))
+        b = buffer_convex_ring(hull, r)
+        # vertex count = n_edges + 8
+        assert len(b) == len(hull) + 8
+        # output convex CCW
+        e = np.roll(b, -1, axis=0) - b
+        assert (np.cross(e, np.roll(e, -1, axis=0)) >= -1e-9).all()
+        # contains every original vertex
+        assert pip_convex(hull[:, 0], hull[:, 1], b).all()
+        # Minkowski area identity: A + perim * apothem-weighted strips
+        # + octagon area; for the inscribed octagon the strip height is
+        # r for axis-normal edges... use the general identity
+        # A(P + Q) = A(P) + A(Q) + mixed term = A + sum over edges of
+        # cross(edge, support point span); just bound it instead:
+        A0, A1 = abs(ring_area(hull)), abs(ring_area(b))
+        per = np.linalg.norm(np.diff(np.vstack([hull, hull[:1]]), axis=0), axis=1).sum()
+        oct_area = 2 * np.sqrt(2) * r * r
+        # true buffered area lies between apothem and radius strips
+        assert A0 + per * r * np.cos(np.pi / 8) + oct_area - 1e-6 <= A1 <= A0 + per * r + oct_area + 1e-6
+        # probe containment: points just inside the apothem distance in,
+        # points beyond r out
+        c = hull.mean(axis=0)
+        for k in range(len(hull)):
+            p0, p1 = hull[k], hull[(k + 1) % len(hull)]
+            mid = (p0 + p1) / 2
+            nrm = np.array([p1[1] - p0[1], -(p1[0] - p0[0])])
+            nrm = nrm / np.linalg.norm(nrm)  # (dy, -dx): outward for CCW
+            pin = mid + nrm * (r * np.cos(np.pi / 8) * 0.98)
+            pout = mid + nrm * (r * 1.02)
+            assert pip_convex(pin[:1], pin[1:], b)[0]
+            assert not pip_convex(pout[:1], pout[1:], b)[0]
+
+
+def _hull(pts):
+    """Tiny Andrew monotone chain (CCW, open ring) for test input."""
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lo = half(pts)
+    hi = half(pts[::-1])
+    return np.asarray(lo[:-1] + hi[:-1])
