@@ -2596,6 +2596,22 @@ def q_gpx_parse(sf_dir: str):
     return read_gpx_table(files)
 
 
+def q_stanag_parse(sf_dir: str):
+    """STANAG 4676 TrackMessage parse (NATO4676Decoder.java:266-420
+    role): TrackMessage XML -> one row per TrackPoint item, skipping
+    non-point items (identity/classification), inside map_batches;
+    oracle is the generator's flat truth table (numeric text
+    round-trips bit-identically)."""
+    import ray.data
+
+    from geowave_ray.sources.stanag4676 import parse_stanag_batch
+
+    files = ray.data.read_parquet(f"{_fx(sf_dir)}/stanag_files.parquet")
+    return files.map_batches(
+        parse_stanag_batch, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_tdrive_parse(sf_dir: str):
     """T-Drive format-plugin parse (TdriveIngestPlugin.java:85-110):
     whole CSV files expand to typed taxi points (4-field validation,
@@ -3842,6 +3858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_query_within": q_region_query_within,
         "region_query_overlaps": q_region_query_overlaps,
         "gpx_parse": q_gpx_parse,
+        "stanag_parse": q_stanag_parse,
         "tdrive_parse": q_tdrive_parse,
         "geolife_parse": q_geolife_parse,
         "geolife_tracks": q_geolife_tracks,
@@ -5737,6 +5754,11 @@ def oracle_sql() -> dict[str, str]:
         "gpx_parse": f"""
             SELECT track_id, seq, lon, lat, ele, ts
             FROM read_parquet('{fx}/gpx_points.parquet')
+        """,
+        "stanag_parse": f"""
+            SELECT track_number, track_uuid, point_uuid, ts, lon, lat,
+                   elevation, speed, course, point_type
+            FROM read_parquet('{fx}/stanag_points.parquet')
         """,
         "tdrive_parse": f"""
             SELECT taxiid, pointinstance, ts, lon, lat

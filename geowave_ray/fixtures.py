@@ -737,6 +737,97 @@ def gen_gpx_files(n_files: int) -> tuple[pa.Table, pa.Table]:
     return files, points
 
 
+def gen_stanag_files(n_files: int) -> tuple[pa.Table, pa.Table]:
+    """STANAG 4676 TrackMessage XML documents + flat ground-truth
+    points (``extensions/formats/stanag4676/`` role; element names per
+    ``NATO4676Decoder.java:266-420``). Two tracks per message; every
+    track mixes TrackPoint items with one non-point item
+    (TrackIdentityInformation) the parser must skip. Numeric text is
+    printed then ``float()``-ed into the truth table, so parse output
+    is bit-identical by construction."""
+    XSI = "http://www.w3.org/2001/XMLSchema-instance"
+    f_id, f_xml = [], []
+    g_tn, g_tu, g_pu, g_ts, g_lon, g_lat, g_ele, g_spd, g_crs, g_pt = (
+        [] for _ in range(10)
+    )
+    t0 = np.datetime64("2024-06-01T00:00:00", "s")
+    types = ["MEASURED", "ESTIMATED", "PREDICTED"]
+    for j in range(n_files):
+        tracks_xml = []
+        for tr in range(2):
+            number = f"TN{j:05d}_{tr}"
+            uuid = f"uuid-{j:05d}-{tr}"
+            lon0 = float(((j * 53 + tr * 7) % 340) - 170) + 0.25
+            lat0 = float(((j * 29 + tr * 11) % 160) - 80) + 0.25
+            items = [
+                f'<items xmlns:xsi="{XSI}" xsi:type="TrackIdentityInformation">'
+                "<identity>FRIEND</identity></items>"
+            ]
+            for i in range(12):
+                lon_s = f"{lon0 + 0.002 * i + 0.000013 * ((i * (j + 2)) % 11):.6f}"
+                lat_s = f"{lat0 + 0.0011 * i + 0.000019 * ((i * (j + 5)) % 5):.6f}"
+                ele_s = f"{(500 + ((13 * i + 5 * j) % 900)) / 4.0:.2f}"
+                spd_s = f"{((3 * i + j) % 70) / 2.0:.1f}"
+                crs_s = f"{(i * 31 + j * 7) % 360}.0"
+                ts = t0 + np.timedelta64(j * 7200 + tr * 1800 + i * 30, "s")
+                ts_s = np.datetime_as_string(ts, unit="s") + "Z"
+                ptype = types[(i + j) % 3]
+                puid = f"pt-{j:05d}-{tr}-{i:03d}"
+                items.append(
+                    f'<items xmlns:xsi="{XSI}" xsi:type="TrackPoint">'
+                    f"<trackItemUUID>{puid}</trackItemUUID>"
+                    f"<trackItemTime>{ts_s}</trackItemTime>"
+                    "<trackPointPosition>"
+                    f"<latitude>{lat_s}</latitude>"
+                    f"<longitude>{lon_s}</longitude>"
+                    f"<elevation>{ele_s}</elevation>"
+                    "</trackPointPosition>"
+                    f"<trackPointSpeed>{spd_s}</trackPointSpeed>"
+                    f"<trackPointCourse>{crs_s}</trackPointCourse>"
+                    f"<trackPointType>{ptype}</trackPointType>"
+                    "</items>"
+                )
+                g_tn.append(number)
+                g_tu.append(uuid)
+                g_pu.append(puid)
+                g_ts.append(ts.astype("datetime64[us]"))
+                g_lon.append(float(lon_s))
+                g_lat.append(float(lat_s))
+                g_ele.append(float(ele_s))
+                g_spd.append(float(spd_s))
+                g_crs.append(float(crs_s))
+                g_pt.append(ptype)
+            tracks_xml.append(
+                f"<tracks><trackNumber>{number}</trackNumber>"
+                f"<trackUUID>{uuid}</trackUUID>"
+                "<status>CURRENT</status>" + "".join(items) + "</tracks>"
+            )
+        f_id.append(f"msg{j:05d}.xml")
+        f_xml.append(
+            "<TrackMessage><formatVersion>B</formatVersion>"
+            + "".join(tracks_xml)
+            + "</TrackMessage>"
+        )
+    files = pa.table({"file_id": pa.array(f_id), "xml": pa.array(f_xml)})
+    points = pa.table(
+        {
+            "track_number": pa.array(g_tn, pa.string()),
+            "track_uuid": pa.array(g_tu, pa.string()),
+            "point_uuid": pa.array(g_pu, pa.string()),
+            "ts": pa.array(
+                np.asarray(g_ts, dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+            "lon": pa.array(np.asarray(g_lon, np.float64), pa.float64()),
+            "lat": pa.array(np.asarray(g_lat, np.float64), pa.float64()),
+            "elevation": pa.array(np.asarray(g_ele, np.float64), pa.float64()),
+            "speed": pa.array(np.asarray(g_spd, np.float64), pa.float64()),
+            "course": pa.array(np.asarray(g_crs, np.float64), pa.float64()),
+            "point_type": pa.array(g_pt, pa.string()),
+        }
+    )
+    return files, points
+
+
 def gen_tdrive_files(n_files: int) -> tuple[pa.Table, pa.Table]:
     """T-Drive CSV files + flat ground truth (format-plugin fixture,
     ``extensions/formats/tdrive/`` role).  Each file holds 24 valid
@@ -1211,6 +1302,11 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
         files, points = gen_gpx_files(max(64, cfg["regions"] // 8))
         pq.write_table(files, gx)
         pq.write_table(points, os.path.join(out, "gpx_points.parquet"))
+    sg = os.path.join(out, "stanag_files.parquet")
+    if not os.path.exists(sg):
+        files, points = gen_stanag_files(max(32, cfg["regions"] // 16))
+        pq.write_table(files, sg)
+        pq.write_table(points, os.path.join(out, "stanag_points.parquet"))
     td = os.path.join(out, "tdrive_files.parquet")
     if not os.path.exists(td):
         files, points = gen_tdrive_files(max(48, cfg["regions"] // 8))

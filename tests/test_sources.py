@@ -216,3 +216,48 @@ def test_twitter_parse_roundtrip(ray_session):
     assert (exp["lang"] == "").any()
     assert twitter_validate("20130401-130000.txt.gz")
     assert not twitter_validate("tweets.json")
+
+
+def test_stanag_parser_skips_non_point_items_and_namespaces():
+    import numpy as np
+    import pyarrow as pa
+
+    from geowave_ray.sources.stanag4676 import parse_stanag_batch
+
+    XSI = "http://www.w3.org/2001/XMLSchema-instance"
+    # namespaced document, one identity item, one point missing
+    # optional fields (elevation/speed/course/type absent)
+    doc = (
+        f'<ns:TrackMessage xmlns:ns="urn:nato:stanag4676" xmlns:xsi="{XSI}">'
+        "<ns:tracks><ns:trackNumber>TN1</ns:trackNumber>"
+        "<ns:trackUUID>u-1</ns:trackUUID>"
+        '<ns:items xsi:type="TrackIdentityInformation">'
+        "<ns:identity>HOSTILE</ns:identity></ns:items>"
+        '<ns:items xsi:type="TrackPoint">'
+        "<ns:trackItemUUID>p-1</ns:trackItemUUID>"
+        "<ns:trackItemTime>2024-06-01T00:00:05Z</ns:trackItemTime>"
+        "<ns:trackPointPosition><ns:latitude>12.5</ns:latitude>"
+        "<ns:longitude>-33.25</ns:longitude></ns:trackPointPosition>"
+        "</ns:items>"
+        "<ns:items>"  # untyped item WITH a position -> parsed (decoder fallback)
+        "<ns:trackItemUUID>p-2</ns:trackItemUUID>"
+        "<ns:trackItemTime>2024-06-01T00:00:35Z</ns:trackItemTime>"
+        "<ns:trackPointPosition><ns:latitude>12.6</ns:latitude>"
+        "<ns:longitude>-33.20</ns:longitude>"
+        "<ns:elevation>100.5</ns:elevation></ns:trackPointPosition>"
+        "<ns:trackPointSpeed>7.5</ns:trackPointSpeed>"
+        "<ns:trackPointCourse>270.0</ns:trackPointCourse>"
+        "<ns:trackPointType>MEASURED</ns:trackPointType>"
+        "</ns:items>"
+        "</ns:tracks></ns:TrackMessage>"
+    )
+    out = parse_stanag_batch(pa.table({"xml": pa.array([doc])}))
+    assert len(out) == 2
+    assert out.column("point_uuid").to_pylist() == ["p-1", "p-2"]
+    assert out.column("track_number").to_pylist() == ["TN1", "TN1"]
+    assert out.column("lon").to_pylist() == [-33.25, -33.20]
+    assert np.isnan(out.column("elevation").to_pylist()[0])
+    assert out.column("elevation").to_pylist()[1] == 100.5
+    assert out.column("speed").to_pylist()[1] == 7.5
+    assert out.column("point_type").to_pylist() == ["", "MEASURED"]
+    assert str(out.column("ts").to_pylist()[0]) == "2024-06-01 00:00:05"
