@@ -3278,6 +3278,18 @@ _CQL_EVENTS = (
 )
 
 
+def q_hll_by_type(sf_dir: str):
+    """Binned sketch statistic (FieldValueBinningStrategy.java role +
+    HLL): one HLL per event_type bin, per-block partials merged per
+    bin; estimates fall in the linear-counting branch, which the SQL
+    oracle replicates exactly (register replication in HUGEINT)."""
+    from geowave_ray.stats import dataset_hll_distinct_binned
+
+    ds = _read_testdata(sf_dir, "events", columns=["event_type", "user_id"])
+    t = dataset_hll_distinct_binned(ds, "user_id", "event_type")
+    return t.rename_columns(["event_type", "distinct_users_est"])
+
+
 def q_vector_export(sf_dir: str):
     """Vector export roundtrip (the reference's VectorLocalExportCommand
     role, ``extensions/cli/geoserver/.../VectorLocalExportCommand`` /
@@ -3771,6 +3783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,        # SimHash Hamming<=3
         "docs_dedup_clusters": q_docs_dedup_clusters,  # connected comps
         "ann_cosine": q_ann_cosine,              # embedding ANN
+        "hll_by_type": q_hll_by_type,
         # -- end driver window -----------------------------------------
         # SFC / cell encoding
         "s2_hist": q_s2_hist,
@@ -6403,6 +6416,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": docs_fingerprint_sql,
         "hll_distinct": hll_sql,
+        "hll_by_type": _sql_chain(
+            "SELECT DISTINCT event_type, user_id::HUGEINT AS uid FROM events",
+            _sql_mix_steps("uid", "h", "_u"),
+            f""", _regs AS (
+              SELECT event_type, h >> 52 AS idx,
+                     max(65 - length(bin((h << 12) % {_SQL_MOD} | 4095::HUGEINT))) AS r
+              FROM $LAST GROUP BY event_type, idx
+            ), _agg AS (
+              SELECT event_type, count(*) AS ng,
+                     sum(pow(2.0, -CAST(r AS DOUBLE))) AS s
+              FROM _regs GROUP BY event_type
+            )
+            SELECT event_type,
+                   CASE WHEN e <= 2.5 * 4096.0 AND zeros > 0
+                        THEN 4096.0 * ln(4096.0 / zeros) ELSE e END
+                       AS distinct_users_est
+            FROM (SELECT event_type,
+                         (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                         / (s + CAST(4096 - ng AS DOUBLE)) AS e,
+                         4096 - ng AS zeros
+                  FROM _agg)
+            """,
+        ),
         "orders_customer_join": """
             SELECT o_orderkey, o_custkey, c_nationkey
             FROM orders JOIN customer ON o_custkey = c_custkey

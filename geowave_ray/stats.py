@@ -610,3 +610,50 @@ def grouped_exact_quantile(
             "q_value": pa.array([state[g]["res"] for g in gs], pa.float64()),
         }
     )
+
+
+def dataset_hll_distinct_binned(
+    ds: ray.data.Dataset, column: str, bin_col: str, p: int = 12
+) -> pa.Table:
+    """Binned HLL distinct-count statistic — the reference's
+    field-value binning applied to a sketch statistic
+    (``core/store/.../statistics/binning/FieldValueBinningStrategy
+    .java`` + ``CountStatistic``-style per-bin stats; GeoWave keeps one
+    statistic value PER BIN and merges partials per bin). One HLL
+    partial per (batch, bin present) — a bounded few-KB payload per
+    block — merged per bin on the driver. Returns (bin, estimate)
+    sorted by bin."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        bins = batch.column(bin_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(column).to_pylist()
+        out_bin, out_sk = [], []
+        order = _np.argsort(bins, kind="stable")
+        sb = bins[order]
+        cuts = _np.flatnonzero(_np.r_[True, sb[1:] != sb[:-1]])
+        for s, e in zip(cuts, _np.r_[cuts[1:], len(sb)]):
+            h = HyperLogLog(p)
+            h.add([vals[i] for i in order[s:e]])
+            out_bin.append(sb[s])
+            out_sk.append(h.to_bytes())
+        return pa.table(
+            {
+                "bin": pa.array(out_bin),
+                "sketch": pa.array(out_sk, pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    acc: dict = {}
+    for b, sk in zip(parts["bin"], parts["sketch"]):
+        h = HyperLogLog.from_bytes(bytes(sk), p)
+        acc[b] = acc[b].merge(h) if b in acc else h
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "bin": pa.array(keys),
+            "distinct_est": pa.array([acc[k].estimate() for k in keys], pa.float64()),
+        }
+    )

@@ -1703,3 +1703,35 @@ def test_mixture_sample_quotas_and_determinism(ray_session):
     assert "drop" not in set(one["source"])
     assert (one.groupby("source")["rank"].max()
             == one.groupby("source")["rank"].count()).all()
+
+
+def test_hll_binned_matches_global_and_truth(ray_session):
+    """Binned HLL (FieldValueBinningStrategy role): per-bin estimates
+    equal a per-bin standalone HLL, parallelism-invariant, and in the
+    linear-counting range equal m*ln(m/zeros) exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.stats import HyperLogLog, dataset_hll_distinct_binned
+
+    rng = np.random.default_rng(9)
+    bins = rng.choice(["a", "b", "c"], 3000)
+    vals = rng.integers(0, 400, 3000)
+    t = pa.table({"bin_col": pa.array(bins), "v": pa.array(vals, pa.int64())})
+    out = dataset_hll_distinct_binned(
+        ray.data.from_arrow(t), "v", "bin_col"
+    ).to_pandas()
+    assert list(out["bin"]) == ["a", "b", "c"]
+    for b in "abc":
+        h = HyperLogLog(12)
+        h.add([int(v) for v, bb in zip(vals, bins) if bb == b])
+        got = float(out.loc[out["bin"] == b, "distinct_est"].iloc[0])
+        assert got == h.estimate()
+        true = len({int(v) for v, bb in zip(vals, bins) if bb == b})
+        assert abs(got - true) / true < 0.05
+    # parallelism-invariant (register max-merge is order-free)
+    out2 = dataset_hll_distinct_binned(
+        ray.data.from_arrow(t).repartition(7), "v", "bin_col"
+    ).to_pandas()
+    assert np.array_equal(out["distinct_est"].to_numpy(), out2["distinct_est"].to_numpy())
