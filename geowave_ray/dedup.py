@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .hashing import hash_utf8, mix64, tokenize_hash
@@ -114,18 +115,36 @@ def dup_content_hashes(
             }
         )
 
-    def dups(g: pd.DataFrame) -> pd.DataFrame:
-        tot = g.groupby("content_hash", sort=False)["cnt"].sum()
-        return pd.DataFrame({"content_hash": tot.index.to_numpy()[tot.to_numpy() >= 2]})
+    # Arrow-native per-bucket reduce: Ray's pandas map_groups pays a
+    # per-block to-pandas conversion that measured 5x the whole rest
+    # of the pass at 1M docs (54 s vs ~0 s for TableGroupBy here).
+    def dups(g: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(g, "content_hash").aggregate([("cnt", "sum")])
+        mask = pc.greater_equal(t.column("cnt_sum"), 2)
+        return t.filter(mask).select(["content_hash"])
 
     out = (
         docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .repartition(exchange_blocks())
         .groupby("bucket")
-        .map_groups(dups, batch_format="pandas")
+        .map_groups(dups, batch_format="pyarrow")
         .take_all()
     )
     return np.sort(np.array([r["content_hash"] for r in out], dtype=np.int64))
+
+
+def _first_per_text(g: pa.Table, sort_keys, text_col: str) -> pa.Table:
+    """Arrow-native drop_duplicates(keep="first") after a stable sort:
+    dictionary-encode the text, take the first row index per code.
+    (pandas map_groups measured 5x slower than the whole pass at 1M
+    docs — see dup_content_hashes.)"""
+    g = g.sort_by(sort_keys)
+    codes = (
+        pc.dictionary_encode(g.column(text_col).combine_chunks())
+        .indices.to_numpy(zero_copy_only=False)
+    )
+    _, first = np.unique(codes, return_index=True)
+    return g.take(np.sort(first)).drop_columns(["bucket"])
 
 
 def _two_pass_dedup(
@@ -168,7 +187,7 @@ def _two_pass_dedup(
         docs.map_batches(split(True), batch_format="pyarrow", batch_size=None)
         .repartition(exchange_blocks())
         .groupby("bucket")
-        .map_groups(keep, batch_format="pandas")
+        .map_groups(keep, batch_format="pyarrow")
         .select_columns(cols)
     )
     return uniques.union(winners)
@@ -187,12 +206,8 @@ def exact_dedup(
     partials, pass 2 shuffles only the duplicated-hash rows for the
     collision-safe text compare; unique rows stream map-side."""
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.sort_values(id_col, kind="mergesort")
-            .drop_duplicates(text_col, keep="first")
-            .drop(columns=["bucket"])
-        )
+    def keep_first(g: pa.Table) -> pa.Table:
+        return _first_per_text(g, [(id_col, "ascending")], text_col)
 
     return _two_pass_dedup(docs, keep_first, id_col, n_buckets, text_col=text_col)
 
@@ -209,11 +224,10 @@ def dedup_keep_best(
     best-scored page). Same two-pass shape as :func:`exact_dedup`;
     in-bucket the winner falls out of one vectorized stable sort."""
 
-    def keep_best(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            [score_col, id_col], ascending=[False, True], kind="mergesort"
+    def keep_best(g: pa.Table) -> pa.Table:
+        return _first_per_text(
+            g, [(score_col, "descending"), (id_col, "ascending")], "text"
         )
-        return g.drop_duplicates("text", keep="first").drop(columns=["bucket"])
 
     return _two_pass_dedup(docs, keep_best, id_col, n_buckets)
 
@@ -1353,17 +1367,15 @@ def dup_paragraph_winners(
             }
         )
 
-    def dups(g: pd.DataFrame) -> pd.DataFrame:
-        tot = g.groupby("para_hash", sort=False)["cnt"].sum()
-        return pd.DataFrame(
-            {"para_hash": tot.index.to_numpy()[tot.to_numpy() >= 2]}
-        )
+    def dups(g: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(g, "para_hash").aggregate([("cnt", "sum")])
+        return t.filter(pc.greater_equal(t.column("cnt_sum"), 2)).select(["para_hash"])
 
     rows = (
         docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .repartition(exchange_blocks())
         .groupby("bucket")
-        .map_groups(dups, batch_format="pandas")
+        .map_groups(dups, batch_format="pyarrow")
         .take_all()
     )
     cand = np.sort(np.array([r["para_hash"] for r in rows], dtype=np.int64))
@@ -1600,17 +1612,17 @@ def dup_ngram_set(
             }
         )
 
-    def dups(g: pd.DataFrame) -> pd.DataFrame:
-        tot = g.groupby("gram_hash", sort=False)["cnt"].sum()
-        return pd.DataFrame(
-            {"gram_hash": tot.index.to_numpy()[tot.to_numpy() >= min_count]}
-        )
+    def dups(g: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(g, "gram_hash").aggregate([("cnt", "sum")])
+        return t.filter(
+            pc.greater_equal(t.column("cnt_sum"), min_count)
+        ).select(["gram_hash"])
 
     out = (
         docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .repartition(exchange_blocks())
         .groupby("bucket")
-        .map_groups(dups, batch_format="pandas")
+        .map_groups(dups, batch_format="pyarrow")
         .take_all()
     )
     return np.sort(np.array([r["gram_hash"] for r in out], dtype=np.int64))

@@ -51,7 +51,7 @@ SCALES = {
     # compute-bound (~100s CPU), so N vs 4N parallelism separates.
     # ``docs`` is the scaled synthetic corpus for the docs-pipeline
     # scaling proof (minhash-LSH + two-pass exact dedup at N vs 4N).
-    "sf_scaling": dict(pages=8_000_000, regions=2048, chunks=512, docs=1_000_000),
+    "sf_scaling": dict(pages=8_000_000, regions=2048, chunks=512, docs=4_000_000),
 }
 ROWS_PER_FILE = 50_000
 

@@ -45,9 +45,28 @@ def _powers(n: int) -> np.ndarray:
     return out
 
 
+# Chunked scratch: this sandbox's kernel (and many virtualized hosts)
+# makes FIRST-TOUCH of fresh mmap'd pages ~100x slower than warm
+# memory — the original one-pass form allocated ~6 transient arrays of
+# 8 B/byte, costing ~5 s of page faults per 16 MB batch in every fresh
+# worker. Processing in 2 MB chunks through preallocated per-process
+# buffers bounds transient memory to ~50 MB total, reused for the
+# process lifetime. uint64 sums are associative mod 2**64, so chunked
+# accumulation is BIT-IDENTICAL to the one-pass form (pytest-pinned).
+_CHUNK = 1 << 21
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, n: int, dtype) -> np.ndarray:
+    buf = _SCRATCH.get(name)
+    if buf is None or len(buf) < n:
+        _SCRATCH[name] = buf = np.empty(max(n, _CHUNK), dtype)
+    return buf[:n]
+
+
 def poly_hash_segments(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Hash ``len(offsets)-1`` byte segments of ``data`` (uint8) in one
-    vectorized pass. ``offsets`` are absolute into ``data`` (Arrow
+    """Hash ``len(offsets)-1`` byte segments of ``data`` (uint8) in
+    bounded chunks. ``offsets`` are absolute into ``data`` (Arrow
     string-array offsets). Returns uint64 hashes; empty segments hash
     to a fixed value distinct from any non-empty one.
     """
@@ -57,24 +76,54 @@ def poly_hash_segments(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     lo, hi = int(offsets[0]), int(offsets[-1])
-    seg = data[lo:hi].astype(np.uint64)
-    if len(seg) == 0:
+    if hi == lo:
         return mix64(lens.astype(np.uint64))
-    starts = offsets[:-1] - lo
-    ends = offsets[1:] - lo
-    pos = np.arange(len(seg), dtype=np.int64)
-    # exponent = distance of each byte from the END of its owning string
-    owner_end = np.repeat(ends, lens)
-    exp = owner_end - 1 - pos
+    starts = offsets[:-1]
+    ends = offsets[1:]
     pw = _powers(int(lens.max()))
+    sums = np.zeros(n, dtype=np.uint64)
+    arange = _scratch("arange", _CHUNK, np.int64)
+    if arange[1] != 1:  # initialize once
+        np.copyto(arange, np.arange(len(arange), dtype=np.int64))
     with np.errstate(**_ERRSTATE):
-        contrib = (seg + np.uint64(1)) * pw[exp]
-        # sentinel zero so segment starts AT the buffer end (trailing
-        # empty strings) are valid reduceat indices — clamping them to
-        # len-1 instead would truncate the PRECEDING segment's range
-        contrib = np.concatenate([contrib, np.zeros(1, dtype=np.uint64)])
-        sums = np.add.reduceat(contrib, starts)
-    sums[lens == 0] = 0  # reduceat yields a spurious value for empty segments
+        for c0 in range(lo, hi, _CHUNK):
+            c1 = min(c0 + _CHUNK, hi)
+            m = c1 - c0
+            # segments overlapping [c0, c1) with >= 1 byte in it
+            d0 = int(np.searchsorted(ends, c0, side="right"))
+            d1 = int(np.searchsorted(starts, c1, side="left"))  # exclusive
+            cs = np.clip(starts[d0:d1], c0, c1)
+            ce = np.clip(ends[d0:d1], c0, c1)
+            cnt = ce - cs
+            nz = np.flatnonzero(cnt)
+            if len(nz) == 0:
+                continue
+            v_end = ends[d0:d1][nz]  # absolute end per contributing seg
+            local_starts = cs[nz] - c0  # strictly increasing, < m
+            # owner_end repeated cnt[nz] times, via diff + cumsum into
+            # scratch (np.repeat would allocate fresh pages per call)
+            owner = _scratch("owner", m, np.int64)
+            owner.fill(0)
+            bnd = np.cumsum(cnt[nz])
+            owner[0] = v_end[0]
+            if len(v_end) > 1:
+                owner[bnd[:-1]] = np.diff(v_end)
+            np.cumsum(owner, out=owner)
+            # exp = owner_end - 1 - abs_pos
+            exp = _scratch("exp", m, np.int64)
+            np.subtract(owner, c0 + 1, out=exp)
+            np.subtract(exp, arange[:m], out=exp)
+            # contrib = (byte + 1) * P^exp
+            s64 = _scratch("s64", m, np.uint64)
+            np.copyto(s64, data[c0:c1])
+            np.add(s64, np.uint64(1), out=s64)
+            pwe = _scratch("pwe", m, np.uint64)
+            np.take(pw, exp, out=pwe)
+            np.multiply(s64, pwe, out=s64)
+            part = np.add.reduceat(s64, local_starts)
+            sums[d0 + nz] += part
+    # empty segments keep sums == 0 (fixed value distinct from any
+    # non-empty segment's polynomial sum after the final mix)
     return mix64(sums ^ mix64(lens.astype(np.uint64)))
 
 

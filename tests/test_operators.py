@@ -1735,3 +1735,56 @@ def test_hll_binned_matches_global_and_truth(ray_session):
         ray.data.from_arrow(t).repartition(7), "v", "bin_col"
     ).to_pandas()
     assert np.array_equal(out["distinct_est"].to_numpy(), out2["distinct_est"].to_numpy())
+
+
+def test_poly_hash_chunked_equals_one_pass():
+    """The chunked scratch-buffer form of poly_hash_segments is
+    BIT-IDENTICAL to the one-pass definition (uint64 polynomial sums
+    are associative mod 2**64) — the SQL oracles replicate this hash,
+    so any drift here would fail every dedup/text oracle."""
+    import numpy as np
+
+    from geowave_ray.hashing import _powers, mix64, poly_hash_segments
+
+    def one_pass(data, offsets):
+        offsets = np.asarray(offsets, dtype=np.int64)
+        lens = np.diff(offsets)
+        if len(lens) == 0:
+            return np.empty(0, np.uint64)
+        lo, hi = int(offsets[0]), int(offsets[-1])
+        seg = data[lo:hi].astype(np.uint64)
+        if len(seg) == 0:
+            return mix64(lens.astype(np.uint64))
+        starts = offsets[:-1] - lo
+        ends = offsets[1:] - lo
+        pos = np.arange(len(seg), dtype=np.int64)
+        owner_end = np.repeat(ends, lens)
+        exp = owner_end - 1 - pos
+        pw = _powers(int(lens.max()))
+        with np.errstate(over="ignore"):
+            contrib = (seg + np.uint64(1)) * pw[exp]
+            contrib = np.concatenate([contrib, np.zeros(1, np.uint64)])
+            sums = np.add.reduceat(contrib, starts)
+        sums[lens == 0] = 0
+        return mix64(sums ^ mix64(lens.astype(np.uint64)))
+
+    rng = np.random.default_rng(21)
+    for _ in range(4):
+        k = 5000
+        lens = rng.integers(0, 1000, k)
+        lens[rng.random(k) < 0.08] = 0
+        offsets = np.zeros(k + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        data = rng.integers(0, 256, offsets[-1], dtype=np.uint8)
+        assert np.array_equal(
+            poly_hash_segments(data, offsets), one_pass(data, offsets)
+        )
+    # single segment spanning many chunks + offset base + trailing empties
+    lens = np.array([0, 5_000_000, 3, 0, 0], np.int64)
+    offsets = np.zeros(6, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    pad = 11
+    data = rng.integers(0, 256, offsets[-1] + pad, dtype=np.uint8)
+    assert np.array_equal(
+        poly_hash_segments(data, offsets + pad), one_pass(data, offsets + pad)
+    )
