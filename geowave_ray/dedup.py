@@ -485,7 +485,7 @@ def minhash_lsh_pairs(
         bk = b.column("band_hash").to_numpy() % np.int64(n_buckets)
         return b.append_column("bucket", pa.array(bk, pa.int64()))
 
-    def emit_candidates(g: pd.DataFrame) -> pd.DataFrame:
+    def emit_candidates(g: pa.Table) -> pa.Table:
         """All-pairs per (band, band_hash) segment, fully vectorized:
         one lexsort defines the segments, pair indices for ALL small
         segments are generated in one arange/searchsorted pass (no
@@ -493,11 +493,11 @@ def minhash_lsh_pairs(
         groups and a pandas groupby loop was the plan's wall); groups
         beyond the cap emit star pairs (connectivity preserved, no
         O(n²) on skewed hashes)."""
-        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                              "doc_b": pd.Series([], dtype=np.int64)})
-        ids = g["doc_id"].to_numpy()
-        band = g["band"].to_numpy()
-        bh = g["band_hash"].to_numpy()
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        ids = g.column("doc_id").to_numpy()
+        band = g.column("band").to_numpy()
+        bh = g.column("band_hash").to_numpy()
         order = np.lexsort((ids, bh, band))
         ids, band, bh = ids[order], band[order], bh[order]
         if len(ids) == 0:
@@ -550,15 +550,18 @@ def minhash_lsh_pairs(
                 out_b.append(ids[ss[seg_of] + j])
         if not out_a:
             return empty
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
         )
 
     cands = (
         banded.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
         .repartition(exchange_blocks())
         .groupby("bucket")
-        .map_groups(emit_candidates, batch_format="pandas")
+        .map_groups(emit_candidates, batch_format="pyarrow")
     )
 
     # verify: re-attach signatures endpoint by endpoint via bounded
@@ -902,13 +905,13 @@ def simhash_pairs(
             }
         )
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
+    def emit(g: pa.Table) -> pa.Table:
         a_out, b_out, h_out = [], [], []
-        key_all = g["key"].to_numpy()
+        key_all = g.column("key").to_numpy()
         order0 = np.argsort(key_all, kind="stable")
         key_s = key_all[order0]
-        sig_all = g["sig"].to_numpy().view(np.uint64)[order0]
-        did_all = g["doc_id"].to_numpy()[order0]
+        sig_all = g.column("sig").to_numpy().view(np.uint64)[order0]
+        did_all = g.column("doc_id").to_numpy()[order0]
         ukeys, kstarts, kcounts = np.unique(
             key_s, return_index=True, return_counts=True
         )
@@ -957,18 +960,18 @@ def simhash_pairs(
                 b_out.append(np.maximum(la, lb))
                 h_out.append(np.full(len(la), ham, dtype=np.int64))
         if not a_out:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "doc_a": pd.Series([], dtype=np.int64),
-                    "doc_b": pd.Series([], dtype=np.int64),
-                    "hamming": pd.Series([], dtype=np.int64),
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
                 }
             )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_a": np.concatenate(a_out),
-                "doc_b": np.concatenate(b_out),
-                "hamming": np.concatenate(h_out),
+                "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "hamming": pa.array(np.concatenate(h_out), pa.int64()),
             }
         )
 
@@ -977,7 +980,7 @@ def simhash_pairs(
         .map_batches(expand, batch_format="pyarrow", batch_size=None)
         .repartition(exchange_blocks())
         .groupby("bucket")
-        .map_groups(emit, batch_format="pandas")
+        .map_groups(emit, batch_format="pyarrow")
     )
 
 
@@ -1026,20 +1029,25 @@ def connected_components(
             )
             return b.append_column("bucket", pa.array(bk.astype(np.int64), pa.int64()))
 
-        def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-            ids = g["doc_id"].to_numpy()
-            labs = g["cluster"].to_numpy()
+        def reduce_group(g: pa.Table) -> pa.Table:
+            ids = g.column("doc_id").to_numpy()
+            labs = g.column("cluster").to_numpy()
             order = np.lexsort((labs, ids))
             ids, labs = ids[order], labs[order]
             first = np.ones(len(ids), dtype=bool)
             first[1:] = ids[1:] != ids[:-1]
-            return pd.DataFrame({"doc_id": ids[first], "cluster": labs[first]})
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[first], pa.int64()),
+                    "cluster": pa.array(labs[first], pa.int64()),
+                }
+            )
 
         return (
             ds.map_batches(bucketed, batch_format="pyarrow", batch_size=None)
             .repartition(exchange_blocks())
             .groupby("bucket")
-            .map_groups(reduce_group, batch_format="pandas")
+            .map_groups(reduce_group, batch_format="pyarrow")
         )
 
     edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
@@ -1095,22 +1103,30 @@ def connected_components(
             )
             return b.append_column("bucket", pa.array(bk.astype(np.int64), pa.int64()))
 
-        def propagate(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g[g["is_label"]]
-            req = g[~g["is_label"]]
-            lk = lab["jkey"].to_numpy()
+        def propagate(g: pa.Table) -> pa.Table:
+            is_lab = np.asarray(
+                g.column("is_label").to_numpy(zero_copy_only=False), bool
+            )
+            jkey = g.column("jkey").to_numpy()
+            cluster = g.column("cluster").to_numpy()
+            other = g.column("other").to_numpy()
+            lk = jkey[is_lab]
             order = np.argsort(lk)
             lk = lk[order]
-            lv = lab["cluster"].to_numpy()[order]
-            out_id = [lab["jkey"].to_numpy()]
-            out_cl = [lab["cluster"].to_numpy()]
-            if len(req) and len(lk):
-                pos = np.searchsorted(lk, req["jkey"].to_numpy())
+            lv = cluster[is_lab][order]
+            out_id = [jkey[is_lab]]
+            out_cl = [cluster[is_lab]]
+            n_req = int((~is_lab).sum())
+            if n_req and len(lk):
+                pos = np.searchsorted(lk, jkey[~is_lab])
                 pos = np.clip(pos, 0, len(lk) - 1)
-                out_id.append(req["other"].to_numpy())
+                out_id.append(other[~is_lab])
                 out_cl.append(lv[pos])
-            return pd.DataFrame(
-                {"doc_id": np.concatenate(out_id), "cluster": np.concatenate(out_cl)}
+            return pa.table(
+                {
+                    "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                    "cluster": pa.array(np.concatenate(out_cl), pa.int64()),
+                }
             )
 
         u = (
@@ -1120,7 +1136,7 @@ def connected_components(
             )
             .map_batches(bucketed, batch_format="pyarrow", batch_size=None)
             .groupby("bucket")
-            .map_groups(propagate, batch_format="pandas")
+            .map_groups(propagate, batch_format="pyarrow")
         )
         labels = min_per_doc(u).materialize()
         cur = labels.aggregate(Sum("cluster"))["sum(cluster)"]
