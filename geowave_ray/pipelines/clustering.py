@@ -764,14 +764,14 @@ def dbscan_exact(
         bk = mix64(key.astype(np.uint64)) % np.uint64(n_buckets)
         return t.append_column("bucket", pa.array(bk.astype(np.int64), pa.int64()))
 
-    def local(g: pd.DataFrame) -> pd.DataFrame:
-        tiles = g["tile"].to_numpy()
+    def local(g: pa.Table) -> pa.Table:
+        tiles = g.column("tile").to_numpy()
         order = np.argsort(tiles, kind="mergesort")
         tiles = tiles[order]
-        x = g["x"].to_numpy()[order]
-        y = g["y"].to_numpy()[order]
-        pid = g["pid"].to_numpy()[order]
-        role = g["role"].to_numpy()[order]
+        x = g.column("x").to_numpy()[order]
+        y = g.column("y").to_numpy()[order]
+        pid = g.column("pid").to_numpy()[order]
+        role = g.column("role").to_numpy()[order]
         out_a, out_b, out_kind = [], [], []
         for s, e in _segments(tiles):
             (cpid, croot, chome), (bpid, broot), noise = _tile_local_dbscan(
@@ -791,14 +791,18 @@ def dbscan_exact(
             out_b.append(np.full(len(noise), -1, np.int64))
             out_kind.append(np.full(len(noise), 2, np.int8))
         if not out_a:
-            return pd.DataFrame({"a": [], "b": [], "kind": []}).astype(
-                {"a": np.int64, "b": np.int64, "kind": np.int8}
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int8()),
+                }
             )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "a": np.concatenate(out_a).astype(np.int64),
-                "b": np.concatenate(out_b).astype(np.int64),
-                "kind": np.concatenate(out_kind),
+                "a": pa.array(np.concatenate(out_a).astype(np.int64), pa.int64()),
+                "b": pa.array(np.concatenate(out_b).astype(np.int64), pa.int64()),
+                "kind": pa.array(np.concatenate(out_kind), pa.int8()),
             }
         )
 
@@ -806,7 +810,7 @@ def dbscan_exact(
         points.map_batches(tile_rows, batch_format="pyarrow", batch_size=None)
         .repartition(n_buckets // 4)
         .groupby("bucket")
-        .map_groups(local, batch_format="pandas")
+        .map_groups(local, batch_format="pyarrow")
         .materialize()
     )
 
@@ -815,9 +819,9 @@ def dbscan_exact(
         bk = mix64(b.column("a").to_numpy().astype(np.uint64)) % np.uint64(n_buckets)
         return b.append_column("cbk", pa.array(bk.astype(np.int64), pa.int64()))
 
-    def merge_edges(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["a"].to_numpy()
-        roots = g["b"].to_numpy()
+    def merge_edges(g: pa.Table) -> pa.Table:
+        ids = g.column("a").to_numpy()
+        roots = g.column("b").to_numpy()
         order = np.lexsort((roots, ids))
         ids, roots = ids[order], roots[order]
         # per pid: pair its min root with every other distinct root
@@ -826,15 +830,20 @@ def dbscan_exact(
         seg_min = roots[np.flatnonzero(first)]
         seg_idx = np.cumsum(first) - 1
         other = roots != seg_min[seg_idx]
-        return pd.DataFrame(
-            {"ra": seg_min[seg_idx[other]], "rb": roots[other]}
-        ).drop_duplicates()
+        ra, rb = seg_min[seg_idx[other]], roots[other]
+        uniq = np.unique(np.stack([ra, rb], axis=1), axis=0) if len(ra) else np.empty((0, 2), np.int64)
+        return pa.table(
+            {
+                "ra": pa.array(uniq[:, 0].astype(np.int64), pa.int64()),
+                "rb": pa.array(uniq[:, 1].astype(np.int64), pa.int64()),
+            }
+        )
 
     pairs = (
         tagged.filter(expr="kind == 0")
         .map_batches(claim_buckets, batch_format="pyarrow", batch_size=None)
         .groupby("cbk")
-        .map_groups(merge_edges, batch_format="pandas")
+        .map_groups(merge_edges, batch_format="pyarrow")
         .to_pandas()
     )
     if "ra" not in pairs.columns:  # no cross-tile clusters anywhere

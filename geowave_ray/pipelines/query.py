@@ -256,26 +256,27 @@ def subsample_by_cell(
 
     Scale shape: per-batch local subsample (combiner), shuffle by cell
     BUCKET, vectorized in-bucket drop_duplicates — bounded group count."""
-    import pandas as pd
+    def _first_per_cell(t: pa.Table) -> pa.Table:
+        cell = t.column("cell_id").to_numpy()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cell))
+        keep = np.ones(len(order), dtype=bool)
+        cs = cell[order]
+        keep[1:] = cs[1:] != cs[:-1]
+        return t.take(pa.array(order[keep]))
 
     def local(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(["cell_id", id_col], kind="mergesort").drop_duplicates(
-            "cell_id", keep="first"
-        )
-        df["bucket"] = df["cell_id"].to_numpy() % np.int64(n_buckets)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        t = _first_per_cell(batch)
+        bk = t.column("cell_id").to_numpy() % np.int64(n_buckets)
+        return t.append_column("bucket", pa.array(bk, pa.int64()))
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cell_id", id_col], kind="mergesort").drop_duplicates(
-            "cell_id", keep="first"
-        )
-        return g.drop(columns=["bucket"])
+    def first(g: pa.Table) -> pa.Table:
+        return _first_per_cell(g).drop_columns(["bucket"])
 
     return (
         pages_with_cells.map_batches(local, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
-        .map_groups(first, batch_format="pandas")
+        .map_groups(first, batch_format="pyarrow")
     )
 
 

@@ -94,22 +94,28 @@ def range_join_count(
         .repartition(_xb())
     )
 
-    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
-        lmask = g["side"].to_numpy() == 0
-        vs = np.sort(g["v"].to_numpy()[lmask].astype(np.int64))
-        iv = g[~lmask]
-        if len(iv) == 0 or len(vs) == 0:
-            return pd.DataFrame({right_id: pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)})
-        binno = int(g["bin"].iloc[0])
+    def group_fn(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy()
+        lmask = side == 0
+        vs = np.sort(g.column("v").to_numpy()[lmask].astype(np.int64))
+        rmask = ~lmask
+        rid_t = g.column("rid").filter(pa.array(rmask))
+        if rmask.sum() == 0 or len(vs) == 0:
+            return pa.table(
+                {right_id: pa.array([], rid_t.type), "n": pa.array([], pa.int64())}
+            )
+        binno = int(g.column("bin")[0].as_py())
         bin_start = d0 + binno * width
         bin_end = bin_start + width
-        lo = np.maximum(iv["lo"].to_numpy().astype(np.int64), bin_start)
-        hi = np.minimum(iv["hi"].to_numpy().astype(np.int64), bin_end)
+        lo = np.maximum(g.column("lo").to_numpy()[rmask].astype(np.int64), bin_start)
+        hi = np.minimum(g.column("hi").to_numpy()[rmask].astype(np.int64), bin_end)
         n = np.searchsorted(vs, hi, side="left") - np.searchsorted(vs, lo, side="left")
         keep = n > 0
-        return pd.DataFrame({right_id: iv["rid"].to_numpy()[keep], "n": n[keep]})
+        return pa.table(
+            {right_id: rid_t.filter(pa.array(keep)), "n": pa.array(n[keep], pa.int64())}
+        )
 
-    partial = u.groupby("bin").map_groups(group_fn, batch_format="pandas")
+    partial = u.groupby("bin").map_groups(group_fn, batch_format="pyarrow")
     return tree_aggregate(partial, [right_id], {"n": "sum"})
 
 

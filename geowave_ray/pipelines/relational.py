@@ -80,16 +80,16 @@ def anti_join_keys(
     _check_int_key(left, left_key)
     _check_int_key(right, right_key)
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        keys = g["key"].to_numpy()
-        side = g["side"].to_numpy()
+    def emit(g: pa.Table) -> pa.Table:
+        keys = g.column("key").to_numpy()
+        side = g.column("side").to_numpy()
         lk = np.unique(keys[side == 0])
         rk = np.unique(keys[side == 1])
         keep = lk[~np.isin(lk, rk)]
-        out = pd.Series(keep, dtype="Int64")
+        arr = pa.array(keep, pa.int64())
         if (side == 2).any():  # null left keys: NOT EXISTS is true
-            out = pd.concat([out, pd.Series([pd.NA], dtype="Int64")])
-        return pd.DataFrame({out_name: out})
+            arr = pa.concat_arrays([arr, pa.nulls(1, pa.int64())])
+        return pa.table({out_name: arr})
 
     tagged = _tagged(left, left_key, 0, n_buckets, keep_nulls=True).union(
         _tagged(right, right_key, 1, n_buckets)
@@ -97,7 +97,7 @@ def anti_join_keys(
     return (
         tagged.repartition(_xb())
         .groupby("bucket")
-        .map_groups(emit, batch_format="pandas")
+        .map_groups(emit, batch_format="pyarrow")
     )
 
 
@@ -112,12 +112,12 @@ def semi_join_keys(
     """Distinct left keys WITH at least one matching right key."""
     out_name = out_col or left_key
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        keys = g["key"].to_numpy()
-        side = g["side"].to_numpy()
+    def emit(g: pa.Table) -> pa.Table:
+        keys = g.column("key").to_numpy()
+        side = g.column("side").to_numpy()
         lk = np.unique(keys[side == 0])
         rk = np.unique(keys[side == 1])
-        return pd.DataFrame({out_name: lk[np.isin(lk, rk)]})
+        return pa.table({out_name: pa.array(lk[np.isin(lk, rk)], pa.int64())})
 
     tagged = _tagged(left, left_key, 0, n_buckets).union(
         _tagged(right, right_key, 1, n_buckets)
@@ -125,7 +125,7 @@ def semi_join_keys(
     return (
         tagged.repartition(_xb())
         .groupby("bucket")
-        .map_groups(emit, batch_format="pandas")
+        .map_groups(emit, batch_format="pyarrow")
     )
 
 

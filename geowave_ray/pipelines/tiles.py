@@ -151,6 +151,14 @@ def _resample_to_tiles(batch: pa.Table) -> pa.Table:
     )
 
 
+def _list_matrix(col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
+    """(n, TILE*TILE-ish) float64 view of a list<double> column — the
+    zero-copy flatten idiom (no per-row .as_py / pandas object arrays)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+
+
 def merge_tiles(
     chunks: ray.data.Dataset, strategy: str = "sum"
 ) -> ray.data.Dataset:
@@ -162,27 +170,30 @@ def merge_tiles(
     """
     contrib = chunks.map_batches(_resample_to_tiles, batch_format="pyarrow", batch_size=None)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        acc = np.zeros(TILE_SIZE * TILE_SIZE, dtype=np.float64)
-        cnt = np.zeros(TILE_SIZE * TILE_SIZE, dtype=np.float64)
-        for p, c in zip(g["pixels"], g["counts"]):
-            acc += np.asarray(p, dtype=np.float64)
-            cnt += np.asarray(c, dtype=np.float64)
+    def merge(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        P = _list_matrix(g.column("pixels"), n)
+        C = _list_matrix(g.column("counts"), n)
+        acc = np.zeros(P.shape[1], dtype=np.float64)
+        cnt = np.zeros(P.shape[1], dtype=np.float64)
+        for i in range(n):  # row-sequential adds keep the float order
+            acc += P[i]
+            cnt += C[i]
         if strategy == "avg":
             with np.errstate(invalid="ignore", divide="ignore"):
                 acc = np.where(cnt > 0, acc / cnt, 0.0)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "level": [int(g["level"].iloc[0])],
-                "tile_x": [int(g["tile_x"].iloc[0])],
-                "tile_y": [int(g["tile_y"].iloc[0])],
-                "n_contrib": [len(g)],
-                "pixels": [acc],
+                "level": pa.array([int(g.column("level")[0].as_py())], pa.int64()),
+                "tile_x": pa.array([int(g.column("tile_x")[0].as_py())], pa.int64()),
+                "tile_y": pa.array([int(g.column("tile_y")[0].as_py())], pa.int64()),
+                "n_contrib": pa.array([n], pa.int64()),
+                "pixels": pa.array([acc], pa.list_(pa.float64())),
             }
         )
 
     return contrib.groupby(["level", "tile_x", "tile_y"]).map_groups(
-        merge, batch_format="pandas"
+        merge, batch_format="pyarrow"
     )
 
 
@@ -291,28 +302,30 @@ def merge_tiles_nodata(chunks: ray.data.Dataset) -> ray.data.Dataset:
     """
     contrib = chunks.map_batches(_resample_mb, batch_format="pyarrow", batch_size=None)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("seq", ascending=False, kind="mergesort")
-        nodata = float(g["nodata"].iloc[0])
-        vals = np.stack([np.asarray(p, dtype=np.float64) for p in g["pixels"]])
+    def merge(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        seq = g.column("seq").to_numpy()
+        order = np.argsort(-seq, kind="stable")
+        nodata = float(g.column("nodata")[0].as_py())
+        vals = _list_matrix(g.column("pixels"), n)[order]
         mask = vals != nodata
         first = mask.argmax(axis=0)
         any_ = mask.any(axis=0)
         out = np.where(any_, vals[first, np.arange(vals.shape[1])], nodata)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "level": [int(g["level"].iloc[0])],
-                "tile_x": [int(g["tile_x"].iloc[0])],
-                "tile_y": [int(g["tile_y"].iloc[0])],
-                "bands": [int(g["bands"].iloc[0])],
-                "nodata": [nodata],
-                "n_contrib": [len(g)],
-                "pixels": [out],
+                "level": pa.array([int(g.column("level")[0].as_py())], pa.int64()),
+                "tile_x": pa.array([int(g.column("tile_x")[0].as_py())], pa.int64()),
+                "tile_y": pa.array([int(g.column("tile_y")[0].as_py())], pa.int64()),
+                "bands": pa.array([int(g.column("bands")[0].as_py())], pa.int64()),
+                "nodata": pa.array([nodata], pa.float64()),
+                "n_contrib": pa.array([n], pa.int64()),
+                "pixels": pa.array([out], pa.list_(pa.float64())),
             }
         )
 
     return contrib.groupby(["level", "tile_x", "tile_y"]).map_groups(
-        merge, batch_format="pandas"
+        merge, batch_format="pyarrow"
     )
 
 
@@ -362,22 +375,24 @@ def pyramid_up(tiles: ray.data.Dataset) -> ray.data.Dataset:
 
     contrib = tiles.map_batches(to_parent, batch_format="pyarrow", batch_size=None)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        acc = np.zeros(TILE_SIZE * TILE_SIZE, dtype=np.float64)
-        for p in g["pixels"]:
-            acc += np.asarray(p, dtype=np.float64)
-        return pd.DataFrame(
+    def merge(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        P = _list_matrix(g.column("pixels"), n)
+        acc = np.zeros(P.shape[1], dtype=np.float64)
+        for i in range(n):
+            acc += P[i]
+        return pa.table(
             {
-                "level": [int(g["level"].iloc[0])],
-                "tile_x": [int(g["tile_x"].iloc[0])],
-                "tile_y": [int(g["tile_y"].iloc[0])],
-                "n_contrib": [len(g)],
-                "pixels": [acc],
+                "level": pa.array([int(g.column("level")[0].as_py())], pa.int64()),
+                "tile_x": pa.array([int(g.column("tile_x")[0].as_py())], pa.int64()),
+                "tile_y": pa.array([int(g.column("tile_y")[0].as_py())], pa.int64()),
+                "n_contrib": pa.array([n], pa.int64()),
+                "pixels": pa.array([acc], pa.list_(pa.float64())),
             }
         )
 
     return contrib.groupby(["level", "tile_x", "tile_y"]).map_groups(
-        merge, batch_format="pandas"
+        merge, batch_format="pyarrow"
     )
 
 

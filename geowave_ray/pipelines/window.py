@@ -28,17 +28,32 @@ def lag_per_key(
     tie-break by id). Equivalent to SQL ``lag() OVER (PARTITION BY key
     ORDER BY ts, id)``."""
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col], kind="mergesort")
-        out = {key_col: g[key_col], id_col: g[id_col],
-               # -1 sentinel instead of null: avoids NA-representation
-               # ambiguity across engines (SQL side uses coalesce(.., -1))
-               "prev_" + id_col: g[id_col].shift(1, fill_value=-1).astype("int64")}
+    def fn(g: pa.Table) -> pa.Table:
+        ts = g.column(ts_col).to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy()
+        order = np.lexsort((ids, ts))
+        take = pa.array(order)
+        ids_sorted = ids[order]
+        # -1 sentinel instead of null: avoids NA-representation
+        # ambiguity across engines (SQL side uses coalesce(.., -1))
+        prev = np.empty(len(order), np.int64)
+        if len(prev):
+            prev[0] = -1
+            prev[1:] = ids_sorted[:-1]
+        out = {
+            key_col: g.column(key_col).take(take),
+            id_col: pa.array(ids_sorted, pa.int64()),
+            "prev_" + id_col: pa.array(prev, pa.int64()),
+        }
         if value_col:
-            out["prev_" + value_col] = g[value_col].shift(1)
-        return pd.DataFrame(out)
+            v = g.column(value_col).take(take)
+            v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+            out["prev_" + value_col] = pa.concat_arrays(
+                [pa.nulls(min(1, len(v)), v.type), v.slice(0, max(len(v) - 1, 0))]
+            )
+        return pa.table(out)
 
-    return ds.groupby(key_col).map_groups(fn, batch_format="pandas")
+    return ds.groupby(key_col).map_groups(fn, batch_format="pyarrow")
 
 
 def sliding_window_counts(
@@ -138,17 +153,22 @@ def asof_join(
         right.map_batches(tag(1, right_id), batch_format="pyarrow", batch_size=None)
     )
 
-    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
-        lmask = g["side"].to_numpy() == 0
-        lk = g["key"].to_numpy()[lmask]
-        lts = g["ts"].to_numpy()[lmask]
-        lid = g["rid"].to_numpy()[lmask]
-        rk = g["key"].to_numpy()[~lmask]
-        rts = g["ts"].to_numpy()[~lmask]
-        rid = g["rid"].to_numpy()[~lmask]
+    def group_fn(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy()
+        key = g.column("key").to_numpy()
+        tsv = g.column("ts").to_numpy()
+        ridv = g.column("rid").to_numpy()
+        lmask = side == 0
+        lk, lts, lid = key[lmask], tsv[lmask], ridv[lmask]
+        rk, rts, rid = key[~lmask], tsv[~lmask], ridv[~lmask]
         if len(rk) == 0:
-            return pd.DataFrame(
-                {left_id: lid, "asof_" + right_id: np.full(len(lid), -1, np.int64)}
+            return pa.table(
+                {
+                    left_id: pa.array(lid, pa.int64()),
+                    "asof_" + right_id: pa.array(
+                        np.full(len(lid), -1, np.int64), pa.int64()
+                    ),
+                }
             )
         # right side sorted by (key, ts, id): for each left (key, ts)
         # the predecessor position is the latest eligible right row,
@@ -160,7 +180,12 @@ def asof_join(
         match = np.full(len(lid), -1, np.int64)
         ok = valid & (rk[np.clip(pos, 0, None)] == lk)
         match[ok] = rid[pos[ok]]
-        return pd.DataFrame({left_id: lid, "asof_" + right_id: match})
+        return pa.table(
+            {
+                left_id: pa.array(lid, pa.int64()),
+                "asof_" + right_id: pa.array(match, pa.int64()),
+            }
+        )
 
     def _combined(k: np.ndarray, ts: np.ndarray) -> np.ndarray:
         # strict lexicographic (key, ts) as structured array — avoids
@@ -170,4 +195,4 @@ def asof_join(
         out["t"] = ts
         return out
 
-    return u.groupby("bucket").map_groups(group_fn, batch_format="pandas")
+    return u.groupby("bucket").map_groups(group_fn, batch_format="pyarrow")

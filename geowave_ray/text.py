@@ -751,18 +751,18 @@ def top_ngrams(ds, n: int = 2, k: int = 20, exchange_blocks: int | None = None):
              "bucket": pa.array(bucket, pa.int64())}
         )
 
-    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        tot = g.groupby("gram", sort=False)["cnt"].sum().reset_index()
-        tot = tot.sort_values(
-            ["cnt", "gram"], ascending=[False, True], kind="mergesort"
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        tot = pa.TableGroupBy(g, "gram").aggregate([("cnt", "sum")])
+        tot = tot.rename_columns(["gram", "cnt"]).sort_by(
+            [("cnt", "descending"), ("gram", "ascending")]
         )
-        return tot.head(k)
+        return tot.slice(0, k)
 
     rows = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .repartition(exchange_blocks)
         .groupby("bucket")
-        .map_groups(bucket_topk, batch_format="pandas")
+        .map_groups(bucket_topk, batch_format="pyarrow")
         .take_all()
     )
     merged = pd.DataFrame(rows, columns=["gram", "cnt"])
