@@ -26,9 +26,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 
-from .hashing import hash_utf8, mix64, tokenize_hash
+from .hashing import hash_utf8, mix64, mix64_inplace, tokenize_hash
 from .util import exchange_blocks
 
 # Block count fed into each bucketed exchange: Ray's sort-based
@@ -232,6 +233,9 @@ def dedup_keep_best(
     return _two_pass_dedup(docs, keep_best, id_col, n_buckets)
 
 
+_MINHASH_SCRATCH: dict[int, np.ndarray] = {}
+
+
 def minhash_batch(
     batch: pa.Table, num_perm: int = 64, shingle_n: int = 3, text_col: str = "text"
 ) -> pa.Table:
@@ -245,9 +249,18 @@ def minhash_batch(
     if len(sh):
         starts = np.searchsorted(sh_doc, np.arange(n_docs, dtype=np.int64))
         chunk = 1 << 16
+        # per-process reused (num_perm, chunk) scratch: the xor+mix
+        # temporaries were 2 x 32 MB of FRESH pages per chunk — a
+        # multi-second first-touch tax per Ray worker (see hashing.py)
+        buf = _MINHASH_SCRATCH.get(num_perm)
+        if buf is None:
+            buf = np.empty((num_perm, chunk), np.uint64)
+            _MINHASH_SCRATCH[num_perm] = buf
         for lo in range(0, len(sh), chunk):
             hi = min(lo + chunk, len(sh))
-            vals = mix64(sh[None, lo:hi] ^ seeds[:, None])
+            vals = buf[:, : hi - lo]
+            np.bitwise_xor(sh[None, lo:hi], seeds[:, None], out=vals)
+            mix64_inplace(vals)
             d0 = int(np.searchsorted(starts, lo, side="right")) - 1
             d1 = int(np.searchsorted(starts, hi, side="left"))
             local = np.maximum(starts[d0:d1], lo) - lo
@@ -440,8 +453,10 @@ def minhash_lsh_pairs(
       traffic dominates the per-exchange round cost.
     """
     rows_per_band = num_perm // bands
+    n_docs = None
     if fused is None:
-        fused = docs.count() <= 100_000
+        n_docs = docs.count()
+        fused = n_docs <= 100_000
     if fused:
         return _minhash_lsh_fused(
             docs, num_perm, bands, shingle_n, jaccard_threshold,
@@ -564,12 +579,81 @@ def minhash_lsh_pairs(
         .map_groups(emit_candidates, batch_format="pyarrow")
     )
 
-    # verify: re-attach signatures endpoint by endpoint via bounded
-    # bucket cogroups (hash-join pattern: union(label rows, probe
-    # rows) grouped on the key bucket, vectorized searchsorted inside).
-    # Duplicate candidate pairs (found in several bands) share doc_a,
-    # hence a bucket — the first attach dedupes them in-group, saving a
-    # dedicated dedup exchange.
+    # verify: candidates need both endpoints' signatures. Two plans:
+    #
+    # - BROADCAST (chosen when the sig matrix fits comfortably in the
+    #   object store, <= ~4 GB): the materialized signatures are pinned
+    #   ONCE via ray.put as a sorted (ids, matrix) pair and every score
+    #   task reads them zero-copy — the two 8*num_perm B/doc label
+    #   exchanges disappear entirely (measured: they dominated LSH wall
+    #   at 4M docs, 2.1 GB each). Candidate pairs still dedupe through
+    #   one ids-only bucket exchange.
+    # - COGROUP (the 100-TB plan): signatures re-attach endpoint by
+    #   endpoint via bounded bucket cogroups (hash-join pattern);
+    #   nothing is ever collected in one place.
+    if n_docs is None:
+        n_docs = docs.count()
+    if n_docs * num_perm * 8 <= 4_000_000_000:
+        from .util import exchange_blocks as _xb2
+
+        tbl = pa.concat_tables(ray.get(sigs.to_arrow_refs()))
+        ids_all = tbl.column("doc_id").to_numpy()
+        mat = _sig_matrix(tbl.column("minhash"), num_perm)
+        order = np.argsort(ids_all)
+        ids_ref = ray.put(np.ascontiguousarray(ids_all[order]))
+        mat_ref = ray.put(np.ascontiguousarray(mat[order]))
+        del tbl, mat
+
+        def pair_bucket(b: pa.Table) -> pa.Table:
+            bk = mix64(b.column("doc_a").to_numpy().astype(np.uint64)) % np.uint64(
+                n_buckets
+            )
+            return b.append_column("bucket", pa.array(bk.astype(np.int64), pa.int64()))
+
+        def pair_dedupe(g: pa.Table) -> pa.Table:
+            da = g.column("doc_a").to_numpy()
+            db = g.column("doc_b").to_numpy()
+            order = np.lexsort((db, da))
+            keep = np.ones(len(order), bool)
+            keep[1:] = (da[order][1:] != da[order][:-1]) | (
+                db[order][1:] != db[order][:-1]
+            )
+            return g.take(pa.array(np.sort(order[keep]))).drop_columns(["bucket"])
+
+        uniq_pairs = (
+            cands.map_batches(pair_bucket, batch_format="pyarrow", batch_size=None)
+            .repartition(_xb2())
+            .groupby("bucket")
+            .map_groups(pair_dedupe, batch_format="pyarrow")
+        )
+
+        def score_broadcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"doc_a": pa.array([], pa.int64()),
+                     "doc_b": pa.array([], pa.int64()),
+                     "sim": pa.array([], pa.float64())}
+                )
+            ids_s = ray.get(ids_ref)
+            M = ray.get(mat_ref)
+            da = batch.column("doc_a").to_numpy()
+            db = batch.column("doc_b").to_numpy()
+            ia = np.searchsorted(ids_s, da)
+            ib = np.searchsorted(ids_s, db)
+            sim = (M[ia] == M[ib]).mean(axis=1)
+            keep = sim >= jaccard_threshold
+            return pa.table(
+                {
+                    "doc_a": batch.column("doc_a").filter(pa.array(keep)),
+                    "doc_b": batch.column("doc_b").filter(pa.array(keep)),
+                    "sim": pa.array(sim[keep], pa.float64()),
+                }
+            )
+
+        return uniq_pairs.map_batches(
+            score_broadcast, batch_format="pyarrow", batch_size=None
+        )
+
     verified = _attach_sig(
         cands, sigs, "doc_a", "sig_a", num_perm, n_buckets, dedupe_pairs=True
     )

@@ -36,6 +36,19 @@ def mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def mix64_inplace(x: np.ndarray) -> np.ndarray:
+    """mix64 mutating ``x`` (uint64) in place — no transient copies
+    (see the chunked-scratch note above: fresh large temporaries are a
+    per-worker page-fault tax in this sandbox)."""
+    with np.errstate(**_ERRSTATE):
+        x ^= x >> np.uint64(33)
+        x *= _M1
+        x ^= x >> np.uint64(33)
+        x *= _M2
+        x ^= x >> np.uint64(33)
+    return x
+
+
 def _powers(n: int) -> np.ndarray:
     """[P^0, P^1, ..., P^(n-1)] mod 2**64."""
     out = np.ones(max(n, 1), dtype=np.uint64)

@@ -146,27 +146,25 @@ def hotspot_blobs(
             }
         )
 
-    def label_tile(g: pd.DataFrame) -> pd.DataFrame:
-        tk = int(g["tile_key"].iloc[0])
+    _COLS = ["groot", "kind", "n_cells", "n_pages", "min_cx", "min_cy",
+             "max_cx", "max_cy", "bcx", "bcy"]
+
+    def label_tile(g: pa.Table) -> pa.Table:
+        tk = int(g.column("tile_key")[0].as_py())
         tx0 = (tk % tiles_per_row) * tile
         ty0 = (tk // tiles_per_row) * tile
-        tot = g.groupby("cell_key", sort=False)["n_part"].sum()
-        keys = tot.index.to_numpy()
-        cnts = tot.to_numpy()
+        k_all = g.column("cell_key").to_numpy()
+        n_all = g.column("n_part").to_numpy()
+        order = np.argsort(k_all, kind="stable")
+        ks, ns = k_all[order], n_all[order]
+        firsts = np.ones(len(ks), bool)
+        firsts[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(firsts)
+        keys = ks[starts]
+        cnts = np.add.reduceat(ns, starts) if len(ns) else np.empty(0, np.int64)
         hot = cnts >= min_count
         keys, cnts = keys[hot], cnts[hot]
-        empty = pd.DataFrame({
-            "groot": pd.Series([], dtype=np.int64),
-            "kind": pd.Series([], dtype=np.int64),
-            "n_cells": pd.Series([], dtype=np.int64),
-            "n_pages": pd.Series([], dtype=np.int64),
-            "min_cx": pd.Series([], dtype=np.int64),
-            "min_cy": pd.Series([], dtype=np.int64),
-            "max_cx": pd.Series([], dtype=np.int64),
-            "max_cy": pd.Series([], dtype=np.int64),
-            "bcx": pd.Series([], dtype=np.int64),
-            "bcy": pd.Series([], dtype=np.int64),
-        })
+        empty = pa.table({c: pa.array([], pa.int64()) for c in _COLS})
         if len(keys) == 0:
             return empty
         cx = (keys % n - tx0).astype(np.int64)
@@ -187,33 +185,42 @@ def hotspot_blobs(
                 break
             lab = m
         roots = lab[cy, cx]
-        df = pd.DataFrame({
-            "groot": roots, "n_pages": cnts,
-            "cx": keys % n, "cy": keys // n,
-        })
-        summ = df.groupby("groot").agg(
-            n_cells=("groot", "size"), n_pages=("n_pages", "sum"),
-            min_cx=("cx", "min"), min_cy=("cy", "min"),
-            max_cx=("cx", "max"), max_cy=("cy", "max"),
-        ).reset_index()
-        summ["kind"] = 0
-        summ["bcx"] = -1
-        summ["bcy"] = -1
+        gcx, gcy = keys % n, keys // n
+        ro = np.argsort(roots, kind="stable")
+        rs = roots[ro]
+        rfirst = np.ones(len(rs), bool)
+        rfirst[1:] = rs[1:] != rs[:-1]
+        rstarts = np.flatnonzero(rfirst)
+        uroot = rs[rstarts]
+        seg_n = np.diff(np.r_[rstarts, len(rs)])
+        n_pages = np.add.reduceat(cnts[ro], rstarts)
+        min_cx = np.minimum.reduceat(gcx[ro], rstarts)
+        min_cy = np.minimum.reduceat(gcy[ro], rstarts)
+        max_cx = np.maximum.reduceat(gcx[ro], rstarts)
+        max_cy = np.maximum.reduceat(gcy[ro], rstarts)
         edge = (cx == 0) | (cx == tile - 1) | (cy == 0) | (cy == tile - 1)
-        bnd = pd.DataFrame({
-            "groot": roots[edge], "kind": 1,
-            "n_cells": 0, "n_pages": 0,
-            "min_cx": -1, "min_cy": -1, "max_cx": -1, "max_cy": -1,
-            "bcx": (keys % n)[edge], "bcy": (keys // n)[edge],
-        })
-        out = pd.concat([summ, bnd], ignore_index=True)
-        return out[list(empty.columns)].astype({c: np.int64 for c in empty.columns})
+        ne = int(edge.sum())
+        neg1 = np.full(ne, -1, np.int64)
+        vals = {
+            "groot": np.concatenate([uroot, roots[edge]]),
+            "kind": np.concatenate([np.zeros(len(uroot), np.int64),
+                                    np.ones(ne, np.int64)]),
+            "n_cells": np.concatenate([seg_n, np.zeros(ne, np.int64)]),
+            "n_pages": np.concatenate([n_pages, np.zeros(ne, np.int64)]),
+            "min_cx": np.concatenate([min_cx, neg1]),
+            "min_cy": np.concatenate([min_cy, neg1]),
+            "max_cx": np.concatenate([max_cx, neg1]),
+            "max_cy": np.concatenate([max_cy, neg1]),
+            "bcx": np.concatenate([np.full(len(uroot), -1, np.int64), gcx[edge]]),
+            "bcy": np.concatenate([np.full(len(uroot), -1, np.int64), gcy[edge]]),
+        }
+        return pa.table({c: pa.array(vals[c].astype(np.int64), pa.int64()) for c in _COLS})
 
     rows = (
         pages.map_batches(cells, batch_format="pyarrow", batch_size=None)
         .repartition(_xb())
         .groupby("tile_key")
-        .map_groups(label_tile, batch_format="pandas")
+        .map_groups(label_tile, batch_format="pyarrow")
         .to_pandas()
     )
     summ = rows[rows["kind"] == 0]

@@ -214,7 +214,7 @@ def dataset_hll_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> floa
 
     def partial(batch: pa.Table) -> pa.Table:
         h = HyperLogLog(p)
-        h.add(batch.column(column).to_pylist())
+        h.add(batch.column(column))  # Arrow column -> vectorized hash
         return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
@@ -628,14 +628,15 @@ def dataset_hll_distinct_binned(
         import numpy as _np
 
         bins = batch.column(bin_col).to_numpy(zero_copy_only=False)
-        vals = batch.column(column).to_pylist()
+        hashed = _hash64(batch.column(column))  # whole column, one pass
         out_bin, out_sk = [], []
         order = _np.argsort(bins, kind="stable")
         sb = bins[order]
+        hs = hashed[order]
         cuts = _np.flatnonzero(_np.r_[True, sb[1:] != sb[:-1]])
         for s, e in zip(cuts, _np.r_[cuts[1:], len(sb)]):
             h = HyperLogLog(p)
-            h.add([vals[i] for i in order[s:e]])
+            h.add_hashed(hs[s:e])
             out_bin.append(sb[s])
             out_sk.append(h.to_bytes())
         return pa.table(
