@@ -2742,6 +2742,34 @@ def q_docs_score(sf_dir: str):
     return score_documents(docs, concurrency=2)
 
 
+def q_docs_line_dedup(sf_dir: str):
+    """Within-doc duplicate-line removal (RefinedWeb "remove repeated
+    lines within a page" role): duplicate lines are synthesized
+    DETERMINISTICALLY — each doc's first line is prepended and appended
+    (line1 \n text \n line1) — then deduped; both sides build the
+    same input from the raw table, so the dedup semantics (first
+    occurrence, order preserved) are checked byte-for-byte."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from geowave_ray.text import remove_dup_lines
+
+    docs = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        first = pc.list_element(pc.split_pattern(t, "\n"), 0)
+        nl = pa.scalar("\n", t.type)
+        t2 = pc.binary_join_element_wise(first, t, first, nl)
+        return pa.table({"doc_id": b.column("doc_id"), "text": t2})
+
+    return remove_dup_lines(
+        docs.map_batches(synth, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def q_url_canonicalize(sf_dir: str):
     """URL canonicalization (scheme/host case, default ports,
     fragments, tracking params, param order, trailing slashes) —
@@ -3832,6 +3860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_perplexity": q_docs_perplexity,
         "docs_scrub_spans": q_docs_scrub_spans,
         "docs_para_dedup": q_docs_para_dedup,
+        "docs_line_dedup": q_docs_line_dedup,
         "url_canonicalize": q_url_canonicalize,
         "url_canonical_dedup": q_url_canonical_dedup,
         "docs_novel": q_docs_novel,
@@ -5479,6 +5508,30 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS nk
               FROM keep GROUP BY doc_id
             ) k USING (doc_id)
+        """,
+        # within-doc line dedup over the synthesized
+        # line1\ntext\nline1 input; group-by-(doc,line) min ordinal
+        "docs_line_dedup": f"""
+            WITH src AS (
+              SELECT doc_id,
+                     string_split(text, chr(10))[1] || chr(10) || text
+                       || chr(10) || string_split(text, chr(10))[1] AS text
+              FROM documents
+            ), l AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS ord,
+                     len(string_split(text, chr(10))) AS n_lines
+              FROM src
+            ), f AS (
+              SELECT doc_id, line, min(ord) AS ord, any_value(n_lines) AS n_lines
+              FROM l GROUP BY doc_id, line
+            )
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY ord) AS text,
+                   any_value(n_lines) AS n_lines,
+                   count(*) AS n_kept
+            FROM f GROUP BY doc_id
         """,
         "docs_para_dedup": f"""
             WITH p AS (

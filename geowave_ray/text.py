@@ -1161,3 +1161,62 @@ def mixture_sample(
         .groupby("_bucket")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def remove_dup_lines(
+    docs: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Within-document duplicate-line removal (the RefinedWeb /
+    CCNet-style "remove repeated lines within a page" cleanup; the
+    reference has no text ops — this extends the engine's LLM-corpus
+    surface). Each document keeps the FIRST occurrence of every
+    distinct line, preserving original line order. Purely map-side
+    (zero shuffle): per batch, one split -> dictionary-encode ->
+    first-occurrence mask -> list rebuild + join, no per-row Python.
+
+    Exactness: dedup keys are the line TEXTS (dictionary codes), not
+    hashes — no collision caveat; the SQL oracle's
+    group-by-(doc, line) min-ordinal replica matches byte-for-byte.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lst = pc.split_pattern(texts, "\n")
+        flat = pc.list_flatten(lst)
+        counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        n_docs = len(counts)
+        doc = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        codes = (
+            pc.dictionary_encode(flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # first occurrence of (doc, code), preserving original order:
+        # lexsort by (code, doc) finds firsts; keep mask back in
+        # original positions keeps ordering stable
+        order = np.lexsort((np.arange(len(doc)), codes, doc))
+        ds_, cs_ = doc[order], codes[order]
+        first = np.ones(len(order), bool)
+        first[1:] = (ds_[1:] != ds_[:-1]) | (cs_[1:] != cs_[:-1])
+        keep = np.zeros(len(doc), bool)
+        keep[order[first]] = True
+        kept_counts = np.bincount(doc[keep], minlength=n_docs).astype(np.int64)
+        offsets = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(kept_counts, out=offsets[1:])
+        kept_lines = flat.filter(pa.array(keep))
+        rebuilt = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()).cast(pa.int32()), kept_lines
+        )
+        joined = pc.binary_join(rebuilt, pa.scalar("\n", kept_lines.type))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                text_col: joined,
+                "n_lines": pa.array(counts, pa.int64()),
+                "n_kept": pa.array(kept_counts, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=None)

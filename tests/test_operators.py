@@ -1788,3 +1788,39 @@ def test_poly_hash_chunked_equals_one_pass():
     assert np.array_equal(
         poly_hash_segments(data, offsets + pad), one_pass(data, offsets + pad)
     )
+
+
+def test_remove_dup_lines(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.text import remove_dup_lines
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a\nb\na\nc\nb",     # dups out of order
+                    "x\nx\nx",            # all same
+                    "",                   # empty doc (one empty line)
+                    "p\n\nq\n\np",       # empty lines dedupe too
+                ]
+            ),
+        }
+    )
+    out = (
+        remove_dup_lines(ray.data.from_arrow(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["text"]) == ["a\nb\nc", "x", "", "p\n\nq"]
+    assert list(out["n_lines"]) == [5, 3, 1, 5]
+    assert list(out["n_kept"]) == [3, 1, 1, 3]
+    # parallelism invariant (map-side only)
+    out2 = (
+        remove_dup_lines(ray.data.from_arrow(docs).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["text"]) == list(out2["text"])
