@@ -2742,6 +2742,22 @@ def q_docs_score(sf_dir: str):
     return score_documents(docs, concurrency=2)
 
 
+def q_docs_char_budget(sf_dir: str):
+    """Per-language char-budget head sampling (corpus mixing "take ~N
+    tokens per language" step): docs ordered by (mix64(id)>>1, id) per
+    lang, kept while the exclusive cumulative n_chars < 20000 (crossing
+    doc included; a language under budget keeps everything — 'de' at
+    sf0.01 exercises that path). Distributed weighted selection via
+    histogram refinement — no global sort; oracle is one window cumsum
+    over the replicated hash."""
+    from geowave_ray.text import budget_head_sample
+
+    docs = _read_testdata(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return budget_head_sample(docs, budget=20000).select_columns(
+        ["doc_id", "lang", "n_chars"]
+    )
+
+
 def q_docs_line_dedup(sf_dir: str):
     """Within-doc duplicate-line removal (RefinedWeb "remove repeated
     lines within a page" role): duplicate lines are synthesized
@@ -3861,6 +3877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_scrub_spans": q_docs_scrub_spans,
         "docs_para_dedup": q_docs_para_dedup,
         "docs_line_dedup": q_docs_line_dedup,
+        "docs_char_budget": q_docs_char_budget,
         "url_canonicalize": q_url_canonicalize,
         "url_canonical_dedup": q_url_canonical_dedup,
         "docs_novel": q_docs_novel,
@@ -5511,6 +5528,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # within-doc line dedup over the synthesized
         # line1\ntext\nline1 input; group-by-(doc,line) min ordinal
+        # per-lang char-budget head sample: replicate mix64(doc_id)>>1
+        # then one exclusive window cumsum per lang
+        "docs_char_budget": _sql_chain(
+            "SELECT doc_id, lang, n_chars, doc_id::HUGEINT AS u FROM documents",
+            _sql_mix_steps("u", "hv", "_bh"),
+            f"""
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     coalesce(sum(CAST(n_chars AS BIGINT)) OVER (
+                       PARTITION BY lang
+                       ORDER BY (hv >> 1), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cumw
+              FROM $LAST
+            ) WHERE cumw < 20000
+            """,
+        ),
         "docs_line_dedup": f"""
             WITH src AS (
               SELECT doc_id,

@@ -1220,3 +1220,175 @@ def remove_dup_lines(
         )
 
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def budget_head_sample(
+    docs: ray.data.Dataset,
+    budget: int,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    bins: int = 256,
+    collect_threshold: int = 100_000,
+    max_rounds: int = 10,
+) -> ray.data.Dataset:
+    """EXACT per-key budget head sampling: order each key's docs by the
+    deterministic shuffle key ``(hash64(id) >> 1, id)`` and keep docs
+    while the EXCLUSIVE cumulative weight is still below ``budget`` —
+    the standard "take ~N tokens per language" corpus-mixing step, with
+    the crossing doc included so every key reaches its budget.
+
+    Scale shape (the weighted-selection sibling of
+    ``stats.exact_kth_value`` — NO global sort, no per-key group
+    materialization): each round one streaming pass histograms weights
+    by hash bin per key (partials of ``keys x bins`` ints), the driver
+    walks bins to the budget-crossing bin and narrows; when the
+    crossing bin's candidate count fits ``collect_threshold`` its rows
+    (ids + weights only) are collected and the boundary resolved
+    exactly, ties by id. Selection broadcasts as (threshold hash,
+    boundary id set) per key; the final pass is a map-side filter.
+    """
+    from .hashing import mix64
+
+    def h_of(ids: np.ndarray) -> np.ndarray:
+        return (mix64(ids.astype(np.uint64)) >> np.uint64(1)).astype(np.int64)
+
+    HMAX = np.int64(2**63 - 1)  # h <= 2^63-1 after >>1 (inclusive top)
+    state: dict = {}  # key -> [lo, hi, acc_below] over h-space
+
+    def keys_pass(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col)
+        return pa.table({"k": k.unique() if hasattr(k, "unique") else k})
+
+    uk = set()
+    for row in docs.map_batches(
+        keys_pass, batch_format="pyarrow", batch_size=None
+    ).to_pandas()["k"]:
+        uk.add(row)
+    for k in uk:
+        state[k] = [np.int64(0), HMAX, 0]
+
+    resolved: dict = {}  # key -> (h_cut, include_ids frozenset)
+
+    def finish(key, lo, hi, acc, rows):
+        """Resolve exactly inside [lo, hi]: rows = (h, id, w)."""
+        if len(rows) == 0:
+            resolved[key] = (int(lo), frozenset())
+            return
+        order = np.lexsort((rows[:, 1], rows[:, 0]))
+        h_s, id_s, w_s = rows[order, 0], rows[order, 1], rows[order, 2]
+        cum = acc + np.cumsum(w_s) - w_s  # exclusive cumsum
+        keep = cum < budget
+        resolved[key] = (int(lo), frozenset(id_s[keep].tolist()))
+
+    for _ in range(max_rounds):
+        active = {k: v for k, v in state.items() if k not in resolved}
+        if not active:
+            break
+        act_ref = dict(active)  # snapshot for the closure
+
+        def hist(batch: pa.Table) -> pa.Table:
+            ks = batch.column(key_col).to_numpy(zero_copy_only=False)
+            ids = batch.column(id_col).to_numpy()
+            ws = batch.column(weight_col).to_numpy().astype(np.int64)
+            hs = h_of(ids)
+            out_k, out_b, out_w, out_n = [], [], [], []
+            for key, (lo, hi, _a) in act_ref.items():
+                m = (ks == key) & (hs >= lo) & (hs <= hi)
+                if not m.any():
+                    continue
+                width = (int(hi) - int(lo)) // bins + 1
+                b = (hs[m] - lo) // width
+                wsum = np.zeros(bins, np.int64)
+                cnt = np.zeros(bins, np.int64)
+                np.add.at(wsum, b, ws[m])
+                np.add.at(cnt, b, 1)
+                nz = np.flatnonzero(cnt)
+                out_k.extend([key] * len(nz))
+                out_b.extend(nz.tolist())
+                out_w.extend(wsum[nz].tolist())
+                out_n.extend(cnt[nz].tolist())
+            return pa.table(
+                {
+                    "k": pa.array(out_k),
+                    "b": pa.array(out_b, pa.int64()),
+                    "w": pa.array(out_w, pa.int64()),
+                    "n": pa.array(out_n, pa.int64()),
+                }
+            )
+
+        parts = (
+            docs.map_batches(hist, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+            .groupby(["k", "b"], as_index=False)
+            .sum()
+        )
+        for key, (lo, hi, acc) in list(active.items()):
+            sub = parts[parts["k"] == key].sort_values("b")
+            width = (int(hi) - int(lo)) // bins + 1
+            run = acc
+            cross_bin = None
+            for _, r in sub.iterrows():
+                if run + int(r["w"]) >= budget:
+                    cross_bin = int(r["b"])
+                    cross_n = int(r["n"])
+                    break
+                run += int(r["w"])
+            if cross_bin is None:
+                # whole key fits the budget: keep-all sentinel
+                resolved[key] = (None, frozenset())
+                continue
+            nlo = np.int64(int(lo) + cross_bin * width)
+            nhi = np.int64(min(int(lo) + (cross_bin + 1) * width - 1, int(hi)))
+            state[key] = [nlo, nhi, run]
+            if cross_n <= collect_threshold or nlo == nhi:
+                lo_, hi_, acc_ = state[key]
+
+                def survivors(batch: pa.Table, key=key, lo_=lo_, hi_=hi_):
+                    ks = batch.column(key_col).to_numpy(zero_copy_only=False)
+                    ids = batch.column(id_col).to_numpy()
+                    ws = batch.column(weight_col).to_numpy().astype(np.int64)
+                    hs = h_of(ids)
+                    m = (ks == key) & (hs >= lo_) & (hs <= hi_)
+                    return pa.table(
+                        {
+                            "h": pa.array(hs[m], pa.int64()),
+                            "id": pa.array(ids[m], pa.int64()),
+                            "w": pa.array(ws[m], pa.int64()),
+                        }
+                    )
+
+                rows = (
+                    docs.map_batches(survivors, batch_format="pyarrow", batch_size=None)
+                    .to_pandas()
+                    .to_numpy()
+                    .astype(np.int64)
+                )
+                finish(key, lo_, hi_, acc_, rows)
+    for key in state:
+        if key not in resolved:  # round cap: resolve by collecting
+            lo, hi, acc = state[key]
+            raise RuntimeError(
+                f"budget_head_sample failed to converge for {key!r}"
+            )
+
+    import ray as _ray
+
+    res_ref = _ray.put(resolved)
+
+    def select(batch: pa.Table) -> pa.Table:
+        res = _ray.get(res_ref)
+        ks = batch.column(key_col).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy()
+        hs = h_of(ids)
+        keep = np.zeros(len(ids), bool)
+        for key, (h_cut, inc) in res.items():
+            m = ks == key
+            keep[m] = True if h_cut is None else hs[m] < h_cut
+            if inc:
+                mm = m & ~keep
+                if mm.any():
+                    keep[mm] = np.isin(ids[mm], np.fromiter(inc, np.int64, len(inc)))
+        return batch.filter(pa.array(keep))
+
+    return docs.map_batches(select, batch_format="pyarrow", batch_size=None)

@@ -1824,3 +1824,49 @@ def test_remove_dup_lines(ray_session):
         .sort_values("doc_id")
     )
     assert list(out["text"]) == list(out2["text"])
+
+
+def test_budget_head_sample_exact(ray_session):
+    """Distributed budget head sample == brute-force per-key cumsum in
+    hash order, across budgets hitting the crossing, keep-all and
+    tiny-budget paths; parallelism-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.hashing import mix64
+    from geowave_ray.text import budget_head_sample
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    ids = np.arange(1000, 1000 + n, dtype=np.int64)
+    keys = rng.choice(["aa", "bb", "cc"], n)
+    w = rng.integers(1, 500, n)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(keys),
+            "n_chars": pa.array(w.astype(np.float64), pa.float64()),
+        }
+    )
+    h = (mix64(ids.astype(np.uint64)) >> np.uint64(1)).astype(np.int64)
+
+    def truth(budget):
+        out = set()
+        for L in np.unique(keys):
+            m = keys == L
+            order = np.lexsort((ids[m], h[m]))
+            cum = np.cumsum(w[m][order]) - w[m][order]
+            out |= set(ids[m][order][cum < budget].tolist())
+        return out
+
+    for budget in (1, 5_000, 10**9):
+        got = set(
+            budget_head_sample(
+                ray.data.from_arrow(t).repartition(5), budget=budget,
+                collect_threshold=64,
+            ).to_pandas()["doc_id"]
+        )
+        assert got == truth(budget), budget
+    # budget=1 keeps exactly one doc per key (first in hash order)
+    assert len(truth(1)) == 3
