@@ -77,6 +77,16 @@ def _scratch(name: str, n: int, dtype) -> np.ndarray:
     return buf[:n]
 
 
+def _iota(n: int) -> np.ndarray:
+    """[0, 1, ..., n-1] from a reused buffer, initialized at
+    allocation time (never sniff buffer contents to decide whether a
+    scratch array is initialized — np.empty memory is arbitrary)."""
+    buf = _SCRATCH.get("arange")
+    if buf is None or len(buf) < n:
+        _SCRATCH["arange"] = buf = np.arange(max(n, _CHUNK), dtype=np.int64)
+    return buf[:n]
+
+
 def poly_hash_segments(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Hash ``len(offsets)-1`` byte segments of ``data`` (uint8) in
     bounded chunks. ``offsets`` are absolute into ``data`` (Arrow
@@ -95,9 +105,7 @@ def poly_hash_segments(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     ends = offsets[1:]
     pw = _powers(int(lens.max()))
     sums = np.zeros(n, dtype=np.uint64)
-    arange = _scratch("arange", _CHUNK, np.int64)
-    if arange[1] != 1:  # initialize once
-        np.copyto(arange, np.arange(len(arange), dtype=np.int64))
+    arange = _iota(_CHUNK)
     with np.errstate(**_ERRSTATE):
         for c0 in range(lo, hi, _CHUNK):
             c1 = min(c0 + _CHUNK, hi)

@@ -38,6 +38,32 @@ from ..sfc import MAX_TIER
 from .query import _bucket_dirs
 
 
+def _guard_out_dir(src_dir: str, out_dir: str) -> None:
+    """Refuse in-place rewrites: ``out_dir`` equal to, inside, or
+    containing the source would destroy the inputs mid-build (e.g.
+    ``geowave compact <store> <store>`` from the CLI)."""
+    src = os.path.realpath(src_dir)
+    out = os.path.realpath(out_dir)
+    if out == src or out.startswith(src + os.sep) or src.startswith(out + os.sep):
+        raise ValueError(
+            f"out_dir {out_dir!r} must not equal, contain, or live inside "
+            f"the source store {src_dir!r} — the rewrite is not in-place"
+        )
+
+
+def _swap_into_place(tmp: str, out_dir: str) -> None:
+    """Atomically-ish promote a fully-built ``tmp`` to ``out_dir``.
+    A pre-existing ``out_dir`` is only deleted AFTER the build
+    succeeded (renamed aside first — ``os.replace`` can't overwrite a
+    non-empty directory), so a mid-build failure never loses it."""
+    old = out_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(out_dir):
+        os.rename(out_dir, old)
+    os.replace(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _bucket_files(store_dir, col: str = "cell_bucket") -> dict[int, list[str]]:
     out: dict[int, list[str]] = {}
     for b, d in _bucket_dirs(store_dir, col=col):
@@ -63,12 +89,12 @@ def compact_store(
     unchanged (compaction moves bytes, never rows), plus a
     ``_compaction.json`` audit record.
     """
+    _guard_out_dir(store_dir, out_dir)
     buckets = _bucket_files(store_dir, col)
     if not buckets:
         raise ValueError(f"no {col}= partitions under {store_dir}")
     tmp = out_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
 
     items = [
@@ -117,7 +143,7 @@ def compact_store(
     }
     with open(os.path.join(tmp, "_compaction.json"), "w") as f:
         json.dump(summary, f)
-    os.replace(tmp, out_dir)
+    _swap_into_place(tmp, out_dir)
     return summary
 
 
@@ -134,6 +160,7 @@ def copy_store(
     with different params). Buckets are the top 8 bits of the cell id
     mod ``n_buckets`` — same rule as ingest — so the pruned readers
     work on the copy unchanged."""
+    _guard_out_dir(store_dir, out_dir)
     files = [f for fs in _bucket_files(store_dir, col).values() for f in fs]
     if not files:
         raise ValueError(f"no {col}= partitions under {store_dir}")
@@ -157,9 +184,8 @@ def copy_store(
     )
     tmp = out_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
     ds.write_parquet(tmp, partition_cols=[col])
-    os.replace(tmp, out_dir)
+    _swap_into_place(tmp, out_dir)
     rows = sum(
         pq.read_metadata(f).num_rows
         for f in glob.glob(os.path.join(out_dir, f"{col}=*", "*.parquet"))
@@ -172,14 +198,14 @@ def delete_pyramid_level(
 ) -> dict:
     """``DeletePyramidLevelCommand`` role: drop one pyramid level from
     a tile store by streaming filter + partitioned rewrite."""
+    _guard_out_dir(tiles_dir, out_dir)
     ds = ray.data.read_parquet(tiles_dir).filter(
         expr=f"{level_col} != {int(level)}"
     )
     tmp = out_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
     ds.write_parquet(tmp, partition_cols=[level_col])
-    os.replace(tmp, out_dir)
+    _swap_into_place(tmp, out_dir)
     return {"out_dir": out_dir}
 
 

@@ -627,6 +627,15 @@ def dataset_hll_distinct_binned(
     def partial(batch: pa.Table) -> pa.Table:
         import numpy as _np
 
+        if batch.num_rows == 0:
+            # keep the bin column's real type so all-empty blocks
+            # don't emit a null-typed schema that mismatches others
+            return pa.table(
+                {
+                    "bin": pa.array([], batch.schema.field(bin_col).type),
+                    "sketch": pa.array([], pa.binary()),
+                }
+            )
         bins = batch.column(bin_col).to_numpy(zero_copy_only=False)
         hashed = _hash64(batch.column(column))  # whole column, one pass
         out_bin, out_sk = [], []

@@ -1,10 +1,21 @@
-"""TWKB (Tiny Well-Known Binary) codec — the reference's compact
-geometry wire format (``core/geotime/src/main/java/org/locationtech/
-geowave/core/geotime/util/TWKBWriter.java`` / ``TWKBReader.java``),
-implemented from the published TWKB specification
-(github.com/TWKB/Specification — the same spec the reference and
-PostGIS ``ST_AsTWKB`` implement). No reference code was consulted for
-the byte layout; the spec is public.
+"""TWKB (Tiny Well-Known Binary) codec.
+
+:func:`encode` / :func:`decode` implement the published TWKB
+specification (github.com/TWKB/Specification — what PostGIS
+``ST_AsTWKB`` writes): optional bbox / size / idlist blocks, polygon
+rings OPEN (closing point omitted), and ONE delta chain carried across
+rings and multi-parts. These bytes are spec-compliant but NOT
+byte-compatible with the reference's ``TWKBWriter``/``TWKBReader``
+(``core/geotime/.../util/TWKBWriter.java``), which deviates from the
+spec: it never writes bbox/size/idlist, writes polygon rings CLOSED
+(the varint count includes the repeated closing point), resets the
+delta chain per point array (``lastX = lastY = 0`` at the top of
+``writePointArray``), auto-computes precision from the coordinates'
+decimal scale, and — for plain 2-D geometries — sets the
+extended-dimensions metadata bit and emits a zero extended-precision
+byte (``TWKBWriter.java:60-66``: the NaN check takes the extended path
+when Z/M are ABSENT). :func:`encode_compat` / :func:`decode_compat`
+reproduce that reference wire format exactly for 2-D geometries.
 
 Layout (per spec):
   type_and_precision byte : low nibble geometry type (1..6 here),
@@ -121,10 +132,15 @@ def encode(
     with_bbox: bool = False,
     ids: list[int] | None = None,
 ) -> bytes:
-    """Encode an internal geometry value to TWKB bytes. ``ids`` (only
-    for multi-geometries) writes the optional per-part id list."""
+    """Encode an internal geometry value to spec-TWKB bytes. ``ids``
+    (multi-geometries only) writes the optional per-part id list."""
     t, c = geom
     code = _TYPE_CODES[t]
+    if not -8 <= precision <= 7:
+        raise ValueError(f"TWKB precision {precision} outside [-8, 7] "
+                         "(the header nibble cannot represent it)")
+    if ids is not None and code < 4:
+        raise ValueError(f"idlist is only valid for Multi* types, not {t}")
     header = bytes([(code & 0x0F) | ((_zigzag(precision) & 0x0F) << 4)])
     empty = c is None or (hasattr(c, "__len__") and len(c) == 0)
     meta = (
@@ -294,6 +310,160 @@ def decode(buf: bytes, return_meta: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# reference-compatible wire format (TWKBWriter.java / TWKBReader.java)
+# ---------------------------------------------------------------------------
+
+
+def _java_scale(v: float) -> int:
+    """``new BigDecimal(Double.toString(v)).stripTrailingZeros().scale()``
+    — the decimal scale of the shortest-roundtrip representation
+    (value-determined after stripTrailingZeros, so Python's shortest
+    repr gives the same answer as Java's Double.toString)."""
+    from decimal import Decimal
+
+    return -int(Decimal(repr(float(v))).normalize().as_tuple().exponent)
+
+
+def _closed_ring(ring: np.ndarray) -> np.ndarray:
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(r) == 0 or (r[0][0] == r[-1][0] and r[0][1] == r[-1][1]):
+        return r
+    return np.vstack([r, r[:1]])
+
+
+def _compat_all_coords(t: str, c) -> list[np.ndarray]:
+    if t == "Point":
+        return [np.asarray(c, dtype=np.float64).reshape(-1, 2)]
+    if t in ("LineString", "MultiPoint"):
+        return [np.asarray(c, dtype=np.float64).reshape(-1, 2)]
+    if t == "Polygon":
+        return [_closed_ring(r) for r in c]
+    if t == "MultiLineString":
+        return [np.asarray(l, dtype=np.float64).reshape(-1, 2) for l in c]
+    # MultiPolygon
+    return [_closed_ring(r) for rings in c for r in rings]
+
+
+def encode_compat(geom, max_precision: int = 7) -> bytes:
+    """Encode to the reference's actual TWKB dialect
+    (``TWKBWriter.java``): precision auto-computed from the
+    coordinates' decimal scale (capped at ``max_precision``,
+    ``PrecisionWriter.calculate``), NO bbox/size/idlist, the
+    extended-dimensions metadata bit SET with a zero
+    extended-precision byte for 2-D input (``TWKBWriter.java:60-66``),
+    polygon rings CLOSED with the count including the repeated closing
+    point, and the delta chain reset per point array
+    (``writePointArray`` starts at lastX=lastY=0)."""
+    t, c = geom
+    code = _TYPE_CODES[t]
+    empty = c is None or (hasattr(c, "__len__") and len(c) == 0)
+    if empty:
+        return bytes([code & 0x0F, 0x10])
+    arrays = _compat_all_coords(t, c)
+    p = -8
+    for arr in arrays:
+        for v in arr.ravel():
+            p = max(p, _java_scale(v))
+    p = min(p, max_precision)
+    out = bytearray([(code & 0x0F) | ((_zigzag(p) & 0x0F) << 4), 0x08, 0x00])
+    mult = 10.0 ** p
+
+    def q(v: float) -> int:  # Java Math.round = floor(x + 0.5)
+        return int(np.floor(v * mult + 0.5))
+
+    def w_array(pts: np.ndarray) -> None:
+        out.extend(_varint(len(pts)))
+        lx = ly = 0
+        for x, y in pts:
+            qx, qy = q(x), q(y)
+            out.extend(_varint(_zigzag(qx - lx)))
+            out.extend(_varint(_zigzag(qy - ly)))
+            lx, ly = qx, qy
+
+    if t == "Point":
+        pt = np.asarray(c, dtype=np.float64).reshape(2)
+        out.extend(_varint(_zigzag(q(pt[0]))))
+        out.extend(_varint(_zigzag(q(pt[1]))))
+    elif t in ("LineString", "MultiPoint"):
+        w_array(arrays[0])
+    elif t == "Polygon":
+        out.extend(_varint(len(arrays)))
+        for r in arrays:
+            w_array(r)
+    elif t == "MultiLineString":
+        out.extend(_varint(len(arrays)))
+        for l in arrays:
+            w_array(l)
+    else:  # MultiPolygon
+        out.extend(_varint(len(c)))
+        for rings in c:
+            if len(rings) == 0:
+                out.extend(_varint(0))
+                continue
+            out.extend(_varint(len(rings)))
+            for r in rings:
+                w_array(_closed_ring(r))
+    return bytes(out)
+
+
+def decode_compat(buf: bytes):
+    """Decode the reference TWKB dialect (see :func:`encode_compat`).
+    Rings arrive closed and stay closed in the internal value."""
+    tp = buf[0]
+    t = _TYPE_NAMES.get(tp & 0x0F)
+    if t is None:
+        raise ValueError(f"unsupported TWKB type {tp & 0x0F}")
+    precision = _unzigzag(tp >> 4)
+    meta = buf[1]
+    off = 2
+    if meta & 0x10:
+        return {
+            "Point": ("Point", None),
+            "LineString": ("LineString", np.zeros((0, 2))),
+            "Polygon": ("Polygon", []),
+            "MultiPoint": ("MultiPoint", np.zeros((0, 2))),
+            "MultiLineString": ("MultiLineString", []),
+            "MultiPolygon": ("MultiPolygon", []),
+        }[t]
+    if meta & 0x08:
+        ext = buf[off]
+        off += 1
+        if ext & 0x03:
+            raise ValueError("Z/M TWKB dimensions not supported")
+    scale = 10.0 ** -precision
+
+    def r_varint() -> int:
+        nonlocal off
+        u, off = _read_varint(buf, off)
+        return u
+
+    def r_array() -> np.ndarray:
+        n = r_varint()
+        out = np.empty((n, 2), dtype=np.float64)
+        lx = ly = 0
+        for i in range(n):
+            lx += _unzigzag(r_varint())
+            ly += _unzigzag(r_varint())
+            out[i, 0] = lx * scale
+            out[i, 1] = ly * scale
+        return out
+
+    if t == "Point":
+        return ("Point", np.array(
+            [_unzigzag(r_varint()) * scale, _unzigzag(r_varint()) * scale]))
+    if t in ("LineString", "MultiPoint"):
+        return (t, r_array())
+    if t == "Polygon":
+        return ("Polygon", [r_array() for _ in range(r_varint())])
+    if t == "MultiLineString":
+        return ("MultiLineString", [r_array() for _ in range(r_varint())])
+    polys = []
+    for _ in range(r_varint()):
+        polys.append([r_array() for _ in range(r_varint())])
+    return ("MultiPolygon", polys)
+
+
+# ---------------------------------------------------------------------------
 # vectorized point-column fast path (the 100-TB side is points)
 # ---------------------------------------------------------------------------
 
@@ -409,8 +579,9 @@ def twkb_encode_batch(
     with_bbox: bool = True,
     out_col: str = "twkb",
 ) -> pa.Table:
-    """WKB column -> TWKB column (header with bbox+size by default,
-    what the reference writes for its secondary-index rows)."""
+    """WKB column -> spec-TWKB column (bbox+size blocks on by default,
+    as PostGIS-style consumers expect; NOT the reference's dialect —
+    use :func:`encode_compat` for reference-readable bytes)."""
     vals = [
         encode(wkb_decode(b.as_py()), precision, with_size=with_size,
                with_bbox=with_bbox)

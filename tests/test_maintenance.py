@@ -177,3 +177,27 @@ def test_presplit_balanced(store, ray_session):
         assert r["rows_below"] == cum[bb]
     # boundaries are monotone
     assert (sp["boundary_bucket"].diff().dropna() >= 0).all()
+
+
+def test_maintenance_refuses_in_place(tmp_path):
+    """compact/copy must never rewrite a store onto itself (the CLI
+    can be invoked with identical paths) — guard fires before any
+    deletion, and a pre-existing out_dir survives a failed build."""
+    import pytest
+    from geowave_ray.pipelines import maintenance as m
+
+    store = tmp_path / "store"
+    store.mkdir()
+    with pytest.raises(ValueError):
+        m.compact_store(str(store), str(store))
+    with pytest.raises(ValueError):
+        m.compact_store(str(store), str(store / "nested"))
+    with pytest.raises(ValueError):
+        m.copy_store(str(store), str(store))
+    # failed build (empty store) must not delete an existing out_dir
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "keep.txt").write_text("x")
+    with pytest.raises(ValueError):
+        m.compact_store(str(store), str(out))
+    assert (out / "keep.txt").read_text() == "x"

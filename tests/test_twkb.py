@@ -175,3 +175,89 @@ def test_point_column_scalar_equivalence_precision5():
         assert col[i].as_py() == twkb.encode(
             ("Point", np.array([lon[i], lat[i]])), 5
         )
+
+
+# ---------------------------------------------------------------------------
+# reference-dialect compat codec (TWKBWriter.java / TWKBReader.java)
+# ---------------------------------------------------------------------------
+
+
+def test_compat_point_golden():
+    """Hand-derived from TWKBWriter.java: precision = max decimal
+    scale (2.05 -> 2), header 0x41, metadata EXTENDED_DIMENSIONS with
+    a zero extended byte for 2-D, absolute zigzag varints."""
+    b = twkb.encode_compat(("Point", np.array([2.05, 1.5])))
+    assert b.hex() == "4108009a03ac02"
+    assert twkb.decode_compat(b) == ("Point", pytest.approx([2.05, 1.5]))
+
+
+def test_compat_linestring_golden():
+    g = ("LineString", np.array([[0.0, 0.0], [1.25, 1.0], [2.0, 2.0]]))
+    b = twkb.encode_compat(g)
+    assert b.hex() == "420800030000fa01c8019601c801"
+    t, c = twkb.decode_compat(b)
+    assert t == "LineString" and np.allclose(c, np.asarray(g[1]))
+
+
+def test_compat_polygon_closed_rings_and_delta_reset():
+    """Rings are written CLOSED (count includes the repeated closing
+    point) and each ring's delta chain starts from (0, 0)."""
+    shell = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+    hole = np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]])
+    b = twkb.encode_compat(("Polygon", [shell, hole]))
+    # precision 0; header 0x03, meta 0x08, ext 0x00, nrings 2
+    assert b[:4].hex() == "03080002"
+    body = b[4:]
+    # shell: count 5 then deltas; first point (0,0)
+    assert body[0] == 5
+    # hole's first point must be absolute-from-zero (1,1) -> zigzag 2,2
+    # shell block: 5 points x 2 varints, all single-byte at this scale
+    hole_block = body[1 + 10:]
+    assert hole_block[0] == 5 and hole_block[1] == 2 and hole_block[2] == 2
+    t, rings = twkb.decode_compat(b)
+    assert t == "Polygon" and len(rings) == 2
+    assert np.allclose(rings[0], shell) and np.allclose(rings[1], hole)
+
+
+def test_compat_roundtrip_multi_types():
+    gs = [
+        ("MultiPoint", np.array([[1.5, -2.25], [3.0, 4.0]])),
+        ("MultiLineString", [np.array([[0.0, 0.0], [1.1, 1.1]]),
+                             np.array([[5.0, 5.0], [6.0, 7.0]])]),
+        ("MultiPolygon", [[np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0],
+                                     [0.0, 0.0]])],
+                          [np.array([[10.0, 10.0], [12.5, 10.0], [12.5, 12.0],
+                                     [10.0, 10.0]])]]),
+    ]
+    for g in gs:
+        t, c = twkb.decode_compat(twkb.encode_compat(g))
+        assert t == g[0]
+        a, b_ = np.concatenate([np.asarray(x).reshape(-1, 2) for x in
+                                ([c] if t == "MultiPoint" else
+                                 (c if t == "MultiLineString" else
+                                  [r for p in c for r in p]))]), \
+                np.concatenate([np.asarray(x).reshape(-1, 2) for x in
+                                ([g[1]] if t == "MultiPoint" else
+                                 (g[1] if t == "MultiLineString" else
+                                  [r for p in g[1] for r in p]))])
+        assert np.allclose(a, b_)
+
+
+def test_compat_empty_and_precision_cap():
+    assert twkb.encode_compat(("Polygon", [])).hex() == "0310"
+    # 9 decimal places capped at max_precision=7
+    g = ("Point", np.array([1.123456789, 0.0]))
+    b = twkb.encode_compat(g)
+    p = (b[0] >> 4)
+    assert (p >> 1) ^ -(p & 1) == 7
+    t, c = twkb.decode_compat(b)
+    assert abs(c[0] - 1.1234568) < 1e-9
+
+
+def test_spec_encode_validates_ids_and_precision():
+    with pytest.raises(ValueError):
+        twkb.encode(("Point", np.array([1.0, 2.0])), 0, ids=[1])
+    with pytest.raises(ValueError):
+        twkb.encode(("Point", np.array([1.0, 2.0])), 9)
+    with pytest.raises(ValueError):
+        twkb.encode(("Point", np.array([1.0, 2.0])), -9)
