@@ -1143,6 +1143,30 @@ def q_visibility_select(sf_dir: str):
     return visibility_filter(ds, {"a", "b"})
 
 
+def q_visibility_select_expr(sf_dir: str):
+    """Full visibility-expression filter (VisibilityExpression role:
+    OR, parentheses, left-associative no-precedence folding —
+    ``core/store/.../data/visibility/VisibilityExpression.java``).
+    Labels derive deterministically from doc_id; the oracle replicates
+    each distinct expression's truth value under auths {a, b} in SQL
+    (note 'a&b|z' is (a&b)|z by left association -> true)."""
+    from geowave_ray.pipelines.query import visibility_filter
+
+    labels = np.array(
+        ["", "a|z", "(a|z)&b", "z&(a|b)", "z|c", "a&b|z"], dtype=object
+    )
+
+    def add_vis(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        return batch.append_column(
+            "visibility", pa.array(labels[did % 6], pa.string())
+        )
+
+    docs = _read_testdata(sf_dir, "documents").select_columns(["doc_id"])
+    ds = docs.map_batches(add_vis, batch_format="pyarrow", batch_size=None)
+    return visibility_filter(ds, {"a", "b"})
+
+
 def q_kde_gaussian(sf_dir: str):
     """Gaussian splat KDE; densities rounded to 6 decimals so the
     float sum is oracle-comparable (both sides sum the same ~9 exp
@@ -3790,6 +3814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_temporal": q_bbox_temporal,        # spatial-temporal idx
         "subsample_cells": q_subsample_cells,    # resolution subsample
         "visibility_select": q_visibility_select,  # visibility filter
+        "visibility_select_expr": q_visibility_select_expr,  # OR/parens
         "knn": q_knn,                            # exact pruned kNN
         "knn_bounded": q_knn_bounded,            # kNN + maxDistance
         "tile_assign": q_tile_assign,            # raster tiles
@@ -5066,6 +5091,15 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 'a&b' ELSE 'a&c' END AS visibility
             FROM documents
             WHERE doc_id % 4 IN (0, 1, 2)
+        """,
+        "visibility_select_expr": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 6 AS INTEGER)
+                        WHEN 0 THEN '' WHEN 1 THEN 'a|z'
+                        WHEN 2 THEN '(a|z)&b' WHEN 3 THEN 'z&(a|b)'
+                        WHEN 4 THEN 'z|c' ELSE 'a&b|z' END AS visibility
+            FROM documents
+            WHERE doc_id % 6 IN (0, 1, 2, 5)
         """,
         "knn": f"""
             WITH d AS (

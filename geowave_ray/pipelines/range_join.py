@@ -18,7 +18,6 @@ so no pair is double-counted and no all-pairs loop exists. Output is
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -195,22 +194,29 @@ def interval_overlap_join(
             }
         )
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {a_id: pd.Series([], dtype=object), b_id: pd.Series([], dtype=object)}
-        )
-        if g.empty:
-            return empty
-        bin_id = int(g["bin"].iloc[0])
-        sa = g[g["side"] == 0]
-        sb = g[g["side"] == 1]
-        if sa.empty or sb.empty:
-            return empty
-        alo = sa["lo"].to_numpy(); ahi = sa["hi"].to_numpy()
-        blo = sb["lo"].to_numpy(); bhi = sb["hi"].to_numpy()
+    empty_pairs = pa.table(
+        {a_id: pa.array([], pa.string()), b_id: pa.array([], pa.string())}
+    )
+
+    def emit(g: pa.Table) -> pa.Table:
+        # Arrow-native group reducer — Ray's pandas map_groups pays a
+        # per-block conversion measured at 5x the pass cost (NOTES r3)
+        if g.num_rows == 0:
+            return empty_pairs
+        bin_id = int(g.column("bin")[0].as_py())
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        lo = g.column("lo").to_numpy()
+        hi = g.column("hi").to_numpy()
+        iid = g.column("iid").combine_chunks()
+        a_idx = np.flatnonzero(side == 0)
+        b_idx = np.flatnonzero(side == 1)
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return empty_pairs
+        alo, ahi = lo[a_idx], hi[a_idx]
+        blo, bhi = lo[b_idx], hi[b_idx]
         order = np.argsort(blo, kind="stable")
         blo_s, bhi_s = blo[order], bhi[order]
-        bid_s = sb["iid"].to_numpy()[order]
+        bsel = b_idx[order]
         # for each a: b's with blo < ahi form a sorted prefix
         pref = np.searchsorted(blo_s, ahi, side="left")
         ai = np.repeat(np.arange(len(alo), dtype=np.int64), pref)
@@ -218,15 +224,18 @@ def interval_overlap_join(
         ok = bhi_s[bi] > alo[ai]
         canon = np.maximum(alo[ai], blo_s[bi])
         ok &= ((canon - d0) // width).clip(0, n_bins - 1) == bin_id
-        return pd.DataFrame(
-            {a_id: sa["iid"].to_numpy()[ai[ok]], b_id: bid_s[bi[ok]]}
+        return pa.table(
+            {
+                a_id: iid.take(pa.array(a_idx[ai[ok]])),
+                b_id: iid.take(pa.array(bsel[bi[ok]])),
+            }
         )
 
     return (
         both.map_batches(expand, batch_format="pyarrow", batch_size=None)
         .repartition(_xb())
         .groupby("bin")
-        .map_groups(emit, batch_format="pandas")
+        .map_groups(emit, batch_format="pyarrow")
     )
 
 

@@ -1870,3 +1870,48 @@ def test_budget_head_sample_exact(ray_session):
         assert got == truth(budget), budget
     # budget=1 keeps exactly one doc per key (first in hash order)
     assert len(truth(1)) == 3
+
+
+def test_visibility_expression_semantics():
+    """Full VisibilityExpression algebra (VisibilityExpression.java:
+    17-60): left-associative &/| with NO precedence, parens, empty =
+    public, whitespace stripped BEFORE tokenizing (so 'a b' is the
+    single label 'ab', as the reference's replaceAll does), malformed
+    input raises."""
+    import pytest as _pt
+
+    from geowave_ray.visibility import evaluate_visibility as ev
+
+    A = {"a", "b"}
+    for expr, want in [
+        ("", True), ("a", True), ("c", False), ("a&b", True),
+        ("a&c", False), ("a|c", True), ("c|d", False), ("a & b", True),
+        ("a|c&d", False),   # (a|c)&d — left-assoc, no precedence
+        ("a|(c&d)", True), ("(a|c)&b", True), ("c&a|b", True),
+        ("()", True), ("(a)", True), ("((a))", True),
+        ("a b", False),     # strips to label "ab", not in auths
+    ]:
+        assert ev(expr, A) == want, expr
+    for bad in ["a&", "&a", "a&&b", "(a", "a)", "a|", "(a)(b)"]:
+        with _pt.raises(ValueError):
+            ev(bad, A)
+
+
+def test_visibility_filter_vectorized(ray_session):
+    import ray
+
+    from geowave_ray.pipelines.query import visibility_filter
+
+    t = pa.table(
+        {
+            "i": pa.array(range(6), pa.int64()),
+            "visibility": pa.array(
+                ["", "a|z", "(a|z)&b", "z&(a|b)", "z|c", "a&b|z"], pa.string()
+            ),
+        }
+    )
+    got = visibility_filter(ray.data.from_arrow(t), {"a", "b"}).to_pandas()
+    assert sorted(got["i"]) == [0, 1, 2, 5]
+    # null visibility = public
+    t2 = t.set_column(1, "visibility", pa.array([None] * 6, pa.string()))
+    assert visibility_filter(ray.data.from_arrow(t2), set()).count() == 6
