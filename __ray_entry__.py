@@ -2376,12 +2376,20 @@ def q_geohash_hist(sf_dir: str):
             }
         )
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        codes = g["code"].to_numpy().view(np.uint64)
+    def combine(g: pa.Table) -> pa.Table:
+        # Arrow-native reducer (pandas map_groups pays a per-block
+        # conversion measured at 5x the pass cost — NOTES r3)
+        if g.num_rows == 0:
+            return pa.table(
+                {"geohash": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        codes = g.column("code").to_numpy().view(np.uint64)
         uniq, inv = np.unique(codes, return_inverse=True)
-        sums = np.bincount(inv, weights=g["n"].to_numpy()).astype(np.int64)
-        return pd.DataFrame(
-            {"geohash": geohash_codes_to_str(uniq, 5), "n": sums}
+        sums = np.bincount(inv, weights=g.column("n").to_numpy()).astype(np.int64)
+        return pa.table(
+            {"geohash": pa.array(geohash_codes_to_str(uniq, 5), pa.string()),
+             "n": pa.array(sums, pa.int64())}
         )
 
     # batch-local combine on INT codes, ONE bounded bucket exchange
@@ -2394,7 +2402,7 @@ def q_geohash_hist(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .repartition(16)
         .groupby("bucket")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 
@@ -3081,15 +3089,21 @@ def q_revenue_by_nation(sf_dir: str):
     )
 
     def to_cents(b: pa.Table) -> pa.Table:
+        # map-side combiner: sum cents per orderkey WITHIN the block
+        # before the join exchange (~4 lineitems/order -> ~4x fewer
+        # rows ride; exact — each lineitem matches exactly one order)
         cents = np.floor(
             b.column("l_extendedprice").to_numpy()
             * (1.0 - b.column("l_discount").to_numpy())
             * 100.0
         ).astype(np.int64)
+        ok = b.column("l_orderkey").to_numpy()
+        uniq, inv = np.unique(ok, return_inverse=True)
+        sums = np.bincount(inv, weights=cents).astype(np.int64)
         return pa.table(
             {
-                "l_orderkey": b.column("l_orderkey"),
-                "cents": pa.array(cents, pa.int64()),
+                "l_orderkey": pa.array(uniq, pa.int64()),
+                "cents": pa.array(sums, pa.int64()),
             }
         )
 
@@ -3097,13 +3111,21 @@ def q_revenue_by_nation(sf_dir: str):
     orders = _read_testdata(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     joined = hash_join(li, orders, "l_orderkey", "o_orderkey")
 
-    # small dims broadcast once: custkey -> nationkey -> name
+    # small dims broadcast once: custkey -> nationkey -> name.
+    # Direct parquet reads — a Ray Dataset execution costs ~0.25 s of
+    # pure scheduling each; below ~100k rows the driver-side read is
+    # the right plan (NOTES r3 lesson; these are the broadcast side).
+    import pyarrow.parquet as _pq
+
     cust = (
-        _read_testdata(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        _pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_nationkey"])
         .to_pandas()
         .sort_values("c_custkey")
     )
-    nation = _read_testdata(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nation = _pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
     names = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
     names[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
     ref = ray.put(
@@ -3182,24 +3204,33 @@ def q_events_session(sf_dir: str):
         b = (batch.column("user_id").to_numpy() * np.int64(2654435761)) % np.int64(64)
         return batch.append_column("bucket", pa.array(b, pa.int64()))
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts"], kind="mergesort")
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        uid = g["user_id"].to_numpy()
-        new_user = np.empty(len(g), dtype=bool)
+    def sessions(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "n_sessions": pa.array([], pa.int64())}
+            )
+        ts_all = g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid_all = g.column("user_id").to_numpy()
+        order = np.lexsort((ts_all, uid_all))
+        ts, uid = ts_all[order], uid_all[order]
+        new_user = np.empty(len(uid), dtype=bool)
         new_user[0] = True
         new_user[1:] = uid[1:] != uid[:-1]
-        gap = np.empty(len(g), dtype=bool)
+        gap = np.empty(len(uid), dtype=bool)
         gap[0] = True
         gap[1:] = (ts[1:] - ts[:-1]) > 1_800_000_000
         starts = new_user | gap
         users, counts = np.unique(uid[starts], return_counts=True)
-        return pd.DataFrame({"user_id": users, "n_sessions": counts.astype(np.int64)})
+        return pa.table(
+            {"user_id": pa.array(users, pa.int64()),
+             "n_sessions": pa.array(counts.astype(np.int64), pa.int64())}
+        )
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
-        .map_groups(sessions, batch_format="pandas")
+        .map_groups(sessions, batch_format="pyarrow")
     )
 
 

@@ -1628,33 +1628,10 @@ def drop_dup_paragraphs(
         keep = np.ones(n, dtype=bool)
         if len(winners) and n:
             h = (hash_utf8(flat) >> np.uint64(1)).astype(np.int64)
-            for m, tbl in winners.chunks_for(h):
-                sh = tbl.column("para_hash").to_numpy()
-                sdoc = tbl.column("doc").to_numpy()
-                sidx = tbl.column("idx").to_numpy()
-                stext = tbl.column("para").combine_chunks()
-                pidx = np.flatnonzero(m)
-                hh = h[pidx]
-                lo = np.searchsorted(sh, hh, side="left")
-                hi = np.searchsorted(sh, hh, side="right")
-                width = hi - lo
-                single = np.flatnonzero(width == 1)
-                if len(single):
-                    st = lo[single]
-                    pr = pidx[single]
-                    eq = pc.equal(
-                        flat.take(pa.array(pr)), stext.take(pa.array(st))
-                    ).to_numpy(zero_copy_only=False).astype(bool)
-                    mism = (sdoc[st] != doc[pr]) | (sidx[st] != idx[pr])
-                    keep[pr[eq & mism]] = False
-                for j in np.flatnonzero(width > 1):  # hash collisions
-                    p = int(pidx[j])
-                    t = flat[p].as_py()
-                    for k in range(int(lo[j]), int(hi[j])):
-                        if stext[k].as_py() == t:
-                            if (sdoc[k], sidx[k]) != (doc[p], idx[p]):
-                                keep[p] = False
-                            break
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            found, vals = winners.lookup(h, flat, "para", ("doc", "idx"))
+            keep = ~(found & ((vals["doc"] != doc) | (vals["idx"] != idx)))
         kept = np.bincount(row[keep], minlength=len(b)).astype(np.int64)
         offs = np.zeros(len(b) + 1, dtype=np.int64)
         np.cumsum(kept, out=offs[1:])

@@ -95,6 +95,11 @@ def anti_join_keys(
         _tagged(right, right_key, 1, n_buckets)
     )
     return (
+        # pre-groupby repartition: parquet reads fan out many small
+        # blocks and the sort shuffle pays per-block overhead —
+        # collapsing first measured ~15% faster on the Q5 pipeline
+        # (r4 interleaved A/B; the reverse holds only for already-
+        # coalesced inputs)
         tagged.repartition(_xb())
         .groupby("bucket")
         .map_groups(emit, batch_format="pyarrow")
@@ -123,6 +128,11 @@ def semi_join_keys(
         _tagged(right, right_key, 1, n_buckets)
     )
     return (
+        # pre-groupby repartition: parquet reads fan out many small
+        # blocks and the sort shuffle pays per-block overhead —
+        # collapsing first measured ~15% faster on the Q5 pipeline
+        # (r4 interleaved A/B; the reverse holds only for already-
+        # coalesced inputs)
         tagged.repartition(_xb())
         .groupby("bucket")
         .map_groups(emit, batch_format="pyarrow")

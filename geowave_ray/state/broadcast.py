@@ -192,6 +192,58 @@ class DistributedHashedTable:
                 tbl = cached_state(("h64tbl", ref.hex()), ref)
                 yield m, tbl
 
+    def lookup(self, h: np.ndarray, texts: pa.Array, text_col: str,
+               value_cols: tuple):
+        """Exact keyed lookup: for each probe row (``h[i]``,
+        ``texts[i]``) find the state row whose hash AND ``text_col``
+        both match (64-bit collisions fall into the rare
+        multi-candidate branch and are resolved by text, so the result
+        is exact). Returns ``(found_mask, {col: np.ndarray})`` —
+        values valid only where found. Vectorized: one searchsorted
+        per chunk + one bulk Arrow ``equal`` for the single-candidate
+        fast path."""
+        import pyarrow.compute as pc
+
+        n = len(h)
+        found = np.zeros(n, dtype=bool)
+        out = {c: None for c in value_cols}
+        for m, tbl in self.chunks_for(h):
+            sh = tbl.column(self.hash_col).to_numpy()
+            stext = tbl.column(text_col).combine_chunks()
+            svals = {c: tbl.column(c).to_numpy() for c in value_cols}
+            for c in value_cols:
+                if out[c] is None:
+                    out[c] = np.zeros(n, dtype=svals[c].dtype)
+            pidx = np.flatnonzero(m)
+            hh = h[pidx]
+            lo = np.searchsorted(sh, hh, side="left")
+            hi = np.searchsorted(sh, hh, side="right")
+            width = hi - lo
+            single = np.flatnonzero(width == 1)
+            if len(single):
+                st = lo[single]
+                pr = pidx[single]
+                eq = pc.equal(
+                    texts.take(pa.array(pr)), stext.take(pa.array(st))
+                ).to_numpy(zero_copy_only=False).astype(bool)
+                sel = pr[eq]
+                found[sel] = True
+                for c in value_cols:
+                    out[c][sel] = svals[c][st[eq]]
+            for j in np.flatnonzero(width > 1):  # hash collisions
+                p = int(pidx[j])
+                t = texts[p].as_py()
+                for kk in range(int(lo[j]), int(hi[j])):
+                    if stext[kk].as_py() == t:
+                        found[p] = True
+                        for c in value_cols:
+                            out[c][p] = svals[c][kk]
+                        break
+        if any(v is None for v in out.values()):
+            out = {c: np.zeros(n, dtype=np.int64) if v is None else v
+                   for c, v in out.items()}
+        return found, out
+
     def to_table(self) -> pa.Table:
         """Whole state as one table (tests / tiny states only)."""
         if self.plan == "broadcast":

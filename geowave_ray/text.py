@@ -363,7 +363,8 @@ def document_frequency(ds, exchange_blocks: int | None = None):
     )
 
 
-def tfidf_topk(ds, k: int = 3, decimals: int = 6):
+def tfidf_topk(ds, k: int = 3, decimals: int = 6,
+               broadcast_limit: int | None = None):
     """Top-``k`` TF-IDF terms per document with rank.
 
     ``score = tf_count * ln((1 + N) / (1 + df))`` — integer counts and
@@ -371,30 +372,39 @@ def tfidf_topk(ds, k: int = 3, decimals: int = 6):
     DuckDB oracle, so ranking (ties broken by term ascending) is
     deterministic; the reported score is rounded to ``decimals``.
 
-    Scale shape: the df table (vocabulary-sized, ≪ corpus) is computed
-    by one combinered groupby and broadcast once via ``ray.put``; the
-    per-doc pass is a stateless map with a per-worker memoized term
-    index — no token-level shuffle.
+    Scale shape (VERDICT r3 #3 — the vocabulary-sized df table is
+    NEVER collected whole onto the driver): :func:`document_frequency`
+    runs its combinered groupby, the result is keyed by a term hash
+    and pinned as a :class:`DistributedHashedTable` (one broadcast
+    object under the 4 GB rule; per-bucket object-store chunks above
+    it, the driver touching one block at a time). The per-doc pass is
+    a stateless map probing that state per distinct term of the batch
+    (hash searchsorted + bulk Arrow text verify — exact under 64-bit
+    collisions) — no token-level shuffle.
     """
     import pandas as pd
-    import ray
 
-    from .util import cached_state
+    from .hashing import hash_utf8 as _hash_utf8
+    from .state.broadcast import hashed_table_from_reduced
 
     n_docs = ds.count()
-    dfp = document_frequency(ds).to_pandas()
-    terms = dfp["term"].to_numpy()
-    dfv = dfp["df"].to_numpy().astype(np.int64)
-    ref = ray.put((terms, dfv, int(n_docs)))
-    key = ("tfidf", ref.hex())
 
-    def build(state):
-        t, d, n = state
-        idf = np.log((1.0 + float(n)) / (1.0 + d.astype(np.float64)))
-        return pd.Index(t), idf
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = (_hash_utf8(t.column("term")) >> np.uint64(1)).astype(np.int64)
+        return t.append_column("term_hash", pa.array(h, pa.int64()))
+
+    from .state.broadcast import BROADCAST_LIMIT
+
+    df_state = hashed_table_from_reduced(
+        document_frequency(ds).map_batches(
+            add_hash, batch_format="pyarrow", batch_size=None
+        ),
+        "term_hash",
+        _xb(),
+        broadcast_limit if broadcast_limit is not None else BROADCAST_LIMIT,
+    )
 
     def topk(batch: pa.Table) -> pd.DataFrame:
-        index, idf_all = cached_state(key, ref, builder=build)
         flat, doc_all, keep, _ = _split_tokens(batch.column("text"))
         tok = flat.to_numpy(zero_copy_only=False)[keep]
         docs_ = doc_all[keep]
@@ -413,7 +423,12 @@ def tfidf_topk(ds, k: int = 3, decimals: int = 6):
         ukey, cnt = np.unique(key2, return_counts=True)
         d_l = (ukey // np.int64(len(uniq))).astype(np.int64)
         c_l = (ukey % np.int64(len(uniq))).astype(np.int64)
-        idf = idf_all[index.get_indexer(uniq)]
+        uniq_arr = pa.array(uniq, pa.string())
+        uh = (_hash_utf8(uniq_arr) >> np.uint64(1)).astype(np.int64)
+        found, vals = df_state.lookup(uh, uniq_arr, "term", ("df",))
+        # every batch term has df >= 1 by construction
+        assert found.all()
+        idf = np.log((1.0 + float(n_docs)) / (1.0 + vals["df"].astype(np.float64)))
         score = cnt.astype(np.float64) * idf[c_l]
         doc_ids = batch.column("doc_id").to_numpy()
         out = pd.DataFrame(
