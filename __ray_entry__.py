@@ -2628,6 +2628,63 @@ def q_gpx_parse(sf_dir: str):
     return read_gpx_table(files)
 
 
+def q_shp_parse(sf_dir: str):
+    """ESRI shapefile format-plugin parse (geotools-vector ingest
+    role, pure-Python spec reader — sources/shapefile.py): shp+dbf
+    byte payloads expand to typed records inside map_batches; derived
+    n_points / first-vertex columns exercise the full geometry wire
+    decode; oracle is the generator's flat truth table (IEEE doubles
+    round-trip bit-identically)."""
+    import ray.data
+
+    from geowave_ray.formats import wkb_decode
+    from geowave_ray.sources.shapefile import parse_shapefile_batch
+
+    def derive(b: pa.Table) -> pa.Table:
+        n_pts, x0, y0 = [], [], []
+        for wkb in b.column("geometry_wkb"):
+            if wkb.as_py() is None:
+                n_pts.append(0)
+                x0.append(None)
+                y0.append(None)
+                continue
+            t, c = wkb_decode(wkb.as_py())
+            if t == "Point":
+                n_pts.append(1)
+                x0.append(float(c[0])); y0.append(float(c[1]))
+            elif t in ("LineString", "MultiPoint"):
+                arr = np.asarray(c, np.float64).reshape(-1, 2)
+                n_pts.append(len(arr))
+                x0.append(float(arr[0, 0])); y0.append(float(arr[0, 1]))
+            elif t == "Polygon":
+                n_pts.append(sum(len(r) for r in c))
+                x0.append(float(c[0][0][0])); y0.append(float(c[0][0][1]))
+            elif t == "MultiLineString":
+                n_pts.append(sum(len(l) for l in c))
+                x0.append(float(c[0][0][0])); y0.append(float(c[0][0][1]))
+            else:  # MultiPolygon
+                n_pts.append(sum(len(r) for p in c for r in p))
+                x0.append(float(c[0][0][0][0])); y0.append(float(c[0][0][0][1]))
+        return pa.table(
+            {
+                "file_id": b.column("file_id"),
+                "rec_no": b.column("rec_no"),
+                "shape_type": b.column("shape_type"),
+                "n_points": pa.array(n_pts, pa.int64()),
+                "x0": pa.array(x0, pa.float64()),
+                "y0": pa.array(y0, pa.float64()),
+                "name": b.column("name"),
+                "val": b.column("val"),
+                "score": b.column("score"),
+            }
+        )
+
+    files = ray.data.read_parquet(f"{_fx(sf_dir)}/shapefiles.parquet")
+    return files.map_batches(
+        parse_shapefile_batch, batch_format="pyarrow", batch_size=None
+    ).map_batches(derive, batch_format="pyarrow", batch_size=None)
+
+
 def q_stanag_parse(sf_dir: str):
     """STANAG 4676 TrackMessage parse (NATO4676Decoder.java:266-420
     role): TrackMessage XML -> one row per TrackPoint item, skipping
@@ -3973,6 +4030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_query_within": q_region_query_within,
         "region_query_overlaps": q_region_query_overlaps,
         "gpx_parse": q_gpx_parse,
+        "shp_parse": q_shp_parse,  # shapefile reader (geotools-vector role)
         "stanag_parse": q_stanag_parse,
         "tdrive_parse": q_tdrive_parse,
         "geolife_parse": q_geolife_parse,
@@ -5919,6 +5977,11 @@ def oracle_sql() -> dict[str, str]:
         "gpx_parse": f"""
             SELECT track_id, seq, lon, lat, ele, ts
             FROM read_parquet('{fx}/gpx_points.parquet')
+        """,
+        "shp_parse": f"""
+            SELECT file_id, rec_no, shape_type, n_points, x0, y0,
+                   name, val, score
+            FROM read_parquet('{fx}/shapefile_truth.parquet')
         """,
         "stanag_parse": f"""
             SELECT track_number, track_uuid, point_uuid, ts, lon, lat,

@@ -737,6 +737,103 @@ def gen_gpx_files(n_files: int) -> tuple[pa.Table, pa.Table]:
     return files, points
 
 
+def gen_shapefiles(n_files: int) -> tuple[pa.Table, pa.Table]:
+    """Synthetic ESRI shapefiles (shp+dbf bytes built by the module's
+    own spec writer) + a flat ground-truth table — the
+    geotools-vector ingest-plugin fixture (VERDICT r3 #7). Each file
+    carries one record of every supported shape plus a Null shape and
+    a DBF-deleted row (excluded from the truth). Truth stores the
+    FIRST parsed vertex and total vertex count, which round-trip
+    bit-identically through the IEEE-double wire format."""
+    from .sources.shapefile import write_dbf, write_shp
+
+    f_id, f_shp, f_dbf = [], [], []
+    t_fid, t_rec, t_type, t_np, t_x0, t_y0 = [], [], [], [], [], []
+    t_name, t_val, t_score = [], [], []
+    fields = [
+        ("name", "C", 12, 0), ("val", "N", 8, 0), ("score", "N", 10, 3),
+    ]
+    for j in range(n_files):
+        ox = float(((j * 53) % 300) - 150) + 0.125
+        oy = float(((j * 29) % 140) - 70) + 0.25
+        sq = np.array(
+            [[ox, oy], [ox + 4, oy], [ox + 4, oy + 4], [ox, oy + 4], [ox, oy]]
+        )
+        hole = np.array(
+            [[ox + 1, oy + 1], [ox + 2, oy + 1], [ox + 2, oy + 2],
+             [ox + 1, oy + 2], [ox + 1, oy + 1]]
+        )
+        far = np.array(
+            [[ox + 10, oy + 10], [ox + 12, oy + 10], [ox + 12, oy + 12],
+             [ox + 10, oy + 12], [ox + 10, oy + 10]]
+        )
+        inner = np.array(
+            [[ox + 10.5, oy + 10.5], [ox + 11, oy + 10.5],
+             [ox + 11, oy + 11], [ox + 10.5, oy + 11],
+             [ox + 10.5, oy + 10.5]]
+        )
+        geoms = [
+            ("Point", np.array([ox + 0.5, oy - 0.5])),
+            ("LineString", np.array([[ox, oy], [ox + 1, oy + 1],
+                                     [ox + 2, oy + 0.5]])),
+            ("Polygon", [sq, hole]),
+            ("MultiPoint", np.array([[ox + 5, oy + 5], [ox + 6, oy + 7],
+                                     [ox + 8, oy + 2]])),
+            None,
+            ("MultiPolygon", [[sq.copy()], [far, inner]]),
+            ("Point", np.array([ox - 3.0, oy - 3.0])),  # deleted row
+        ]
+        rows = [
+            {"name": f"rec{j}_{i}", "val": (j * 7 + i) % 1000 - 50,
+             "score": float(f"{(j * 13 + i * 5) % 97 / 8.0:.3f}")}
+            for i in range(len(geoms))
+        ]
+        shp = write_shp(geoms)
+        dbf = write_dbf(rows, fields, deleted=(6,))
+        f_id.append(f"file{j:05d}")
+        f_shp.append(shp)
+        f_dbf.append(dbf)
+        counts = {0: 1, 1: 3, 2: 10, 3: 3, 4: 0, 5: 15}
+        firsts = {
+            0: geoms[0][1], 1: geoms[1][1][0], 2: sq[0],
+            3: geoms[3][1][0], 4: (None, None), 5: sq[0],
+        }
+        types = ["Point", "LineString", "Polygon", "MultiPoint", "Null",
+                 "MultiPolygon"]
+        for i in range(6):  # record 7 (deleted) excluded
+            t_fid.append(f"file{j:05d}")
+            t_rec.append(i + 1)
+            t_type.append(types[i])
+            t_np.append(counts[i])
+            fx_, fy_ = firsts[i]
+            t_x0.append(None if fx_ is None else float(fx_))
+            t_y0.append(None if fy_ is None else float(fy_))
+            t_name.append(rows[i]["name"])
+            t_val.append(rows[i]["val"])
+            t_score.append(rows[i]["score"])
+    files = pa.table(
+        {
+            "file_id": pa.array(f_id, pa.string()),
+            "shp": pa.array(f_shp, pa.binary()),
+            "dbf": pa.array(f_dbf, pa.binary()),
+        }
+    )
+    truth = pa.table(
+        {
+            "file_id": pa.array(t_fid, pa.string()),
+            "rec_no": pa.array(t_rec, pa.int64()),
+            "shape_type": pa.array(t_type, pa.string()),
+            "n_points": pa.array(t_np, pa.int64()),
+            "x0": pa.array(t_x0, pa.float64()),
+            "y0": pa.array(t_y0, pa.float64()),
+            "name": pa.array(t_name, pa.string()),
+            "val": pa.array(t_val, pa.int64()),
+            "score": pa.array(t_score, pa.float64()),
+        }
+    )
+    return files, truth
+
+
 def gen_stanag_files(n_files: int) -> tuple[pa.Table, pa.Table]:
     """STANAG 4676 TrackMessage XML documents + flat ground-truth
     points (``extensions/formats/stanag4676/`` role; element names per
@@ -1302,6 +1399,11 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
         files, points = gen_gpx_files(max(64, cfg["regions"] // 8))
         pq.write_table(files, gx)
         pq.write_table(points, os.path.join(out, "gpx_points.parquet"))
+    shpf = os.path.join(out, "shapefiles.parquet")
+    if not os.path.exists(shpf):
+        files, truth = gen_shapefiles(max(32, cfg["regions"] // 16))
+        pq.write_table(files, shpf)
+        pq.write_table(truth, os.path.join(out, "shapefile_truth.parquet"))
     sg = os.path.join(out, "stanag_files.parquet")
     if not os.path.exists(sg):
         files, points = gen_stanag_files(max(32, cfg["regions"] // 16))

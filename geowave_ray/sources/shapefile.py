@@ -1,0 +1,365 @@
+"""Pure-Python ESRI shapefile reader/writer — the day-one GeoWave
+vector-ingest format (reference role:
+``extensions/formats/geotools-vector/.../GeoToolsVectorFileIngestPlugin.java``,
+which delegates to GeoTools' shapefile DataStore; this environment has
+no GeoTools/GDAL/shapely, and the .shp/.dbf wire formats are simple,
+fully published structures — ESRI Shapefile Technical Description,
+July 1998 — so the reader is implemented from the spec, VERDICT r3
+"What's missing" #1 / next-round #7).
+
+Supported shapes: Null (0), Point (1), PolyLine (3), Polygon (5),
+MultiPoint (8) plus their Z/M variants (11/13/15/18, 21/23/25/28 —
+the 2-D coordinates are read, trailing Z/M blocks skipped). Polygon
+records assemble parts into shells/holes by ring winding (shapefile
+convention: exterior rings clockwise, holes counter-clockwise); a
+multi-shell record becomes a MultiPolygon with each hole assigned to
+the shell containing its first vertex.
+
+DBF attributes: dBase III field types C (string), N/F (numeric —
+int64 when the decimal count is 0, else float64), L (bool), D (date
+as ISO string). Deleted rows (``*`` flag) are skipped together with
+their geometry record.
+
+Scale shape: files are the parse unit, exactly like the other format
+plugins (``sources/gpx.py``) — a batch row carries one shapefile's
+``shp``/``dbf`` payloads and ``parse_shapefile_batch`` expands them
+inside ``map_batches``, so parallelism is per-file and output streams
+in blocks into the normal ingest path (geometry as WKB + attribute
+columns).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from ..formats import wkb_encode
+
+_SHAPE_NAMES = {
+    0: "Null",
+    1: "Point", 11: "Point", 21: "Point",
+    3: "PolyLine", 13: "PolyLine", 23: "PolyLine",
+    5: "Polygon", 15: "Polygon", 25: "Polygon",
+    8: "MultiPoint", 18: "MultiPoint", 28: "MultiPoint",
+}
+
+
+def _ring_signed_area(r: np.ndarray) -> float:
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def _assemble_polygon(rings: list[np.ndarray]):
+    """Shapefile parts -> internal geometry by winding: CW shells,
+    CCW holes, hole assigned to the shell containing its first
+    vertex."""
+    from ..geom import pip_raycast
+
+    shells = [r for r in rings if _ring_signed_area(r) < 0]
+    holes = [r for r in rings if _ring_signed_area(r) >= 0]
+    if not shells:  # degenerate winding: treat everything as shells
+        shells, holes = holes, []
+    if len(shells) == 1:
+        return ("Polygon", [shells[0]] + holes)
+    polys = [[s] for s in shells]
+    for h in holes:
+        px, py = h[0, 0], h[0, 1]
+        owner = 0
+        best = np.inf
+        for i, s in enumerate(shells):
+            if pip_raycast(np.array([px]), np.array([py]), s)[0]:
+                area = abs(_ring_signed_area(s))
+                if area < best:
+                    best, owner = area, i
+        polys[owner].append(h)
+    return ("MultiPolygon", polys)
+
+
+def parse_shp(data: bytes) -> list:
+    """.shp bytes -> list of (record_number, geometry-or-None)."""
+    if len(data) < 100:
+        raise ValueError("shp too short for the 100-byte header")
+    (code,) = struct.unpack(">i", data[:4])
+    if code != 9994:
+        raise ValueError(f"bad shapefile magic {code}")
+    out = []
+    off = 100
+    n = len(data)
+    while off + 8 <= n:
+        rec_no, content_words = struct.unpack(">ii", data[off:off + 8])
+        off += 8
+        end = off + 2 * content_words
+        (stype,) = struct.unpack("<i", data[off:off + 4])
+        p = off + 4
+        kind = _SHAPE_NAMES.get(stype)
+        if kind is None:
+            raise ValueError(f"unsupported shape type {stype}")
+        if kind == "Null":
+            geom = None
+        elif kind == "Point":
+            x, y = struct.unpack("<2d", data[p:p + 16])
+            geom = ("Point", np.array([x, y]))
+        elif kind == "MultiPoint":
+            (npts,) = struct.unpack("<i", data[p + 32:p + 36])
+            pts = np.frombuffer(
+                data, dtype="<f8", count=2 * npts, offset=p + 36
+            ).reshape(-1, 2).copy()
+            geom = ("MultiPoint", pts)
+        else:  # PolyLine / Polygon
+            nparts, npts = struct.unpack("<2i", data[p + 32:p + 40])
+            parts = np.frombuffer(
+                data, dtype="<i4", count=nparts, offset=p + 40
+            ).astype(np.int64)
+            pts = np.frombuffer(
+                data, dtype="<f8", count=2 * npts, offset=p + 40 + 4 * nparts
+            ).reshape(-1, 2).copy()
+            bounds = np.r_[parts, npts]
+            pieces = [pts[bounds[i]:bounds[i + 1]] for i in range(nparts)]
+            if kind == "PolyLine":
+                geom = (
+                    ("LineString", pieces[0])
+                    if nparts == 1
+                    else ("MultiLineString", pieces)
+                )
+            else:
+                geom = _assemble_polygon(pieces)
+        out.append((rec_no, geom))
+        off = end  # trailing Z/M blocks of *Z/*M variants skip here
+    return out
+
+
+def parse_dbf(data: bytes) -> tuple[list[dict], list[bool]]:
+    """.dbf bytes -> (attribute dicts, active flags) per record."""
+    n_rec, hdr_size, rec_size = struct.unpack("<IHH", data[4:12])
+    fields = []
+    off = 32
+    while off < hdr_size - 1 and data[off] != 0x0D:
+        raw = data[off:off + 32]
+        name = raw[:11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(raw[11])
+        flen = raw[16]
+        fdec = raw[17]
+        fields.append((name, ftype, flen, fdec))
+        off += 32
+    rows: list[dict] = []
+    active: list[bool] = []
+    for i in range(n_rec):
+        base = hdr_size + i * rec_size
+        rec = data[base:base + rec_size]
+        active.append(rec[:1] != b"*")
+        vals: dict = {}
+        fo = 1
+        for name, ftype, flen, fdec in fields:
+            raw = rec[fo:fo + flen].decode("ascii", errors="replace")
+            fo += flen
+            s = raw.strip()
+            if ftype == "C":
+                vals[name] = s
+            elif ftype in ("N", "F"):
+                if not s:
+                    vals[name] = None
+                elif ftype == "F" or fdec > 0 or "." in s:
+                    vals[name] = float(s)
+                else:
+                    vals[name] = int(s)
+            elif ftype == "L":
+                vals[name] = s in ("T", "t", "Y", "y") if s else None
+            elif ftype == "D":
+                vals[name] = (
+                    f"{s[0:4]}-{s[4:6]}-{s[6:8]}" if len(s) == 8 else None
+                )
+            else:
+                vals[name] = s
+        rows.append(vals)
+    return rows, active
+
+
+def read_shapefile(shp: bytes, dbf: bytes | None = None) -> pa.Table:
+    """One shapefile -> Arrow table: ``rec_no``, ``shape_type``,
+    ``geometry_wkb`` (NULL for null shapes) + one column per DBF
+    attribute. DBF-deleted records are dropped with their geometry."""
+    geoms = parse_shp(shp)
+    attrs, active = (None, None)
+    if dbf is not None:
+        attrs, active = parse_dbf(dbf)
+        if len(attrs) != len(geoms):
+            raise ValueError(
+                f"dbf has {len(attrs)} records, shp has {len(geoms)}"
+            )
+    cols: dict[str, list] = {"rec_no": [], "shape_type": [], "geometry_wkb": []}
+    attr_names = list(attrs[0].keys()) if attrs else []
+    for a in attr_names:
+        cols[a] = []
+    for i, (rec_no, geom) in enumerate(geoms):
+        if active is not None and not active[i]:
+            continue
+        cols["rec_no"].append(rec_no)
+        cols["shape_type"].append(geom[0] if geom is not None else "Null")
+        cols["geometry_wkb"].append(wkb_encode(geom) if geom is not None else None)
+        for a in attr_names:
+            cols[a].append(attrs[i][a])
+    out = {
+        "rec_no": pa.array(cols["rec_no"], pa.int64()),
+        "shape_type": pa.array(cols["shape_type"], pa.string()),
+        "geometry_wkb": pa.array(cols["geometry_wkb"], pa.binary()),
+    }
+    for a in attr_names:
+        out[a] = pa.array(cols[a])
+    return pa.table(out)
+
+
+def parse_shapefile_batch(
+    batch: pa.Table, shp_col: str = "shp", dbf_col: str = "dbf",
+    file_col: str = "file_id",
+) -> pa.Table:
+    """map_batches entry: each row carries one shapefile's bytes."""
+    parts = []
+    has_dbf = dbf_col in batch.column_names
+    for i in range(batch.num_rows):
+        shp = batch.column(shp_col)[i].as_py()
+        dbf = batch.column(dbf_col)[i].as_py() if has_dbf else None
+        t = read_shapefile(shp, dbf)
+        if file_col in batch.column_names:
+            t = t.add_column(
+                0, file_col,
+                pa.array([batch.column(file_col)[i].as_py()] * t.num_rows),
+            )
+        parts.append(t)
+    return pa.concat_tables(parts) if parts else pa.table({})
+
+
+# ---------------------------------------------------------------------------
+# writer (vector-export sink + fixture generator)
+# ---------------------------------------------------------------------------
+
+
+def _close(r: np.ndarray) -> np.ndarray:
+    r = np.asarray(r, dtype=np.float64).reshape(-1, 2)
+    if len(r) and not (r[0] == r[-1]).all():
+        r = np.vstack([r, r[:1]])
+    return r
+
+
+def _orient(r: np.ndarray, clockwise: bool) -> np.ndarray:
+    a = _ring_signed_area(r)
+    if (a < 0) != clockwise and a != 0:
+        return r[::-1].copy()
+    return r
+
+
+def write_shp(geoms: list) -> bytes:
+    """Internal geometries (or None) -> .shp bytes. Polygon rings are
+    re-wound to spec (shells CW, holes CCW) and closed."""
+    recs = []
+    xs: list[float] = []
+    ys: list[float] = []
+    main_type = 0
+    for geom in geoms:
+        if geom is None:
+            recs.append(struct.pack("<i", 0))
+            continue
+        t, c = geom
+        if t == "Point":
+            body = struct.pack("<i2d", 1, float(c[0]), float(c[1]))
+            xs += [float(c[0])]
+            ys += [float(c[1])]
+            main_type = main_type or 1
+        elif t == "MultiPoint":
+            pts = np.asarray(c, dtype=np.float64).reshape(-1, 2)
+            body = struct.pack(
+                "<i4di", 8,
+                pts[:, 0].min(), pts[:, 1].min(),
+                pts[:, 0].max(), pts[:, 1].max(), len(pts),
+            ) + pts.astype("<f8").tobytes()
+            xs += [pts[:, 0].min(), pts[:, 0].max()]
+            ys += [pts[:, 1].min(), pts[:, 1].max()]
+            main_type = main_type or 8
+        else:
+            if t == "LineString":
+                pieces, code = [np.asarray(c, np.float64).reshape(-1, 2)], 3
+            elif t == "MultiLineString":
+                pieces, code = [np.asarray(l, np.float64).reshape(-1, 2)
+                                for l in c], 3
+            elif t == "Polygon":
+                pieces = [_orient(_close(c[0]), True)] + [
+                    _orient(_close(h), False) for h in c[1:]
+                ]
+                code = 5
+            elif t == "MultiPolygon":
+                pieces = []
+                for rings in c:
+                    pieces.append(_orient(_close(rings[0]), True))
+                    pieces += [_orient(_close(h), False) for h in rings[1:]]
+                code = 5
+            else:
+                raise ValueError(t)
+            pts = np.vstack(pieces)
+            starts = np.cumsum([0] + [len(p) for p in pieces[:-1]])
+            body = (
+                struct.pack(
+                    "<i4d2i", code,
+                    pts[:, 0].min(), pts[:, 1].min(),
+                    pts[:, 0].max(), pts[:, 1].max(),
+                    len(pieces), len(pts),
+                )
+                + np.asarray(starts, "<i4").tobytes()
+                + pts.astype("<f8").tobytes()
+            )
+            xs += [pts[:, 0].min(), pts[:, 0].max()]
+            ys += [pts[:, 1].min(), pts[:, 1].max()]
+            main_type = main_type or code
+        recs.append(body)
+    payload = b""
+    for i, body in enumerate(recs):
+        payload += struct.pack(">2i", i + 1, len(body) // 2) + body
+    total_words = (100 + len(payload)) // 2
+    header = struct.pack(">i5i i", 9994, 0, 0, 0, 0, 0, total_words)
+    header += struct.pack("<2i", 1000, main_type)
+    header += struct.pack(
+        "<4d",
+        min(xs) if xs else 0.0, min(ys) if ys else 0.0,
+        max(xs) if xs else 0.0, max(ys) if ys else 0.0,
+    )
+    header += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)
+    return header + payload
+
+
+def write_dbf(rows: list[dict], fields: list[tuple],
+              deleted: tuple = ()) -> bytes:
+    """``fields``: (name, type, length, decimals) like parse_dbf
+    yields. Values are rendered fixed-width ASCII per dBase III.
+    Row indices in ``deleted`` get the ``*`` deletion flag."""
+    hdr_size = 32 + 32 * len(fields) + 1
+    rec_size = 1 + sum(f[2] for f in fields)
+    out = bytearray()
+    out += struct.pack("<B3BIHH", 0x03, 95, 7, 26, len(rows), hdr_size, rec_size)
+    out += b"\x00" * 20
+    for name, ftype, flen, fdec in fields:
+        d = bytearray(32)
+        d[:11] = name.encode("ascii")[:10].ljust(11, b"\x00")
+        d[11] = ord(ftype)
+        d[16] = flen
+        d[17] = fdec
+        out += d
+    out += b"\x0d"
+    for ri, r in enumerate(rows):
+        out += b"*" if ri in deleted else b" "
+        for name, ftype, flen, fdec in fields:
+            v = r.get(name)
+            if v is None:
+                s = ""
+            elif ftype == "C":
+                s = str(v)[:flen].ljust(flen)
+            elif ftype in ("N", "F"):
+                s = (f"{v:.{fdec}f}" if fdec else str(int(v))).rjust(flen)
+            elif ftype == "L":
+                s = "T" if v else "F"
+            elif ftype == "D":
+                s = str(v).replace("-", "")[:8]
+            else:
+                s = str(v)
+            out += s[:flen].ljust(flen).encode("ascii")
+    out += b"\x1a"
+    return bytes(out)
