@@ -186,6 +186,104 @@ def _mercator_store(sf_dir: str) -> str:
     return store
 
 
+_UTM_ZONE = 33  # lon band [12, 18)
+_UTM_BOXES = [
+    (12.5, 40.0, 14.0, 42.5),
+    (15.5, -35.0, 17.5, -30.0),
+    (12.2, 60.1, 17.8, 70.3),
+    (14.0, -5.0, 16.0, 5.0),
+]
+
+
+def _utm_store(sf_dir: str) -> str:
+    """EPSG:32633-native store (UTM zone 33N, Krüger closed-form —
+    ``geowave_ray/utm.py``) of the zone's lon-band slice of the pages
+    fixture: rows hold UTM meters; only the cell index lives in 4326
+    (the declared-CRS adapter generalized past axis-monotone
+    transforms, VERDICT r3 #8). |lat| <= 84 per the UTM validity
+    band; the oracle applies the identical band filter."""
+    import os
+
+    import ray.data
+
+    from geowave_ray.crs import ingest_xy_crs
+    from geowave_ray.fixtures import FIXTURE_VERSION
+    from geowave_ray.utm import geodetic_to_utm
+
+    base = _fx(sf_dir)
+    store = os.path.join(base, "utm_store")
+    marker = store + f"_DONE_{FIXTURE_VERSION}"
+    if not os.path.exists(marker):
+        def to_native(b: pa.Table) -> pa.Table:
+            lon = b.column("lon").to_numpy()
+            lat = b.column("lat").to_numpy()
+            keep = (lon >= 12.0) & (lon < 18.0) & (np.abs(lat) <= 84.0)
+            b = b.filter(pa.array(keep))
+            e, n = geodetic_to_utm(
+                b.column("lon").to_numpy(), b.column("lat").to_numpy(),
+                _UTM_ZONE,
+            )
+            return pa.table(
+                {
+                    "row_id": b.column("row_id"),
+                    "url": b.column("url"),
+                    "x": pa.array(e, pa.float64()),
+                    "y": pa.array(n, pa.float64()),
+                }
+            )
+
+        ds = ray.data.read_parquet(
+            os.path.join(base, "pages"), columns=["row_id", "url", "lon", "lat"]
+        ).map_batches(to_native, batch_format="pyarrow", batch_size=None)
+        ingest_xy_crs(ds, store, f"EPSG:326{_UTM_ZONE}")
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return store
+
+
+def q_bbox_utm_store(sf_dir: str):
+    """bbox batch served from the UTM-NATIVE store: partition pruning
+    in 4326 index space; the fine filter INVERSE-transforms each
+    batch's UTM meters back to 4326 and tests the original box (UTM is
+    not axis-monotone, so unlike the mercator path the box cannot be
+    pushed to native space exactly — the per-point inverse is the
+    correct plan and is one vectorized series evaluation per batch).
+    Oracle filters the fixture's stored lon/lat; the Krüger round trip
+    is ~1e-11 degrees, sub-ulp relative to the random fixture
+    geometry."""
+    from ray.data.aggregate import Sum
+
+    from geowave_ray.crs import read_crs_pruned
+    from geowave_ray.utm import utm_to_geodetic
+
+    boxes = _UTM_BOXES
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon, lat = utm_to_geodetic(
+            batch.column("x").to_numpy(), batch.column("y").to_numpy(),
+            _UTM_ZONE,
+        )
+        out_q, out_n = [], []
+        for i, (x0, y0, x1, y1) in enumerate(boxes):
+            n = int(((lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)).sum())
+            if n:
+                out_q.append(f"utm{i}")
+                out_n.append(n)
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.string()),
+             "n": pa.array(out_n, pa.int64())}
+        )
+
+    ds = read_crs_pruned(
+        _utm_store(sf_dir), f"EPSG:326{_UTM_ZONE}", boxes, columns=["x", "y"]
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("query_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def q_bbox_mercator_store(sf_dir: str):
     """bbox batch served from the EPSG:3857-NATIVE store: partition
     pruning in 4326 index space (epsilon-padded superset), exact fine
@@ -3952,6 +4050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join_temporal": q_pip_join_temporal,
         # declared-CRS adapter path (EPSG:3857-native store)
         "bbox_mercator_store": q_bbox_mercator_store,
+        "bbox_utm_store": q_bbox_utm_store,  # UTM declared-CRS store
         "pip_join_mercator": q_pip_join_mercator,
         # spatial queries
         "polygon_queries": q_polygon_queries,
@@ -5077,6 +5176,19 @@ def oracle_sql() -> dict[str, str]:
         # original 4326 coords — agreement rests on the web-mercator
         # transform's per-axis monotonicity (docstrings at
         # q_bbox_mercator_store / q_pip_join_mercator)
+        "bbox_utm_store": f"""
+            WITH boxes(query_id, xmin, ymin, xmax, ymax) AS (VALUES
+                ('utm0', 12.5, 40.0, 14.0, 42.5),
+                ('utm1', 15.5, -35.0, 17.5, -30.0),
+                ('utm2', 12.2, 60.1, 17.8, 70.3),
+                ('utm3', 14.0, -5.0, 16.0, 5.0))
+            SELECT b.query_id, count(*) AS n
+            FROM boxes b JOIN {PAGES} p
+              ON p.lon >= b.xmin AND p.lon <= b.xmax
+             AND p.lat >= b.ymin AND p.lat <= b.ymax
+            WHERE p.lon >= 12.0 AND p.lon < 18.0 AND abs(p.lat) <= 84.0
+            GROUP BY b.query_id
+        """,
         "bbox_mercator_store": f"""
             SELECT q.query_id, count(*) AS n
             FROM (SELECT * FROM {QUERIES} WHERE kind = 'bbox') q

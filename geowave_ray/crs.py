@@ -41,21 +41,45 @@ class CrsAdapter:
     """Transform pair between a declared native CRS and the EPSG:4326
     index CRS. ``to_index`` native→4326 (for cell encoding),
     ``from_index`` 4326→native (for pushing query geometry down to the
-    native fine filter)."""
+    native fine filter).
+
+    Supported without geo libs (all closed-form): ``EPSG:4326``,
+    ``EPSG:3857`` (web mercator), and the 120 WGS84 UTM zones
+    ``EPSG:326NN`` (north) / ``EPSG:327NN`` (south) via the Krüger
+    transverse-Mercator series (``utm.py``, VERDICT r3 #8). NOTE: UTM
+    is NOT axis-monotone, so ``native_box`` is inexact for it — UTM
+    fine filters inverse-transform points and test in 4326 instead."""
 
     def __init__(self, crs: str):
-        if crs not in ("EPSG:4326", "EPSG:3857"):
+        self.utm_zone = 0
+        self.utm_south = False
+        if crs.startswith("EPSG:326") or crs.startswith("EPSG:327"):
+            code = int(crs[5:])
+            zone = code % 100
+            if not 1 <= zone <= 60:
+                raise ValueError(f"bad UTM zone in {crs!r}")
+            self.utm_zone = zone
+            self.utm_south = code // 100 == 327
+        elif crs not in ("EPSG:4326", "EPSG:3857"):
             raise ValueError(f"unsupported CRS {crs!r} (no geo libs in env)")
         self.crs = crs
 
     def to_index(self, x: np.ndarray, y: np.ndarray):
         if self.crs == "EPSG:4326":
             return x, y
+        if self.utm_zone:
+            from .utm import utm_to_geodetic
+
+            return utm_to_geodetic(x, y, self.utm_zone, self.utm_south)
         return from_web_mercator(x, y)
 
     def from_index(self, lon: np.ndarray, lat: np.ndarray):
         if self.crs == "EPSG:4326":
             return lon, lat
+        if self.utm_zone:
+            from .utm import geodetic_to_utm
+
+            return geodetic_to_utm(lon, lat, self.utm_zone, self.utm_south)
         return to_web_mercator(lon, lat)
 
 
