@@ -1928,6 +1928,11 @@ def q_ann_cosine(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
+    """Random-hyperplane LSH prefilter -> exact scoring of survivors.
+    Exactly oracled: the plane matrix is seeded, so the oracle embeds
+    the identical plane literals and replicates bucket membership
+    (sign of the dot is normalization-invariant) and the exact
+    ranking in SQL."""
     import pyarrow.parquet as pq
 
     from geowave_ray.ann import ann_lsh_topk
@@ -1946,8 +1951,10 @@ def q_ann_int8(sf_dir: str):
     """int8-quantized ANN: scan the 4x-smaller quantized corpus for
     overfetched candidates, then exact-rescore only those rows'
     float embeddings (bounded semi-join by broadcast candidate set).
-    Approximate overall — recall vs brute force asserted in pytest
-    (ann.ann_int8_topk)."""
+    Approximate overall (recall vs brute force asserted in pytest) but
+    DETERMINISTIC and exactly oracled: the SQL replica quantizes with
+    the identical float expressions, takes the same per-query top-m
+    candidate pairs, and re-ranks them by exact cosine."""
     import pyarrow.parquet as pq
 
     from geowave_ray.ann import ann_int8_topk
@@ -1959,13 +1966,25 @@ def q_ann_int8(sf_dir: str):
     )
     qids = np.asarray(t["vec_id"].to_numpy()[qmask])
     ds = _read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ann_int8_topk(ds, qvecs, qids, k=10, concurrency=_pool())
+    return ann_int8_topk(
+        ds, qvecs, qids, k=10, concurrency=_pool()
+    ).select_columns(["query_vec_id", "rank", "vec_id"])
+
+
+def _ivf_centroids() -> np.ndarray:
+    """Seeded random-projection coarse quantizer (data-independent, so
+    the SQL oracle embeds the identical centroid literals — r4 #9).
+    The k-means-trained quantizer stays the library default."""
+    return np.random.default_rng(123).standard_normal((32, 64))
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF-style ANN: coarse k-means quantizer -> nprobe inverted lists
-    -> exact scoring of survivors only (approximate; recall vs the
-    brute-force baseline asserted in pytest)."""
+    """IVF-style ANN with a DETERMINISTIC seeded coarse quantizer:
+    nprobe inverted lists -> exact scoring of survivors only. Exactly
+    oracled end-to-end: the oracle replicates the quantizer (same
+    centroid literals), list assignment, probe set, and the exact
+    rescore ranking in SQL; the trained-k-means variant's recall is
+    asserted in pytest."""
     import pyarrow.parquet as pq
 
     from geowave_ray.ann import ann_ivf_topk
@@ -1977,7 +1996,9 @@ def q_ann_ivf(sf_dir: str):
     )
     qids = np.asarray(t["vec_id"].to_numpy()[qmask])
     ds = _read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ann_ivf_topk(ds, qvecs, qids, k=10, concurrency=_pool())
+    return ann_ivf_topk(
+        ds, qvecs, qids, k=10, concurrency=_pool(), centroids=_ivf_centroids()
+    )
 
 
 def q_emb_neardup_pairs(sf_dir: str):
@@ -4354,7 +4375,30 @@ def _general_intersects_sql(
     """
 
 
+def _sql_list(vec) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
+
+
+def _lsh_planes_sql() -> str:
+    """VALUES rows (t, j, plane) replicating ann_lsh_topk's seeded
+    plane matrix (seed 42, 4 tables x 12 planes x 64 dims)."""
+    planes = np.random.default_rng(42).standard_normal((4, 12, 64))
+    rows = []
+    for t in range(4):
+        for j in range(12):
+            rows.append(f"({t}, {j}, {_sql_list(planes[t, j])})")
+    return ",\n                ".join(rows)
+
+
+def _ivf_centroids_sql() -> str:
+    cent = _ivf_centroids()
+    return ",\n                ".join(
+        f"({i}, {_sql_list(cent[i])})" for i in range(len(cent))
+    )
+
+
 def oracle_sql() -> dict[str, str]:
+
     fx = _fx(SF01)  # fixtures must exist before the oracle runs
     PAGES = f"read_parquet('{fx}/pages/*.parquet')"
     REGIONS = f"read_parquet('{fx}/regions.parquet')"
@@ -5965,6 +6009,101 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY sim DESC, vec_id) AS rank
               FROM d
             )
+            SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= 10
+        """,
+        # ANN approximate variants, exactly oracled (r4 #9): seeded
+        # plane/centroid literals replicate the prefilter; candidate
+        # ranking is normalization-invariant so the SQL uses raw query
+        # vectors; the final ranking mirrors ann_cosine's ordering.
+        "ann_lsh": f"""
+            WITH planes(t, j, v) AS (VALUES
+                {_lsh_planes_sql()}),
+            q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                  WHERE vec_id < 5),
+            ec AS (SELECT e.vec_id, p.t,
+                   SUM(CASE WHEN list_dot_product(e.embedding, p.v) > 0
+                            THEN 1 << p.j ELSE 0 END) AS code
+                   FROM embeddings e CROSS JOIN planes p
+                   GROUP BY e.vec_id, p.t),
+            qc AS (SELECT q.qid, p.t,
+                   SUM(CASE WHEN list_dot_product(q.qe, p.v) > 0
+                            THEN 1 << p.j ELSE 0 END) AS code
+                   FROM q CROSS JOIN planes p GROUP BY q.qid, p.t),
+            surv AS (SELECT DISTINCT ec.vec_id
+                     FROM ec JOIN qc ON qc.t = ec.t AND qc.code = ec.code),
+            d AS (SELECT q.qid AS query_vec_id, e.vec_id,
+                         list_cosine_similarity(q.qe, e.embedding) AS sim
+                  FROM q, embeddings e, surv s
+                  WHERE s.vec_id = e.vec_id AND e.vec_id <> q.qid),
+            r AS (SELECT query_vec_id, vec_id,
+                         row_number() OVER (PARTITION BY query_vec_id
+                                            ORDER BY sim DESC, vec_id) AS rank
+                  FROM d)
+            SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= 10
+        """,
+        "ann_ivf": f"""
+            WITH cent(ci, v) AS (VALUES
+                {_ivf_centroids_sql()}),
+            q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                  WHERE vec_id < 5),
+            ad AS (SELECT e.vec_id, c.ci,
+                          list_dot_product(e.embedding, c.v) AS d
+                   FROM embeddings e CROSS JOIN cent c),
+            assign AS (SELECT vec_id, ci FROM (
+                   SELECT vec_id, ci, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d DESC, ci) AS r
+                   FROM ad) WHERE r = 1),
+            qd AS (SELECT q.qid, c.ci, list_dot_product(q.qe, c.v) AS d
+                   FROM q CROSS JOIN cent c),
+            probed AS (SELECT DISTINCT ci FROM (
+                   SELECT qid, ci, row_number() OVER (
+                       PARTITION BY qid ORDER BY d DESC, ci) AS r
+                   FROM qd) WHERE r <= 8),
+            surv AS (SELECT a.vec_id FROM assign a
+                     JOIN probed p ON p.ci = a.ci),
+            d2 AS (SELECT q.qid AS query_vec_id, e.vec_id,
+                          list_cosine_similarity(q.qe, e.embedding) AS sim
+                   FROM q, embeddings e, surv s
+                   WHERE s.vec_id = e.vec_id AND e.vec_id <> q.qid),
+            r AS (SELECT query_vec_id, vec_id,
+                         row_number() OVER (PARTITION BY query_vec_id
+                                            ORDER BY sim DESC, vec_id) AS rank
+                  FROM d2)
+            SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= 10
+        """,
+        "ann_int8": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                       WHERE vec_id < 5),
+            sc AS (SELECT vec_id, embedding,
+                          list_max(list_transform(embedding,
+                                                  x -> abs(x))) AS amax
+                   FROM embeddings),
+            cd AS (SELECT vec_id, embedding,
+                          list_transform(embedding, x -> round(x /
+                              (CASE WHEN amax > 0 THEN amax / 127.0
+                                    ELSE 1.0 END))) AS c
+                   FROM sc),
+            d1 AS (SELECT q.qid AS query_vec_id, cd.vec_id,
+                          list_dot_product(q.qe, cd.c) /
+                          (CASE WHEN list_dot_product(cd.c, cd.c) = 0
+                                THEN 1.0
+                                ELSE sqrt(list_dot_product(cd.c, cd.c))
+                           END) AS qsim
+                   FROM q CROSS JOIN cd),
+            cand AS (SELECT query_vec_id, vec_id FROM (
+                   SELECT query_vec_id, vec_id, row_number() OVER (
+                       PARTITION BY query_vec_id
+                       ORDER BY qsim DESC, vec_id) AS r
+                   FROM d1) WHERE r <= 40),
+            d2 AS (SELECT c.query_vec_id, c.vec_id,
+                          list_cosine_similarity(q.qe, e.embedding) AS sim
+                   FROM cand c
+                   JOIN q ON q.qid = c.query_vec_id
+                   JOIN embeddings e ON e.vec_id = c.vec_id),
+            r AS (SELECT query_vec_id, vec_id,
+                         row_number() OVER (PARTITION BY query_vec_id
+                                            ORDER BY sim DESC, vec_id) AS rank
+                  FROM d2)
             SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= 10
         """,
         "gwql_select": """

@@ -280,6 +280,7 @@ def ann_ivf_topk(
     nprobe: int = 8,
     concurrency: int | tuple | None = None,
     exclude_self: bool = True,
+    centroids: np.ndarray | None = None,
 ) -> ray.data.Dataset:
     """IVF-style ANN: a coarse k-means quantizer partitions the vectors
     into inverted lists; each query probes its ``nprobe`` nearest
@@ -290,7 +291,14 @@ def ann_ivf_topk(
     only matching partitions (same pruned-read pattern as the spatial
     cell-bucket store)."""
     qmat = _normalize(np.asarray(query_vecs, np.float64))
-    cent = ivf_train_centroids(embeddings, n_centroids=n_centroids, dim=qmat.shape[1])
+    # a caller-supplied quantizer (e.g. seeded random projections) is
+    # a legitimate coarse quantizer and makes the whole pipeline
+    # SQL-replicable; default stays the trained k-means quantizer
+    cent = (
+        np.asarray(centroids, np.float64)
+        if centroids is not None
+        else ivf_train_centroids(embeddings, n_centroids=n_centroids, dim=qmat.shape[1])
+    )
     probed = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
     wanted = np.unique(probed)
     cref = ray.put((cent, np.sort(wanted)))
@@ -452,13 +460,17 @@ class _Int8Partial:
         flat = pc.list_flatten(codes_col).to_numpy(zero_copy_only=False)
         n = len(ids)
         d = self.qmat.shape[1]
-        codes = flat.reshape(n, d).astype(np.float32)
+        # float64 scan metric: the int8 lever is the 4x-smaller WIRE
+        # format (object store / storage bytes); widening the in-core
+        # matmul to f64 costs 2x FLOPs on the small candidate stage but
+        # makes the ranking reproducible by the SQL oracle (r4 #9)
+        codes = flat.reshape(n, d).astype(np.float64)
         scale = batch.column("scale").to_numpy()
         # dequantized vectors x~ = codes * scale; cosine needs x~/||x~||,
         # and scale > 0 cancels in the norm — rank by (q . codes)/||codes||
         nrm = np.linalg.norm(codes, axis=1)
         nrm[nrm == 0] = 1.0
-        sims = (self.qmat.astype(np.float32) @ codes.T) / nrm[None, :]
+        sims = (self.qmat @ codes.T) / nrm[None, :]
         take = min(self.m, sims.shape[1])
         out_q, out_v, out_s = [], [], []
         for qi in range(len(self.qids)):
