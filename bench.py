@@ -233,6 +233,8 @@ def run_docs_scaling_child(fixture_root: str) -> dict:
     from geowave_ray.dedup import exact_dedup, minhash_lsh_pairs
     from geowave_ray.util import read_blocks
 
+    from geowave_ray.dedup import doc_signatures
+
     docs_dir = os.path.join(fixture_root, "docs")
     n_docs = sum(
         pq.read_metadata(os.path.join(docs_dir, f)).num_rows
@@ -247,11 +249,22 @@ def run_docs_scaling_child(fixture_root: str) -> dict:
 
     # untimed warmup read
     read().count()
+    # fused single-scan lineage (VERDICT r3 #2 — the docs pipeline is
+    # DRAM-bandwidth-bound, so touch the text bytes as few times as
+    # possible): the corpus is decoded from parquet ONCE into the
+    # object store; ONE tokenize+hash pass produces the slim signature
+    # table (minhash + content hash); LSH and exact-dedup pass 1 both
+    # consume the signatures; only dedup pass 2 re-scans the
+    # (materialized, zero-copy) text.
     t0 = time.time()
-    n_pairs = minhash_lsh_pairs(read(), jaccard_threshold=0.5).count()
+    corpus = read().materialize()
+    sigs = doc_signatures(corpus)
+    n_pairs = minhash_lsh_pairs(
+        corpus, jaccard_threshold=0.5, sigs=sigs
+    ).count()
     lsh_sec = time.time() - t0
     t0 = time.time()
-    n_kept = exact_dedup(read()).count()
+    n_kept = exact_dedup(corpus, content_hashes=sigs).count()
     dedup_sec = time.time() - t0
     total = lsh_sec + dedup_sec
     return {

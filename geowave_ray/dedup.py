@@ -96,6 +96,7 @@ def dup_content_hashes(
     text_col: str = "text",
     n_buckets: int = 64,
     broadcast_limit: int | None = None,
+    hashes: ray.data.Dataset | None = None,
 ):
     """Pass 1 of two-pass exact dedup: the content hashes that occur
     >= 2 times, as a :class:`~geowave_ray.state.broadcast.
@@ -111,7 +112,10 @@ def dup_content_hashes(
     (VERDICT r3 #1)."""
 
     def partial(b: pa.Table) -> pa.Table:
-        h = (hash_utf8(b.column(text_col)) >> np.uint64(1)).astype(np.int64)
+        if hashes is not None:
+            h = b.column("content_hash").to_numpy(zero_copy_only=False)
+        else:
+            h = (hash_utf8(b.column(text_col)) >> np.uint64(1)).astype(np.int64)
         uh, cnt = np.unique(h, return_counts=True)
         return pa.table(
             {
@@ -131,8 +135,9 @@ def dup_content_hashes(
 
     from .state.broadcast import BROADCAST_LIMIT, int64_set_from_reduced
 
+    src_ds = hashes if hashes is not None else docs
     reduced = (
-        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        src_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .repartition(exchange_blocks())
         .groupby("bucket")
         .map_groups(dups, batch_format="pyarrow")
@@ -166,6 +171,7 @@ def _two_pass_dedup(
     n_buckets: int,
     text_col: str = "text",
     broadcast_limit: int | None = None,
+    content_hashes: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Two-pass exact dedup core (VERDICT r2 #6): pass 1 learns the
     duplicated content hashes from a (hash, count)-only exchange; pass
@@ -177,7 +183,8 @@ def _two_pass_dedup(
     under 4 GB, per-bucket object-store chunks above — never resident
     whole on the driver)."""
     dup_set = dup_content_hashes(
-        docs, text_col=text_col, broadcast_limit=broadcast_limit
+        docs, text_col=text_col, broadcast_limit=broadcast_limit,
+        hashes=content_hashes,
     )
     cols = docs.schema().names
 
@@ -210,6 +217,7 @@ def exact_dedup(
     n_buckets: int = 256,
     text_col: str = "text",
     broadcast_limit: int | None = None,
+    content_hashes: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Keep the min-id representative per identical ``text_col``.
 
@@ -224,6 +232,7 @@ def exact_dedup(
     return _two_pass_dedup(
         docs, keep_first, id_col, n_buckets,
         text_col=text_col, broadcast_limit=broadcast_limit,
+        content_hashes=content_hashes,
     )
 
 
@@ -424,6 +433,32 @@ def _minhash_lsh_fused(
     return banded.groupby("bucket").map_groups(emit_verified, batch_format="pyarrow")
 
 
+def doc_signatures(
+    docs: ray.data.Dataset,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """ONE scan over the corpus producing every per-doc signature the
+    dedup family needs — minhash signature AND whole-text content hash
+    — so downstream operators (LSH pairs, exact dedup pass 1, filters)
+    never re-read or re-tokenize the text (VERDICT r3 #2: the docs
+    pipeline was DRAM-bandwidth-bound; byte traffic is the lever).
+    Returns a MATERIALIZED slim dataset (doc_id, minhash, content_hash)
+    — ~8·num_perm+16 B/doc in the object store, zero-copy to every
+    consumer."""
+
+    def one_pass(b: pa.Table) -> pa.Table:
+        t = minhash_batch(b, num_perm=num_perm, shingle_n=shingle_n,
+                          text_col=text_col)
+        h = (hash_utf8(b.column(text_col)) >> np.uint64(1)).astype(np.int64)
+        return t.append_column("content_hash", pa.array(h, pa.int64()))
+
+    return docs.map_batches(
+        one_pass, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+
 def minhash_lsh_pairs(
     docs: ray.data.Dataset,
     num_perm: int = 64,
@@ -433,6 +468,7 @@ def minhash_lsh_pairs(
     band_group_cap: int = 512,
     n_buckets: int = 256,
     fused: bool | None = None,
+    sigs: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Near-dup pairs via banded LSH. Returns (doc_a, doc_b, sim)
     with doc_a < doc_b and sim = signature-equality fraction >=
@@ -468,24 +504,29 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     n_docs = None
-    if fused is None:
-        n_docs = docs.count()
-        fused = n_docs <= 100_000
-    if fused:
-        return _minhash_lsh_fused(
-            docs, num_perm, bands, shingle_n, jaccard_threshold,
-            band_group_cap, n_buckets,
-        )
+    if sigs is None:
+        if fused is None:
+            n_docs = docs.count()
+            fused = n_docs <= 100_000
+        if fused:
+            return _minhash_lsh_fused(
+                docs, num_perm, bands, shingle_n, jaccard_threshold,
+                band_group_cap, n_buckets,
+            )
     from .util import exchange_blocks
 
-    # signature computation runs at the input's read parallelism (the
-    # compute-heavy stage — never cap it); the materialized sigs table
-    # is re-read by to_bands and both attach passes, and every
-    # exchange below is width-bounded at its repartition
-    sigs = docs.map_batches(
-        minhash_batch, fn_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n),
-        batch_format="pyarrow", batch_size=None,
-    ).materialize()
+    if sigs is None:
+        # signature computation runs at the input's read parallelism
+        # (the compute-heavy stage — never cap it); the materialized
+        # sigs table is re-read by to_bands and both attach passes,
+        # and every exchange below is width-bounded at its repartition
+        sigs = docs.map_batches(
+            minhash_batch, fn_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n),
+            batch_format="pyarrow", batch_size=None,
+        ).materialize()
+    # caller-provided sigs (doc_signatures): the byte-minimal plan is
+    # the right consumer — signatures are already materialized and the
+    # fused plan would re-ship bands copies of them
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()

@@ -197,3 +197,41 @@ def test_tfidf_bucketed_equals_broadcast(ray_session):
         .sort_values(["doc_id", "rank"])
     )
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_fused_signatures_equal_unfused(ray_session):
+    """doc_signatures feeds LSH + exact dedup without re-reading text;
+    results must equal the standalone operators bit-for-bit."""
+    import ray
+
+    from geowave_ray.dedup import (
+        doc_signatures,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(50)]
+    texts = [" ".join(words[j] for j in rng.integers(0, 50, 25))
+             for _ in range(600)]
+    for i in range(0, 600, 4):   # near-dups + exact dups
+        texts[i] = texts[(i + 1) % 600]
+    t = pa.table({"doc_id": pa.array(range(600), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(6)
+    sigs = doc_signatures(ds)
+
+    a = minhash_lsh_pairs(ds, jaccard_threshold=0.5, fused=False).to_pandas()
+    b = minhash_lsh_pairs(ds, jaccard_threshold=0.5, sigs=sigs).to_pandas()
+    key = ["doc_a", "doc_b"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
+
+    d1 = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    d2 = (
+        exact_dedup(ds, content_hashes=sigs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert d1.equals(d2)
