@@ -386,6 +386,42 @@ def _url_index(sf_dir: str) -> str:
     return out
 
 
+_ENUM_TERMS = ["de", "en", "es", "fr", "ja"]  # deliberately a SUBSET
+
+
+def _enum_index(sf_dir: str) -> str:
+    """Cached enum secondary index over documents.lang
+    (EnumIndexStrategy role): values outside the enumeration are NOT
+    indexed, exactly as the reference skips them."""
+    import os
+
+    from geowave_ray.fixtures import FIXTURE_VERSION
+    from geowave_ray.text_index import build_enum_index
+
+    base = _fx(sf_dir)
+    out = os.path.join(base, "lang_enum_index")
+    marker = out + f"_DONE_{FIXTURE_VERSION}"
+    if not os.path.exists(marker):
+        ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+        build_enum_index(ds, _ENUM_TERMS, out, value_col="lang")
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return out
+
+
+def q_enum_lookup(sf_dir: str):
+    """Enum-valued secondary-index lookup (EnumIndexStrategy.java:
+    75-100 role): the term binary-searches to its sort key = partition
+    id, the read touches ONE enum_idx= directory; a not-in-enum term
+    matches nothing (asserted in pytest)."""
+    from geowave_ray.text_index import search_enum
+
+    idx = _enum_index(sf_dir)
+    return search_enum(
+        idx, _ENUM_TERMS, "de", columns=["doc_id", "lang", "n_chars"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # geospatial queries (pages/regions fixtures)
 # ---------------------------------------------------------------------------
@@ -1239,6 +1275,27 @@ def q_visibility_select(sf_dir: str):
     docs = _read_testdata(sf_dir, "documents").select_columns(["doc_id"])
     ds = docs.map_batches(add_vis, batch_format="pyarrow", batch_size=None)
     return visibility_filter(ds, {"a", "b"})
+
+
+def q_cql_functions(sf_dir: str):
+    """(E)CQL with OGC filter FUNCTIONS (the GeoTools
+    FilterFunction_* surface reached through CQLQueryFilter —
+    VERDICT r3 missing #5): string/math function calls compose with
+    comparisons and boolean algebra, all vectorized pyarrow kernels."""
+    from geowave_ray.cql import parse_cql
+
+    expr = parse_cql(
+        "strToUpperCase(lang) = 'EN' AND strLength(text) > 200 "
+        "OR strIndexOf(lang, 'f') >= 0 AND min(n_chars, 500) < 180 "
+        "OR strEndsWith(lang, 'a') AND strSubstring(lang, 0, 1) = 'j'"
+    )
+    ds = _read_testdata(
+        sf_dir, "documents", columns=["doc_id", "lang", "text", "n_chars"]
+    )
+    return ds.map_batches(
+        lambda b: expr.filter_batch(b).select(["doc_id", "lang", "n_chars"]),
+        batch_format="pyarrow", batch_size=None,
+    )
 
 
 def q_visibility_select_expr(sf_dir: str):
@@ -4022,6 +4079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subsample_cells": q_subsample_cells,    # resolution subsample
         "visibility_select": q_visibility_select,  # visibility filter
         "visibility_select_expr": q_visibility_select_expr,  # OR/parens
+        "cql_functions": q_cql_functions,  # OGC filter-function library
         "knn": q_knn,                            # exact pruned kNN
         "knn_bounded": q_knn_bounded,            # kNN + maxDistance
         "tile_assign": q_tile_assign,            # raster tiles
@@ -4150,6 +4208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_query_within": q_region_query_within,
         "region_query_overlaps": q_region_query_overlaps,
         "gpx_parse": q_gpx_parse,
+        "enum_lookup": q_enum_lookup,  # enum secondary index
         "shp_parse": q_shp_parse,  # shapefile reader (geotools-vector role)
         "stanag_parse": q_stanag_parse,
         "tdrive_parse": q_tdrive_parse,
@@ -5337,6 +5396,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 4 IN (0, 1, 2)
         """,
+        "cql_functions": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE (upper(lang) = 'EN' AND length(text) > 200)
+               OR (strpos(lang, 'f') - 1 >= 0 AND least(n_chars, 500) < 180)
+               OR (lang LIKE '%a' AND substr(lang, 1, 1) = 'j')
+        """,
         "visibility_select_expr": """
             SELECT doc_id,
                    CASE CAST(doc_id % 6 AS INTEGER)
@@ -6105,6 +6170,9 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY sim DESC, vec_id) AS rank
                   FROM d2)
             SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= 10
+        """,
+        "enum_lookup": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'de'
         """,
         "gwql_select": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -342,7 +342,68 @@ def _cql_tokenize(s: str):
     return out
 
 
+# --------------------------------------------------------------------------
+# OGC filter-function library (CQL function calls inside expressions —
+# the GeoTools FilterFunction_* surface the reference reaches through
+# CQLQueryFilter, ``core/geotime/.../store/query/filter/CQLQueryFilter
+# .java``; names case-insensitive as in GeoTools). Each entry maps to
+# a vectorized pyarrow.compute kernel chain.
+# --------------------------------------------------------------------------
+
+
+def _fn_round(a):
+    # GeoTools round = Java Math.round = floor(x + 0.5), returns long
+    return pc.cast(pc.floor(pc.add(a, pa.scalar(0.5))), pa.int64())
+
+
+def _fn_substring(s, begin, end):
+    b = begin.as_py() if isinstance(begin, pa.Scalar) else int(begin)
+    e = end.as_py() if isinstance(end, pa.Scalar) else int(end)
+    return pc.utf8_slice_codeunits(s, int(b), int(e))
+
+
+def _fn_index_of(s, sub):
+    # GeoTools strIndexOf: 0-based position, -1 when absent
+    v = sub.as_py() if isinstance(sub, pa.Scalar) else str(sub)
+    return pc.find_substring(s, v)
+
+
+def _fn_matches(s, pat):
+    v = pat.as_py() if isinstance(pat, pa.Scalar) else str(pat)
+    # Java String.matches anchors the whole string
+    return pc.match_substring_regex(s, f"^(?:{v})$")
+
+
+_CQL_FUNCS = {
+    "strtolowercase": (1, pc.utf8_lower),
+    "strtouppercase": (1, pc.utf8_upper),
+    "strlength": (1, lambda a: pc.cast(pc.utf8_length(a), pa.int64())),
+    "strtrim": (1, pc.utf8_trim_whitespace),
+    "strconcat": (2, lambda a, b: pc.binary_join_element_wise(a, b, "")),
+    "strsubstring": (3, _fn_substring),
+    "strindexof": (2, _fn_index_of),
+    "strstartswith": (2, lambda s, p: pc.starts_with(
+        s, p.as_py() if isinstance(p, pa.Scalar) else str(p))),
+    "strendswith": (2, lambda s, p: pc.ends_with(
+        s, p.as_py() if isinstance(p, pa.Scalar) else str(p))),
+    "strmatches": (2, _fn_matches),
+    "strreplace": (3, lambda s, f, r: pc.replace_substring(
+        s, f.as_py() if isinstance(f, pa.Scalar) else str(f),
+        r.as_py() if isinstance(r, pa.Scalar) else str(r))),
+    "abs": (1, pc.abs),
+    "ceil": (1, pc.ceil),
+    "floor": (1, pc.floor),
+    "round": (1, _fn_round),
+    "min": (2, pc.min_element_wise),
+    "max": (2, pc.max_element_wise),
+    "sqrt": (1, pc.sqrt),
+}
+
+_BOOL_FUNCS = {"strstartswith", "strendswith", "strmatches"}
+
+
 class _CqlParser:
+
     """Recursive-descent (E)CQL — the subset the reference converts
     to its expression AST (CQLToGeoWaveFilterVisitor.java: logical ops,
     comparisons, BETWEEN/IN/LIKE/IS NULL, BBOX/INTERSECTS/WITHIN/
@@ -402,7 +463,65 @@ class _CqlParser:
         if t == "kw" and v in ("BBOX", "INTERSECTS", "WITHIN", "CONTAINS",
                                "DISJOINT", "DWITHIN"):
             return self.spatial_predicate()
+        if (
+            t == "word"
+            and v.lower() in _CQL_FUNCS
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1] == ("op", "(")
+        ):
+            return self.func_comparison()
         return self.comparison()
+
+    # ---- filter functions ------------------------------------------------
+    def value(self) -> Expr:
+        t, v = self.peek()
+        if t == "word":
+            if (
+                v.lower() in _CQL_FUNCS
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1] == ("op", "(")
+            ):
+                return self.func_call()
+            self.next()
+            return col(v)
+        return lit(self.literal())
+
+    def func_call(self) -> Expr:
+        _, name = self.next()
+        self.expect("(")
+        args = []
+        if self.peek() != ("op", ")"):
+            args.append(self.value())
+            while self.peek() == ("op", ","):
+                self.next()
+                args.append(self.value())
+        self.expect(")")
+        arity, kern = _CQL_FUNCS[name.lower()]
+        if len(args) != arity:
+            raise ValueError(
+                f"CQL: {name} takes {arity} argument(s), got {len(args)}"
+            )
+        return Expr(lambda b: kern(*[a.evaluate(b) for a in args]))
+
+    def func_comparison(self) -> Expr:
+        _, name0 = self.peek()
+        e = self.func_call()
+        t2, op = self.peek()
+        if t2 != "op" or op not in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            if name0.lower() in _BOOL_FUNCS:
+                return e  # boolean function used bare as a predicate
+            raise ValueError(
+                f"CQL: expected comparison after {name0}(...), got {op!r}"
+            )
+        self.next()
+        rhs = self.value()
+        kernels = {
+            "=": pc.equal, "<>": pc.not_equal, "!=": pc.not_equal,
+            "<": pc.less, "<=": pc.less_equal,
+            ">": pc.greater, ">=": pc.greater_equal,
+        }
+        k = kernels[op]
+        return Expr(lambda b: k(e.evaluate(b), rhs.evaluate(b)))
 
     # ---- spatial --------------------------------------------------------
     def spatial_predicate(self) -> Expr:

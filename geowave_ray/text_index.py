@@ -99,3 +99,86 @@ def search_suffix(
         batch_format="pyarrow",
         batch_size=None,
     ).select_columns([id_col])
+
+
+# ---------------------------------------------------------------------------
+# enum-valued secondary index (EnumIndexStrategy)
+# ---------------------------------------------------------------------------
+
+
+def build_enum_index(
+    ds: ray.data.Dataset,
+    terms: list[str],
+    out_dir: str,
+    value_col: str = "lang",
+) -> list[str]:
+    """Enumerated-value secondary index — the reference's
+    ``EnumIndexStrategy`` (``core/index/.../text/EnumIndexStrategy.java:
+    75-100``): each row's value maps to its binary-search position in
+    the SORTED term list and that index IS the sort key; rows whose
+    value is not in the enumeration are NOT indexed (the reference
+    skips them with a warning). Here the sort key becomes the
+    partition column, so a term lookup reads exactly one
+    ``enum_idx=N`` directory — the same pruned-path shape as the
+    spatial cell-bucket store. Returns the sorted term list (the
+    index metadata a search needs)."""
+    import os
+    import shutil
+
+    terms_sorted = sorted(set(terms))
+    arr = np.array(terms_sorted, dtype=object)
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(arr, v)
+        ok = (pos < len(arr)) & (arr[np.minimum(pos, len(arr) - 1)] == v)
+        t = b.filter(pa.array(ok))
+        return t.append_column("enum_idx", pa.array(pos[ok], pa.int64()))
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.map_batches(assign, batch_format="pyarrow", batch_size=None).write_parquet(
+        tmp, partition_cols=["enum_idx"]
+    )
+    old = out_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(out_dir):
+        os.rename(out_dir, old)
+    os.replace(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return terms_sorted
+
+
+def search_enum(
+    index_dir: str,
+    terms_sorted: list[str],
+    term: str,
+    columns=None,
+) -> "ray.data.Dataset":
+    """Exact-term lookup against an enum index: binary search resolves
+    the term to its sort key; a miss matches nothing (the reference
+    passes an unmatchable sort key through — ``EnumIndexStrategy.java:
+    90-100``). The read touches ONE partition directory."""
+    import bisect
+    import glob
+    import os
+
+    i = bisect.bisect_left(terms_sorted, term)
+    files: list[str] = []
+    if i < len(terms_sorted) and terms_sorted[i] == term:
+        files = sorted(
+            glob.glob(os.path.join(index_dir, f"enum_idx={i}", "*.parquet"))
+        )
+    if not files:
+        # schema-correct empty result: zero rows of any real partition
+        allf = sorted(
+            glob.glob(os.path.join(index_dir, "enum_idx=*", "*.parquet"))
+        )
+        if allf:
+            return ray.data.read_parquet(allf[:1], columns=columns).limit(0)
+        import pyarrow as _pa
+
+        return ray.data.from_arrow(
+            _pa.table({c: _pa.array([], _pa.string()) for c in (columns or ["_"])})
+        ).limit(0)
+    return ray.data.read_parquet(files, columns=columns)

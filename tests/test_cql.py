@@ -165,3 +165,55 @@ def test_cql_filter_batch_on_dataset(ray_session):
     lon = t.column("lon").to_numpy()
     lat = t.column("lat").to_numpy()
     assert n == int(((lon >= -5) & (lon <= 5) & (lat >= -5) & (lat <= 5)).sum())
+
+
+def test_cql_filter_functions():
+    """OGC filter-function library (GeoTools FilterFunction_* via
+    CQLQueryFilter role): string/math functions compose with
+    comparisons; boolean functions work bare."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geowave_ray.cql import parse_cql
+
+    t = pa.table(
+        {
+            "s": pa.array(["Hello", "world", "  pad  ", "abcdef", "xyz"]),
+            "v": pa.array([-3.7, 2.5, 10.0, -0.5, 7.2], pa.float64()),
+        }
+    )
+
+    def run(q):
+        return list(
+            np.flatnonzero(
+                parse_cql(q).evaluate(t).combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+            )
+        )
+
+    assert run("strToLowerCase(s) = 'hello'") == [0]
+    assert run("strToUpperCase(s) = 'WORLD'") == [1]
+    assert run("strLength(s) = 5") == [0, 1]
+    assert run("strTrim(s) = 'pad'") == [2]
+    assert run("strConcat(s, s) = 'xyzxyz'") == [4]
+    assert run("strSubstring(s, 1, 3) = 'bc'") == [3]
+    assert run("strIndexOf(s, 'orl') = 1") == [1]
+    assert run("strStartsWith(s, 'ab')") == [3]
+    assert run("strEndsWith(s, 'lo') = true") == [0]
+    assert run("strMatches(s, '[a-z]{3}')") == [4]
+    assert run("strReplace(s, 'l', 'L') = 'HeLLo'") == [0]
+    assert run("abs(v) > 7") == [2, 4]
+    assert run("ceil(v) = 3") == [1]
+    assert run("floor(v) = -1") == [3]
+    # GeoTools round = Java Math.round = floor(x + 0.5)
+    assert run("round(v) = 3") == [1]
+    assert run("round(v) = 0") == [3]
+    assert run("min(v, 5) = 5") == [2, 4]
+    assert run("max(v, 0) = 0") == [0, 3]
+    assert run("sqrt(v) > 3") == [2]
+    # composition with boolean algebra and plain comparisons
+    assert run("strLength(s) = 5 AND v > 0") == [1]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        parse_cql("strLength(s, 'extra') = 1")

@@ -1915,3 +1915,37 @@ def test_visibility_filter_vectorized(ray_session):
     # null visibility = public
     t2 = t.set_column(1, "visibility", pa.array([None] * 6, pa.string()))
     assert visibility_filter(ray.data.from_arrow(t2), set()).count() == 6
+
+
+def test_enum_index_skips_unenumerated_and_misses(ray_session, tmp_path):
+    """EnumIndexStrategy semantics (EnumIndexStrategy.java:75-100):
+    values outside the enumeration are NOT indexed; a not-in-enum
+    search term matches nothing."""
+    import ray
+
+    from geowave_ray.text_index import build_enum_index, search_enum
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(12), pa.int64()),
+            "lang": pa.array(
+                ["en", "de", "xx", "fr", "en", "zz", "de", "en", "xx",
+                 "fr", "de", "en"], pa.string()
+            ),
+        }
+    )
+    idx = str(tmp_path / "enum_idx")
+    terms = build_enum_index(
+        ray.data.from_arrow(t).repartition(3), ["en", "de", "fr"], idx,
+        value_col="lang",
+    )
+    assert terms == ["de", "en", "fr"]
+    got = search_enum(idx, terms, "de", columns=["doc_id", "lang"]).to_pandas()
+    assert sorted(got["doc_id"]) == [1, 6, 10]
+    assert search_enum(idx, terms, "xx", columns=["doc_id", "lang"]).count() == 0
+    # unenumerated values never entered the index at all
+    import glob
+    files = glob.glob(f"{idx}/enum_idx=*/*.parquet")
+    import pyarrow.parquet as pq
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == 9
