@@ -2861,6 +2861,140 @@ def q_shp_parse(sf_dir: str):
     ).map_batches(derive, batch_format="pyarrow", batch_size=None)
 
 
+def _parse_geotiffs(sf_dir: str):
+    import ray.data
+
+    from geowave_ray.sources.geotiff import parse_geotiff_batch
+
+    files = ray.data.read_parquet(f"{_fx(sf_dir)}/geotiffs.parquet")
+    return files.map_batches(
+        parse_geotiff_batch, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_geotiff_parse(sf_dir: str):
+    """GeoTIFF format-plugin parse (geotools-raster ingest role,
+    pure-Python TIFF 6.0 + OGC GeoTIFF 1.1 spec reader —
+    sources/geotiff.py): strip/LZW/deflate/packbits/predictor wire
+    decode to band-major chunk rows inside map_batches; the
+    position-sensitive ``pixel_dot`` checksum catches any
+    ordering/interleave mistake; oracle is the generator's truth table
+    (identical float64 reductions on both sides)."""
+
+    def derive(b: pa.Table) -> pa.Table:
+        sums, dots, fids = [], [], []
+        for i in range(b.num_rows):
+            v = np.asarray(b.column("pixels")[i].as_py(), np.float64)
+            idx = np.arange(v.size, dtype=np.int64)
+            sums.append(float(np.sum(v)))
+            dots.append(float(np.sum(v * ((idx % 97) + 1))))
+            fids.append(b.column("chunk_id")[i].as_py().split("#")[0])
+        return pa.table(
+            {
+                "file_id": pa.array(fids, pa.string()),
+                "chunk_id": b.column("chunk_id"),
+                "xmin": b.column("xmin"),
+                "ymin": b.column("ymin"),
+                "xmax": b.column("xmax"),
+                "ymax": b.column("ymax"),
+                "width": b.column("width"),
+                "height": b.column("height"),
+                "bands": b.column("bands"),
+                "nodata": b.column("nodata"),
+                "epsg": b.column("epsg"),
+                "pixel_sum": pa.array(sums, pa.float64()),
+                "pixel_dot": pa.array(dots, pa.float64()),
+            }
+        )
+
+    return _parse_geotiffs(sf_dir).map_batches(
+        derive, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_geotiff_tiles(sf_dir: str):
+    """End-to-end raster ingest: GeoTIFF wire decode -> pyramid-tile
+    assignment (RasterDataAdapter.convertToIndex:444-650 role) for the
+    geographic-CRS files; same tile math as ``tile_assign`` but fed by
+    parsed file bytes instead of a pre-built chunk table."""
+    import pyarrow.compute as pc
+
+    from geowave_ray.pipelines.tiles import assign_tiles
+
+    chunks = _parse_geotiffs(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b.column("epsg"), 4326)),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return assign_tiles(chunks)
+
+
+def q_avro_parse(sf_dir: str):
+    """Avro object-container parse (core/ingest/avro staging role,
+    pure-Python spec codec — sources/avro_io.py): zigzag-varint /
+    union / array / deflate-block wire decode to typed rows inside
+    map_batches; oracle is the generator's truth table (IEEE doubles
+    ride the wire bit-identically)."""
+    import ray.data
+
+    from geowave_ray.sources.avro_io import parse_avro_batch
+
+    def derive(b: pa.Table) -> pa.Table:
+        csv = pa.array(
+            [",".join(v) for v in b.column("tags").to_pylist()], pa.string()
+        )
+        return pa.table(
+            {
+                "file_id": b.column("file_id"),
+                "fid": b.column("fid"),
+                "name": b.column("name"),
+                "lon": b.column("lon"),
+                "lat": b.column("lat"),
+                "weight": b.column("weight"),
+                "tags_csv": csv,
+            }
+        )
+
+    files = ray.data.read_parquet(f"{_fx(sf_dir)}/avro_files.parquet")
+    return files.map_batches(
+        parse_avro_batch, batch_format="pyarrow", batch_size=None
+    ).map_batches(derive, batch_format="pyarrow", batch_size=None)
+
+
+def q_avro_staged_gpx(sf_dir: str):
+    """Whole-file Avro staging -> format plugin, end-to-end
+    (AbstractStageWholeFileToAvro.java + GPXConsumer role): a staged
+    container's WholeFile records fan out inside map_batches and each
+    payload runs through the normal GPX parser — byte-identical to
+    parsing the original files."""
+    import ray.data
+
+    from geowave_ray.sources.avro_io import read_staged_files
+    from geowave_ray.sources.gpx import parse_gpx_batch
+
+    def unstage(b: pa.Table) -> pa.Table:
+        parts = []
+        for blob in b.column("staged"):
+            staged = read_staged_files(blob.as_py())
+            parts.append(
+                pa.table(
+                    {
+                        "file_id": staged.column("path"),
+                        "xml": pa.array(
+                            [p.as_py().decode("utf-8")
+                             for p in staged.column("payload")],
+                            pa.string(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    files = ray.data.read_parquet(f"{_fx(sf_dir)}/avro_staged_gpx.parquet")
+    return files.map_batches(
+        unstage, batch_format="pyarrow", batch_size=None
+    ).map_batches(parse_gpx_batch, batch_format="pyarrow", batch_size=None)
+
+
 def q_stanag_parse(sf_dir: str):
     """STANAG 4676 TrackMessage parse (NATO4676Decoder.java:266-420
     role): TrackMessage XML -> one row per TrackPoint item, skipping
@@ -4210,6 +4344,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gpx_parse": q_gpx_parse,
         "enum_lookup": q_enum_lookup,  # enum secondary index
         "shp_parse": q_shp_parse,  # shapefile reader (geotools-vector role)
+        "geotiff_parse": q_geotiff_parse,  # GeoTIFF reader (geotools-raster role)
+        "geotiff_tiles": q_geotiff_tiles,  # GeoTIFF -> pyramid tile assign
+        "avro_parse": q_avro_parse,        # Avro container reader (staging role)
+        "avro_staged_gpx": q_avro_staged_gpx,  # WholeFile staging end-to-end
         "stanag_parse": q_stanag_parse,
         "tdrive_parse": q_tdrive_parse,
         "geolife_parse": q_geolife_parse,
@@ -6301,6 +6439,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT file_id, rec_no, shape_type, n_points, x0, y0,
                    name, val, score
             FROM read_parquet('{fx}/shapefile_truth.parquet')
+        """,
+        "geotiff_parse": f"""
+            SELECT file_id, chunk_id, xmin, ymin, xmax, ymax, width,
+                   height, bands, nodata, epsg, pixel_sum, pixel_dot
+            FROM read_parquet('{fx}/geotiff_truth.parquet')
+        """,
+        "avro_parse": f"""
+            SELECT file_id, fid, name, lon, lat, weight, tags_csv
+            FROM read_parquet('{fx}/avro_truth.parquet')
+        """,
+        "avro_staged_gpx": f"""
+            SELECT track_id, seq, lon, lat, ele, ts
+            FROM read_parquet('{fx}/gpx_points.parquet')
+            WHERE track_id < 'trk00008'
+        """,
+        "geotiff_tiles": f"""
+            WITH c AS (
+              SELECT chunk_id, xmin, ymin, xmax, ymax,
+                     LEAST(GREATEST(CAST(floor(log2(360.0 / ((xmax - xmin) / width * 64.0))) AS BIGINT), 0), 16) AS level
+              FROM read_parquet('{fx}/geotiff_truth.parquet')
+              WHERE epsg = 4326
+            ), t AS (
+              SELECT *, 360.0 / power(2.0, level) AS td FROM c
+            )
+            SELECT chunk_id, level,
+                   unnest(generate_series(CAST(floor((xmin + 180.0) / td) AS BIGINT),
+                                          CAST(ceil((xmax + 180.0) / td) AS BIGINT) - 1)) AS tile_x,
+                   ty AS tile_y
+            FROM (
+              SELECT chunk_id, level, td, xmin, xmax,
+                     unnest(generate_series(CAST(floor((ymin + 90.0) / td) AS BIGINT),
+                                            CAST(ceil((ymax + 90.0) / td) AS BIGINT) - 1)) AS ty
+              FROM t
+            )
         """,
         "stanag_parse": f"""
             SELECT track_number, track_uuid, point_uuid, ts, lon, lat,

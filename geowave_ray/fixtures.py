@@ -834,6 +834,167 @@ def gen_shapefiles(n_files: int) -> tuple[pa.Table, pa.Table]:
     return files, truth
 
 
+def gen_avro_files(n_files: int) -> tuple[pa.Table, pa.Table]:
+    """Avro object-container fixtures (bytes built by the module's own
+    spec codec — ``sources/avro_io.py``; truth computed from the SOURCE
+    values, so the oracle checks the reader through real wire bytes).
+    Cycles codec (null/deflate), block size, nullable fields and
+    array-typed fields."""
+    from .sources.avro_io import write_container
+
+    schema = {
+        "type": "record",
+        "name": "Feature",
+        "fields": [
+            {"name": "fid", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "lon", "type": "double"},
+            {"name": "lat", "type": "double"},
+            {"name": "weight", "type": ["null", "double"]},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    f_id, f_avro = [], []
+    t: dict[str, list] = {k: [] for k in (
+        "file_id", "fid", "name", "lon", "lat", "weight", "tags_csv",
+    )}
+    for j in range(n_files):
+        codec = "deflate" if j % 2 else "null"
+        n_rec = 3 + j % 20
+        recs = []
+        for i in range(n_rec):
+            name = None if (i + j) % 5 == 0 else f"feat-{j}-{i}"
+            lon = _u(f"avx{j}:{i}", -180.0, 180.0)
+            lat = _u(f"avy{j}:{i}", -90.0, 90.0)
+            weight = None if i % 4 == 2 else round(0.25 * ((i * 7 + j) % 40), 2)
+            tags = [f"t{(i + k) % 7}" for k in range(i % 4)]
+            recs.append(
+                {"fid": j * 1000 + i, "name": name, "lon": lon,
+                 "lat": lat, "weight": weight, "tags": tags}
+            )
+            fid = f"avro{j:05d}"
+            t["file_id"].append(fid)
+            t["fid"].append(j * 1000 + i)
+            t["name"].append(name)
+            t["lon"].append(lon)
+            t["lat"].append(lat)
+            t["weight"].append(weight)
+            t["tags_csv"].append(",".join(tags))
+        f_id.append(f"avro{j:05d}")
+        f_avro.append(
+            write_container(recs, schema, codec=codec,
+                            rows_per_block=4 if j % 3 else 4096)
+        )
+    files = pa.table(
+        {
+            "file_id": pa.array(f_id, pa.string()),
+            "avro": pa.array(f_avro, pa.binary()),
+        }
+    )
+    truth = pa.table(
+        {
+            "file_id": pa.array(t["file_id"], pa.string()),
+            "fid": pa.array(t["fid"], pa.int64()),
+            "name": pa.array(t["name"], pa.string()),
+            "lon": pa.array(t["lon"], pa.float64()),
+            "lat": pa.array(t["lat"], pa.float64()),
+            "weight": pa.array(t["weight"], pa.float64()),
+            "tags_csv": pa.array(t["tags_csv"], pa.string()),
+        }
+    )
+    return files, truth
+
+
+def gen_geotiffs(n_files: int) -> tuple[pa.Table, pa.Table]:
+    """Synthetic GeoTIFFs (bytes built by the module's own spec writer,
+    truth computed from the SOURCE arrays — so the oracle checks the
+    reader, not the writer, roundtripping through real wire bytes).
+
+    Cycles every axis the reader supports: dtype (u1/u2/i2/i4/f8),
+    compression (none/deflate/packbits/lzw), predictor on compressed
+    integer files, strip height, band count (1-3), geographic AND
+    projected CRS codes, optional nodata. Truth bbox replicates the
+    reader's tag arithmetic (xmax = xmin + w * ((xmax-xmin)/w), the
+    IEEE round-trip through the ModelPixelScale double)."""
+    import numpy as _np
+
+    from .sources.geotiff import write_geotiff
+
+    f_id, f_tif = [], []
+    t: dict[str, list] = {k: [] for k in (
+        "file_id", "chunk_id", "xmin", "ymin", "xmax", "ymax", "width",
+        "height", "bands", "nodata", "epsg", "pixel_sum", "pixel_dot",
+    )}
+    dtypes = [_np.uint8, _np.uint16, _np.int16, _np.int32, _np.float64]
+    comps = ["none", "deflate", "packbits", "lzw"]
+    epsgs = [4326, 3857, 32633, 4269]
+    for j in range(n_files):
+        dt = dtypes[j % 5]
+        comp = comps[j % 4]
+        bands = 1 + j % 3
+        w = 16 + (j % 5) * 8
+        h = 12 + (j % 7) * 4
+        rps = None if j % 3 == 0 else 4 + j % 9
+        pred = comp != "none" and dt not in (_np.float32, _np.float64)
+        epsg = epsgs[j % len(epsgs)]
+        nodata = -9999.0 if j % 3 == 1 else None
+        bw = 0.5 + (j % 6) * 0.7
+        xmin = _u(f"tifx{j}", -179.0, 179.0 - bw)
+        ymin = _u(f"tify{j}", -89.0, 89.0 - bw)
+        idx = _np.arange(bands * h * w, dtype=_np.int64)
+        px = ((13 * _np.int64(j) + 5 * (idx // (h * w)) + idx) % 251).astype(dt)
+        tif = write_geotiff(
+            px.reshape(bands, h, w), (xmin, ymin, xmin + bw, ymin + bw),
+            epsg=epsg, nodata=nodata, compression=comp,
+            rows_per_strip=rps, predictor=pred,
+        )
+        fid = f"tif{j:05d}"
+        f_id.append(fid)
+        f_tif.append(tif)
+        flat = px.astype(_np.float64).reshape(-1)
+        # replicate the writer's scale arithmetic bit-for-bit:
+        # sx = (xmax - xmin) / w with xmax formed as xmin + bw
+        sx = ((xmin + bw) - xmin) / w
+        sy = ((ymin + bw) - ymin) / h
+        t["file_id"].append(fid)
+        t["chunk_id"].append(f"{fid}#0")
+        t["xmin"].append(xmin)
+        t["ymax"].append(ymin + bw)
+        t["xmax"].append(xmin + w * sx)
+        t["ymin"].append((ymin + bw) - h * sy)
+        t["width"].append(w)
+        t["height"].append(h)
+        t["bands"].append(bands)
+        t["nodata"].append(nodata)
+        t["epsg"].append(epsg)
+        t["pixel_sum"].append(float(_np.sum(flat)))
+        t["pixel_dot"].append(float(_np.sum(flat * ((idx % 97) + 1))))
+    files = pa.table(
+        {
+            "file_id": pa.array(f_id, pa.string()),
+            "tif": pa.array(f_tif, pa.binary()),
+        }
+    )
+    truth = pa.table(
+        {
+            "file_id": pa.array(t["file_id"], pa.string()),
+            "chunk_id": pa.array(t["chunk_id"], pa.string()),
+            "xmin": pa.array(t["xmin"], pa.float64()),
+            "ymin": pa.array(t["ymin"], pa.float64()),
+            "xmax": pa.array(t["xmax"], pa.float64()),
+            "ymax": pa.array(t["ymax"], pa.float64()),
+            "width": pa.array(t["width"], pa.int32()),
+            "height": pa.array(t["height"], pa.int32()),
+            "bands": pa.array(t["bands"], pa.int32()),
+            "nodata": pa.array(t["nodata"], pa.float64()),
+            "epsg": pa.array(t["epsg"], pa.int32()),
+            "pixel_sum": pa.array(t["pixel_sum"], pa.float64()),
+            "pixel_dot": pa.array(t["pixel_dot"], pa.float64()),
+        }
+    )
+    return files, truth
+
+
 def gen_stanag_files(n_files: int) -> tuple[pa.Table, pa.Table]:
     """STANAG 4676 TrackMessage XML documents + flat ground-truth
     points (``extensions/formats/stanag4676/`` role; element names per
@@ -1404,6 +1565,33 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
         files, truth = gen_shapefiles(max(32, cfg["regions"] // 16))
         pq.write_table(files, shpf)
         pq.write_table(truth, os.path.join(out, "shapefile_truth.parquet"))
+    gtf = os.path.join(out, "geotiffs.parquet")
+    if not os.path.exists(gtf):
+        files, truth = gen_geotiffs(max(40, cfg["regions"] // 16))
+        pq.write_table(files, gtf)
+        pq.write_table(truth, os.path.join(out, "geotiff_truth.parquet"))
+    avf = os.path.join(out, "avro_files.parquet")
+    if not os.path.exists(avf):
+        files, truth = gen_avro_files(max(40, cfg["regions"] // 16))
+        pq.write_table(files, avf)
+        pq.write_table(truth, os.path.join(out, "avro_truth.parquet"))
+        # whole-file staging container: the first 8 GPX XML fixtures
+        # wrapped as WholeFile records (AbstractStageWholeFileToAvro
+        # role) — read back through the normal gpx format plugin
+        from .sources.avro_io import stage_whole_files
+
+        gpx = pq.read_table(os.path.join(out, "gpx_files.parquet"))
+        staged = stage_whole_files(
+            [
+                (gpx.column("file_id")[i].as_py(),
+                 gpx.column("xml")[i].as_py().encode("utf-8"))
+                for i in range(min(8, gpx.num_rows))
+            ]
+        )
+        pq.write_table(
+            pa.table({"staged": pa.array([staged], pa.binary())}),
+            os.path.join(out, "avro_staged_gpx.parquet"),
+        )
     sg = os.path.join(out, "stanag_files.parquet")
     if not os.path.exists(sg):
         files, points = gen_stanag_files(max(32, cfg["regions"] // 16))
