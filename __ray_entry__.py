@@ -2995,6 +2995,66 @@ def q_avro_staged_gpx(sf_dir: str):
     ).map_batches(parse_gpx_batch, batch_format="pyarrow", batch_size=None)
 
 
+def q_kafka_ingest(sf_dir: str):
+    """Streaming spool ingest end-to-end (core/ingest/kafka role —
+    StageToKafkaDriver + IngestFromKafkaDriver re-expressed as an
+    append-only Avro-segment spool with offset-commit exactly-once,
+    sources/kafka_spool.py): the GPX fixture files are staged as
+    WholeFile records into topic segments, consumed in multiple
+    bounded polls (the reference's batchSize flush cadence) through
+    the normal GPX format plugin into poll-partitioned parquet, then
+    read back — byte-identical to parsing the originals. The store is
+    built ONCE per sf (offset commits make re-entry a no-op), so the
+    query also exercises the incremental path on every re-run."""
+    import glob
+    import os
+
+    import ray.data
+
+    from geowave_ray.fixtures import FIXTURE_VERSION
+    from geowave_ray.sources.gpx import parse_gpx_batch
+    from geowave_ray.sources import kafka_spool as ks
+
+    base = _fx(sf_dir)
+    topic = os.path.join(base, "kafka_topic")
+    store = os.path.join(base, "kafka_store")
+    marker = os.path.join(store, f"_DONE_{FIXTURE_VERSION}")
+
+    def parse(b: pa.Table) -> pa.Table:
+        unstaged = pa.table(
+            {
+                "file_id": b.column("path"),
+                "xml": pa.array(
+                    [p.as_py().decode("utf-8") for p in b.column("payload")],
+                    pa.string(),
+                ),
+            }
+        )
+        return parse_gpx_batch(unstaged)
+
+    if not os.path.exists(marker):
+        import pyarrow.parquet as pq
+
+        gpx = pq.read_table(f"{base}/gpx_files.parquet")
+        if not ks.list_segments(topic):
+            with ks.SpoolProducer(topic, records_per_segment=8) as prod:
+                for i in range(gpx.num_rows):
+                    prod.send_file(
+                        gpx.column("file_id")[i].as_py(),
+                        gpx.column("xml")[i].as_py().encode("utf-8"),
+                    )
+        ks.consume_to_store(topic, store, parse, max_records_per_poll=13)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    else:
+        # incremental re-entry: committed offsets make this a no-op
+        ks.consume_to_store(topic, store, parse)
+    return ray.data.read_parquet(
+        sorted(glob.glob(os.path.join(store, "poll=*", "*.parquet"))),
+        columns=["track_id", "seq", "lon", "lat", "ele", "ts"],
+    )
+
+
 def q_stanag_parse(sf_dir: str):
     """STANAG 4676 TrackMessage parse (NATO4676Decoder.java:266-420
     role): TrackMessage XML -> one row per TrackPoint item, skipping
@@ -4348,6 +4408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geotiff_tiles": q_geotiff_tiles,  # GeoTIFF -> pyramid tile assign
         "avro_parse": q_avro_parse,        # Avro container reader (staging role)
         "avro_staged_gpx": q_avro_staged_gpx,  # WholeFile staging end-to-end
+        "kafka_ingest": q_kafka_ingest,  # spool streaming ingest (Kafka role)
         "stanag_parse": q_stanag_parse,
         "tdrive_parse": q_tdrive_parse,
         "geolife_parse": q_geolife_parse,
@@ -6453,6 +6514,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT track_id, seq, lon, lat, ele, ts
             FROM read_parquet('{fx}/gpx_points.parquet')
             WHERE track_id < 'trk00008'
+        """,
+        "kafka_ingest": f"""
+            SELECT track_id, seq, lon, lat, ele, ts
+            FROM read_parquet('{fx}/gpx_points.parquet')
         """,
         "geotiff_tiles": f"""
             WITH c AS (

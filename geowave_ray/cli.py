@@ -104,6 +104,24 @@ def main(argv=None) -> int:
     pm.add_argument("out_dir")
     pm.add_argument("--rows-per-file", type=int, default=4_000_000)
 
+    # streaming spool ingest (core/ingest/kafka CLI role:
+    # `geowave ingest localToKafka` / `kafkaToGW`)
+    pks = sub.add_parser(
+        "stage-kafka", help="stage local files into a topic spool as Avro segments"
+    )
+    pks.add_argument("input_dir")
+    pks.add_argument("topic_dir")
+    pks.add_argument("--records-per-segment", type=int, default=256)
+    pkc = sub.add_parser(
+        "ingest-kafka", help="consume a topic spool into a parquet store (gpx plugin)"
+    )
+    pkc.add_argument("topic_dir")
+    pkc.add_argument("store_dir")
+    pkc.add_argument("--group", default="ingest")
+    pkc.add_argument("--batch-size", type=int, default=None,
+                     help="max records per poll (Kafka batchSize role)")
+    pkc.add_argument("--max-polls", type=int, default=None)
+
     args = p.parse_args(argv)
     if args.cmd == "explain":  # driver-side only: routing + footer math
         from .pipelines.planner import Catalog, Constraints, explain
@@ -131,6 +149,15 @@ def main(argv=None) -> int:
                 }
             )
         )
+        return 0
+    if args.cmd == "stage-kafka":  # driver-side only, no Ray needed
+        from .sources.kafka_spool import stage_directory_to_topic
+
+        n = stage_directory_to_topic(
+            args.input_dir, args.topic_dir,
+            records_per_segment=args.records_per_segment,
+        )
+        print(json.dumps({"files_staged": n}))
         return 0
 
     import ray
@@ -168,6 +195,31 @@ def main(argv=None) -> int:
 
             out = knn(pages(args.pages_dir), pqt.read_table(args.knn_queries))
             print(json.dumps({"rows": out.count()}))
+        elif args.cmd == "ingest-kafka":
+            import pyarrow as pa
+
+            from .sources.gpx import parse_gpx_batch
+            from .sources.kafka_spool import consume_to_store
+
+            def parse(b: "pa.Table") -> "pa.Table":
+                return parse_gpx_batch(
+                    pa.table(
+                        {
+                            "file_id": b.column("path"),
+                            "xml": pa.array(
+                                [x.as_py().decode("utf-8")
+                                 for x in b.column("payload")],
+                                pa.string(),
+                            ),
+                        }
+                    )
+                )
+
+            res = consume_to_store(
+                args.topic_dir, args.store_dir, parse, group=args.group,
+                max_records_per_poll=args.batch_size, max_polls=args.max_polls,
+            )
+            print(json.dumps(res))
         elif args.cmd == "dedup":
             from .dedup import exact_dedup
 
