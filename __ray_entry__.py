@@ -2987,6 +2987,11 @@ def q_avro_staged_gpx(sf_dir: str):
                     }
                 )
             )
+        if not parts:  # empty block: keep the schema stable
+            return pa.table(
+                {"file_id": pa.array([], pa.string()),
+                 "xml": pa.array([], pa.string())}
+            )
         return pa.concat_tables(parts)
 
     files = ray.data.read_parquet(f"{_fx(sf_dir)}/avro_staged_gpx.parquet")
