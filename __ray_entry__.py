@@ -3371,6 +3371,25 @@ def q_gwql_cast_pip(sf_dir: str):
     )
 
 
+def q_gwql_spatial_temporal(sf_dir: str):
+    """GWQL spatial/temporal extension surface
+    (GWQLSpatialTemporalExtensions.java:27-77): BBOX + INTERSECTS
+    predicate functions and the DURING temporal infix operator in one
+    WHERE clause. The polygon is the L1 ball |lon-5|+|lat-5| <= 25 (a
+    diamond), so the SQL oracle states the same region in closed form
+    with no vertex-order replication."""
+    from geowave_ray import gwql
+
+    pages = _pages(sf_dir)
+    return gwql.execute(
+        "SELECT row_id FROM pages "
+        "WHERE BBOX(geometry, -60, -50, 60, 50) "
+        "AND INTERSECTS(geometry, 'POLYGON((-20 5, 5 -20, 30 5, 5 30, -20 5))') "
+        "AND warc_ts DURING '2024-02-01/2024-05-01'",
+        {"pages": pages},
+    )
+
+
 def q_gwql_scalar(sf_dir: str):
     """GWQL scalar functions in the select list (Abs.java /
     Concat.java under core/store/.../query/gwql/function/)."""
@@ -4294,6 +4313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_hilbert_ranges": q_bbox_hilbert_ranges,  # range decompose
         "gwql_groupby": q_gwql_groupby,          # GWQL GROUP BY
         "gwql_cast_pip": q_gwql_cast_pip,        # GWQL CAST/PIP
+        "gwql_spatial_temporal": q_gwql_spatial_temporal,  # BBOX/INTERSECTS/DURING
         "gwql_delete": q_gwql_delete,            # GWQL DELETE
         "cql_spatial": q_cql_spatial,            # CQL spatial filter
         "temporal_expr": q_temporal_expr,        # temporal expr AST
@@ -6397,6 +6417,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(lon) AS minx, min(lat) AS miny,
                    max(lon) AS maxx, max(lat) AS maxy
             FROM {PAGES} WHERE lang = 'en'
+        """,
+        "gwql_spatial_temporal": f"""
+            SELECT row_id FROM {PAGES}
+            WHERE lon BETWEEN -60 AND 60 AND lat BETWEEN -50 AND 50
+              AND abs(lon - 5.0) + abs(lat - 5.0) <= 25.0
+              AND warc_ts >= TIMESTAMP '2024-02-01'
+              AND warc_ts < TIMESTAMP '2024-05-01'
         """,
         "gwql_cast_pip": f"""
             WITH e(x1, y1, x2, y2) AS (VALUES

@@ -290,6 +290,44 @@ class SpatialExpr:
 
         return Expr(run)
 
+    def touches(self, geom) -> Expr:
+        """spatial/Touches.java for the point adapter: a point touches
+        a polygon iff it lies exactly ON the boundary (DE-9IM: boundary
+        intersection nonempty, interiors disjoint). Vectorized exact
+        on-segment test per ring edge (ring counts are tiny)."""
+        ring = _close_ring(np.asarray(geom, dtype=np.float64))
+
+        def run(batch):
+            px, py = self._xy(batch)
+            on = np.zeros(len(px), dtype=bool)
+            for i in range(len(ring) - 1):
+                x1, y1 = ring[i]
+                x2, y2 = ring[i + 1]
+                cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+                m = cross == 0.0
+                m &= (px >= min(x1, x2)) & (px <= max(x1, x2))
+                m &= (py >= min(y1, y2)) & (py <= max(y1, y2))
+                on |= m
+            return pa.array(on)
+
+        return Expr(run)
+
+    def crosses(self, geom) -> Expr:
+        """spatial/Crosses.java — DE-9IM degenerate for a 0-dim point
+        vs a 2-dim polygon: a point inside is WITHIN (not crosses), so
+        crosses is identically false (JTS agrees)."""
+        return Expr(
+            lambda batch: pa.array(np.zeros(batch.num_rows, dtype=bool))
+        )
+
+    def overlaps(self, geom) -> Expr:
+        """spatial/Overlaps.java — overlaps requires equal dimension
+        with partial interiors; identically false for point×polygon
+        (JTS agrees)."""
+        return Expr(
+            lambda batch: pa.array(np.zeros(batch.num_rows, dtype=bool))
+        )
+
 
 def scol(lon: str = "lon", lat: str = "lat") -> SpatialExpr:
     return SpatialExpr(lon, lat)

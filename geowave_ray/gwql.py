@@ -24,6 +24,16 @@ Supported grammar (round 1):
     [LIMIT n]
 
 Aggregates: COUNT(*), COUNT(col), MIN(col), MAX(col), SUM(col).
+
+Round 4 adds the GWQLSpatialTemporalExtensions surface
+(``core/geotime/.../gwql/GWQLSpatialTemporalExtensions.java:27-77``):
+spatial predicate functions BBOX/BBOXLOOSE (optional trailing CRS
+literal, envelope reprojected by edge sampling), INTERSECTS/
+INTERSECTSLOOSE/DISJOINT/DISJOINTLOOSE/WITHIN/TOUCHES/CROSSES/OVERLAPS
+over WKT or CAST(... AS GEOMETRY) literals, temporal predicate
+functions TCONTAINS/TOVERLAPS, and the temporal infix operators
+BEFORE / BEFORE_OR_DURING / DURING / DURING_OR_AFTER / AFTER with
+'instant' and 'start/end' time literals (``TemporalOperators.java``).
 """
 
 from __future__ import annotations
@@ -47,6 +57,16 @@ _KEYWORDS = {
 }
 _AGGS = {"COUNT", "MIN", "MAX", "SUM", "BBOX"}
 _FUNCS = {"CONTAINS", "STRSTARTSWITH", "STRENDSWITH", "ABS", "CONCAT", "PIP"}
+# GWQLSpatialTemporalExtensions.java:27-77 — spatial predicate
+# functions, temporal predicate functions, temporal infix operators
+_SPATIAL_PREDS = {
+    "BBOX", "BBOXLOOSE", "INTERSECTS", "INTERSECTSLOOSE", "DISJOINT",
+    "DISJOINTLOOSE", "CROSSES", "OVERLAPS", "TOUCHES", "WITHIN",
+}
+_TEMPORAL_PREDS = {"TCONTAINS", "TOVERLAPS"}
+_TEMPORAL_OPS = {
+    "BEFORE", "AFTER", "DURING", "BEFORE_OR_DURING", "DURING_OR_AFTER",
+}
 _CAST_TYPES = {"DATE", "TIMESTAMP", "BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "GEOMETRY"}
 
 
@@ -101,9 +121,12 @@ class Select:
 
 
 class _Parser:
-    def __init__(self, tokens):
+    def __init__(self, tokens, geom: tuple[str, str] = ("lon", "lat")):
         self.toks = tokens
         self.i = 0
+        # point-adapter geometry binding: any geometry identifier in a
+        # spatial predicate resolves to these (lon, lat) columns
+        self.geom = geom
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -301,7 +324,9 @@ class _Parser:
             if not (tc == "op" and vc == ")"):
                 raise ValueError("GWQL: expected )")
             return e
-        if t == "word" and v.upper() in _FUNCS:
+        if t == "word" and v.upper() in (
+            _FUNCS | _SPATIAL_PREDS | _TEMPORAL_PREDS
+        ):
             return self._func_predicate()
         t, name = self.next()
         left = col(name)
@@ -309,6 +334,24 @@ class _Parser:
         if op is None:
             raise ValueError("GWQL: dangling predicate")
         u = op.upper() if isinstance(op, str) else op
+        if u in _TEMPORAL_OPS:
+            # temporal infix operators over instants/intervals —
+            # TemporalOperators.java (Before/BeforeOrDuring/During/
+            # DuringOrAfter/After); interval literals are 'start/end'
+            from .cql import tcol
+
+            ts, sval = self.next()
+            if ts != "str":
+                raise ValueError(f"GWQL: {u} expects a quoted time literal")
+            te = _tliteral(sval)
+            tc = tcol(name)
+            return {
+                "BEFORE": tc.before,
+                "AFTER": tc.after,
+                "DURING": tc.during,
+                "BEFORE_OR_DURING": tc.before_or_during,
+                "DURING_OR_AFTER": tc.during_or_after,
+            }[u](te)
         if u == "BETWEEN":
             lo = self._value()
             self.expect_kw("AND")
@@ -347,6 +390,25 @@ class _Parser:
         _, fn = self.next()
         self.next()  # (
         f = fn.upper()
+        if f in _SPATIAL_PREDS:
+            return self._spatial_predicate(f)
+        if f in _TEMPORAL_PREDS:
+            # toverlaps/tcontains(field, 'start/end') —
+            # TemporalPredicates.java:20-66
+            from .cql import tcol
+
+            _, cname = self.next()
+            self.next()  # ,
+            ts, sval = self.next()
+            self.next()  # )
+            if ts != "str":
+                raise ValueError(f"GWQL: {f} expects a quoted time literal")
+            te = _tliteral(sval)
+            if f == "TOVERLAPS":
+                return tcol(cname).time_overlaps(te)
+            # TCONTAINS(field, v): the field's interval CONTAINS the
+            # literal, i.e. the literal is DURING the field
+            return te.during(tcol(cname))
         if f == "PIP":
             # PIP(lon_col, lat_col, CAST('POLYGON(...)' AS GEOMETRY)) —
             # the GWQL spatial-predicate role
@@ -390,6 +452,111 @@ class _Parser:
             return c.ends_with(s)
         raise ValueError(f"GWQL: unknown function {fn}")
 
+    def _spatial_predicate(self, f: str) -> Expr:
+        """GWQL spatial predicate functions over the point adapter
+        (SpatialPredicates.java:24-252): bbox[Loose](geom, x0,y0,x1,y1
+        [,'EPSG:n']), intersects[Loose]/disjoint[Loose]/within/touches/
+        crosses/overlaps(geom, <WKT or CAST(... AS GEOMETRY)>). Loose
+        variants test the literal's ENVELOPE only (the reference's
+        index-constraint-only semantics)."""
+        import numpy as np
+
+        from .cql import scol
+
+        self.next()  # geometry field ident (point adapter: self.geom)
+        self.next()  # ,
+        s = scol(*self.geom)
+        if f in ("BBOX", "BBOXLOOSE"):
+            vals = []
+            for _k in range(4):
+                vals.append(float(self._value()))
+                if self.peek() == ("op", ","):
+                    self.next()
+            crs = None
+            t, v = self.peek()
+            if t == "str":
+                crs = self.next()[1]
+            self.next()  # )
+            if crs and crs != "EPSG:4326":
+                vals = _box_to_4326(vals, crs)
+            # both tight and loose reduce to the envelope for points
+            return s.bbox(*vals)
+        g = self._value()
+        self.next()  # )
+        if isinstance(g, str):
+            kind, data = _parse_wkt_any(g)
+        else:  # CAST(... AS GEOMETRY) already yielded a ring
+            kind, data = "ring", np.asarray(g, dtype=np.float64)
+        if kind == "point":
+            x, y = data
+            if f in ("INTERSECTS", "INTERSECTSLOOSE"):
+                return s.dwithin(x, y, 0.0)
+            if f in ("DISJOINT", "DISJOINTLOOSE"):
+                return ~s.dwithin(x, y, 0.0)
+            raise ValueError(f"GWQL: {f} unsupported for POINT literal")
+        ring = data
+        if f in ("INTERSECTSLOOSE", "DISJOINTLOOSE"):
+            env = (
+                float(ring[:, 0].min()), float(ring[:, 1].min()),
+                float(ring[:, 0].max()), float(ring[:, 1].max()),
+            )
+            e = s.bbox(*env)
+            return e if f == "INTERSECTSLOOSE" else ~e
+        return {
+            "INTERSECTS": s.intersects,
+            "DISJOINT": s.disjoint,
+            "WITHIN": s.within,
+            "TOUCHES": s.touches,
+            "CROSSES": s.crosses,
+            "OVERLAPS": s.overlaps,
+        }[f](ring)
+
+
+def _tliteral(s: str):
+    """'2020-01-01' (instant) or '2020-01-01/2020-01-05' (interval) ->
+    TemporalExpr — the reference's time-literal grammar."""
+    from .cql import tlit
+
+    if "/" in s:
+        a, b = s.split("/", 1)
+        return tlit(a, b)
+    return tlit(s)
+
+
+def _parse_wkt_any(wkt: str):
+    """'POINT(x y)' -> ("point", (x, y)); POLYGON -> ("ring", ndarray)."""
+    import numpy as np
+
+    m = re.match(
+        r"\s*POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)", wkt, re.IGNORECASE
+    )
+    if m:
+        return "point", (float(m.group(1)), float(m.group(2)))
+    return "ring", np.asarray(parse_wkt_polygon(wkt), dtype=np.float64)
+
+
+def _box_to_4326(vals, crs: str):
+    """Query envelope declared in another CRS -> 4326 envelope by edge
+    sampling (the reference reprojects the query geometry to the index
+    CRS; sampling handles non-monotone transforms like UTM)."""
+    import numpy as np
+
+    from .crs import CrsAdapter
+
+    x0, y0, x1, y1 = vals
+    t = np.linspace(0.0, 1.0, 65)
+    ex = np.concatenate([
+        x0 + (x1 - x0) * t, np.full_like(t, x1),
+        x1 + (x0 - x1) * t, np.full_like(t, x0),
+    ])
+    ey = np.concatenate([
+        np.full_like(t, y0), y0 + (y1 - y0) * t,
+        np.full_like(t, y1), y1 + (y0 - y1) * t,
+    ])
+    lon, lat = CrsAdapter(crs).to_index(ex, ey)
+    return [float(lon.min()), float(lat.min()),
+            float(lon.max()), float(lat.max())]
+
 
 def _cast_literal(raw, typ: str):
     """Literal casts (the reference's DateCastableType /
@@ -422,11 +589,11 @@ def _pa_type(typ: str):
     }[typ]
 
 
-def parse(sql: str) -> Select:
+def parse(sql: str, geom: tuple[str, str] = ("lon", "lat")) -> Select:
     toks = tokenize(sql)
     if toks and str(toks[0][1]).upper() == "DELETE":
         # DELETE FROM t WHERE pred  -> modeled as SELECT * minus matches
-        p = _Parser(toks)
+        p = _Parser(toks, geom)
         p.next()  # DELETE
         p.expect_kw("FROM")
         _, table = p.next()
@@ -436,12 +603,16 @@ def parse(sql: str) -> Select:
             p.next()
             where = p._or_expr()
         return Select(["*"], table, where, None, False, None, is_delete=True)
-    return _Parser(toks).parse()
+    return _Parser(toks, geom).parse()
 
 
-def execute(sql: str, tables: dict[str, ray.data.Dataset]) -> ray.data.Dataset:
+def execute(
+    sql: str,
+    tables: dict[str, ray.data.Dataset],
+    geom: tuple[str, str] = ("lon", "lat"),
+) -> ray.data.Dataset:
     """Run a GWQL SELECT over named Datasets."""
-    stmt = parse(sql)
+    stmt = parse(sql, geom)
     if stmt.table not in tables:
         raise KeyError(f"GWQL: unknown table {stmt.table}")
     ds = tables[stmt.table]
