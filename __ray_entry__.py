@@ -2855,9 +2855,18 @@ def q_shp_parse(sf_dir: str):
             }
         )
 
+    shp_schema = pa.schema(
+        [
+            ("file_id", pa.string()), ("rec_no", pa.int64()),
+            ("shape_type", pa.string()), ("geometry_wkb", pa.binary()),
+            ("name", pa.string()), ("val", pa.int64()),
+            ("score", pa.float64()),
+        ]
+    )
     files = ray.data.read_parquet(f"{_fx(sf_dir)}/shapefiles.parquet")
     return files.map_batches(
-        parse_shapefile_batch, batch_format="pyarrow", batch_size=None
+        parse_shapefile_batch, fn_kwargs=dict(empty_schema=shp_schema),
+        batch_format="pyarrow", batch_size=None,
     ).map_batches(derive, batch_format="pyarrow", batch_size=None)
 
 
@@ -2882,9 +2891,12 @@ def q_geotiff_parse(sf_dir: str):
     (identical float64 reductions on both sides)."""
 
     def derive(b: pa.Table) -> pa.Table:
+        from geowave_ray.pipelines.tiles import _flat_list_col
+
+        vals, offs = _flat_list_col(b.column("pixels"))
         sums, dots, fids = [], [], []
         for i in range(b.num_rows):
-            v = np.asarray(b.column("pixels")[i].as_py(), np.float64)
+            v = vals[offs[i]:offs[i + 1]]
             idx = np.arange(v.size, dtype=np.int64)
             sums.append(float(np.sum(v)))
             dots.append(float(np.sum(v * ((idx % 97) + 1))))
@@ -2954,9 +2966,18 @@ def q_avro_parse(sf_dir: str):
             }
         )
 
+    feature_schema = pa.schema(
+        [
+            ("file_id", pa.string()), ("fid", pa.int64()),
+            ("name", pa.string()), ("lon", pa.float64()),
+            ("lat", pa.float64()), ("weight", pa.float64()),
+            ("tags", pa.list_(pa.string())),
+        ]
+    )
     files = ray.data.read_parquet(f"{_fx(sf_dir)}/avro_files.parquet")
     return files.map_batches(
-        parse_avro_batch, batch_format="pyarrow", batch_size=None
+        parse_avro_batch, fn_kwargs=dict(empty_schema=feature_schema),
+        batch_format="pyarrow", batch_size=None,
     ).map_batches(derive, batch_format="pyarrow", batch_size=None)
 
 
@@ -3038,16 +3059,26 @@ def q_kafka_ingest(sf_dir: str):
         return parse_gpx_batch(unstaged)
 
     if not os.path.exists(marker):
+        import shutil
+
         import pyarrow.parquet as pq
 
         gpx = pq.read_table(f"{base}/gpx_files.parquet")
-        if not ks.list_segments(topic):
+        # a topic without its own completion marker may be a torn
+        # partial stage (crash mid-build) — restage from scratch so the
+        # DONE marker can never freeze a truncated store
+        topic_done = os.path.join(topic, "_STAGED")
+        if not os.path.exists(topic_done):
+            shutil.rmtree(topic, ignore_errors=True)
+            shutil.rmtree(store, ignore_errors=True)
             with ks.SpoolProducer(topic, records_per_segment=8) as prod:
                 for i in range(gpx.num_rows):
                     prod.send_file(
                         gpx.column("file_id")[i].as_py(),
                         gpx.column("xml")[i].as_py().encode("utf-8"),
                     )
+            with open(topic_done, "w") as f:
+                f.write("ok\n")
         ks.consume_to_store(topic, store, parse, max_records_per_poll=13)
         with open(marker, "w") as f:
             f.write("ok\n")

@@ -428,7 +428,11 @@ def quantize_int8_batch(batch: pa.Table, emb_col: str = "embedding") -> pa.Table
     m = _emb_matrix(batch.column(emb_col))
     amax = np.abs(m).max(axis=1)
     scale = np.where(amax > 0, amax / 127.0, 1.0)
-    codes = np.rint(m / scale[:, None]).astype(np.int8)
+    q = m / scale[:, None]
+    # round half AWAY FROM ZERO to match SQL round() exactly (np.rint
+    # is half-to-even; the ann_int8 oracle replicates this expression
+    # in DuckDB, so exact .5 quotients must round identically)
+    codes = np.trunc(q + np.copysign(0.5, q)).astype(np.int8)
     d = m.shape[1] if m.size else 0
     la = pa.FixedSizeListArray.from_arrays(
         pa.array(codes.reshape(-1), pa.int8()), d

@@ -391,9 +391,16 @@ def avro_to_table(data: bytes) -> pa.Table:
 
 
 def parse_avro_batch(
-    batch: pa.Table, avro_col: str = "avro", file_col: str = "file_id"
+    batch: pa.Table, avro_col: str = "avro", file_col: str = "file_id",
+    empty_schema: pa.Schema | None = None,
 ) -> pa.Table:
-    """map_batches entry: each row carries one container's bytes."""
+    """map_batches entry: each row carries one container's bytes.
+
+    ``empty_schema``: schema to emit for an EMPTY input block (Ray Data
+    produces empty blocks on small inputs; a 0-column table would crash
+    downstream column access and mismatch sibling blocks). Callers that
+    know their record schema should pass it; the Arrow type for a given
+    Avro record schema is what :func:`avro_to_table` yields."""
     parts = []
     for i in range(batch.num_rows):
         t = avro_to_table(batch.column(avro_col)[i].as_py())
@@ -403,7 +410,11 @@ def parse_avro_batch(
                 pa.array([batch.column(file_col)[i].as_py()] * t.num_rows),
             )
         parts.append(t)
-    return pa.concat_tables(parts) if parts else pa.table({})
+    if not parts:
+        if empty_schema is not None:
+            return empty_schema.empty_table()
+        return pa.table({})
+    return pa.concat_tables(parts)
 
 
 # ---------------------------------------------------------------------------

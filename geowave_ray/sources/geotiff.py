@@ -265,8 +265,22 @@ def _decode_image(data: bytes, bo: str, ifd: dict) -> dict:
         offsets, counts = ifd[324], ifd[325]
     else:
         tw, th = w, int(ifd.get(278, [h])[0])
-        offsets, counts = ifd[273], ifd.get(
-            279, [len(data) - ifd[273][0]]
+        offsets = ifd[273]
+        counts = ifd.get(279)
+        if counts is None:
+            # StripByteCounts absent is only recoverable for a SINGLE
+            # uncompressed strip (TIFF 6.0 readers may infer it);
+            # multiple strips without 279 would silently zero-fill
+            if len(offsets) != 1:
+                raise ValueError(
+                    "TIFF missing StripByteCounts (tag 279) with "
+                    f"{len(offsets)} strips — cannot size strip reads"
+                )
+            counts = [len(data) - offsets[0]]
+    if len(counts) < len(offsets):
+        raise ValueError(
+            f"TIFF byte-count entries ({len(counts)}) < chunk offsets "
+            f"({len(offsets)})"
         )
 
     # decode into (spp, h, w) band-major float64

@@ -167,29 +167,45 @@ def _segment_seq(path: str) -> int:
 
 def _segment_rows(path: str) -> int:
     """Record count from the container block headers (no payload
-    decode — counts ride the wire per the Avro container spec)."""
-    with open(path, "rb") as f:
-        data = f.read()
+    decode — counts ride the wire per the Avro container spec).
+    Seek-based: only the header map and each block's two varint
+    prefixes are read, so counting a large segment costs O(blocks)
+    small reads, not a full-file load (poll() calls this for every
+    pending segment on every poll)."""
     from .avro_io import _read_bytes, _read_long
 
-    pos = 4  # magic checked at decode time; here we only walk blocks
-    n, pos = _read_long(data, pos)
-    while n != 0:
-        if n < 0:
-            n = -n
-            _, pos = _read_long(data, pos)
-        for _ in range(n):
-            _, pos = _read_bytes(data, pos)
-            _, pos = _read_bytes(data, pos)
-        n, pos = _read_long(data, pos)
-    pos += 16
-    total = 0
-    while pos < len(data):
-        count, pos = _read_long(data, pos)
-        size, pos = _read_long(data, pos)
-        pos += size + 16
-        total += count
-    return total
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        head = f.read(65536)
+        while True:  # the metadata map (schema JSON) may exceed the buffer
+            try:
+                pos = 4  # magic validated at decode time
+                n, pos = _read_long(head, pos)
+                while n != 0:
+                    if n < 0:
+                        n = -n
+                        _, pos = _read_long(head, pos)
+                    for _ in range(n):
+                        _, pos = _read_bytes(head, pos)
+                        _, pos = _read_bytes(head, pos)
+                    n, pos = _read_long(head, pos)
+                break
+            except IndexError:
+                more = f.read(len(head))
+                if not more:
+                    raise ValueError(f"truncated Avro container: {path}")
+                head += more
+        pos += 16  # sync marker
+        total = 0
+        f.seek(pos)
+        while f.tell() < size:
+            at = f.tell()
+            buf = f.read(20)  # two varints are <= 10 bytes each
+            count, p = _read_long(buf, 0)
+            bsize, p = _read_long(buf, p)
+            total += count
+            f.seek(at + p + bsize + 16)
+        return total
 
 
 def poll(
@@ -228,6 +244,20 @@ def _slices_dataset(slices: list[tuple[str, int, int]], staged: bool):
     (one slice = one parallel unit, the per-consumer-thread role)."""
     import ray.data
 
+    # typed empty fallback for empty input blocks: the staged schema is
+    # fixed; typed-record topics derive theirs from the FIRST segment's
+    # embedded Avro schema (all segments of a topic share it)
+    if staged or not slices:
+        empty = pa.table(
+            {"path": pa.array([], pa.string()),
+             "payload": pa.array([], pa.binary())}
+        )
+    else:
+        from .avro_io import avro_to_table
+
+        with open(slices[0][0], "rb") as f:
+            empty = avro_to_table(f.read()).slice(0, 0)
+
     def expand(b: pa.Table) -> pa.Table:
         parts = []
         for i in range(b.num_rows):
@@ -242,8 +272,7 @@ def _slices_dataset(slices: list[tuple[str, int, int]], staged: bool):
                 t = avro_to_table(data).slice(s, e - s)
             parts.append(t)
         if not parts:
-            return pa.table({"path": pa.array([], pa.string()),
-                             "payload": pa.array([], pa.binary())})
+            return empty
         return pa.concat_tables(parts)
 
     items = [

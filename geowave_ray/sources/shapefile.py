@@ -212,9 +212,15 @@ def read_shapefile(shp: bytes, dbf: bytes | None = None) -> pa.Table:
 
 def parse_shapefile_batch(
     batch: pa.Table, shp_col: str = "shp", dbf_col: str = "dbf",
-    file_col: str = "file_id",
+    file_col: str = "file_id", empty_schema: pa.Schema | None = None,
 ) -> pa.Table:
-    """map_batches entry: each row carries one shapefile's bytes."""
+    """map_batches entry: each row carries one shapefile's bytes.
+
+    ``empty_schema``: schema to emit for an EMPTY input block (Ray Data
+    produces empty blocks on small inputs); DBF attribute columns vary
+    per file, so callers that chain column access downstream should
+    pass the full expected schema. Without it the typed base columns
+    (+ ``file_col``) are emitted."""
     parts = []
     has_dbf = dbf_col in batch.column_names
     for i in range(batch.num_rows):
@@ -227,7 +233,17 @@ def parse_shapefile_batch(
                 pa.array([batch.column(file_col)[i].as_py()] * t.num_rows),
             )
         parts.append(t)
-    return pa.concat_tables(parts) if parts else pa.table({})
+    if not parts:
+        if empty_schema is not None:
+            return empty_schema.empty_table()
+        base: dict[str, pa.Array] = {}
+        if file_col in batch.column_names:
+            base[file_col] = pa.array([], pa.string())
+        base["rec_no"] = pa.array([], pa.int64())
+        base["shape_type"] = pa.array([], pa.string())
+        base["geometry_wkb"] = pa.array([], pa.binary())
+        return pa.table(base)
+    return pa.concat_tables(parts)
 
 
 # ---------------------------------------------------------------------------

@@ -122,7 +122,6 @@ def build_enum_index(
     ``enum_idx=N`` directory — the same pruned-path shape as the
     spatial cell-bucket store. Returns the sorted term list (the
     index metadata a search needs)."""
-    import os
     import shutil
 
     terms_sorted = sorted(set(terms))
@@ -135,17 +134,14 @@ def build_enum_index(
         t = b.filter(pa.array(ok))
         return t.append_column("enum_idx", pa.array(pos[ok], pa.int64()))
 
+    from .pipelines.maintenance import _swap_into_place
+
     tmp = out_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     ds.map_batches(assign, batch_format="pyarrow", batch_size=None).write_parquet(
         tmp, partition_cols=["enum_idx"]
     )
-    old = out_dir + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(out_dir):
-        os.rename(out_dir, old)
-    os.replace(tmp, out_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_into_place(tmp, out_dir)
     return terms_sorted
 
 
