@@ -3421,6 +3421,37 @@ def q_gwql_spatial_temporal(sf_dir: str):
     )
 
 
+def q_datastore_api(sf_dir: str):
+    """DataStore facade end-to-end (core/store/api/DataStore.java role,
+    geowave_ray/datastore.py): addType -> bulk ingest (resumable,
+    manifest) -> query() with the GWQL string API (BBOX predicate +
+    attribute filter) over the pruned store layout. The facade composes
+    the same pipelines the standalone queries use; this oracle pins the
+    registration/routing glue."""
+    import os
+
+    from geowave_ray.datastore import DataStore
+    from geowave_ray.fixtures import FIXTURE_VERSION
+
+    base = _fx(sf_dir)
+    root = os.path.join(base, "facade_store")
+    store = DataStore(root)
+    marker = os.path.join(root, f"_DONE_{FIXTURE_VERSION}")
+    if not os.path.exists(marker):
+        if "pages" not in store.get_types():
+            store.add_type("pages")
+        store.ingest(
+            "pages", os.path.join(base, "pages"),
+            columns=["row_id", "url", "warc_ts", "lang"],
+        )
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return store.query(
+        "SELECT row_id, lang FROM pages "
+        "WHERE BBOX(geometry, -30, -20, 40, 35) AND lang = 'en'"
+    )
+
+
 def q_gwql_scalar(sf_dir: str):
     """GWQL scalar functions in the select list (Abs.java /
     Concat.java under core/store/.../query/gwql/function/)."""
@@ -4345,6 +4376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gwql_groupby": q_gwql_groupby,          # GWQL GROUP BY
         "gwql_cast_pip": q_gwql_cast_pip,        # GWQL CAST/PIP
         "gwql_spatial_temporal": q_gwql_spatial_temporal,  # BBOX/INTERSECTS/DURING
+        "datastore_api": q_datastore_api,  # DataStore facade (api/DataStore.java)
         "gwql_delete": q_gwql_delete,            # GWQL DELETE
         "cql_spatial": q_cql_spatial,            # CQL spatial filter
         "temporal_expr": q_temporal_expr,        # temporal expr AST
@@ -6455,6 +6487,11 @@ def oracle_sql() -> dict[str, str]:
               AND abs(lon - 5.0) + abs(lat - 5.0) <= 25.0
               AND warc_ts >= TIMESTAMP '2024-02-01'
               AND warc_ts < TIMESTAMP '2024-05-01'
+        """,
+        "datastore_api": f"""
+            SELECT row_id, lang FROM {PAGES}
+            WHERE lon BETWEEN -30 AND 40 AND lat BETWEEN -20 AND 35
+              AND lang = 'en'
         """,
         "gwql_cast_pip": f"""
             WITH e(x1, y1, x2, y2) AS (VALUES

@@ -1,0 +1,164 @@
+"""DataStore facade (datastore.py — the reference's primary user API,
+core/store/api/DataStore.java:53-475): addType / createWriter / ingest
+/ query (bbox, CQL, GWQL string) / aggregate / statistics / delete /
+copyTo / removeType / deleteAll over facade-managed stores."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from geowave_ray.datastore import DataStore
+
+
+def _points(n, seed=3):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "pid": pa.array(np.arange(n), pa.int64()),
+            "lon": pa.array(rng.uniform(-170, 170, n), pa.float64()),
+            "lat": pa.array(rng.uniform(-80, 80, n), pa.float64()),
+            "kind": pa.array([["a", "b", "c"][i % 3] for i in range(n)]),
+        }
+    )
+
+
+@pytest.fixture()
+def store(tmp_path, ray_session):
+    s = DataStore(str(tmp_path / "store"))
+    s.add_type("roads")
+    with s.create_writer("roads") as w:
+        w.write(_points(3000))
+    return s
+
+
+def test_type_registry(tmp_path):
+    s = DataStore(str(tmp_path / "s"))
+    s.add_type("a")
+    s.add_type("b", lon_col="x", lat_col="y", n_buckets=16)
+    assert s.get_types() == ["a", "b"]
+    assert s.get_type("b")["n_buckets"] == 16
+    assert s.get_indices("a") == ["spatial"]
+    with pytest.raises(ValueError):
+        s.add_type("a")
+    s.remove_type("a")
+    assert s.get_types() == ["b"]
+    s.delete_all()
+    assert s.get_types() == []
+
+
+def test_writer_appends_groups_with_layout(store):
+    t = _points(500, seed=9)
+    with store.create_writer("roads") as w:
+        for i in range(t.num_rows):  # row-at-a-time write() API
+            if i < 5:
+                w.write({k: t.column(k)[i].as_py() for k in t.column_names})
+        w.write(t.slice(5))
+    groups = sorted(
+        os.listdir(os.path.dirname(store._type_dir("roads") + "/x"))
+    )
+    gdir = store._type_dir("roads")
+    assert sorted(g for g in os.listdir(gdir) if g.startswith("group=")) == [
+        "group=000000", "group=000001",
+    ]
+    # bucket partitioning + cell_id sort inside each bucket file
+    part = next(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(gdir) for f in fs if f.endswith(".parquet")
+    )
+    tt = pq.read_table(part)
+    cid = tt.column("cell_id").to_numpy()
+    assert (np.diff(cid.astype(np.uint64).astype(np.int64)) >= 0).all() or (
+        np.diff(cid) >= 0
+    ).all()
+    assert store.aggregate("roads", "count") == 3500
+
+
+def test_query_bbox_matches_bruteforce(store):
+    box = (-60.0, -30.0, 55.0, 40.0)
+    got = store.query_bbox("roads", box).to_pandas()
+    full = store._scan("roads").to_pandas()
+    want = full[
+        (full.lon >= box[0]) & (full.lon <= box[2])
+        & (full.lat >= box[1]) & (full.lat <= box[3])
+    ]
+    assert sorted(got["pid"]) == sorted(want["pid"])
+
+
+def test_query_gwql_and_cql(store):
+    out = store.query(
+        "SELECT pid FROM roads WHERE BBOX(geometry, -60, -30, 55, 40) "
+        "AND kind = 'a'"
+    ).to_pandas()
+    full = store._scan("roads").to_pandas()
+    want = full[
+        (full.lon >= -60) & (full.lon <= 55)
+        & (full.lat >= -30) & (full.lat <= 40) & (full.kind == "a")
+    ]
+    assert sorted(out["pid"]) == sorted(want["pid"])
+    out_cql = store.query_cql(
+        "roads", "BBOX(geometry, -60, -30, 55, 40) AND kind = 'a'"
+    ).to_pandas()
+    assert sorted(out_cql["pid"]) == sorted(want["pid"])
+
+
+def test_aggregates_and_statistics(store):
+    full = store._scan("roads").to_pandas()
+    assert store.aggregate("roads", "count") == len(full)  # manifest, no scan
+    bb = store.aggregate("roads", "bbox")
+    assert bb["xmin"] == full.lon.min() and bb["ymax"] == full.lat.max()
+    assert store.aggregate("roads", "max", "pid") == full.pid.max()
+    assert store.get_statistic_value("roads", "count") == len(full)
+    hist = store.get_statistic_value("roads", "bucket_histogram")
+    assert sum(hist.values()) == len(full)
+    rt = store.recalc_statistic("roads")
+    assert sum(rt.column("n").to_pylist()) == len(full)
+
+
+def test_delete_rewrites_and_fixes_stats(store):
+    full = store._scan("roads").to_pandas()
+    n_b = (full.kind == "b").sum()
+    deleted = store.delete("roads", "kind = 'b'")
+    assert deleted == n_b
+    left = store._scan("roads").to_pandas()
+    assert len(left) == len(full) - n_b
+    assert (left.kind != "b").all()
+    # manifest statistics rebuilt: optimal count matches the data
+    assert store.get_statistic_value("roads", "count") == len(left)
+    assert store.aggregate("roads", "count") == len(left)
+    # pruned query still works on the rewritten layout
+    got = store.query_bbox("roads", (-60, -30, 55, 40)).to_pandas()
+    want = left[
+        (left.lon >= -60) & (left.lon <= 55)
+        & (left.lat >= -30) & (left.lat <= 40)
+    ]
+    assert sorted(got["pid"]) == sorted(want["pid"])
+
+
+def test_copy_to_rebuckets(store, tmp_path):
+    other = DataStore(str(tmp_path / "copy"))
+    store.copy_to(other, "roads", n_buckets=16)
+    assert other.get_type("roads")["n_buckets"] == 16
+    a = store._scan("roads").to_pandas().sort_values("pid").reset_index(drop=True)
+    b = other._scan("roads").to_pandas().sort_values("pid").reset_index(drop=True)
+    assert a["pid"].tolist() == b["pid"].tolist()
+    got = other.query_bbox("roads", (-60, -30, 55, 40)).to_pandas()
+    want = a[(a.lon >= -60) & (a.lon <= 55) & (a.lat >= -30) & (a.lat <= 40)]
+    assert sorted(got["pid"]) == sorted(want["pid"])
+
+
+def test_bulk_ingest_path(tmp_path, ray_session):
+    import glob as _glob
+
+    from geowave_ray.fixtures import ensure_fixtures
+
+    s = DataStore(str(tmp_path / "bulk"))
+    s.add_type("pages")
+    fx = ensure_fixtures("sf0.001")
+    res = s.ingest("pages", os.path.join(fx, "pages"),
+                   columns=["row_id", "url", "warc_ts", "lang"])
+    assert res["rows"] > 0
+    assert s.aggregate("pages", "count") == res["rows"]
+    assert _glob.glob(os.path.join(s._type_dir("pages"), "group=*"))
