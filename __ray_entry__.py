@@ -241,6 +241,94 @@ def _utm_store(sf_dir: str) -> str:
     return store
 
 
+_LCC_PROJ = "+proj=lcc +lat_1=30 +lat_2=50 +lat_0=23 +lon_0=-96"
+_LCC_BOXES = [
+    (-120.0, 30.0, -110.0, 42.0),
+    (-100.0, 25.0, -90.0, 35.0),
+    (-80.0, 38.0, -65.0, 52.0),
+]
+
+
+def _lcc_store(sf_dir: str) -> str:
+    """Parameter-defined LCC-native store (+proj=lcc 2SP — proj.py,
+    the GeoTools arbitrary-CRS-from-parameters role past enumerated
+    EPSG codes): the North-America lon band of the pages fixture
+    stored as LCC meters; only the cell index lives in 4326."""
+    import os
+
+    import ray.data
+
+    from geowave_ray.crs import CrsAdapter, ingest_xy_crs
+    from geowave_ray.fixtures import FIXTURE_VERSION
+
+    base = _fx(sf_dir)
+    store = os.path.join(base, "lcc_store")
+    marker = store + f"_DONE_{FIXTURE_VERSION}"
+    if not os.path.exists(marker):
+        fwd = CrsAdapter(_LCC_PROJ).from_index
+
+        def to_native(b: pa.Table) -> pa.Table:
+            lon = b.column("lon").to_numpy()
+            lat = b.column("lat").to_numpy()
+            keep = (lon >= -130.0) & (lon < -60.0) & (lat >= 15.0) & (lat <= 60.0)
+            b = b.filter(pa.array(keep))
+            x, y = fwd(b.column("lon").to_numpy(), b.column("lat").to_numpy())
+            return pa.table(
+                {
+                    "row_id": b.column("row_id"),
+                    "url": b.column("url"),
+                    "x": pa.array(x, pa.float64()),
+                    "y": pa.array(y, pa.float64()),
+                }
+            )
+
+        ds = ray.data.read_parquet(
+            os.path.join(base, "pages"), columns=["row_id", "url", "lon", "lat"]
+        ).map_batches(to_native, batch_format="pyarrow", batch_size=None)
+        ingest_xy_crs(ds, store, _LCC_PROJ)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return store
+
+
+def q_bbox_lcc_store(sf_dir: str):
+    """bbox batch served from the LCC-NATIVE store (conformal conic is
+    not axis-monotone, like UTM): partition pruning in 4326 index
+    space, per-batch closed-form inverse back to 4326 for the fine
+    filter. Oracle filters the fixture's stored lon/lat (the LCC
+    roundtrip is <1e-9 degrees, sub-ulp vs the random geometry)."""
+    from ray.data.aggregate import Sum
+
+    from geowave_ray.crs import CrsAdapter, read_crs_pruned
+
+    inv = CrsAdapter(_LCC_PROJ).to_index
+    boxes = _LCC_BOXES
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon, lat = inv(
+            batch.column("x").to_numpy(), batch.column("y").to_numpy()
+        )
+        out_q, out_n = [], []
+        for i, (x0, y0, x1, y1) in enumerate(boxes):
+            n = int(((lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)).sum())
+            if n:
+                out_q.append(f"lcc{i}")
+                out_n.append(n)
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.string()),
+             "n": pa.array(out_n, pa.int64())}
+        )
+
+    ds = read_crs_pruned(
+        _lcc_store(sf_dir), _LCC_PROJ, boxes, columns=["x", "y"]
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("query_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def q_bbox_utm_store(sf_dir: str):
     """bbox batch served from the UTM-NATIVE store: partition pruning
     in 4326 index space; the fine filter INVERSE-transforms each
@@ -4412,6 +4500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # declared-CRS adapter path (EPSG:3857-native store)
         "bbox_mercator_store": q_bbox_mercator_store,
         "bbox_utm_store": q_bbox_utm_store,  # UTM declared-CRS store
+        "bbox_lcc_store": q_bbox_lcc_store,  # +proj=lcc param-defined CRS store
         "pip_join_mercator": q_pip_join_mercator,
         # spatial queries
         "polygon_queries": q_polygon_queries,
@@ -5577,6 +5666,19 @@ def oracle_sql() -> dict[str, str]:
               ON p.lon >= b.xmin AND p.lon <= b.xmax
              AND p.lat >= b.ymin AND p.lat <= b.ymax
             WHERE p.lon >= 12.0 AND p.lon < 18.0 AND abs(p.lat) <= 84.0
+            GROUP BY b.query_id
+        """,
+        "bbox_lcc_store": f"""
+            WITH boxes(query_id, xmin, ymin, xmax, ymax) AS (VALUES
+                ('lcc0', -120.0, 30.0, -110.0, 42.0),
+                ('lcc1', -100.0, 25.0, -90.0, 35.0),
+                ('lcc2', -80.0, 38.0, -65.0, 52.0))
+            SELECT b.query_id, count(*) AS n
+            FROM boxes b JOIN {PAGES} p
+              ON p.lon >= b.xmin AND p.lon <= b.xmax
+             AND p.lat >= b.ymin AND p.lat <= b.ymax
+            WHERE p.lon >= -130.0 AND p.lon < -60.0
+              AND p.lat >= 15.0 AND p.lat <= 60.0
             GROUP BY b.query_id
         """,
         "bbox_mercator_store": f"""

@@ -53,7 +53,14 @@ class CrsAdapter:
     def __init__(self, crs: str):
         self.utm_zone = 0
         self.utm_south = False
-        if crs.startswith("EPSG:326") or crs.startswith("EPSG:327"):
+        self.proj = None
+        if crs.startswith("+proj="):
+            # parameter-defined CRS (lcc/tmerc/merc/longlat) — the
+            # GeoTools arbitrary-CRS role without enumerated codes
+            from .proj import ProjCRS
+
+            self.proj = ProjCRS(crs)
+        elif crs.startswith("EPSG:326") or crs.startswith("EPSG:327"):
             code = int(crs[5:])
             zone = code % 100
             if not 1 <= zone <= 60:
@@ -61,10 +68,15 @@ class CrsAdapter:
             self.utm_zone = zone
             self.utm_south = code // 100 == 327
         elif crs not in ("EPSG:4326", "EPSG:3857"):
-            raise ValueError(f"unsupported CRS {crs!r} (no geo libs in env)")
+            raise ValueError(
+                f"unsupported CRS {crs!r} (use EPSG:4326/3857, UTM "
+                f"EPSG:326NN/327NN, or a '+proj=...' parameter string)"
+            )
         self.crs = crs
 
     def to_index(self, x: np.ndarray, y: np.ndarray):
+        if self.proj is not None:
+            return self.proj.inverse(x, y)
         if self.crs == "EPSG:4326":
             return x, y
         if self.utm_zone:
@@ -74,6 +86,8 @@ class CrsAdapter:
         return from_web_mercator(x, y)
 
     def from_index(self, lon: np.ndarray, lat: np.ndarray):
+        if self.proj is not None:
+            return self.proj.forward(lon, lat)
         if self.crs == "EPSG:4326":
             return lon, lat
         if self.utm_zone:

@@ -266,9 +266,12 @@ class DataStore:
         return ray.data.read_parquet(files, columns=columns)
 
     def query_bbox(self, type_name: str, box, columns=None,
-                   t_start=None, t_end=None):
+                   t_start=None, t_end=None, authorizations=None):
         """bbox (optionally + time range) constraint through the PRUNED
-        read path (only matching cell_bucket partitions are opened)."""
+        read path (only matching cell_bucket partitions are opened).
+        ``authorizations`` applies row-level visibility filtering — the
+        ``query(query, authorizations...)`` second argument of the
+        reference API (rows carry a ``visibility`` expression column)."""
         from .pipelines.query import bbox_query, read_pages_pruned_multi
 
         cfg = self.get_type(type_name)
@@ -278,12 +281,17 @@ class DataStore:
                 set(need)
                 | {cfg["lon_col"], cfg["lat_col"]}
                 | ({cfg["time_col"]} if t_start is not None and cfg["time_col"] else set())
+                | ({"visibility"} if authorizations is not None else set())
             )
         ds, _info = read_pages_pruned_multi(
             self._type_dir(type_name), [tuple(box)], columns=need,
             tier=cfg["tier"], n_buckets=cfg["n_buckets"],
         )
         out = bbox_query(ds, *box, t_start=t_start, t_end=t_end)
+        if authorizations is not None:
+            from .pipelines.query import visibility_filter
+
+            out = visibility_filter(out, set(authorizations))
         return out.select_columns(columns) if columns else out
 
     def query(self, gwql_str: str, columns=None):

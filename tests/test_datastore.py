@@ -149,6 +149,27 @@ def test_copy_to_rebuckets(store, tmp_path):
     assert sorted(got["pid"]) == sorted(want["pid"])
 
 
+def test_query_with_authorizations(tmp_path, ray_session):
+    s = DataStore(str(tmp_path / "vis"))
+    s.add_type("obs")
+    t = _points(300)
+    vis = pa.array(
+        [["", "secret", "secret&ops", "public|ops"][i % 4] for i in range(300)]
+    )
+    with s.create_writer("obs") as w:
+        w.write(t.append_column("visibility", vis))
+    box = (-180.0, -90.0, 180.0, 90.0)
+    all_rows = s.query_bbox("obs", box).to_pandas()
+    assert len(all_rows) == 300
+    got = s.query_bbox("obs", box, authorizations={"secret"}).to_pandas()
+    # visible: empty (public) + 'secret'; not 'secret&ops' or 'public|ops'
+    assert len(got) == 75 + 75
+    got2 = s.query_bbox(
+        "obs", box, authorizations={"secret", "ops"}
+    ).to_pandas()
+    assert len(got2) == 300
+
+
 def test_bulk_ingest_path(tmp_path, ray_session):
     import glob as _glob
 
