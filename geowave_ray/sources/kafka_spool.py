@@ -33,6 +33,7 @@ import glob
 import json
 import os
 import shutil
+from typing import Any
 
 import pyarrow as pa
 
@@ -342,3 +343,33 @@ def consume_to_store(
         "rows": rows_total,
         "offsets": read_offsets(store_dir, group),
     }
+
+
+def run_kafka_ingest(
+    plugins: dict[str, tuple[str, Any]],
+    store_root: str,
+    group: str = "ingest",
+    max_records_per_poll: int | None = None,
+    staged: bool = True,
+) -> dict[str, dict]:
+    """IngestFromKafkaDriver.runOperation role: one consumer per
+    format plugin, each draining its own topic (the reference names
+    the topic after the plugin — ``configureAndLaunchPlugins``,
+    ``IngestFromKafkaDriver.java:115-178``) into
+    ``<store_root>/<plugin>/``. A plugin that fails is recorded and
+    does not stop the others (the reference logs and leaves it on the
+    queue). Returns per-plugin consume summaries."""
+    results: dict[str, dict] = {}
+    for name, (topic_dir, parse_batch) in sorted(plugins.items()):
+        try:
+            results[name] = consume_to_store(
+                topic_dir,
+                os.path.join(store_root, name),
+                parse_batch,
+                group=group,
+                max_records_per_poll=max_records_per_poll,
+                staged=staged,
+            )
+        except Exception as e:  # noqa: BLE001 — per-plugin isolation
+            results[name] = {"error": str(e), "polls": 0, "rows": 0}
+    return results

@@ -181,6 +181,29 @@ def test_typed_record_topic(tmp_path, ray_session):
     assert sorted(got.column("pid").to_pylist()) == list(range(9))
 
 
+def test_run_kafka_ingest_multi_plugin(tmp_path, ray_session):
+    """IngestFromKafkaDriver role: one consumer per plugin topic; a
+    broken plugin is isolated (logged, others continue)."""
+    t_gpx = str(tmp_path / "t_gpx")
+    t_bad = str(tmp_path / "t_bad")
+    with ks.SpoolProducer(t_gpx, records_per_segment=4) as p:
+        for i in range(5):
+            p.send_file(f"f{i}.gpx", _gpx_xml(f"t{i}", 2))
+    os.makedirs(t_bad)
+    with open(os.path.join(t_bad, "seg-00000000.avro"), "wb") as f:
+        f.write(b"not avro at all")
+    res = ks.run_kafka_ingest(
+        {"gpx": (t_gpx, _parse), "bad": (t_bad, _parse)},
+        str(tmp_path / "stores"),
+    )
+    assert res["gpx"]["rows"] == 10
+    assert "error" in res["bad"] and res["bad"]["rows"] == 0
+    got = pq.read_table(
+        glob.glob(str(tmp_path / "stores" / "gpx" / "poll=*"))[0]
+    )
+    assert got.num_rows == 10
+
+
 def test_offsets_json_is_atomic(tmp_path):
     store = str(tmp_path / "store")
     ks.commit_offsets(store, "g", {"segment_seq": 5, "record": 2, "polls": 3})
