@@ -31,7 +31,7 @@ import ray.data
 
 from .geom import from_web_mercator, to_web_mercator
 from .sfc import MAX_TIER
-from .stages.cell_encode import encode_points
+from .stages.cell_encode import bucket_of, encode_points
 
 # mercator-valid latitude band; the forward transform clamps outside it
 MERCATOR_MAX_LAT = 85.05112878
@@ -120,9 +120,7 @@ def ingest_xy_crs(
         b = b.append_column("lon", pa.array(lon, pa.float64()))
         b = b.append_column("lat", pa.array(lat, pa.float64()))
         b = encode_points(b, tier=tier)
-        bucket = (
-            b.column("cell_id").to_numpy().astype(np.uint64) >> np.uint64(2 * tier - 8)
-        ).astype(np.int64) % n_buckets
+        bucket = bucket_of(b.column("cell_id").to_numpy(), tier, n_buckets)
         b = b.append_column("cell_bucket", pa.array(bucket, pa.int64()))
         # index coords are DERIVED — drop them; native x/y are the data
         return b.drop_columns(["lon", "lat", "tier", "cell_x", "cell_y"])

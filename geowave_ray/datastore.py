@@ -36,18 +36,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .stages.cell_encode import MAX_TIER, encode_points
+from .stages.cell_encode import MAX_TIER, bucket_of, encode_points
 
 
 def _encode_xy(batch: pa.Table, tier: int, n_buckets: int,
                lon_col: str, lat_col: str) -> pa.Table:
     """Generic point encode (no geotag derivation): lon/lat columns ->
-    tier/cell_id/cell_bucket, the same bucket rule as ingest_pages."""
+    tier/cell_id/cell_bucket, the shared bucket rule."""
     batch = encode_points(batch, tier=tier, lon_col=lon_col, lat_col=lat_col)
-    bucket = (
-        batch.column("cell_id").to_numpy().astype(np.uint64)
-        >> np.uint64(2 * tier - 8)
-    ).astype(np.int64) % n_buckets
+    bucket = bucket_of(batch.column("cell_id").to_numpy(), tier, n_buckets)
     return batch.append_column("cell_bucket", pa.array(bucket, pa.int64()))
 
 
@@ -174,8 +171,20 @@ class DataStore:
         self._save_meta({})
 
     # -- writes ---------------------------------------------------------
+    def _groups(self, type_name: str) -> list[str]:
+        """Completed group dirs ONLY (``group=\\d+``): crash leftovers
+        from interrupted rewrites (``group=N.tmp/.new/.old``) are never
+        read, renumbered over, or swapped back in."""
+        import re
+
+        return sorted(
+            g
+            for g in glob.glob(os.path.join(self._type_dir(type_name), "group=*"))
+            if re.fullmatch(r"group=\d+", os.path.basename(g))
+        )
+
     def _next_group(self, type_name: str) -> str:
-        existing = glob.glob(os.path.join(self._type_dir(type_name), "group=*"))
+        existing = self._groups(type_name)
         nxt = (
             max(
                 (int(os.path.basename(g).split("=", 1)[1]) for g in existing),
@@ -185,11 +194,13 @@ class DataStore:
         )
         return os.path.join(self._type_dir(type_name), f"group={nxt:06d}")
 
-    def _append_group(self, type_name: str, table: pa.Table) -> str:
+    def _append_group(self, type_name: str, table, expect_rows=None) -> str:
         """Encode + bucket-partition + cell-sorted write of one batch
         of entries as a NEW group (the incremental-append unit; the
         same layout ingest_pages produces, so pruned reads and
-        maintenance see no difference)."""
+        maintenance see no difference). ``table`` is a pa.Table (writer
+        buffers) or a streaming ray Dataset (bulk ingest — never
+        materialized on the driver)."""
         import ray.data
 
         from .state import manifest as mf
@@ -198,7 +209,11 @@ class DataStore:
         dest = self._next_group(type_name)
         tmp = dest + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        ds = ray.data.from_arrow(table)
+        if isinstance(table, pa.Table):
+            ds = ray.data.from_arrow(table)
+            expect_rows = table.num_rows
+        else:
+            ds = table
         ds = ds.map_batches(
             _encode_xy,
             fn_kwargs=dict(
@@ -219,9 +234,9 @@ class DataStore:
             b = os.path.basename(os.path.dirname(part)).split("=", 1)[1]
             hist[b] = hist.get(b, 0) + n
             rows += n
-        if rows != table.num_rows:
+        if expect_rows is not None and rows != expect_rows:
             raise RuntimeError(
-                f"append row mismatch: wrote {rows}, buffered {table.num_rows}"
+                f"append row mismatch: wrote {rows}, expected {expect_rows}"
             )
         mf.write_entry(
             os.path.join(self._type_dir(type_name), "_manifest"),
@@ -236,21 +251,73 @@ class DataStore:
         return Writer(self, type_name, flush_rows)
 
     def ingest(self, type_name: str, input_path: str,
-               columns: list[str] | None = None) -> dict:
+               columns: list[str] | None = None,
+               geotag: bool = False) -> dict:
         """``ingest(inputPath, index...)``: bulk parquet ingest through
-        the resumable grouped pipeline (manifest + skip-complete)."""
-        from .pipelines.ingest import ingest_pages
+        the resumable grouped pipeline (manifest + skip-complete).
 
+        Default (``geotag=False``): GENERIC ingest — the input must
+        already carry the type's configured coordinate columns; they
+        are encoded as-is (no derivation). ``geotag=True`` selects the
+        web-pages pipeline instead, which DERIVES lon/lat from
+        (url, lang) via the geotag stage and would destroy real
+        coordinates on any other input — hence opt-in."""
         cfg = self.get_type(type_name)
-        if cfg["lon_col"] != "lon" or cfg["lat_col"] != "lat":
-            raise ValueError(
-                "bulk ingest uses the shared pages pipeline (lon/lat "
-                "columns); use create_writer() for custom column names"
+        if geotag:
+            from .pipelines.ingest import ingest_pages
+
+            if cfg["lon_col"] != "lon" or cfg["lat_col"] != "lat":
+                raise ValueError("geotag ingest derives lon/lat columns")
+            return ingest_pages(
+                input_path, self._type_dir(type_name),
+                tier=cfg["tier"], n_buckets=cfg["n_buckets"], columns=columns,
             )
-        return ingest_pages(
-            input_path, self._type_dir(type_name),
-            tier=cfg["tier"], n_buckets=cfg["n_buckets"], columns=columns,
-        )
+        import ray.data
+
+        from .state import manifest as mf
+
+        files = sorted(glob.glob(os.path.join(input_path, "*.parquet"))) or [
+            input_path
+        ]
+        man = os.path.join(self._type_dir(type_name), "_manifest")
+        need = columns
+        if need is not None:
+            need = sorted(set(need) | {cfg["lon_col"], cfg["lat_col"]})
+        schema_names = pq.read_schema(files[0]).names
+        if (
+            cfg["lon_col"] not in schema_names
+            or cfg["lat_col"] not in schema_names
+        ):
+            raise ValueError(
+                f"input lacks coordinate columns "
+                f"({cfg['lon_col']!r}, {cfg['lat_col']!r}); pass "
+                f"geotag=True only for url/lang web-page inputs"
+            )
+        total = skipped = 0
+        for gi in range(0, len(files), 16):
+            group = files[gi:gi + 16]
+            if all(mf.is_complete(man, f) for f in group):
+                skipped += len(group)
+                continue
+            # streaming: file group -> Dataset -> encoded sorted group
+            # dir; nothing materializes on the driver
+            in_rows = sum(pq.read_metadata(f).num_rows for f in group)
+            dest = self._append_group(
+                type_name,
+                ray.data.read_parquet(group, columns=need),
+                expect_rows=in_rows,
+            )
+            # file-keyed resume entries AFTER the data (file_rows=0:
+            # the group-keyed entry from _append_group carries the
+            # counts; these only mark completeness)
+            for f in group:
+                mf.write_entry(
+                    man, f,
+                    {"input_file": f, "file_rows": 0, "output_dir": dest,
+                     "cell_histogram": {}},
+                )
+            total += in_rows
+        return {"files": len(files), "rows": total, "skipped": skipped}
 
     # -- reads ----------------------------------------------------------
     def _scan(self, type_name: str, columns=None):
@@ -258,8 +325,11 @@ class DataStore:
 
         tdir = self._type_dir(type_name)
         files = sorted(
-            glob.glob(os.path.join(tdir, "group=*", "cell_bucket=*", "*.parquet"))
-            + glob.glob(os.path.join(tdir, "cell_bucket=*", "*.parquet"))
+            f
+            for g in self._groups(type_name)
+            for f in glob.glob(os.path.join(g, "cell_bucket=*", "*.parquet"))
+        ) + sorted(
+            glob.glob(os.path.join(tdir, "cell_bucket=*", "*.parquet"))
         )  # grouped ingest layout OR the flat copy/compact layout
         if not files:
             raise ValueError(f"type {type_name!r} has no data")
@@ -272,7 +342,7 @@ class DataStore:
         ``authorizations`` applies row-level visibility filtering — the
         ``query(query, authorizations...)`` second argument of the
         reference API (rows carry a ``visibility`` expression column)."""
-        from .pipelines.query import bbox_query, read_pages_pruned_multi
+        from .pipelines.query import read_pages_pruned_multi
 
         cfg = self.get_type(type_name)
         need = columns
@@ -287,7 +357,28 @@ class DataStore:
             self._type_dir(type_name), [tuple(box)], columns=need,
             tier=cfg["tier"], n_buckets=cfg["n_buckets"],
         )
-        out = bbox_query(ds, *box, t_start=t_start, t_end=t_end)
+        lon_c, lat_c = cfg["lon_col"], cfg["lat_col"]
+        time_c = cfg["time_col"]
+        if (t_start is not None or t_end is not None) and not time_c:
+            raise ValueError(
+                f"type {type_name!r} has no time_col; declare one in "
+                f"add_type to use time-range constraints"
+            )
+        x0, y0, x1, y1 = box
+
+        def fine(b: pa.Table) -> pa.Table:
+            lon = b.column(lon_c).to_numpy(zero_copy_only=False)
+            lat = b.column(lat_c).to_numpy(zero_copy_only=False)
+            m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+            if t_start is not None or t_end is not None:
+                ts = b.column(time_c).to_numpy(zero_copy_only=False)
+                if t_start is not None:
+                    m &= ts >= np.datetime64(t_start)
+                if t_end is not None:
+                    m &= ts < np.datetime64(t_end)
+            return b.filter(pa.array(m))
+
+        out = ds.map_batches(fine, batch_format="pyarrow", batch_size=None)
         if authorizations is not None:
             from .pipelines.query import visibility_filter
 
@@ -297,16 +388,63 @@ class DataStore:
     def query(self, gwql_str: str, columns=None):
         """``query(queryStr)`` — the GWQL string API: FROM names a
         registered type; spatial predicates bind to the type's
-        (lon, lat) columns."""
+        (lon, lat) columns. When the WHERE clause is a conjunction led
+        by a BBOX predicate (and contains no top-level OR), the scan is
+        routed through the PRUNED bucket read — the reference's
+        index-constraint extraction; the full WHERE still runs as the
+        fine filter, so pruning is a pure superset optimization."""
+        import re
+
         from . import gwql as gw
 
-        cfg_name = gw.parse(gwql_str).table
-        cfg = self.get_type(cfg_name)
-        return gw.execute(
-            gwql_str,
-            {cfg_name: self._scan(cfg_name, columns=columns)},
-            geom=(cfg["lon_col"], cfg["lat_col"]),
+        stmt = gw.parse(gwql_str)  # table routing; re-parsed with geom below
+        cfg = self.get_type(stmt.table)
+        box = self._safe_bbox_conjunct(gwql_str)
+        if box is not None:
+            from .pipelines.query import read_pages_pruned_multi
+
+            src, _info = read_pages_pruned_multi(
+                self._type_dir(stmt.table), [box], columns=columns,
+                tier=cfg["tier"], n_buckets=cfg["n_buckets"],
+            )
+        else:
+            src = self._scan(stmt.table, columns=columns)
+        return gw.execute_stmt(
+            gw.parse(gwql_str, geom=(cfg["lon_col"], cfg["lat_col"])),
+            {stmt.table: src},
         )
+
+    @staticmethod
+    def _safe_bbox_conjunct(gwql_str: str):
+        """(xmin, ymin, xmax, ymax) when the WHERE clause STARTS with a
+        4-numeric-arg BBOX predicate and contains no top-level OR —
+        the only shape where bucket pruning to that box cannot drop
+        rows another disjunct would match. Conservative by design:
+        anything else returns None (full scan, still correct)."""
+        import re
+
+        m = re.search(r"\bWHERE\b(.*?)(\bORDER\b|\bLIMIT\b|\bGROUP\b|$)",
+                      gwql_str, re.IGNORECASE | re.DOTALL)
+        if not m:
+            return None
+        where = m.group(1)
+        # reject any OR outside parentheses
+        depth = 0
+        for tok in re.findall(r"[()]|\bOR\b", where, re.IGNORECASE):
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                return None
+        mb = re.match(
+            r"\s*BBOX\s*\(\s*\w+\s*,\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*,"
+            r"\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\)",
+            where, re.IGNORECASE,
+        )
+        if not mb:
+            return None
+        return tuple(float(mb.group(i)) for i in range(1, 5))
 
     def query_cql(self, type_name: str, cql_text: str, columns=None):
         """CQL filter over a type (CQLQuery role)."""
@@ -384,7 +522,7 @@ class DataStore:
         keep_expr = ~pred  # same null semantics as the GWQL DELETE path
         tdir = self._type_dir(type_name)
         deleted = 0
-        for group in sorted(glob.glob(os.path.join(tdir, "group=*"))):
+        for group in self._groups(type_name):
             tmp = group + ".new"
             shutil.rmtree(tmp, ignore_errors=True)
             for part in sorted(
@@ -411,7 +549,7 @@ class DataStore:
         tdir = self._type_dir(type_name)
         man = os.path.join(tdir, "_manifest")
         shutil.rmtree(man, ignore_errors=True)
-        for group in sorted(glob.glob(os.path.join(tdir, "group=*"))):
+        for group in self._groups(type_name):
             hist: dict[str, int] = {}
             rows = 0
             for part in glob.glob(
@@ -440,12 +578,13 @@ class DataStore:
             other._type_dir(type_name),
             n_buckets=n_buckets or cfg["n_buckets"], tier=cfg["tier"],
         )
+        # ALWAYS sync the destination's registration to the rewritten
+        # layout: a stale n_buckets would make its pruned reads compute
+        # bucket ids against partitions that don't exist
         meta = other._load_meta()
-        if type_name not in meta:
-            meta[type_name] = dict(cfg)
-            if n_buckets:
-                meta[type_name]["n_buckets"] = n_buckets
-            other._save_meta(meta)
+        meta[type_name] = dict(cfg)
+        meta[type_name]["n_buckets"] = n_buckets or cfg["n_buckets"]
+        other._save_meta(meta)
         return res
 
     def compact(self, type_name: str, out: "DataStore") -> dict:

@@ -612,7 +612,15 @@ def execute(
     geom: tuple[str, str] = ("lon", "lat"),
 ) -> ray.data.Dataset:
     """Run a GWQL SELECT over named Datasets."""
-    stmt = parse(sql, geom)
+    return execute_stmt(parse(sql, geom), tables)
+
+
+def execute_stmt(
+    stmt: Select, tables: dict[str, ray.data.Dataset]
+) -> ray.data.Dataset:
+    """Run an already-parsed statement (callers that routed on the
+    parse — e.g. the DataStore facade's pruned-scan path — avoid
+    parsing twice)."""
     if stmt.table not in tables:
         raise KeyError(f"GWQL: unknown table {stmt.table}")
     ds = tables[stmt.table]

@@ -28,16 +28,14 @@ import ray.data
 
 from ..geotag import geotag_batch
 from ..sfc import MAX_TIER
-from ..stages.cell_encode import encode_points
+from ..stages.cell_encode import bucket_of, encode_points
 from ..state import manifest as mf
 
 
 def _encode_stage(batch: pa.Table, tier: int, n_buckets: int) -> pa.Table:
     batch = geotag_batch(batch)
     batch = encode_points(batch, tier=tier)
-    bucket = (
-        batch.column("cell_id").to_numpy().astype(np.uint64) >> np.uint64(2 * tier - 8)
-    ).astype(np.int64) % n_buckets
+    bucket = bucket_of(batch.column("cell_id").to_numpy(), tier, n_buckets)
     return batch.append_column("cell_bucket", pa.array(bucket, pa.int64()))
 
 

@@ -160,15 +160,15 @@ def copy_store(
     with different params). Buckets are the top 8 bits of the cell id
     mod ``n_buckets`` — same rule as ingest — so the pruned readers
     work on the copy unchanged."""
+    from ..stages.cell_encode import bucket_of
+
     _guard_out_dir(store_dir, out_dir)
     files = [f for fs in _bucket_files(store_dir, col).values() for f in fs]
     if not files:
         raise ValueError(f"no {col}= partitions under {store_dir}")
-    shift = np.uint64(2 * tier - 8)
 
     def rebucket(batch: pa.Table) -> pa.Table:
-        cell = batch.column(sort_col).to_numpy().astype(np.uint64)
-        b = ((cell >> shift) % np.uint64(n_buckets)).astype(np.int64)
+        b = bucket_of(batch.column(sort_col).to_numpy(), tier, n_buckets)
         # drop hive partition columns inferred from the SOURCE layout
         # (old bucket, ingest group) — the copy defines its own
         stale = [c for c in (col, "group") if c in batch.column_names]

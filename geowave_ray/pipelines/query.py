@@ -72,6 +72,15 @@ def _bucket_dirs(
             continue
         pat = os.path.join(r, f"{col}=*")
         hits = glob.glob(pat) or glob.glob(os.path.join(r, "group=*", f"{col}=*"))
+        # never read crash leftovers (group=NNNNNN.tmp/.new/.old from an
+        # interrupted rewrite) — only completed groups are data
+        import re as _re
+
+        hits = [
+            d for d in hits
+            if _re.fullmatch(r"group=\d+", os.path.basename(os.path.dirname(d)))
+            or not os.path.basename(os.path.dirname(d)).startswith("group=")
+        ]
         for d in hits:
             out.append((int(os.path.basename(d).split("=", 1)[1]), d))
     return out

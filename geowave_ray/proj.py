@@ -39,6 +39,17 @@ _E2 = _F * (2.0 - _F)
 _E = np.sqrt(_E2)
 
 
+def _wrap_rad(dlam: np.ndarray) -> np.ndarray:
+    """Wrap a longitude difference to (-pi, pi] — points more than 180
+    degrees from the central meridian must project on the NEAR branch
+    (proj behavior), not a phantom far cone/cylinder branch."""
+    return dlam - 2.0 * np.pi * np.round(dlam / (2.0 * np.pi))
+
+
+def _wrap_deg(lon: np.ndarray) -> np.ndarray:
+    return lon - 360.0 * np.round(np.asarray(lon) / 360.0)
+
+
 def parse_proj(s: str) -> dict:
     """'+proj=lcc +lat_1=33 +lat_2=45 ...' -> {'proj': 'lcc', ...}."""
     out: dict = {}
@@ -67,7 +78,7 @@ def parse_proj(s: str) -> dict:
 def _merc_fwd(lon, lat, lon0: float, k0: float, x0: float, y0: float):
     """Ellipsoidal Mercator (PP 1395 eq. 7-7): x = a k0 (λ-λ0),
     y = a k0 ln[tan(π/4+φ/2) ((1-e sinφ)/(1+e sinφ))^(e/2)]."""
-    lam = np.radians(np.asarray(lon, np.float64)) - np.radians(lon0)
+    lam = _wrap_rad(np.radians(np.asarray(lon, np.float64)) - np.radians(lon0))
     phi = np.radians(np.asarray(lat, np.float64))
     s = np.sin(phi)
     y = np.log(np.tan(np.pi / 4 + phi / 2)) - _E / 2 * np.log(
@@ -86,7 +97,7 @@ def _merc_inv(x, y, lon0: float, k0: float, x0: float, y0: float):
         phi = np.pi / 2 - 2 * np.arctan(
             t * ((1 - _E * s) / (1 + _E * s)) ** (_E / 2)
         )
-    return np.degrees(lam) + lon0, np.degrees(phi)
+    return _wrap_deg(np.degrees(lam) + lon0), np.degrees(phi)
 
 
 def _tmerc_fwd(lon, lat, lon0: float, lat0: float, k0: float,
@@ -95,7 +106,7 @@ def _tmerc_fwd(lon, lat, lon0: float, lat0: float, k0: float,
     (lon0, lat0, k0, false origin)."""
     lam0 = np.radians(lon0)
     phi = np.radians(np.asarray(lat, np.float64))
-    dlam = np.radians(np.asarray(lon, np.float64)) - lam0
+    dlam = _wrap_rad(np.radians(np.asarray(lon, np.float64)) - lam0)
     s = np.sin(phi)
     t = np.sinh(np.arctanh(s) - _ES * np.arctanh(_ES * s))
     xi_p = np.arctan2(t, np.cos(dlam))
@@ -145,7 +156,7 @@ def _tmerc_inv(x, y, lon0: float, lat0: float, k0: float,
         k = 2.0 * (j + 1)
         phi += _DELTA[j] * np.sin(k * chi)
     lam = lam0 + np.arctan2(np.sinh(eta_p), np.cos(xi_p))
-    return np.degrees(lam), np.degrees(phi)
+    return _wrap_deg(np.degrees(lam)), np.degrees(phi)
 
 
 def _lcc_consts(lat1: float, lat2: float, lat0: float):
@@ -176,7 +187,9 @@ def _lcc_consts(lat1: float, lat2: float, lat0: float):
 def _lcc_fwd(lon, lat, lat1, lat2, lat0, lon0, x0, y0):
     n, F, rho0, tfun = _lcc_consts(lat1, lat2, lat0)
     phi = np.radians(np.asarray(lat, np.float64))
-    theta = n * (np.radians(np.asarray(lon, np.float64)) - np.radians(lon0))
+    theta = n * _wrap_rad(
+        np.radians(np.asarray(lon, np.float64)) - np.radians(lon0)
+    )
     rho = _A * F * tfun(phi) ** n
     return (
         x0 + rho * np.sin(theta),
@@ -198,7 +211,7 @@ def _lcc_inv(x, y, lat1, lat2, lat0, lon0, x0, y0):
             t * ((1 - _E * s) / (1 + _E * s)) ** (_E / 2)
         )
     lam = theta / n + np.radians(lon0)
-    return np.degrees(lam), np.degrees(phi)
+    return _wrap_deg(np.degrees(lam)), np.degrees(phi)
 
 
 # ---------------------------------------------------------------------------
@@ -210,6 +223,15 @@ class ProjCRS:
     """Forward/inverse transform pair for one parsed proj string —
     plugs into ``crs.CrsAdapter`` as the param-defined branch."""
 
+    # parameters this module can honor; anything else that would CHANGE
+    # the transform (+ellps/+a/+b/+R/+units/+to_meter/+pm/+towgs84/...)
+    # must be REJECTED, not silently computed on WGS84 meters
+    _KNOWN = {
+        "proj", "lat_0", "lat_1", "lat_2", "lon_0", "k_0", "x_0", "y_0",
+        "no_defs", "type", "wktext",
+    }
+    _HARMLESS = {("ellps", "WGS84"), ("datum", "WGS84"), ("units", "m")}
+
     def __init__(self, proj_string: str) -> None:
         self.params = parse_proj(proj_string)
         self.proj = self.params["proj"]
@@ -217,6 +239,16 @@ class ProjCRS:
             raise ValueError(f"unsupported +proj={self.proj}")
         if self.proj == "lcc" and "lat_1" not in self.params:
             raise ValueError("lcc needs +lat_1")
+        unknown = [
+            k for k, v in self.params.items()
+            if k not in self._KNOWN and (k, v) not in self._HARMLESS
+        ]
+        if unknown:
+            raise ValueError(
+                f"unsupported proj parameter(s) {unknown} — this engine "
+                f"computes WGS84 meters only (supported: "
+                f"{sorted(self._KNOWN)})"
+            )
         self.proj_string = proj_string
 
     def _p(self, key: str, default: float = 0.0) -> float:

@@ -361,15 +361,26 @@ def run_kafka_ingest(
     queue). Returns per-plugin consume summaries."""
     results: dict[str, dict] = {}
     for name, (topic_dir, parse_batch) in sorted(plugins.items()):
+        store_dir = os.path.join(store_root, name)
+        polls_before = read_offsets(store_dir, group).get("polls", 0)
         try:
             results[name] = consume_to_store(
                 topic_dir,
-                os.path.join(store_root, name),
+                store_dir,
                 parse_batch,
                 group=group,
                 max_records_per_poll=max_records_per_poll,
                 staged=staged,
             )
         except Exception as e:  # noqa: BLE001 — per-plugin isolation
-            results[name] = {"error": str(e), "polls": 0, "rows": 0}
+            # polls that COMMITTED before the failure are real (their
+            # rows are in the store); report them so callers don't
+            # re-drive already-consumed data or mistrust the store
+            after = read_offsets(store_dir, group)
+            results[name] = {
+                "error": str(e),
+                "polls": after.get("polls", 0) - polls_before,
+                "rows": None,  # count the poll= dirs to reconcile
+                "offsets": after,
+            }
     return results

@@ -24,6 +24,17 @@ from ..sfc import (
 )
 
 
+def bucket_of(cell_id: np.ndarray, tier: int, n_buckets: int) -> np.ndarray:
+    """THE partition-bucket rule (single definition — ingest, writer
+    appends, declared-CRS ingest and store copies must all agree or
+    pruned reads silently miss data): top 8 bits of the cell id at
+    this tier, mod ``n_buckets``."""
+    shift = np.uint64(max(0, 2 * tier - 8))
+    return (
+        (cell_id.astype(np.uint64) >> shift) % np.uint64(n_buckets)
+    ).astype(np.int64)
+
+
 def encode_points(
     batch: pa.Table,
     tier: int = MAX_TIER,

@@ -137,6 +137,59 @@ def test_delete_rewrites_and_fixes_stats(store):
     assert sorted(got["pid"]) == sorted(want["pid"])
 
 
+def test_crash_leftover_dirs_are_ignored(store):
+    """group=N.new/.tmp/.old from an interrupted rewrite must not be
+    read, renumbered over, or counted (review finding)."""
+    import shutil
+
+    gdir = store._type_dir("roads")
+    src = os.path.join(gdir, "group=000000")
+    for suffix in (".new", ".tmp", ".old"):
+        shutil.copytree(src, src + suffix)
+    full = store._scan("roads").to_pandas()
+    assert len(full) == 3000  # leftovers not double-read
+    # appends still allocate the next clean number
+    with store.create_writer("roads") as w:
+        w.write(_points(10, seed=4))
+    assert os.path.basename(store._groups("roads")[-1]) == "group=000001"
+    # delete doesn't resurrect or swap leftover dirs
+    store.delete("roads", "kind = 'c'")
+    assert store.aggregate("roads", "count") == len(
+        store._scan("roads").to_pandas()
+    )
+    for suffix in (".new", ".tmp", ".old"):
+        shutil.rmtree(src + suffix, ignore_errors=True)
+
+
+def test_generic_ingest_requires_coordinates(tmp_path, ray_session):
+    import pyarrow.parquet as pqt
+
+    s = DataStore(str(tmp_path / "g"))
+    s.add_type("pts")
+    src = tmp_path / "in"
+    os.makedirs(src)
+    pqt.write_table(_points(500), str(src / "a.parquet"))
+    res = s.ingest("pts", str(src))
+    assert res["rows"] == 500
+    assert s.aggregate("pts", "count") == 500
+    # real coordinates survive (no geotag derivation)
+    got = s._scan("pts").to_pandas().sort_values("pid")
+    want = _points(500).to_pandas().sort_values("pid")
+    assert np.allclose(got["lon"].to_numpy(), want["lon"].to_numpy())
+    # resume: second run skips everything
+    res2 = s.ingest("pts", str(src))
+    assert res2["skipped"] == 1 and res2["rows"] == 0
+    # an input without the coordinate columns is refused loudly
+    bad = tmp_path / "bad"
+    os.makedirs(bad)
+    pqt.write_table(
+        pa.table({"url": ["a"], "lang": ["en"]}), str(bad / "b.parquet")
+    )
+    s.add_type("web")
+    with pytest.raises(ValueError, match="coordinate columns"):
+        s.ingest("web", str(bad))
+
+
 def test_copy_to_rebuckets(store, tmp_path):
     other = DataStore(str(tmp_path / "copy"))
     store.copy_to(other, "roads", n_buckets=16)

@@ -197,7 +197,7 @@ def test_run_kafka_ingest_multi_plugin(tmp_path, ray_session):
         str(tmp_path / "stores"),
     )
     assert res["gpx"]["rows"] == 10
-    assert "error" in res["bad"] and res["bad"]["rows"] == 0
+    assert "error" in res["bad"] and res["bad"]["polls"] == 0
     got = pq.read_table(
         glob.glob(str(tmp_path / "stores" / "gpx" / "poll=*"))[0]
     )

@@ -119,6 +119,43 @@ def test_merc_matches_web_mercator_shape():
     assert np.abs(lat2 - lat).max() < 1e-9
 
 
+def test_transform_affecting_params_rejected():
+    # silently computing WGS84 meters for another datum/unit would be
+    # wrong by hundreds of meters — must refuse loudly
+    for bad in (
+        "+proj=merc +R=6371000",
+        "+proj=lcc +lat_1=33 +ellps=GRS80",
+        "+proj=tmerc +lon_0=9 +units=us-ft",
+        "+proj=merc +towgs84=1,2,3",
+    ):
+        with pytest.raises(ValueError, match="unsupported proj parameter"):
+            ProjCRS(bad)
+    # harmless spellings of the defaults are accepted
+    ProjCRS("+proj=merc +ellps=WGS84 +datum=WGS84 +units=m +no_defs")
+
+
+def test_antimeridian_longitude_wrapping():
+    # a point >180 deg from lon_0 must project on the NEAR branch and
+    # roundtrip back into [-180, 180]
+    for ps in (
+        "+proj=lcc +lat_1=30 +lat_2=50 +lon_0=-96",
+        "+proj=merc +lon_0=-96",
+        "+proj=tmerc +lon_0=-170",
+    ):
+        c = ProjCRS(ps)
+        lon = np.array([170.0, 179.5])
+        lat = np.array([40.0, 10.0])
+        x1, y1 = c.forward(lon, lat)
+        x2, y2 = c.forward(lon - 360.0, lat)  # same physical points
+        assert np.allclose(x1, x2, atol=1e-6) and np.allclose(y1, y2, atol=1e-6)
+        lon_rt, lat_rt = c.inverse(x1, y1)
+        assert np.all(np.abs(lon_rt) <= 180.0)
+        assert np.allclose(lon_rt, lon, atol=1e-9) or np.allclose(
+            lon_rt, lon - 360.0, atol=1e-9
+        )
+        assert np.allclose(lat_rt, lat, atol=1e-9)
+
+
 def test_crs_adapter_proj_string():
     from geowave_ray.crs import CrsAdapter
 
