@@ -172,29 +172,29 @@ class DataStore:
 
     # -- writes ---------------------------------------------------------
     def _groups(self, type_name: str) -> list[str]:
-        """Completed group dirs ONLY (``group=\\d+``): crash leftovers
-        from interrupted rewrites (``group=N.tmp/.new/.old``) are never
-        read, renumbered over, or swapped back in."""
+        """Completed group dirs ONLY (``group=\\d+`` writer appends and
+        ``group=ing<hash>`` deterministic bulk-ingest groups): crash
+        leftovers from interrupted rewrites (``group=N.tmp/.new/.old``)
+        are never read, renumbered over, or swapped back in."""
         import re
 
         return sorted(
             g
             for g in glob.glob(os.path.join(self._type_dir(type_name), "group=*"))
-            if re.fullmatch(r"group=\d+", os.path.basename(g))
+            if re.fullmatch(r"group=(?:\d+|ing[0-9a-f]{12})", os.path.basename(g))
         )
 
     def _next_group(self, type_name: str) -> str:
-        existing = self._groups(type_name)
-        nxt = (
-            max(
-                (int(os.path.basename(g).split("=", 1)[1]) for g in existing),
-                default=-1,
-            )
-            + 1
-        )
+        numeric = [
+            int(os.path.basename(g).split("=", 1)[1])
+            for g in self._groups(type_name)
+            if os.path.basename(g).split("=", 1)[1].isdigit()
+        ]
+        nxt = max(numeric, default=-1) + 1
         return os.path.join(self._type_dir(type_name), f"group={nxt:06d}")
 
-    def _append_group(self, type_name: str, table, expect_rows=None) -> str:
+    def _append_group(self, type_name: str, table, expect_rows=None,
+                      group_name: str | None = None) -> str:
         """Encode + bucket-partition + cell-sorted write of one batch
         of entries as a NEW group (the incremental-append unit; the
         same layout ingest_pages produces, so pruned reads and
@@ -206,9 +206,17 @@ class DataStore:
         from .state import manifest as mf
 
         cfg = self.get_type(type_name)
-        dest = self._next_group(type_name)
+        if group_name is not None:
+            # deterministic replay name (bulk ingest): a crashed rerun
+            # rmtree-then-rewrites the SAME dir instead of duplicating
+            # rows into a fresh _next_group() — matching the
+            # pipelines/ingest.py group={gi:06d} replay discipline.
+            dest = os.path.join(self._type_dir(type_name), f"group={group_name}")
+        else:
+            dest = self._next_group(type_name)
         tmp = dest + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(dest, ignore_errors=True)
         if isinstance(table, pa.Table):
             ds = ray.data.from_arrow(table)
             expect_rows = table.num_rows
@@ -300,12 +308,22 @@ class DataStore:
                 skipped += len(group)
                 continue
             # streaming: file group -> Dataset -> encoded sorted group
-            # dir; nothing materializes on the driver
+            # dir; nothing materializes on the driver. The group dir
+            # name is derived from the input file list, so a crash
+            # between the group write and the per-file completeness
+            # entries makes the rerun REWRITE the same dir instead of
+            # silently duplicating rows into a new _next_group().
+            import hashlib
+
+            gname = "ing" + hashlib.sha256(
+                "\n".join(group).encode()
+            ).hexdigest()[:12]
             in_rows = sum(pq.read_metadata(f).num_rows for f in group)
             dest = self._append_group(
                 type_name,
                 ray.data.read_parquet(group, columns=need),
                 expect_rows=in_rows,
+                group_name=gname,
             )
             # file-keyed resume entries AFTER the data (file_rows=0:
             # the group-keyed entry from _append_group carries the
@@ -350,7 +368,9 @@ class DataStore:
             need = sorted(
                 set(need)
                 | {cfg["lon_col"], cfg["lat_col"]}
-                | ({cfg["time_col"]} if t_start is not None and cfg["time_col"] else set())
+                | ({cfg["time_col"]}
+                   if (t_start is not None or t_end is not None)
+                   and cfg["time_col"] else set())
                 | ({"visibility"} if authorizations is not None else set())
             )
         ds, _info = read_pages_pruned_multi(
@@ -420,11 +440,25 @@ class DataStore:
         4-numeric-arg BBOX predicate and contains no top-level OR —
         the only shape where bucket pruning to that box cannot drop
         rows another disjunct would match. Conservative by design:
-        anything else returns None (full scan, still correct)."""
+        anything else returns None (full scan, still correct).
+
+        The clause-terminator / top-level-OR scan runs over a copy
+        with quoted string literals blanked out (same length, so BBOX
+        arg offsets are preserved): a literal like ``'limit one'`` or
+        ``'a or b'`` must not terminate the clause early or be read as
+        a disjunction — either would wrongly enable pruning on a
+        predicate whose other disjunct matches rows outside the box."""
         import re
 
+        # blank out '...' literals (GWQL escapes a quote by doubling it,
+        # so '' inside a literal stays inside the blanked span)
+        gwql_scan = re.sub(
+            r"'(?:[^']|'')*'",
+            lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
+            gwql_str,
+        )
         m = re.search(r"\bWHERE\b(.*?)(\bORDER\b|\bLIMIT\b|\bGROUP\b|$)",
-                      gwql_str, re.IGNORECASE | re.DOTALL)
+                      gwql_scan, re.IGNORECASE | re.DOTALL)
         if not m:
             return None
         where = m.group(1)

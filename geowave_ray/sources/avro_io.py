@@ -421,21 +421,29 @@ def parse_avro_batch(
 # whole-file staging (AbstractStageWholeFileToAvro role)
 # ---------------------------------------------------------------------------
 
+# Matches the reference's wholefile.avsc byte-for-byte at the schema
+# level (core/ingest/src/main/avro/wholefile.avsc): record name
+# AvroWholeFile in the org.locationtech.geowave.core.ingest.avro
+# namespace, originalFile (bytes) FIRST, then originalFilePath as a
+# ["string","null"] union — so a reference SpecificDatumReader accepts
+# these containers.
 WHOLE_FILE_SCHEMA = {
     "type": "record",
-    "name": "WholeFile",
+    "name": "AvroWholeFile",
+    "namespace": "org.locationtech.geowave.core.ingest.avro",
     "fields": [
-        {"name": "originalFilePath", "type": "string"},
         {"name": "originalFile", "type": "bytes"},
+        {"name": "originalFilePath", "type": ["string", "null"]},
     ],
 }
 
 
 def stage_whole_files(files: list[tuple[str, bytes]], codec: str = "deflate") -> bytes:
     """Raw (path, bytes) inputs -> one staged Avro container, the
-    exact WholeFile wrapping the reference ships to HDFS/Kafka."""
+    AvroWholeFile wrapping the reference ships to HDFS/Kafka
+    (schema-compatible: same record name/namespace/field order/union)."""
     recs = [
-        {"originalFilePath": p, "originalFile": b} for p, b in files
+        {"originalFile": b, "originalFilePath": p} for p, b in files
     ]
     return write_container(recs, WHOLE_FILE_SCHEMA, codec=codec)
 

@@ -254,3 +254,39 @@ def test_fixture_truth_matches_reader():
     assert out.column("lon").to_pylist() == truth.column("lon").to_pylist()
     got_tags = [",".join(v) for v in out.column("tags").to_pylist()]
     assert got_tags == truth.column("tags_csv").to_pylist()
+
+
+def test_whole_file_schema_matches_reference_avsc():
+    """ADVICE r4: the staged container's embedded writer schema must
+    match the reference's wholefile.avsc (record name AvroWholeFile,
+    namespace, originalFile first, nullable path union) so a reference
+    SpecificDatumReader accepts it; a null path must survive."""
+    import json
+
+    assert av.WHOLE_FILE_SCHEMA["name"] == "AvroWholeFile"
+    assert (av.WHOLE_FILE_SCHEMA["namespace"]
+            == "org.locationtech.geowave.core.ingest.avro")
+    assert [f["name"] for f in av.WHOLE_FILE_SCHEMA["fields"]] == [
+        "originalFile", "originalFilePath",
+    ]
+    assert av.WHOLE_FILE_SCHEMA["fields"][1]["type"] == ["string", "null"]
+    ref = json.load(open(
+        "/root/reference/core/ingest/src/main/avro/wholefile.avsc"
+    ))
+    assert ref["name"] == av.WHOLE_FILE_SCHEMA["name"]
+    assert ref["namespace"] == av.WHOLE_FILE_SCHEMA["namespace"]
+    assert [f["name"] for f in ref["fields"]] == [
+        f["name"] for f in av.WHOLE_FILE_SCHEMA["fields"]
+    ]
+    assert [f["type"] for f in ref["fields"]] == [
+        f["type"] for f in av.WHOLE_FILE_SCHEMA["fields"]
+    ]
+    # the embedded schema in a staged container is the same record
+    staged = av.stage_whole_files([("p", b"x")])
+    _, schema = av.read_container(staged)
+    assert schema["name"] == "AvroWholeFile"
+    # null path branch of the union roundtrips
+    recs = [{"originalFile": b"abc", "originalFilePath": None}]
+    data = av.write_container(recs, av.WHOLE_FILE_SCHEMA)
+    back, _ = av.read_container(data)
+    assert back == recs

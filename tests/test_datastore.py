@@ -236,3 +236,81 @@ def test_bulk_ingest_path(tmp_path, ray_session):
     assert res["rows"] > 0
     assert s.aggregate("pages", "count") == res["rows"]
     assert _glob.glob(os.path.join(s._type_dir("pages"), "group=*"))
+
+def test_time_range_projection_tend_only(tmp_path, ray_session):
+    """ADVICE r4: a t_end-ONLY time-range query with an explicit columns
+    list must still project the time column into the pruned read (the
+    fine filter reads it), and same for t_start-only."""
+    s = DataStore(str(tmp_path / "tr"))
+    s.add_type("obs", time_col="ts")
+    t = _points(400)
+    ts = pa.array(
+        (np.datetime64("2024-01-01") + np.arange(400).astype("timedelta64[h]"))
+        .astype("datetime64[us]")
+    )
+    with s.create_writer("obs") as w:
+        w.write(t.append_column("ts", ts))
+    box = (-180.0, -90.0, 180.0, 90.0)
+    end = "2024-01-05"
+    got = s.query_bbox("obs", box, columns=["pid"], t_end=end).to_pandas()
+    want = (np.datetime64(end) - np.datetime64("2024-01-01")) // np.timedelta64(1, "h")
+    assert sorted(got["pid"]) == list(range(int(want)))
+    assert list(got.columns) == ["pid"]
+    got2 = s.query_bbox("obs", box, columns=["pid"], t_start=end).to_pandas()
+    assert sorted(got2["pid"]) == list(range(int(want), 400))
+
+
+def test_bulk_ingest_resume_is_idempotent(tmp_path, ray_session):
+    """ADVICE r4: a crash AFTER the group dir lands but BEFORE the
+    per-file completeness entries are written must not duplicate rows
+    on rerun — the group name is derived from the input file list, so
+    the rerun rewrites the same dir."""
+    import glob as _glob
+
+    import pyarrow.parquet as pqt
+
+    s = DataStore(str(tmp_path / "res"))
+    s.add_type("pts")
+    src = tmp_path / "in"
+    os.makedirs(src)
+    pqt.write_table(_points(700), str(src / "a.parquet"))
+    s.ingest("pts", str(src))
+    assert s.aggregate("pts", "count") == 700
+    # simulate the crash window: wipe the per-FILE completeness entries
+    # (keep the group dir + its group-keyed manifest entry)
+    from geowave_ray.state import manifest as mf
+
+    man = os.path.join(s._type_dir("pts"), "_manifest")
+    for f in sorted(_glob.glob(os.path.join(str(src), "*.parquet"))):
+        p = mf._entry_path(man, f)
+        assert os.path.exists(p)
+        os.remove(p)
+    res2 = s.ingest("pts", str(src))
+    assert res2["skipped"] == 0  # it did re-run the group...
+    # ...but into the SAME deterministic dir: no duplicate rows
+    groups = _glob.glob(os.path.join(s._type_dir("pts"), "group=*"))
+    assert len(groups) == 1
+    assert s._scan("pts").count() == 700
+    assert s.aggregate("pts", "count") == 700
+
+
+def test_safe_bbox_conjunct_ignores_string_literals(store):
+    """ADVICE r4: clause-terminator keywords and OR inside string
+    literals must not confuse the pruning-safety analysis."""
+    # 'limit one' inside a literal + a top-level OR after it: pruning
+    # must be REFUSED (full scan), and results must include the other
+    # disjunct's rows outside the bbox.
+    q = ("SELECT pid FROM roads WHERE BBOX(geometry, 0, 0, 1, 1) "
+         "AND kind = 'limit one' OR kind = 'a'")
+    assert DataStore._safe_bbox_conjunct(q) is None
+    got = store.query(q).to_pandas()
+    full = store._scan("roads").to_pandas()
+    want = full[
+        ((full.lon >= 0) & (full.lon <= 1) & (full.lat >= 0) & (full.lat <= 1)
+         & (full.kind == "limit one")) | (full.kind == "a")
+    ]
+    assert sorted(got["pid"]) == sorted(want["pid"])
+    # an OR INSIDE a literal is not a disjunction: pruning stays on
+    q2 = ("SELECT pid FROM roads WHERE BBOX(geometry, -60, -30, 55, 40) "
+          "AND kind = 'a or b'")
+    assert DataStore._safe_bbox_conjunct(q2) == (-60.0, -30.0, 55.0, 40.0)
