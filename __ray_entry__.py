@@ -1052,17 +1052,30 @@ def q_knn_self_join(sf_dir: str):
     )
     out = knn(_pages(sf_dir, columns=["url", "lon", "lat"]), probes)
 
-    def strip_self(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["query_id"] != df["url"]]
-        df = df.sort_values(["query_id", "rank"], kind="mergesort")
-        df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1).astype(
-            np.int64
+    def strip_self(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.not_equal(t.column("query_id"), t.column("url")))
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]
+        ))
+        q = t.column("query_id").to_numpy(zero_copy_only=False)
+        change = np.empty(len(q), dtype=bool)
+        if len(q):
+            change[0] = True
+            change[1:] = q[1:] != q[:-1]
+        starts = np.nonzero(change)[0]
+        rerank = np.arange(len(q)) - starts[np.cumsum(change) - 1] + 1
+        keep = rerank <= 3
+        return pa.table(
+            {"query_id": t.column("query_id").filter(pa.array(keep)),
+             "rank": pa.array(rerank[keep], pa.int64()),
+             "url": t.column("url").filter(pa.array(keep))}
         )
-        return df[df["rank"] <= 3][["query_id", "rank", "url"]]
 
     # grouped_topk's final merge is one block, so the re-rank sees
     # every row of a query together
-    return out.map_batches(strip_self, batch_format="pandas", batch_size=None)
+    return out.map_batches(strip_self, batch_format="pyarrow", batch_size=None)
 
 
 def q_knn_bounded(sf_dir: str):
