@@ -1246,6 +1246,8 @@ def budget_head_sample(
     bins: int = 256,
     collect_threshold: int = 100_000,
     max_rounds: int = 10,
+    n_buckets: int = 256,
+    broadcast_limit: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT per-key budget head sampling: order each key's docs by the
     deterministic shuffle key ``(hash64(id) >> 1, id)`` and keep docs
@@ -1255,155 +1257,398 @@ def budget_head_sample(
 
     Scale shape (the weighted-selection sibling of
     ``stats.exact_kth_value`` — NO global sort, no per-key group
-    materialization): each round one streaming pass histograms weights
-    by hash bin per key (partials of ``keys x bins`` ints), the driver
-    walks bins to the budget-crossing bin and narrows; when the
-    crossing bin's candidate count fits ``collect_threshold`` its rows
-    (ids + weights only) are collected and the boundary resolved
-    exactly, ties by id. Selection broadcasts as (threshold hash,
-    boundary id set) per key; the final pass is a map-side filter.
+    materialization, and NO driver-resident per-key state, so the key
+    column may have millions of distinct values): each round one
+    streaming pass histograms weights by hash bin per key (block-local
+    (key, bin) partials), a ``groupby(key-hash)`` exchange of those
+    bounded partials walks each key's bins to the budget-crossing bin
+    and narrows; when the crossing bin's candidate count fits
+    ``collect_threshold`` a survivors pass collects that key's window
+    rows (ids + weights only) THROUGH the same exchange and resolves
+    the boundary exactly, ties by id. All per-key state (active
+    windows, resolved cuts, boundary include ids) lives in
+    ``state.broadcast.DistributedHashedTable`` probe states — driver
+    heap is bounded by one reduce block regardless of key cardinality.
+    The final pass is a map-side filter.
     """
-    from .hashing import mix64
+    import pyarrow.compute as pc
+
+    from .hashing import hash_utf8, mix64
+    from .state.broadcast import BROADCAST_LIMIT, hashed_table_from_reduced
+
+    def _probe_table(ds, hash_col):
+        return hashed_table_from_reduced(
+            ds, hash_col, n_buckets,
+            broadcast_limit=(BROADCAST_LIMIT if broadcast_limit is None
+                             else broadcast_limit),
+        )
+
+    HMAX = np.int64(2**63 - 1)  # h <= 2^63-1 after >>1 (inclusive top)
 
     def h_of(ids: np.ndarray) -> np.ndarray:
         return (mix64(ids.astype(np.uint64)) >> np.uint64(1)).astype(np.int64)
 
-    HMAX = np.int64(2**63 - 1)  # h <= 2^63-1 after >>1 (inclusive top)
-    state: dict = {}  # key -> [lo, hi, acc_below] over h-space
+    def key_arr(col) -> tuple[pa.Array, np.ndarray]:
+        """Normalized string key column + its non-negative int64 hash.
+        Key identity is ALWAYS resolved by string equality in the probe
+        tables (DistributedHashedTable.lookup), so hash collisions
+        cannot merge two keys."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not pa.types.is_large_string(col.type):
+            col = col.cast(pa.large_string())
+        return col, (hash_utf8(col) >> np.uint64(1)).astype(np.int64)
 
-    def keys_pass(batch: pa.Table) -> pa.Table:
-        k = batch.column(key_col)
-        return pa.table({"k": k.unique() if hasattr(k, "unique") else k})
+    _HIST_SCHEMA = pa.schema(
+        [("bucket", pa.int64()),
+         ("kh", pa.int64()), ("key", pa.large_string()), ("b", pa.int64()),
+         ("w", pa.int64()), ("n", pa.int64()), ("lo", pa.int64()),
+         ("hi", pa.int64()), ("acc", pa.int64())]
+    )
+    _DEC_SCHEMA = pa.schema(
+        [("bucket", pa.int64()),
+         ("kh", pa.int64()), ("key", pa.large_string()), ("lo", pa.int64()),
+         ("hi", pa.int64()), ("acc", pa.int64()), ("cross_n", pa.int64()),
+         ("status", pa.int8())]  # 0=active 1=collect 2=keepall
+    )
+    _SRV_SCHEMA = pa.schema(
+        [("bucket", pa.int64()),
+         ("kh", pa.int64()), ("key", pa.large_string()), ("h", pa.int64()),
+         ("id", pa.int64()), ("w", pa.int64()), ("lo", pa.int64()),
+         ("acc", pa.int64())]
+    )
+    _RES_SCHEMA = pa.schema(
+        [("bucket", pa.int64()),
+         ("kh", pa.int64()), ("key", pa.large_string()), ("kind", pa.int8()),
+         ("keep_all", pa.int8()), ("h_cut", pa.int64()), ("id", pa.int64())]
+    )
+    _CUT_SCHEMA = pa.schema(
+        [("kh", pa.int64()), ("key", pa.large_string()),
+         ("keep_all", pa.int8()), ("h_cut", pa.int64())]
+    )
+    _INC_SCHEMA = pa.schema([("ch", pa.int64()), ("kid", pa.large_string())])
 
-    uk = set()
-    for row in docs.map_batches(
-        keys_pass, batch_format="pyarrow", batch_size=None
-    ).to_pandas()["k"]:
-        uk.add(row)
-    for k in uk:
-        state[k] = [np.int64(0), HMAX, 0]
+    def _t(schema: pa.Schema, cols: dict) -> pa.Table:
+        return pa.table(
+            {f.name: pa.array(cols[f.name], f.type) if not isinstance(
+                cols[f.name], (pa.Array, pa.ChunkedArray)
+            ) else cols[f.name].cast(f.type) for f in schema},
+            schema=schema,
+        )
 
-    resolved: dict = {}  # key -> (h_cut, include_ids frozenset)
+    # -- pass 0: distinct keys -> initial (lo=0, hi=HMAX, acc=0) state --
+    def init_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _t(_DEC_SCHEMA, {c: [] for c in _DEC_SCHEMA.names})
+        uniq, kh = key_arr(pc.unique(batch.column(key_col).combine_chunks()))
+        z = np.zeros(len(kh), np.int64)
+        return _t(_DEC_SCHEMA, {
+            "bucket": kh % np.int64(n_buckets),
+            "kh": kh, "key": uniq.cast(pa.large_string()), "lo": z,
+            "hi": np.full(len(kh), HMAX, np.int64), "acc": z,
+            "cross_n": z, "status": np.zeros(len(kh), np.int8),
+        })
 
-    def finish(key, lo, hi, acc, rows):
-        """Resolve exactly inside [lo, hi]: rows = (h, id, w)."""
-        if len(rows) == 0:
-            resolved[key] = (int(lo), frozenset())
-            return
-        order = np.lexsort((rows[:, 1], rows[:, 0]))
-        h_s, id_s, w_s = rows[order, 0], rows[order, 1], rows[order, 2]
-        cum = acc + np.cumsum(w_s) - w_s  # exclusive cumsum
-        keep = cum < budget
-        resolved[key] = (int(lo), frozenset(id_s[keep].tolist()))
+    def _distinct_keys(t: pa.Table) -> pa.Table:
+        uniq, kh = key_arr(pc.unique(t.column("key").combine_chunks()))
+        z = np.zeros(len(kh), np.int64)
+        return _t(_DEC_SCHEMA, {
+            "bucket": kh % np.int64(n_buckets),
+            "kh": kh, "key": uniq.cast(pa.large_string()), "lo": z,
+            "hi": np.full(len(kh), HMAX, np.int64), "acc": z,
+            "cross_n": z, "status": np.zeros(len(kh), np.int8),
+        })
+
+    active_ds = (
+        docs.map_batches(init_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(_distinct_keys, batch_format="pyarrow")
+        .materialize()
+    )
+    if active_ds.count() == 0:
+        return docs  # empty input: nothing to sample
+
+    def _decide(t: pa.Table) -> pa.Table:
+        """One BUCKET group of (key, bin) partials -> per-key narrowing
+        decisions, fully vectorized: keys are sub-grouped by their
+        dictionary index (string identity, so kh collisions cannot
+        merge two keys), per-block partials of each (key, bin) are
+        merged, then one segmented cumsum finds each key's
+        budget-crossing bin."""
+        if t.num_rows == 0:
+            return _t(_DEC_SCHEMA, {c: [] for c in _DEC_SCHEMA.names})
+        enc = t.column("key").combine_chunks().dictionary_encode()
+        kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bs = t.column("b").to_numpy()
+        ws = t.column("w").to_numpy()
+        ns = t.column("n").to_numpy()
+        los = t.column("lo").to_numpy()
+        his = t.column("hi").to_numpy()
+        accs = t.column("acc").to_numpy()
+        khs = t.column("kh").to_numpy()
+        order = np.lexsort((bs, kidx))
+        k_o, b_o, w_o, n_o = kidx[order], bs[order], ws[order], ns[order]
+        # merge the per-BLOCK partials of each (key, bin): the crossing
+        # test and acc-below-window are per whole bin
+        pch = np.r_[True, (k_o[1:] != k_o[:-1]) | (b_o[1:] != b_o[:-1])]
+        ps = np.flatnonzero(pch)
+        pk, pb = k_o[ps], b_o[ps]
+        pw = np.add.reduceat(w_o, ps)
+        pn = np.add.reduceat(n_o, ps)
+        pfirst = order[ps]  # one source row per (key, bin)
+        # per-key segments over the merged-pair arrays
+        kch = np.r_[True, pk[1:] != pk[:-1]]
+        ks = np.flatnonzero(kch)
+        kseg = np.cumsum(kch) - 1
+        kfirst = pfirst[ks]  # one source row per key
+        lo_k, hi_k, acc_k = los[kfirst], his[kfirst], accs[kfirst]
+        cum = np.cumsum(pw)
+        base = (cum[ks] - pw[ks])[kseg]
+        rel = cum - base + acc_k[kseg]  # acc + INCLUSIVE per-key cumsum
+        pos = np.arange(len(pk), dtype=np.int64)
+        sentinel = np.int64(len(pk))
+        firstc = np.minimum.reduceat(
+            np.where(rel >= budget, pos, sentinel), ks
+        )
+        keepall = firstc == sentinel
+        width = (hi_k - lo_k) // bins + 1
+        ci = np.where(keepall, ks, firstc)  # safe index where keepall
+        nlo = lo_k + pb[ci] * width
+        nhi = np.minimum(lo_k + (pb[ci] + 1) * width - 1, hi_k)
+        nacc = rel[ci] - pw[ci]
+        cross_n = pn[ci]
+        status = np.where(
+            keepall, 2,
+            np.where((cross_n <= collect_threshold) | (nlo == nhi), 1, 0),
+        ).astype(np.int8)
+        kh_out = khs[kfirst]
+        return _t(_DEC_SCHEMA, {
+            "bucket": kh_out % np.int64(n_buckets),
+            "kh": kh_out,
+            "key": enc.dictionary.take(pa.array(pk[ks])).cast(pa.large_string()),
+            "lo": np.where(keepall, lo_k, nlo),
+            "hi": np.where(keepall, hi_k, nhi),
+            "acc": np.where(keepall, acc_k, nacc),
+            "cross_n": np.where(keepall, 0, cross_n),
+            "status": status,
+        })
+
+    def _finish_group(t: pa.Table) -> pa.Table:
+        """One BUCKET group of window-survivor rows -> exact per-key
+        boundary, vectorized: each key's kept-below-cut sentinel row
+        (kind=0, h_cut=lo) plus one kind=1 row per included boundary id
+        (<= cross_n <= collect_threshold rows per key), ties by id via
+        the (h, id) lexsort."""
+        if t.num_rows == 0:
+            return _t(_RES_SCHEMA, {c: [] for c in _RES_SCHEMA.names})
+        enc = t.column("key").combine_chunks().dictionary_encode()
+        kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = t.column("h").to_numpy()
+        ids = t.column("id").to_numpy()
+        ws = t.column("w").to_numpy()
+        los = t.column("lo").to_numpy()
+        accs = t.column("acc").to_numpy()
+        khs = t.column("kh").to_numpy()
+        order = np.lexsort((ids, hs, kidx))
+        k_o, w_o = kidx[order], ws[order]
+        kch = np.r_[True, k_o[1:] != k_o[:-1]]
+        ks = np.flatnonzero(kch)
+        kseg = np.cumsum(kch) - 1
+        kfirst = order[ks]
+        cum = np.cumsum(w_o)
+        rel = cum - (cum[ks] - w_o[ks])[kseg] - w_o + accs[kfirst][kseg]
+        keepm = rel < budget  # EXCLUSIVE cumulative weight under budget
+        inc_src = order[keepm]
+        nk, ni = len(ks), int(keepm.sum())
+        kh_all = np.concatenate([khs[kfirst], khs[inc_src]])
+        dict_ls = enc.dictionary.cast(pa.large_string())
+        key_all = pa.concat_arrays([
+            dict_ls.take(pa.array(k_o[ks])),
+            dict_ls.take(pa.array(k_o[keepm])),
+        ])
+        return _t(_RES_SCHEMA, {
+            "bucket": kh_all % np.int64(n_buckets),
+            "kh": kh_all,
+            "key": key_all,
+            "kind": np.r_[np.zeros(nk, np.int8), np.ones(ni, np.int8)],
+            "keep_all": np.zeros(nk + ni, np.int8),
+            "h_cut": np.r_[los[kfirst], np.zeros(ni, np.int64)],
+            "id": np.r_[np.zeros(nk, np.int64), ids[inc_src]],
+        })
+
+    def _status_filter(t: pa.Table, status: int) -> pa.Table:
+        return t.filter(pc.equal(t.column("status"), status))
+
+    cut_parts: list = []  # Datasets of _CUT_SCHEMA rows
+    inc_parts: list = []  # Datasets of _RES_SCHEMA kind=1 rows
+
+    def _keepall_to_cuts(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return _t(_CUT_SCHEMA, {
+            "kh": t.column("kh"), "key": t.column("key"),
+            "keep_all": np.ones(n, np.int8), "h_cut": np.zeros(n, np.int64),
+        })
+
+    def _res_to_cuts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), 0))
+        return _t(_CUT_SCHEMA, {
+            "kh": t.column("kh"), "key": t.column("key"),
+            "keep_all": t.column("keep_all"), "h_cut": t.column("h_cut"),
+        })
 
     for _ in range(max_rounds):
-        active = {k: v for k, v in state.items() if k not in resolved}
-        if not active:
-            break
-        act_ref = dict(active)  # snapshot for the closure
-
-        def hist(batch: pa.Table) -> pa.Table:
-            ks = batch.column(key_col).to_numpy(zero_copy_only=False)
-            ids = batch.column(id_col).to_numpy()
-            ws = batch.column(weight_col).to_numpy().astype(np.int64)
-            hs = h_of(ids)
-            out_k, out_b, out_w, out_n = [], [], [], []
-            for key, (lo, hi, _a) in act_ref.items():
-                m = (ks == key) & (hs >= lo) & (hs <= hi)
-                if not m.any():
-                    continue
-                width = (int(hi) - int(lo)) // bins + 1
-                b = (hs[m] - lo) // width
-                wsum = np.zeros(bins, np.int64)
-                cnt = np.zeros(bins, np.int64)
-                np.add.at(wsum, b, ws[m])
-                np.add.at(cnt, b, 1)
-                nz = np.flatnonzero(cnt)
-                out_k.extend([key] * len(nz))
-                out_b.extend(nz.tolist())
-                out_w.extend(wsum[nz].tolist())
-                out_n.extend(cnt[nz].tolist())
-            return pa.table(
-                {
-                    "k": pa.array(out_k),
-                    "b": pa.array(out_b, pa.int64()),
-                    "w": pa.array(out_w, pa.int64()),
-                    "n": pa.array(out_n, pa.int64()),
-                }
-            )
-
-        parts = (
-            docs.map_batches(hist, batch_format="pyarrow", batch_size=None)
-            .to_pandas()
-            .groupby(["k", "b"], as_index=False)
-            .sum()
+        stT = _probe_table(
+            active_ds.drop_columns(["cross_n", "status"]), "kh"
         )
-        for key, (lo, hi, acc) in list(active.items()):
-            sub = parts[parts["k"] == key].sort_values("b")
-            width = (int(hi) - int(lo)) // bins + 1
-            run = acc
-            cross_bin = None
-            for _, r in sub.iterrows():
-                if run + int(r["w"]) >= budget:
-                    cross_bin = int(r["b"])
-                    cross_n = int(r["n"])
-                    break
-                run += int(r["w"])
-            if cross_bin is None:
-                # whole key fits the budget: keep-all sentinel
-                resolved[key] = (None, frozenset())
-                continue
-            nlo = np.int64(int(lo) + cross_bin * width)
-            nhi = np.int64(min(int(lo) + (cross_bin + 1) * width - 1, int(hi)))
-            state[key] = [nlo, nhi, run]
-            if cross_n <= collect_threshold or nlo == nhi:
-                lo_, hi_, acc_ = state[key]
 
-                def survivors(batch: pa.Table, key=key, lo_=lo_, hi_=hi_):
-                    ks = batch.column(key_col).to_numpy(zero_copy_only=False)
-                    ids = batch.column(id_col).to_numpy()
-                    ws = batch.column(weight_col).to_numpy().astype(np.int64)
-                    hs = h_of(ids)
-                    m = (ks == key) & (hs >= lo_) & (hs <= hi_)
-                    return pa.table(
-                        {
-                            "h": pa.array(hs[m], pa.int64()),
-                            "id": pa.array(ids[m], pa.int64()),
-                            "w": pa.array(ws[m], pa.int64()),
-                        }
-                    )
+        def hist(batch: pa.Table, stT=stT) -> pa.Table:
+            if batch.num_rows == 0:
+                return _t(_HIST_SCHEMA, {c: [] for c in _HIST_SCHEMA.names})
+            ka, khs = key_arr(batch.column(key_col))
+            ids = batch.column(id_col).to_numpy()
+            wts = batch.column(weight_col).to_numpy().astype(np.int64)
+            hs = h_of(ids)
+            found, vals = stT.lookup(khs, ka, "key", ("lo", "hi", "acc"))
+            m = found & (hs >= vals["lo"]) & (hs <= vals["hi"])
+            if not m.any():
+                return _t(_HIST_SCHEMA, {c: [] for c in _HIST_SCHEMA.names})
+            sel = np.flatnonzero(m)
+            ka_m = ka.take(pa.array(sel))
+            lo_m, hi_m, acc_m = vals["lo"][sel], vals["hi"][sel], vals["acc"][sel]
+            width = (hi_m - lo_m) // bins + 1
+            b = (hs[sel] - lo_m) // width
+            # block-local reduce by (key, bin) — key identity by the
+            # DICTIONARY index (string equality), never the hash alone
+            kidx = ka_m.dictionary_encode().indices.to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            order = np.lexsort((b, kidx))
+            k_s, b_s, w_s = kidx[order], b[order], wts[sel][order]
+            change = np.r_[True, (k_s[1:] != k_s[:-1]) | (b_s[1:] != b_s[:-1])]
+            starts = np.flatnonzero(change)
+            first = order[starts]
+            kh_first = khs[sel][first]
+            return _t(_HIST_SCHEMA, {
+                "bucket": kh_first % np.int64(n_buckets),
+                "kh": kh_first, "key": ka_m.take(pa.array(first)),
+                "b": b_s[starts], "w": np.add.reduceat(w_s, starts),
+                "n": np.add.reduceat(np.ones(len(w_s), np.int64), starts),
+                "lo": lo_m[first], "hi": hi_m[first], "acc": acc_m[first],
+            })
 
-                rows = (
-                    docs.map_batches(survivors, batch_format="pyarrow", batch_size=None)
-                    .to_pandas()
-                    .to_numpy()
-                    .astype(np.int64)
-                )
-                finish(key, lo_, hi_, acc_, rows)
-    for key in state:
-        if key not in resolved:  # round cap: resolve by collecting
-            lo, hi, acc = state[key]
-            raise RuntimeError(
-                f"budget_head_sample failed to converge for {key!r}"
+        dec = (
+            docs.map_batches(hist, batch_format="pyarrow", batch_size=None)
+            .groupby("bucket")
+            .map_groups(_decide, batch_format="pyarrow")
+            .materialize()
+        )
+        keepall_ds = dec.map_batches(
+            _status_filter, fn_kwargs={"status": 2},
+            batch_format="pyarrow", batch_size=None,
+        )
+        cut_parts.append(keepall_ds.map_batches(
+            _keepall_to_cuts, batch_format="pyarrow", batch_size=None
+        ))
+        collect_ds = dec.map_batches(
+            _status_filter, fn_kwargs={"status": 1},
+            batch_format="pyarrow", batch_size=None,
+        ).materialize()
+        if collect_ds.count() > 0:
+            colT = _probe_table(
+                collect_ds.drop_columns(["cross_n", "status"]), "kh"
             )
 
-    import ray as _ray
+            def survivors(batch: pa.Table, colT=colT) -> pa.Table:
+                if batch.num_rows == 0:
+                    return _t(_SRV_SCHEMA, {c: [] for c in _SRV_SCHEMA.names})
+                ka, khs = key_arr(batch.column(key_col))
+                ids = batch.column(id_col).to_numpy()
+                wts = batch.column(weight_col).to_numpy().astype(np.int64)
+                hs = h_of(ids)
+                found, vals = colT.lookup(khs, ka, "key", ("lo", "hi", "acc"))
+                m = found & (hs >= vals["lo"]) & (hs <= vals["hi"])
+                sel = np.flatnonzero(m)
+                return _t(_SRV_SCHEMA, {
+                    "bucket": khs[sel] % np.int64(n_buckets),
+                    "kh": khs[sel], "key": ka.take(pa.array(sel)),
+                    "h": hs[sel], "id": ids[sel], "w": wts[sel],
+                    "lo": vals["lo"][sel], "acc": vals["acc"][sel],
+                })
 
-    res_ref = _ray.put(resolved)
+            res = (
+                docs.map_batches(survivors, batch_format="pyarrow", batch_size=None)
+                .groupby("bucket")
+                .map_groups(_finish_group, batch_format="pyarrow")
+                .materialize()
+            )
+            cut_parts.append(res.map_batches(
+                _res_to_cuts, batch_format="pyarrow", batch_size=None
+            ))
+            inc_parts.append(res.map_batches(
+                lambda t: t.filter(pc.equal(t.column("kind"), 1)),
+                batch_format="pyarrow", batch_size=None,
+            ))
+        active_ds = dec.map_batches(
+            _status_filter, fn_kwargs={"status": 0},
+            batch_format="pyarrow", batch_size=None,
+        ).materialize()
+        if active_ds.count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"budget_head_sample failed to converge within {max_rounds} rounds"
+        )
+
+    cuts_ds = cut_parts[0]
+    for p in cut_parts[1:]:
+        cuts_ds = cuts_ds.union(p)
+    cutT = _probe_table(cuts_ds, "kh")
+
+    def _inc_encode(t: pa.Table) -> pa.Table:
+        """(key, id) -> combined hash + exact-equality text probe."""
+        if t.num_rows == 0:
+            return _t(_INC_SCHEMA, {c: [] for c in _INC_SCHEMA.names})
+        khv = t.column("kh").to_numpy().astype(np.uint64)
+        idv = t.column("id").to_numpy().astype(np.uint64)
+        from .hashing import mix64 as _mx
+
+        ch = (_mx(khv ^ _mx(idv)) >> np.uint64(1)).astype(np.int64)
+        kid = pc.binary_join_element_wise(
+            t.column("key").cast(pa.large_string()),
+            pc.cast(t.column("id"), pa.large_string()),
+            pa.scalar("\x00", pa.large_string()),
+        )
+        return _t(_INC_SCHEMA, {"ch": ch, "kid": kid})
+
+    incT = None
+    if inc_parts:
+        inc_ds = inc_parts[0]
+        for p in inc_parts[1:]:
+            inc_ds = inc_ds.union(p)
+        incT = _probe_table(
+            inc_ds.map_batches(_inc_encode, batch_format="pyarrow", batch_size=None),
+            "ch",
+        )
 
     def select(batch: pa.Table) -> pa.Table:
-        res = _ray.get(res_ref)
-        ks = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if batch.num_rows == 0:
+            return batch
+        ka, khs = key_arr(batch.column(key_col))
         ids = batch.column(id_col).to_numpy()
         hs = h_of(ids)
-        keep = np.zeros(len(ids), bool)
-        for key, (h_cut, inc) in res.items():
-            m = ks == key
-            keep[m] = True if h_cut is None else hs[m] < h_cut
-            if inc:
-                mm = m & ~keep
-                if mm.any():
-                    keep[mm] = np.isin(ids[mm], np.fromiter(inc, np.int64, len(inc)))
+        found, vals = cutT.lookup(khs, ka, "key", ("keep_all", "h_cut"))
+        keep = found & ((vals["keep_all"] == 1) | (hs < vals["h_cut"]))
+        if incT is not None and incT.total:
+            khv = khs.astype(np.uint64)
+            ch = (mix64(khv ^ mix64(ids.astype(np.uint64)))
+                  >> np.uint64(1)).astype(np.int64)
+            kid = pc.binary_join_element_wise(
+                ka.cast(pa.large_string()),
+                pc.cast(batch.column(id_col), pa.large_string()),
+                pa.scalar("\x00", pa.large_string()),
+            )
+            fi, _ = incT.lookup(ch, kid, "kid", ())
+            keep |= fi
         return batch.filter(pa.array(keep))
 
     return docs.map_batches(select, batch_format="pyarrow", batch_size=None)
