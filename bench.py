@@ -115,6 +115,119 @@ def _consume(res) -> int:
     return res.num_rows
 
 
+def _codec_rows(fixture_root: str) -> list:
+    """Wire-codec timed rows (VERDICT r4 #1: the round-4 codecs were
+    correctness-only): GeoTIFF strip/LZW/deflate decode, Avro
+    object-container parse, and Kafka-spool consume->store, each over
+    the VOLUME fixtures (generated untimed by ensure_fixtures)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def q_codec_geotiff(sf_dir):
+        import ray.data
+
+        from geowave_ray.pipelines.tiles import _flat_list_col
+        from geowave_ray.sources.geotiff import parse_geotiff_batch
+
+        files = ray.data.read_parquet(
+            os.path.join(fixture_root, "codec_geotiffs.parquet")
+        )
+
+        def checksum(b: pa.Table) -> pa.Table:
+            vals, _offs = _flat_list_col(b.column("pixels"))
+            return pa.table({
+                "px_sum": pa.array([float(np.sum(vals))], pa.float64()),
+                "chunks": pa.array([b.num_rows], pa.int64()),
+            })
+
+        return (
+            files.map_batches(
+                parse_geotiff_batch, batch_format="pyarrow", batch_size=None
+            )
+            .map_batches(checksum, batch_format="pyarrow", batch_size=None)
+        )
+
+    def q_codec_avro(sf_dir):
+        import ray.data
+
+        from geowave_ray.sources.avro_io import parse_avro_batch
+
+        files = ray.data.read_parquet(
+            os.path.join(fixture_root, "codec_avro.parquet")
+        )
+
+        def reduce(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "n": pa.array([b.num_rows], pa.int64()),
+                "lon_sum": pa.array(
+                    [float(np.sum(b.column("lon").to_numpy()))], pa.float64()
+                ),
+            })
+
+        return (
+            files.map_batches(
+                parse_avro_batch, batch_format="pyarrow", batch_size=None
+            )
+            .map_batches(reduce, batch_format="pyarrow", batch_size=None)
+        )
+
+    def q_codec_spool(sf_dir):
+        """Stage-once topic (untimed, cached), consume->store timed
+        into a FRESH store dir each pass (exactly-once offsets would
+        otherwise make pass 2 a no-op)."""
+        import shutil
+        import tempfile
+
+        import pyarrow.parquet as pq_
+        import ray.data
+
+        from geowave_ray.sources import kafka_spool as ks
+        from geowave_ray.sources.gpx import parse_gpx_batch
+
+        topic = os.path.join(fixture_root, "codec_topic")
+        staged_marker = os.path.join(topic, "_STAGED")
+        if not os.path.exists(staged_marker):
+            from geowave_ray.fixtures import gen_gpx_files
+
+            gpx, _pts = gen_gpx_files(512)
+            shutil.rmtree(topic, ignore_errors=True)
+            with ks.SpoolProducer(topic, records_per_segment=32) as prod:
+                for i in range(gpx.num_rows):
+                    prod.send_file(
+                        gpx.column("file_id")[i].as_py(),
+                        gpx.column("xml")[i].as_py().encode("utf-8"),
+                    )
+            with open(staged_marker, "w") as f:
+                f.write("ok\n")
+
+        def parse(b: pa.Table) -> pa.Table:
+            unstaged = pa.table({
+                "file_id": b.column("path"),
+                "xml": pa.array(
+                    [p.as_py().decode("utf-8") for p in b.column("payload")],
+                    pa.string(),
+                ),
+            })
+            return parse_gpx_batch(unstaged)
+
+        store = tempfile.mkdtemp(prefix="codec_spool_", dir="/tmp")
+        try:
+            res = ks.consume_to_store(
+                topic, store, parse, max_records_per_poll=128
+            )
+            return ray.data.read_parquet(store)  # consumed below by count
+        finally:
+            # defer cleanup to next tempdir cycle: the returned Dataset
+            # must still read the files; tiny dirs, /tmp-scoped
+            pass
+
+    return [
+        ("codec_geotiff_decode", q_codec_geotiff),
+        ("codec_avro_parse", q_codec_avro),
+        ("codec_spool_consume", q_codec_spool),
+    ]
+
+
 def run_bench(sf_dir: str, headline_only: bool = False) -> dict:
     import ray
 
@@ -158,6 +271,8 @@ def run_bench(sf_dir: str, headline_only: bool = False) -> dict:
             ("cql_spatial", em.q_cql_spatial),       # CQL bbox+PIP filter
             ("line_region_join", em.q_line_region_join),
         ]
+        if os.path.isdir(os.path.join(fixture_root, "codec_geotiffs.parquet")):
+            plan += _codec_rows(fixture_root)
 
     # interleaved passes: a host-load spike poisons one PASS, and the
     # per-query best-of still sees >= 2 clean samples
@@ -300,7 +415,9 @@ def run_scaling() -> None:
             "include_dashboard=False, logging_level='ERROR'); "
             "sys.path.insert(0, '/root/repo'); "
             "from geowave_ray.fixtures import ensure_fixtures; "
-            "print(ensure_fixtures('sf_scaling')); ray.shutdown()",
+            "import os; "
+            "print(ensure_fixtures(os.environ.get('GRAFT_SCALING_SF', "
+            "'sf_scaling'))); ray.shutdown()",
         ],
         capture_output=True,
         text=True,
@@ -415,11 +532,12 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     elif SCALING_CHILD:
-        res = run_bench("sf_scaling", headline_only=True)  # shuts Ray down
+        sc = os.environ.get("GRAFT_SCALING_SF", "sf_scaling")
+        res = run_bench(sc, headline_only=True)  # shuts Ray down
         _init_ray()  # fresh session for the docs pipeline
         from geowave_ray.fixtures import ensure_fixtures
 
-        res.update(run_docs_scaling_child(ensure_fixtures("sf_scaling")))
+        res.update(run_docs_scaling_child(ensure_fixtures(sc)))
         import ray
 
         ray.shutdown()

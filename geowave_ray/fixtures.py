@@ -45,13 +45,22 @@ LANG_CUM = np.cumsum([40, 10, 10, 10, 10, 8, 7, 5])
 
 SCALES = {
     "sf0.001": dict(pages=10_000, regions=512, chunks=128),
-    "sf0.01": dict(pages=100_000, regions=1024, chunks=256),
-    "sf0.1": dict(pages=1_000_000, regions=2048, chunks=512),
+    "sf0.01": dict(pages=100_000, regions=1024, chunks=256, codec=32),
+    "sf0.1": dict(pages=1_000_000, regions=2048, chunks=512, codec=96),
     # scaling-proof fixture: large enough that the headline join is
     # compute-bound (~100s CPU), so N vs 4N parallelism separates.
     # ``docs`` is the scaled synthetic corpus for the docs-pipeline
     # scaling proof (minhash-LSH + two-pass exact dedup at N vs 4N).
     "sf_scaling": dict(pages=8_000_000, regions=2048, chunks=512, docs=4_000_000),
+    # sf1 scale-stress (VERDICT r4 #1): 10x sf0.1 across pages, the
+    # TPC-H-shaped tables and the per-query documents table, plus
+    # wire-codec volume fixtures; the FULL bench plan runs here with
+    # GRAFT_SF_DIR=/tmp/geowave_fixtures/sf1
+    "sf1": dict(pages=10_000_000, regions=4096, chunks=1024,
+                docs=1_000_000, tpch=10, codec=256),
+    # scaling-ladder variant at sf1 volume (10M pages / 16M docs)
+    "sf_scaling1": dict(pages=10_000_000, regions=2048, chunks=512,
+                        docs=16_000_000),
 }
 ROWS_PER_FILE = 50_000
 
@@ -1626,10 +1635,15 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
         pq.write_table(tweets, os.path.join(out, "twitter_tweets.parquet"))
     # marker lives BESIDE the docs dir (a non-parquet file inside
     # would break read_parquet over the directory)
-    if cfg.get("docs") and not os.path.exists(os.path.join(out, "docs_DONE")):
+    if (cfg.get("docs") and not cfg.get("tpch")
+            and not os.path.exists(os.path.join(out, "docs_DONE"))):
         _gen_docs_files(cfg["docs"], os.path.join(out, "docs"))
         with open(os.path.join(out, "docs_DONE"), "w") as f:
             f.write("ok\n")
+    if cfg.get("tpch"):
+        _fill_sf1_tables(out, cfg)
+    if cfg.get("codec"):
+        _gen_codec_volume(out, cfg["codec"])
 
 
 def ensure_fixtures(sf_dir: str) -> str:
@@ -1740,3 +1754,253 @@ def pages_path(sf_dir: str) -> str:
 def table_path(sf_dir: str, name: str) -> str:
     base = ensure_fixtures(sf_dir)
     return os.path.join(base, "pages") if name == "pages" else os.path.join(base, f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# sf1 scale-stress tables (VERDICT r4 #1): testdata-SHAPED synthetic
+# TPC-H tables + a documents.parquet directory at 10x sf0.1 volume, so
+# the FULL bench plan (docs + relational queries included) runs at sf1
+# with GRAFT_SF_DIR=/tmp/geowave_fixtures/sf1. Bench-only — oracle
+# correctness stays pinned to the driver's real testdata at sf0.01.
+# ---------------------------------------------------------------------------
+
+def gen_orders_slice(start: int, stop: int, n_cust: int) -> pa.Table:
+    i = np.arange(start, stop, dtype=np.int64)
+    u = _doc_mix(i.astype(np.uint64))
+    status = np.array(["O", "F", "P"], dtype=object)
+    prio = np.array(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        dtype=object,
+    )
+    ts = (np.int64(694224000) + (i * 86131) % (8 * 31_536_000)) * 1_000_000
+    return pa.table({
+        "o_orderkey": pa.array(i + 1, pa.int64()),
+        "o_custkey": pa.array((u % np.uint64(n_cust)).astype(np.int64) + 1,
+                              pa.int64()),
+        "o_orderstatus": pa.array(status[(i % 3)]),
+        "o_totalprice": pa.array(
+            900.0 + (u % np.uint64(50_000_000)).astype(np.float64) / 100.0,
+            pa.float64()),
+        "o_orderdate": pa.array(ts, pa.timestamp("us")),
+        "o_orderpriority": pa.array(prio[(i % 5)]),
+    })
+
+
+def gen_lineitem_slice(start: int, stop: int, n_orders: int,
+                       n_parts: int, n_supp: int) -> pa.Table:
+    """~4 lineitems per order: row i belongs to order i//4 + 1."""
+    i = np.arange(start, stop, dtype=np.int64)
+    u = _doc_mix(i.astype(np.uint64))
+    ok = np.minimum(i // 4 + 1, n_orders)
+    rf = np.array(["A", "N", "R"], dtype=object)
+    ls = np.array(["O", "F"], dtype=object)
+    ts = (np.int64(694224000) + (i * 53777) % (8 * 31_536_000)) * 1_000_000
+    return pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_partkey": pa.array((u % np.uint64(n_parts)).astype(np.int64) + 1,
+                              pa.int64()),
+        "l_suppkey": pa.array(
+            ((u >> np.uint64(17)) % np.uint64(n_supp)).astype(np.int64) + 1,
+            pa.int64()),
+        "l_linenumber": pa.array((i % 4 + 1).astype(np.int32), pa.int32()),
+        "l_quantity": pa.array((u % np.uint64(50)).astype(np.float64) + 1.0,
+                               pa.float64()),
+        "l_extendedprice": pa.array(
+            901.0 + ((u >> np.uint64(7)) % np.uint64(10_000_000)
+                     ).astype(np.float64) / 100.0, pa.float64()),
+        "l_discount": pa.array(
+            ((u >> np.uint64(33)) % np.uint64(11)).astype(np.float64) / 100.0,
+            pa.float64()),
+        "l_tax": pa.array(
+            ((u >> np.uint64(41)) % np.uint64(9)).astype(np.float64) / 100.0,
+            pa.float64()),
+        "l_returnflag": pa.array(rf[(i % 3)]),
+        "l_linestatus": pa.array(ls[(i % 2)]),
+        "l_shipdate": pa.array(ts, pa.timestamp("us")),
+    })
+
+
+def gen_customer(n_cust: int) -> pa.Table:
+    i = np.arange(n_cust, dtype=np.int64)
+    u = _doc_mix(i.astype(np.uint64))
+    seg = np.array(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                    "MACHINERY"], dtype=object)
+    return pa.table({
+        "c_custkey": pa.array(i + 1, pa.int64()),
+        "c_name": pa.array([f"Customer#{k + 1:09d}" for k in i]),
+        "c_nationkey": pa.array((u % np.uint64(25)).astype(np.int32),
+                                pa.int32()),
+        "c_acctbal": pa.array(
+            -999.0 + (u % np.uint64(1_100_000)).astype(np.float64) / 100.0,
+            pa.float64()),
+        "c_mktsegment": pa.array(seg[(i % 5)]),
+    })
+
+
+_TPCH_NATIONS = [
+    "ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA",
+    "FRANCE", "GERMANY", "INDIA", "INDONESIA", "IRAN", "IRAQ", "JAPAN",
+    "JORDAN", "KENYA", "MOROCCO", "MOZAMBIQUE", "PERU", "CHINA",
+    "ROMANIA", "SAUDI ARABIA", "VIETNAM", "RUSSIA", "UNITED KINGDOM",
+    "UNITED STATES",
+]
+
+
+def gen_nation() -> pa.Table:
+    i = np.arange(25, dtype=np.int32)
+    return pa.table({
+        "n_nationkey": pa.array(i, pa.int32()),
+        "n_name": pa.array(_TPCH_NATIONS),
+        "n_regionkey": pa.array((i % 5).astype(np.int32), pa.int32()),
+    })
+
+
+def _gen_sliced_table(gen, n_total: int, out_dir: str, **kw) -> None:
+    """Write one parquet file per ROWS_PER_FILE slice of gen(start,
+    stop, **kw) — Ray-parallel when a session exists."""
+    os.makedirs(out_dir, exist_ok=True)
+    slices = [(s, min(s + ROWS_PER_FILE, n_total))
+              for s in range(0, n_total, ROWS_PER_FILE)]
+
+    def write_one(start: int, stop: int) -> None:
+        pq.write_table(gen(start, stop, **kw),
+                       os.path.join(out_dir, f"part-{start:09d}.parquet"))
+
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(slices) > 4
+    except Exception:
+        pass
+    if not use_ray:
+        for s, e in slices:
+            write_one(s, e)
+        return
+    import ray
+
+    @ray.remote
+    def gen_task(start: int, stop: int) -> None:
+        write_one(start, stop)
+
+    ray.get([gen_task.remote(s, e) for s, e in slices])
+
+
+def gen_codec_geotiff(j: int) -> bytes:
+    """One VOLUME GeoTIFF (256x256, 1-2 bands) cycling dtype and
+    compression — the timed wire-decode bench unit."""
+    from .sources.geotiff import write_geotiff
+
+    dt = [np.uint8, np.uint16, np.int32][j % 3]
+    comp = ["lzw", "deflate", "packbits", "none"][j % 4]
+    bands = 1 + j % 2
+    px = (
+        (np.arange(bands * 256 * 256, dtype=np.int64) * (31 + j) + j)
+        % 97
+    ).reshape(bands, 256, 256).astype(dt)
+    return write_geotiff(
+        px, (float(j % 360 - 180), 0.0, float(j % 360 - 179), 1.0),
+        epsg=4326, compression=comp, predictor=(comp != "none"),
+    )
+
+
+def gen_codec_avro(j: int, n_rec: int = 40_000) -> bytes:
+    """One VOLUME Avro container (Feature-schema records, deflate on
+    odd files) — the timed container-parse bench unit."""
+    from .sources.avro_io import write_container
+
+    schema = {
+        "type": "record",
+        "name": "Feature",
+        "fields": [
+            {"name": "fid", "type": "long"},
+            {"name": "lon", "type": "double"},
+            {"name": "lat", "type": "double"},
+            {"name": "weight", "type": ["null", "double"]},
+        ],
+    }
+    recs = [
+        {
+            "fid": j * n_rec + i,
+            "lon": ((j * n_rec + i) * 0.00137) % 360.0 - 180.0,
+            "lat": ((j * n_rec + i) * 0.00089) % 180.0 - 90.0,
+            "weight": None if i % 5 == 2 else float((i * 7 + j) % 1000) / 8.0,
+        }
+        for i in range(n_rec)
+    ]
+    return write_container(recs, schema, codec="deflate" if j % 2 else "null")
+
+
+def _gen_codec_volume(out: str, n_files: int) -> None:
+    """codec_geotiffs.parquet + codec_avro.parquet volume fixtures
+    (one row per file; bytes column) — Ray-parallel generation."""
+    import ray
+
+    use_ray = ray.is_initialized() and n_files > 8
+
+    def build(gen, ids):
+        if use_ray:
+            @ray.remote
+            def one(j):
+                return gen(j)
+
+            return ray.get([one.remote(j) for j in ids])
+        return [gen(j) for j in ids]
+
+    def write_dir(path, name_fmt, col, gen, ids, per_file):
+        # a DIRECTORY of small parquet files so the timed decode fans
+        # out over blocks without a row-group splitter
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        payload = build(gen, ids)
+        for s in range(0, len(ids), per_file):
+            grp = ids[s:s + per_file]
+            pq.write_table(
+                pa.table({
+                    "file_id": pa.array([name_fmt.format(j) for j in grp]),
+                    col: pa.array(payload[s:s + per_file], pa.binary()),
+                }),
+                os.path.join(tmp, f"part-{s:06d}.parquet"),
+            )
+        os.replace(tmp, path)
+
+    gt = os.path.join(out, "codec_geotiffs.parquet")
+    if not os.path.isdir(gt):
+        write_dir(gt, "ct{:05d}.tif", "tif", gen_codec_geotiff,
+                  list(range(n_files)), per_file=4)
+    av = os.path.join(out, "codec_avro.parquet")
+    if not os.path.isdir(av):
+        write_dir(av, "ca{:05d}.avro", "avro", gen_codec_avro,
+                  list(range(max(16, n_files // 2))), per_file=2)
+
+
+def _fill_sf1_tables(out: str, cfg: dict) -> None:
+    """sf1-only: TPC-H-shaped tables + documents.parquet DIRECTORY so
+    _read_testdata-backed bench queries resolve against the fixture
+    root itself (GRAFT_SF_DIR points here)."""
+    scale = cfg["tpch"]  # 10 = 10x the sf0.1 testdata row counts
+    n_orders = 150_000 * scale
+    n_li = 600_000 * scale
+    n_cust = 15_000 * scale
+    li = os.path.join(out, "lineitem.parquet")
+    if not os.path.isdir(li):
+        _gen_sliced_table(gen_lineitem_slice, n_li, li + ".tmp",
+                          n_orders=n_orders, n_parts=20_000 * scale,
+                          n_supp=1_000 * scale)
+        os.replace(li + ".tmp", li)
+    od = os.path.join(out, "orders.parquet")
+    if not os.path.isdir(od):
+        _gen_sliced_table(gen_orders_slice, n_orders, od + ".tmp",
+                          n_cust=n_cust)
+        os.replace(od + ".tmp", od)
+    cu = os.path.join(out, "customer.parquet")
+    if not os.path.exists(cu):
+        pq.write_table(gen_customer(n_cust), cu)
+    na = os.path.join(out, "nation.parquet")
+    if not os.path.exists(na):
+        pq.write_table(gen_nation(), na)
+    docs = os.path.join(out, "documents.parquet")
+    if cfg.get("docs") and not os.path.isdir(docs):
+        _gen_docs_files(cfg["docs"], docs + ".tmp")
+        os.replace(docs + ".tmp", docs)
