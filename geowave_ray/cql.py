@@ -412,6 +412,68 @@ def _fn_matches(s, pat):
     return pc.match_substring_regex(s, f"^(?:{v})$")
 
 
+# -- geometry scalar functions --------------------------------------------
+# The GeoTools FilterFunction_area / FilterFunction_geomLength /
+# getX(centroid())/getY(centroid()) surface the reference reaches through
+# CQLQueryFilter (``extensions/adapters/vector/.../plugin/CQL*``; scalar
+# kernels also used by Spark's GeomFunction UDFs,
+# ``analytics/spark/sparksql/udf/GeomFunction.java``). Measures use the
+# same quantized-integer shoelace as formats.wkb_measures_batch
+# (geom.ring_measures_q) with the quantization origin derived from the
+# geometry's own min vertex — an exact double min, so a SQL oracle over
+# the region edge table reproduces every output float bit-for-bit.
+
+
+def _geom_quantized_measures(a):
+    from .formats import wkb_decode
+    from .geom import ring_measures_q
+
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    n = len(a)
+    area2 = np.empty(n, np.float64)
+    cxn = np.empty(n, np.float64)
+    cyn = np.empty(n, np.float64)
+    perim = np.empty(n, np.float64)
+    x0s = np.empty(n, np.float64)
+    y0s = np.empty(n, np.float64)
+    for i in range(n):
+        t, c = wkb_decode(a[i].as_py())
+        if t == "Polygon":
+            rings = c
+        elif t == "MultiPolygon":
+            rings = [r for p in c for r in p]
+        else:
+            raise ValueError(f"geometry functions need polygonal WKB, got {t}")
+        pts = np.concatenate([np.asarray(r, dtype=np.float64) for r in rings])
+        x0 = float(pts[:, 0].min())
+        y0 = float(pts[:, 1].min())
+        a2, cx, cy, pu = ring_measures_q(rings, x0, y0)
+        area2[i], cxn[i], cyn[i], perim[i] = a2, cx, cy, pu
+        x0s[i], y0s[i] = x0, y0
+    return area2, cxn, cyn, perim, x0s, y0s
+
+
+def _fn_geom_area(g):
+    a2, *_ = _geom_quantized_measures(g)
+    return pa.array(a2 / 200000000.0, pa.float64())
+
+
+def _fn_geom_length(g):
+    _, _, _, pu, _, _ = _geom_quantized_measures(g)
+    return pa.array(pu / 1000000.0, pa.float64())
+
+
+def _fn_centroid_x(g):
+    a2, cx, _, _, x0, _ = _geom_quantized_measures(g)
+    return pa.array(x0 + (cx / (3.0 * a2)) / 10000.0, pa.float64())
+
+
+def _fn_centroid_y(g):
+    a2, _, cy, _, _, y0 = _geom_quantized_measures(g)
+    return pa.array(y0 + (cy / (3.0 * a2)) / 10000.0, pa.float64())
+
+
 _CQL_FUNCS = {
     "strtolowercase": (1, pc.utf8_lower),
     "strtouppercase": (1, pc.utf8_upper),
@@ -435,6 +497,12 @@ _CQL_FUNCS = {
     "min": (2, pc.min_element_wise),
     "max": (2, pc.max_element_wise),
     "sqrt": (1, pc.sqrt),
+    # geometry scalars over a WKB column (FilterFunction_area /
+    # FilterFunction_geomLength / getX(centroid()) / getY(centroid()))
+    "area": (1, _fn_geom_area),
+    "geomlength": (1, _fn_geom_length),
+    "centroidx": (1, _fn_centroid_x),
+    "centroidy": (1, _fn_centroid_y),
 }
 
 _BOOL_FUNCS = {"strstartswith", "strendswith", "strmatches"}

@@ -57,6 +57,7 @@ _KEYWORDS = {
 }
 _AGGS = {"COUNT", "MIN", "MAX", "SUM", "BBOX"}
 _FUNCS = {"CONTAINS", "STRSTARTSWITH", "STRENDSWITH", "ABS", "CONCAT", "PIP"}
+_SCALAR_FUNCS = ("ABS", "CONCAT", "AREA", "GEOMLENGTH", "CENTROIDX", "CENTROIDY")
 # GWQLSpatialTemporalExtensions.java:27-77 — spatial predicate
 # functions, temporal predicate functions, temporal infix operators
 _SPATIAL_PREDS = {
@@ -214,12 +215,16 @@ class _Parser:
                 if typ.upper() not in _CAST_TYPES:
                     raise ValueError(f"GWQL: unknown cast type {typ}")
                 cols_out.append(("cast", cname, typ.upper(), alias))
-            elif t == "word" and v.upper() in ("ABS", "CONCAT") and self.peek() == (
+            elif t == "word" and v.upper() in _SCALAR_FUNCS and self.peek() == (
                 "op",
                 "(",
             ):
                 # scalar functions in the select list (Abs.java /
-                # Concat.java under core/store/.../gwql/function/)
+                # Concat.java under core/store/.../gwql/function/, plus
+                # the geometry measures the reference exposes through
+                # its Spark GeomFunction UDFs — AREA / GEOMLENGTH /
+                # CENTROIDX / CENTROIDY over a WKB column, kernels
+                # shared with the CQL filter-function library)
                 self.next()  # (
                 args = []
                 while True:
@@ -714,6 +719,13 @@ def execute_stmt(
 
                         if fname == "ABS":
                             cols[alias] = pc.abs(val(args[0]))
+                        elif fname in ("AREA", "GEOMLENGTH", "CENTROIDX",
+                                       "CENTROIDY"):
+                            from .cql import _CQL_FUNCS
+
+                            cols[alias] = _CQL_FUNCS[fname.lower()][1](
+                                val(args[0])
+                            )
                         else:  # CONCAT: string-cast every arg, join
                             parts = [
                                 x

@@ -217,3 +217,84 @@ def test_cql_filter_functions():
     import pytest as _pt
     with _pt.raises(ValueError):
         parse_cql("strLength(s, 'extra') = 1")
+
+
+def test_cql_geometry_functions():
+    """Geometry scalar functions (FilterFunction_area / geomLength /
+    getX(centroid()) roles): closed-form squares make every measure
+    analytic; the quantization origin is the geometry's own min
+    vertex, so values are exact at 1e-4 snap."""
+    from geowave_ray.cql import parse_cql
+    from geowave_ray.formats import wkb_encode
+
+    def square(cx, cy, half):
+        # CCW closed ring
+        return [
+            (cx - half, cy - half), (cx + half, cy - half),
+            (cx + half, cy + half), (cx - half, cy + half),
+            (cx - half, cy - half),
+        ]
+
+    geoms = [
+        ("Polygon", [square(0.0, 0.0, 1.0)]),     # area 4, perim 8
+        ("Polygon", [square(10.0, -5.0, 0.5)]),   # area 1, perim 4
+        ("Polygon", [square(-20.0, 3.0, 2.0)]),   # area 16, perim 16
+    ]
+    t = pa.table(
+        {
+            "rid": pa.array([0, 1, 2], pa.int64()),
+            "geometry_wkb": pa.array(
+                [wkb_encode(g) for g in geoms], pa.binary()
+            ),
+        }
+    )
+
+    def vals(q):
+        from geowave_ray.cql import _CQL_FUNCS
+
+        return _CQL_FUNCS[q][1](t.column("geometry_wkb")).to_pylist()
+
+    assert vals("area") == [4.0, 1.0, 16.0]
+    assert vals("geomlength") == [8.0, 4.0, 16.0]
+    assert vals("centroidx") == [0.0, 10.0, -20.0]
+    assert vals("centroidy") == [0.0, -5.0, 3.0]
+
+    def run(q):
+        m = parse_cql(q).evaluate(t)
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        return list(np.flatnonzero(m.to_numpy(zero_copy_only=False)))
+
+    assert run("area(geometry_wkb) > 2.0") == [0, 2]
+    assert run("geomLength(geometry_wkb) = 4.0") == [1]
+    assert run("centroidX(geometry_wkb) < 0 AND centroidY(geometry_wkb) > 0") == [2]
+    # composes with non-geometry functions and boolean algebra
+    assert run("area(geometry_wkb) < 2.0 OR abs(rid) = 2") == [1, 2]
+
+
+def test_gwql_geometry_scalars():
+    """AREA/GEOMLENGTH/CENTROIDX/CENTROIDY in the GWQL select list."""
+    import pandas as pd
+
+    from geowave_ray import gwql
+    from geowave_ray.formats import wkb_encode
+
+    ring = [(2.0, 1.0), (6.0, 1.0), (6.0, 4.0), (2.0, 4.0), (2.0, 1.0)]
+    t = pa.table(
+        {
+            "region_id": pa.array([7], pa.int64()),
+            "geometry_wkb": pa.array([wkb_encode(("Polygon", [ring]))]),
+        }
+    )
+    import ray.data
+
+    out = gwql.execute(
+        "SELECT region_id, AREA(geometry_wkb) AS area, "
+        "GEOMLENGTH(geometry_wkb) AS perimeter, "
+        "CENTROIDX(geometry_wkb) AS cx, CENTROIDY(geometry_wkb) AS cy "
+        "FROM t",
+        {"t": ray.data.from_arrow(t)},
+    )
+    row = out.take_all()[0]
+    assert row["area"] == 12.0 and row["perimeter"] == 14.0
+    assert row["cx"] == 4.0 and row["cy"] == 2.5
