@@ -488,7 +488,12 @@ def _enum_index(sf_dir: str) -> str:
 
     base = _fx(sf_dir)
     out = os.path.join(base, "lang_enum_index")
-    marker = out + f"_DONE_{FIXTURE_VERSION}"
+    # the index derives from TESTDATA (not the synthetic fixtures), so
+    # the cache key carries the source file's identity — a regenerated
+    # documents.parquet invalidates the cached index
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    marker = out + f"_DONE_{FIXTURE_VERSION}_{st.st_size}_{int(st.st_mtime)}"
     if not os.path.exists(marker):
         ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
         build_enum_index(ds, _ENUM_TERMS, out, value_col="lang")
@@ -3522,13 +3527,9 @@ def q_gwql_spatial_temporal(sf_dir: str):
     )
 
 
-def q_datastore_api(sf_dir: str):
-    """DataStore facade end-to-end (core/store/api/DataStore.java role,
-    geowave_ray/datastore.py): addType -> bulk ingest (resumable,
-    manifest) -> query() with the GWQL string API (BBOX predicate +
-    attribute filter) over the pruned store layout. The facade composes
-    the same pipelines the standalone queries use; this oracle pins the
-    registration/routing glue."""
+def _facade_store(sf_dir: str):
+    """Build-once facade store over the pages fixture (shared by the
+    datastore_api / datastore_planned oracles)."""
     import os
 
     from geowave_ray.datastore import DataStore
@@ -3547,10 +3548,41 @@ def q_datastore_api(sf_dir: str):
         )
         with open(marker, "w") as f:
             f.write("ok\n")
+    # secondary index registration is idempotent per fixture version
+    # (older cached stores from previous rounds get it on first touch)
+    if "enum:lang" not in store.get_indices("pages"):
+        store.add_index("pages", "lang", kind="enum")
+    return store
+
+
+def q_datastore_api(sf_dir: str):
+    """DataStore facade end-to-end (core/store/api/DataStore.java role,
+    geowave_ray/datastore.py): addType -> bulk ingest (resumable,
+    manifest) -> query() with the GWQL string API (BBOX predicate +
+    attribute filter) over the pruned store layout. The facade composes
+    the same pipelines the standalone queries use; this oracle pins the
+    registration/routing glue."""
+    store = _facade_store(sf_dir)
     return store.query(
         "SELECT row_id, lang FROM pages "
         "WHERE BBOX(geometry, -30, -20, 40, 35) AND lang = 'en'"
     )
+
+
+def q_datastore_planned(sf_dir: str):
+    """Facade-level index planning (chooseBestIndex at the user
+    surface, ``BaseDataStoreUtils.java:1004-1150``): a non-spatial
+    equality predicate on an enum-indexed column routes through the
+    EnumIndexStrategy partition tree — the function asserts the
+    planner actually chose the enum route (and that the read touches a
+    strict subset of partitions) before returning, so a green oracle
+    certifies the ROUTING, not just the filter."""
+    store = _facade_store(sf_dir)
+    q = "SELECT row_id, lang FROM pages WHERE lang = 'fr'"
+    plan = store.explain(q)
+    assert plan["index"] == "enum", plan
+    assert plan["partitions_read"] < plan["partitions_total"], plan
+    return store.query(q)
 
 
 def q_gwql_scalar(sf_dir: str):
@@ -4519,12 +4551,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_hull": q_points_hull,            # distributed hull
         "s2_cell_encode": q_s2_cell_encode,      # true S2 ids
         "geohash_hist": q_geohash_hist,          # geohash binning
-        "xz_encode": q_xz_encode,                # XZ-order extents
         "bbox_hilbert_ranges": q_bbox_hilbert_ranges,  # range decompose
         "gwql_groupby": q_gwql_groupby,          # GWQL GROUP BY
         "gwql_cast_pip": q_gwql_cast_pip,        # GWQL CAST/PIP
         "gwql_spatial_temporal": q_gwql_spatial_temporal,  # BBOX/INTERSECTS/DURING
         "datastore_api": q_datastore_api,  # DataStore facade (api/DataStore.java)
+        "datastore_planned": q_datastore_planned,  # facade chooseBestIndex
         "docs_curate": q_docs_curate,  # composed curation chain
         "cql_spatial": q_cql_spatial,            # CQL spatial filter
         "temporal_expr": q_temporal_expr,        # temporal expr AST
@@ -4556,6 +4588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": q_tile_pyramid,          # re-pyramid
         "cms_counts": q_cms_counts,              # Count-Min sketch
         "gwql_delete": q_gwql_delete,            # GWQL DELETE
+        "xz_encode": q_xz_encode,                # XZ-order extents
         # SFC / cell encoding
         "s2_hist": q_s2_hist,
         # spatial joins
@@ -6657,6 +6690,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_id, lang FROM {PAGES}
             WHERE lon BETWEEN -30 AND 40 AND lat BETWEEN -20 AND 35
               AND lang = 'en'
+        """,
+        "datastore_planned": f"""
+            SELECT row_id, lang FROM {PAGES} WHERE lang = 'fr'
         """,
         "gwql_cast_pip": f"""
             WITH e(x1, y1, x2, y2) AS (VALUES

@@ -157,6 +157,90 @@ class DataStore:
             return list(meta.get(type_name, {}).get("indices", []))
         return sorted({i for t in meta.values() for i in t.get("indices", [])})
 
+    # -- secondary indexes (createIndex / addIndex(AttributeIndex) role,
+    #    ``core/store/api/DataStore.java`` + AttributeIndex.java /
+    #    EnumIndexStrategy.java) -----------------------------------------
+    def _idx_dir(self, type_name: str, column: str, kind: str) -> str:
+        return os.path.join(self._type_dir(type_name), "_idx",
+                            f"{kind}_{column}")
+
+    def add_index(self, type_name: str, column: str, kind: str = "attribute",
+                  terms: list[str] | None = None) -> None:
+        """Build a secondary index over the CURRENT data and register
+        it; every later append (writer flush or bulk ingest) extends it
+        with a per-group subtree, so routed queries never go stale.
+
+        ``kind='attribute'`` — column-sorted parquet, row-group pruning
+        (AttributeIndex role). ``kind='enum'`` — declared-enumeration
+        partition tree, one-directory lookups (EnumIndexStrategy role);
+        ``terms`` defaults to the column's current distinct values.
+        """
+        meta = self._load_meta()
+        if type_name not in meta:
+            raise KeyError(f"unknown type {type_name!r}")
+        if kind not in ("attribute", "enum"):
+            raise ValueError(f"unknown index kind {kind!r}")
+        idx = self._idx_dir(type_name, column, kind)
+        if kind == "enum" and terms is None:
+            terms = sorted(self._scan(type_name, columns=[column]).unique(column))
+        for g in self._groups(type_name):
+            self._extend_index(g, column, kind, idx, terms)
+        key = "attr_indexes" if kind == "attribute" else "enum_indexes"
+        entry = meta[type_name].setdefault(key, {})
+        entry[column] = (
+            {"dir": idx, "terms": terms} if kind == "enum" else idx
+        )
+        meta[type_name].setdefault("indices", []).append(f"{kind}:{column}")
+        self._save_meta(meta)
+
+    @staticmethod
+    def _extend_index(group_dir: str, column: str, kind: str,
+                      idx_dir: str, terms: list[str] | None) -> None:
+        """One per-group index subtree (deterministic name -> a replay
+        rewrites instead of duplicating), built by a streaming re-read
+        of the group's already-written parquet."""
+        import ray.data
+
+        gname = os.path.basename(group_dir).split("=", 1)[1]
+        sub = os.path.join(idx_dir, f"g_{gname}")
+        if kind == "enum":
+            from .text_index import build_enum_index
+
+            build_enum_index(
+                ray.data.read_parquet(group_dir), terms, sub, value_col=column
+            )
+            return
+        tmp = sub + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.data.read_parquet(group_dir).sort(column).write_parquet(
+            tmp, row_group_size=10_000
+        )
+        shutil.rmtree(sub, ignore_errors=True)
+        os.replace(tmp, sub)
+
+    def _maintain_indexes(self, type_name: str, group_dir: str) -> None:
+        cfg = self.get_type(type_name)
+        for col, idx in cfg.get("attr_indexes", {}).items():
+            self._extend_index(group_dir, col, "attribute", idx, None)
+        for col, ent in cfg.get("enum_indexes", {}).items():
+            self._extend_index(group_dir, col, "enum", ent["dir"],
+                               ent["terms"])
+
+    def _catalog(self, type_name: str):
+        """The planner Catalog for one type (chooseBestIndex input)."""
+        from .pipelines.planner import Catalog
+
+        cfg = self.get_type(type_name)
+        return Catalog(
+            spatial_store=self._type_dir(type_name),
+            attr_indexes=dict(cfg.get("attr_indexes", {})),
+            enum_indexes={
+                c: (e["dir"], e["terms"])
+                for c, e in cfg.get("enum_indexes", {}).items()
+            },
+            table_dir=self._type_dir(type_name),
+        )
+
     def remove_type(self, type_name: str) -> None:
         """``removeType``: drop the type's data and registration."""
         meta = self._load_meta()
@@ -252,6 +336,7 @@ class DataStore:
             {"input_file": os.path.basename(dest), "file_rows": rows,
              "group_rows": rows, "output_dir": dest, "cell_histogram": hist},
         )
+        self._maintain_indexes(type_name, dest)
         return dest
 
     def create_writer(self, type_name: str, flush_rows: int = 500_000) -> Writer:
@@ -420,6 +505,7 @@ class DataStore:
         stmt = gw.parse(gwql_str)  # table routing; re-parsed with geom below
         cfg = self.get_type(stmt.table)
         box = self._safe_bbox_conjunct(gwql_str)
+        attr = None if box is not None else self._safe_attr_conjunct(gwql_str)
         if box is not None:
             from .pipelines.query import read_pages_pruned_multi
 
@@ -428,7 +514,26 @@ class DataStore:
                 tier=cfg["tier"], n_buckets=cfg["n_buckets"],
             )
         else:
-            src = self._scan(stmt.table, columns=columns)
+            src = None
+            if attr is not None:
+                # non-spatial predicate: let the planner pick a
+                # secondary index (chooseBestIndex role —
+                # BaseDataStoreUtils.java:1004-1150 at the user
+                # surface). Routed reads are supersets; the full WHERE
+                # still runs as the fine filter below.
+                from .pipelines.planner import (
+                    Constraints, choose_best_index, plan_read,
+                )
+
+                c = Constraints(attr=(attr[0], [attr[1]]))
+                cat = self._catalog(stmt.table)
+                if choose_best_index(c, cat) in ("enum", "attribute"):
+                    need = columns
+                    if need is not None:
+                        need = sorted(set(need) | {attr[0]})
+                    src, _info = plan_read(c, cat, columns=need)
+            if src is None:
+                src = self._scan(stmt.table, columns=columns)
         return gw.execute_stmt(
             gw.parse(gwql_str, geom=(cfg["lon_col"], cfg["lat_col"])),
             {stmt.table: src},
@@ -479,6 +584,64 @@ class DataStore:
         if not mb:
             return None
         return tuple(float(mb.group(i)) for i in range(1, 5))
+
+    @staticmethod
+    def _safe_attr_conjunct(gwql_str: str):
+        """(col, value) when the WHERE clause STARTS with an equality
+        on a plain column (``col = <literal>``) and contains no
+        top-level OR — the only shape where serving rows from a
+        secondary index cannot drop rows another disjunct would match.
+        Conservative: anything else returns None (full scan)."""
+        import re
+
+        gwql_scan = re.sub(
+            r"'(?:[^']|'')*'",
+            lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
+            gwql_str,
+        )
+        m = re.search(r"\bWHERE\b(.*?)(\bORDER\b|\bLIMIT\b|\bGROUP\b|$)",
+                      gwql_scan, re.IGNORECASE | re.DOTALL)
+        if not m:
+            return None
+        where = m.group(1)
+        depth = 0
+        for tok in re.findall(r"[()]|\bOR\b", where, re.IGNORECASE):
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                return None
+        ma = re.match(r"\s*(\w+)\s*=\s*('|-?[\d.]+)", where)
+        if not ma:
+            return None
+        col = ma.group(1)
+        if ma.group(2) != "'":
+            raw = ma.group(2)
+            return col, (float(raw) if "." in raw else int(raw))
+        # string literal: slice it out of the ORIGINAL text (blanking
+        # preserved every offset) and undo the '' escape
+        start = m.start(1) + ma.start(2)
+        ml = re.match(r"'(?:[^']|'')*'", gwql_str[start:])
+        if not ml:
+            return None
+        return col, ml.group(0)[1:-1].replace("''", "'")
+
+    def explain(self, gwql_str: str) -> dict:
+        """``geowave explain`` at the facade: the route query() WOULD
+        take plus its pruning evidence, without reading data."""
+        from . import gwql as gw
+        from .pipelines.planner import Constraints
+        from .pipelines.planner import explain as plan_explain
+
+        stmt = gw.parse(gwql_str)
+        box = self._safe_bbox_conjunct(gwql_str)
+        attr = None if box is not None else self._safe_attr_conjunct(gwql_str)
+        c = Constraints(
+            boxes=[box] if box is not None else None,
+            attr=(attr[0], [attr[1]]) if attr is not None else None,
+        )
+        return plan_explain(c, self._catalog(stmt.table))
 
     def query_cql(self, type_name: str, cql_text: str, columns=None):
         """CQL filter over a type (CQLQuery role)."""

@@ -41,6 +41,10 @@ class Catalog:
     st_store: str | None = None
     st_bias: str = "BALANCED"
     attr_indexes: dict[str, str] = field(default_factory=dict)
+    # col -> (index_dir, sorted term list) — EnumIndexStrategy layout
+    # (text_index.build_enum_index partition tree, possibly one subtree
+    # per ingest group)
+    enum_indexes: dict[str, tuple] = field(default_factory=dict)
     table_dir: str | None = None
 
 
@@ -63,7 +67,16 @@ def choose_best_index(c: Constraints, cat: Catalog) -> str:
     spatial = bool(c.boxes)
     temporal = c.time is not None
     if c.attr is not None and not spatial and not temporal:
-        if c.attr[0] in cat.attr_indexes:
+        col = c.attr[0]
+        if len(c.attr) == 2 and col in cat.enum_indexes:
+            # enum partition prune beats row-group prune — but ONLY
+            # when every queried value is in the declared enumeration
+            # (EnumIndexStrategy skips out-of-enumeration rows, so a
+            # non-enumerated value must not be served from this index)
+            terms = set(cat.enum_indexes[col][1])
+            if all(v in terms for v in c.attr[1]):
+                return "enum"
+        if col in cat.attr_indexes:
             return "attribute"
         return "full_scan"
     if spatial and temporal and cat.st_store:
@@ -84,6 +97,27 @@ def plan_read(
     predicates still run downstream, identical for every route."""
     route = choose_best_index(c, cat)
     info: dict = {"index": route}
+
+    if route == "enum":
+        from ..text_index import enum_partition_files
+
+        col = c.attr[0]
+        idx_dir, terms = cat.enum_indexes[col]
+        files, read, total = enum_partition_files(idx_dir, terms, c.attr[1])
+        info["partitions_read"] = read
+        info["partitions_total"] = total
+        if not files:
+            # schema-correct empty: zero rows of any real partition
+            import glob as _g
+            import os as _os
+
+            allf = sorted(
+                _g.glob(_os.path.join(idx_dir, "**", "*.parquet"),
+                        recursive=True)
+            )
+            ds = ray.data.read_parquet(allf[:1], columns=columns).limit(0)
+            return ds, info
+        return ray.data.read_parquet(files, columns=columns), info
 
     if route == "attribute":
         import pyarrow.compute as pc
@@ -143,6 +177,14 @@ def explain(c: Constraints, cat: Catalog) -> dict:
     reads parquet FOOTERS only)."""
     route = choose_best_index(c, cat)
     info: dict = {"index": route}
+    if route == "enum":
+        from ..text_index import enum_partition_files
+
+        col = c.attr[0]
+        idx_dir, terms = cat.enum_indexes[col]
+        _, read, total = enum_partition_files(idx_dir, terms, c.attr[1])
+        info.update(partitions_read=read, partitions_total=total)
+        return info
     if route == "attribute":
         from ..sources.attribute_index import row_groups_scanned
 

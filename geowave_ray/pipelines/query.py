@@ -76,9 +76,12 @@ def _bucket_dirs(
         # interrupted rewrite) — only completed groups are data
         import re as _re
 
+        # completed groups are numeric writer appends or deterministic
+        # ``ing<hash>`` bulk-ingest groups (datastore._groups contract)
         hits = [
             d for d in hits
-            if _re.fullmatch(r"group=\d+", os.path.basename(os.path.dirname(d)))
+            if _re.fullmatch(r"group=(?:\d+|ing[0-9a-f]{12})",
+                             os.path.basename(os.path.dirname(d)))
             or not os.path.basename(os.path.dirname(d)).startswith("group=")
         ]
         for d in hits:

@@ -43,7 +43,9 @@ def row_groups_scanned(index_dir: str, column: str, lo, hi) -> tuple[int, int]:
     """(matching_row_groups, total_row_groups) from footer statistics —
     evidence that the sorted layout prunes (used by tests)."""
     match = total = 0
-    for path in glob.glob(os.path.join(index_dir, "*.parquet")):
+    for path in sorted(
+        glob.glob(os.path.join(index_dir, "**", "*.parquet"), recursive=True)
+    ):
         md = pq.read_metadata(path)
         arrow_names = md.schema.to_arrow_schema().names
         ci = arrow_names.index(column)

@@ -145,6 +145,39 @@ def build_enum_index(
     return terms_sorted
 
 
+def enum_partition_files(
+    index_dir: str,
+    terms_sorted: list[str],
+    values,
+) -> tuple[list[str], int, int]:
+    """Parquet files serving the given enumerated values, across a
+    flat ``enum_idx=N`` tree or per-ingest-group ``g_*/enum_idx=N``
+    subtrees (the DataStore facade appends one subtree per group).
+    Returns (files, partition_dirs_read, partition_dirs_total) — the
+    pruning evidence the planner's explain surfaces."""
+    import bisect
+    import glob
+    import os
+
+    wanted: set[int] = set()
+    for v in values:
+        i = bisect.bisect_left(terms_sorted, v)
+        if i < len(terms_sorted) and terms_sorted[i] == v:
+            wanted.add(i)
+    all_dirs = sorted(
+        glob.glob(os.path.join(index_dir, "enum_idx=*"))
+        + glob.glob(os.path.join(index_dir, "g_*", "enum_idx=*"))
+    )
+    files: list[str] = []
+    read = 0
+    for d in all_dirs:
+        idx = int(os.path.basename(d).split("=", 1)[1])
+        if idx in wanted:
+            read += 1
+            files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    return files, read, len(all_dirs)
+
+
 def search_enum(
     index_dir: str,
     terms_sorted: list[str],

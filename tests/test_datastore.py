@@ -314,3 +314,57 @@ def test_safe_bbox_conjunct_ignores_string_literals(store):
     q2 = ("SELECT pid FROM roads WHERE BBOX(geometry, -60, -30, 55, 40) "
           "AND kind = 'a or b'")
     assert DataStore._safe_bbox_conjunct(q2) == (-60.0, -30.0, 55.0, 40.0)
+
+
+def test_index_planning_routes_and_extends(store):
+    """Facade-level chooseBestIndex (VERDICT r4 #8,
+    BaseDataStoreUtils.java:1004-1150): a leading non-spatial equality
+    routes through the enum/attribute secondary index, appends extend
+    the index, non-enumerated values and disjunctions fall back, and a
+    BBOX-led conjunction still wins the spatial route."""
+    store.add_index("roads", "kind", kind="enum")
+    store.add_index("roads", "pid", kind="attribute")
+
+    q = "SELECT pid, kind FROM roads WHERE kind = 'b'"
+    plan = store.explain(q)
+    assert plan["index"] == "enum"
+    assert plan["partitions_read"] < plan["partitions_total"]
+    got = sorted(store.query(q).to_pandas()["pid"])
+    full = store._scan("roads").to_pandas()
+    assert got == sorted(full[full.kind == "b"]["pid"])
+
+    # attribute-index route for the numeric column
+    plan2 = store.explain("SELECT pid FROM roads WHERE pid = 17")
+    assert plan2["index"] == "attribute"
+    assert store.query(
+        "SELECT pid, kind FROM roads WHERE pid = 17"
+    ).to_pandas()["pid"].tolist() == [17]
+
+    # append through the writer: indexes must serve the new rows
+    t = _points(40, seed=9)
+    t = t.set_column(3, "kind", pa.array(["b"] * 40))
+    t = t.set_column(0, "pid", pa.array(np.arange(100000, 100040), pa.int64()))
+    with store.create_writer("roads") as w:
+        w.write(t)
+    got2 = store.query(q).to_pandas()
+    assert len(got2) == len(got) + 40
+
+    # non-enumerated value: enum index must NOT serve it
+    plan3 = store.explain("SELECT pid FROM roads WHERE kind = 'zz'")
+    assert plan3["index"] != "enum"
+
+    # disjunction: no index route (conservative full scan)
+    assert DataStore._safe_attr_conjunct(
+        "SELECT pid FROM roads WHERE kind = 'a' OR kind = 'b'"
+    ) is None
+    # literal containing OR is not a disjunction
+    assert DataStore._safe_attr_conjunct(
+        "SELECT pid FROM roads WHERE kind = 'a or b'"
+    ) == ("kind", "a or b")
+
+    # spatial predicate first: spatial route wins as before
+    plan4 = store.explain(
+        "SELECT pid FROM roads WHERE BBOX(geometry, 0, 0, 20, 20) "
+        "AND kind = 'a'"
+    )
+    assert plan4["index"] == "spatial"
