@@ -4147,6 +4147,83 @@ def q_geom_measures(sf_dir: str):
     return ds.map_batches(wkb_measures_batch, batch_format="pyarrow", batch_size=None)
 
 
+def q_png_decode_stats(sf_dir: str):
+    """Real PNG decode (sources/png.py — PNG 1.2 spec: chunk CRCs,
+    zlib scanlines, all five row filters, grey/RGB/RGBA) as an
+    actor-pool stage: per image the decoded dims and pixel sum/min/max.
+    Fixture pixels are the closed form (7*img_id + idx) % 251, so the
+    SQL oracle reproduces every value analytically via
+    generate_series — a green row proves the DECODER, not just the
+    plumbing (RasterDataAdapter ingest-decode role)."""
+    import ray.data
+
+    class PngStats:
+        def __init__(self):
+            from geowave_ray.sources.png import decode
+
+            self.decode = decode
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ws, hs, cs, sums, mins, maxs = [], [], [], [], [], []
+            for v in batch.column("png"):
+                img, meta = self.decode(v.as_py())
+                flat = img.reshape(-1).astype(np.int64)
+                ws.append(meta["width"])
+                hs.append(meta["height"])
+                cs.append(img.shape[2])
+                sums.append(int(flat.sum()))
+                mins.append(int(flat.min()))
+                maxs.append(int(flat.max()))
+            return pa.table(
+                {
+                    "img_id": batch.column("img_id"),
+                    "width": pa.array(ws, pa.int64()),
+                    "height": pa.array(hs, pa.int64()),
+                    "channels": pa.array(cs, pa.int64()),
+                    "px_sum": pa.array(sums, pa.int64()),
+                    "px_min": pa.array(mins, pa.int64()),
+                    "px_max": pa.array(maxs, pa.int64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/images.parquet", columns=["img_id", "png"]
+    )
+    return ds.map_batches(
+        PngStats, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
+def q_png_features(sf_dir: str):
+    """The multimodal decode stage fed by REAL PNG payloads
+    (multimodal.decode_features with decoder='png'): per image the
+    16-bin normalized intensity histogram, pivoted to columns so each
+    fraction is one IEEE division on both sides (hash-exact)."""
+    import ray.data
+
+    from geowave_ray.multimodal import decode_features
+
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/images.parquet", columns=["url", "png"]
+    )
+    feats = decode_features(ds, col="png", decoder="png", concurrency=2,
+                            batch_size=64)
+
+    def pivot(batch: pa.Table) -> pa.Table:
+        col = batch.column("feature")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as pc
+
+        m = pc.list_flatten(col).to_numpy(zero_copy_only=False).reshape(-1, 16)
+        out = {"url": batch.column("url")}
+        for k in range(16):
+            out[f"f{k}"] = pa.array(m[:, k], pa.float64())
+        return pa.table(out)
+
+    return feats.map_batches(pivot, batch_format="pyarrow", batch_size=None)
+
+
 def q_cql_geom_functions(sf_dir: str):
     """Geometry scalar functions inside (E)CQL filters (the GeoTools
     FilterFunction_area / FilterFunction_geomLength / getX(centroid())
@@ -4732,6 +4809,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geom_measures": q_geom_measures,
         "cql_geom_functions": q_cql_geom_functions,  # geometry fns in CQL
         "gwql_geom_scalars": q_gwql_geom_scalars,  # geometry fns in GWQL
+        "png_decode_stats": q_png_decode_stats,  # real PNG codec decode
+        "png_features": q_png_features,  # multimodal stage on real PNGs
         "twkb_roundtrip": q_twkb_roundtrip,
         "store_compact": q_store_compact,
         "store_copy_rebucket": q_store_copy_rebucket,
@@ -4942,6 +5021,7 @@ def oracle_sql() -> dict[str, str]:
     HREGIONS = f"read_parquet('{fx}/holed_regions.parquet')"
     HEDGES = f"read_parquet('{fx}/holed_edges.parquet')"
     TSEGS = f"read_parquet('{fx}/track_segments.parquet')"
+    IMAGES = f"read_parquet('{fx}/images.parquet')"
     CREGIONS = f"read_parquet('{fx}/concave_regions.parquet')"
     CEDGES = f"read_parquet('{fx}/concave_edges.parquet')"
 
@@ -7286,6 +7366,39 @@ def oracle_sql() -> dict[str, str]:
                    xmin + (CAST(cxn AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE))) / 10000.0 AS centroid_x,
                    ymin + (CAST(cyn AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE))) / 10000.0 AS centroid_y
             FROM s
+        """,
+        # PNG codec: fixture pixels are (7*img_id + idx) % 251 over the
+        # row-major sample index, so the decoded sums/min/max and the
+        # 16-bin histogram fractions are analytic — the oracle never
+        # touches the PNG bytes, proving the decode end-to-end.
+        "png_decode_stats": f"""
+            WITH px AS (
+              SELECT img_id, width, height, channels,
+                     unnest(generate_series(0, width*height*channels - 1)) AS idx
+              FROM {IMAGES}
+            )
+            SELECT img_id, any_value(width) AS width,
+                   any_value(height) AS height,
+                   any_value(channels) AS channels,
+                   CAST(sum((7*img_id + idx) % 251) AS BIGINT) AS px_sum,
+                   CAST(min((7*img_id + idx) % 251) AS BIGINT) AS px_min,
+                   CAST(max((7*img_id + idx) % 251) AS BIGINT) AS px_max
+            FROM px GROUP BY img_id
+        """,
+        "png_features": f"""
+            WITH px AS (
+              SELECT url, img_id, width*height*channels AS n,
+                     unnest(generate_series(0, width*height*channels - 1)) AS idx
+              FROM {IMAGES}
+            ), b AS (
+              SELECT url, n, ((7*img_id + idx) % 251) // 16 AS bin FROM px
+            )
+            SELECT url,
+                   {", ".join(
+                       f"CAST(sum(CASE WHEN bin = {k} THEN 1 ELSE 0 END) AS DOUBLE)"
+                       f" / any_value(n) AS f{k}" for k in range(16)
+                   )}
+            FROM b GROUP BY url
         """,
         # Geometry scalar functions (CQL filter-function / GWQL select
         # forms): same quantized-shoelace model as geom_measures, but

@@ -843,6 +843,44 @@ def gen_shapefiles(n_files: int) -> tuple[pa.Table, pa.Table]:
     return files, truth
 
 
+def gen_images(n_images: int) -> pa.Table:
+    """PNG image fixtures for the multimodal decode stage: pixels are
+    the closed form ``(7*img_id + idx) % 251`` over the row-major
+    (h, w, c) sample index, so a SQL oracle reproduces per-image pixel
+    sums analytically via generate_series — a green oracle proves the
+    DECODER (sources/png.py), not just the plumbing. Colour types
+    cycle grey/RGB/RGBA and the encoder cycles all five spec filters
+    per row."""
+    from .sources.png import encode
+
+    ids, urls, blobs, ws, hs, cs = [], [], [], [], [], []
+    for i in range(n_images):
+        w = 24 + 8 * (i % 3)
+        h = 16 + 8 * (i % 2)
+        c = [1, 3, 4][i % 3]
+        n = h * w * c
+        px = ((7 * np.int64(i) + np.arange(n, dtype=np.int64)) % 251).astype(
+            np.uint8
+        )
+        img = px.reshape(h, w, c)
+        blobs.append(encode(img, filter_type="cycle"))
+        ids.append(i)
+        urls.append(f"img://{i:06d}.png")
+        ws.append(w)
+        hs.append(h)
+        cs.append(c)
+    return pa.table(
+        {
+            "img_id": pa.array(ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "png": pa.array(blobs, pa.binary()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "channels": pa.array(cs, pa.int64()),
+        }
+    )
+
+
 def gen_avro_files(n_files: int) -> tuple[pa.Table, pa.Table]:
     """Avro object-container fixtures (bytes built by the module's own
     spec codec — ``sources/avro_io.py``; truth computed from the SOURCE
@@ -1579,6 +1617,9 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
         files, truth = gen_geotiffs(max(40, cfg["regions"] // 16))
         pq.write_table(files, gtf)
         pq.write_table(truth, os.path.join(out, "geotiff_truth.parquet"))
+    imf = os.path.join(out, "images.parquet")
+    if not os.path.exists(imf):
+        pq.write_table(gen_images(max(48, cfg["regions"] // 16)), imf)
     avf = os.path.join(out, "avro_files.parquet")
     if not os.path.exists(avf):
         files, truth = gen_avro_files(max(40, cfg["regions"] // 16))

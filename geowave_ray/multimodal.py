@@ -50,13 +50,26 @@ class BinaryDecoder:
         self.dim = dim
         if decoder == "real":
             raise NotImplementedError(
-                "no image/audio codecs in this environment; plug a real "
-                "decoder here (e.g. PIL.Image.open / soundfile.read) — "
-                "the batch plumbing below is decoder-agnostic"
+                "no external codec libs in this environment; use "
+                "decoder='png' (pure-Python sources/png.py) for PNG "
+                "payloads, or plug PIL / soundfile here — the batch "
+                "plumbing below is decoder-agnostic"
             )
+        if decoder not in ("fake", "png"):
+            raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
+        if self.decoder == "png":
+            # REAL decode (sources/png.py): per-pixel intensity
+            # histogram of the decoded samples, normalized — same
+            # feature layout as the fake path, real codec work.
+            from .sources.png import decode as png_decode
+
+            img, _meta = png_decode(payload)
+            flat = img.reshape(-1)
+            hist = np.bincount(flat >> 4, minlength=self.dim).astype(np.float64)
+            return hist / len(flat)
         arr = np.frombuffer(payload, dtype=np.uint8)
         if len(arr) == 0:
             return np.zeros(self.dim, dtype=np.float64)

@@ -1,0 +1,204 @@
+"""Pure-Python PNG codec (stdlib zlib + numpy) — the real decode
+kernel behind the multimodal binary-column stages.
+
+Implements the published PNG 1.2 specification (RFC 2083 / W3C
+PNG): 8-byte signature, chunk framing with CRC-32, IHDR/PLTE/IDAT/
+IEND, zlib-compressed scanlines with the five per-row filter types
+(None/Sub/Up/Average/Paeth), bit depth 8, colour types 0 (grey),
+2 (RGB), 3 (palette), 4 (grey+alpha) and 6 (RGBA), interlace none.
+The reference reaches image decode through GeoTools/ImageIO
+(``extensions/adapters/raster/.../RasterDataAdapter.java`` ingest
+path); this module plays that role for the Ray-side multimodal
+pipeline (``geowave_ray/multimodal.py``) with the same discipline as
+``sources/geotiff.py``: wire format from the public spec, vectorized
+unfiltering, hand-checkable golden vectors in tests.
+
+Unfiltering is vectorized per row: filters 0/2 are whole-row numpy
+ops, Sub is a per-lane modular prefix sum, Average/Paeth walk pixels
+within the row with numpy lane arithmetic (the spec's left-neighbour
+recurrence is inherently sequential along a scanline).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+# colour type -> samples per pixel
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (spec section 6.6)."""
+    a16 = a.astype(np.int16)
+    b16 = b.astype(np.int16)
+    c16 = c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa = np.abs(p - a16)
+    pb = np.abs(p - b16)
+    pc = np.abs(p - c16)
+    out = np.where((pa <= pb) & (pa <= pc), a16, np.where(pb <= pc, b16, c16))
+    return out.astype(np.uint8)
+
+
+def encode(img: np.ndarray, filter_type: int | str = 0,
+           palette: np.ndarray | None = None) -> bytes:
+    """uint8 image -> PNG bytes.
+
+    ``img``: (H, W) grey, (H, W, 2) grey+alpha, (H, W, 3) RGB or
+    (H, W, 4) RGBA; with ``palette`` (N<=256, 3) the (H, W) image is
+    written as colour type 3 indices. ``filter_type``: 0-4 applied to
+    every row, or ``"cycle"`` (row i uses filter i % 5 — exercises
+    every decode path)."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode expects uint8 samples")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if palette is not None:
+        if ch != 1:
+            raise ValueError("palette encoding needs a single index plane")
+        color = 3
+    else:
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch  # bytes per pixel at depth 8
+    raw = img.reshape(h, w * ch)
+    lines = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        ft = (y % 5) if filter_type == "cycle" else int(filter_type)
+        row = raw[y]
+        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = row - left
+        elif ft == 2:
+            enc = row - prev
+        elif ft == 3:
+            enc = row - ((left.astype(np.uint16) + prev) // 2).astype(np.uint8)
+        elif ft == 4:
+            enc = row - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"bad filter {ft}")
+        lines.append(ft)
+        lines.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    out = [_SIG, _chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        out.append(_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes()))
+    out.append(_chunk(b"IDAT", zlib.compress(bytes(lines))))
+    out.append(_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def decode(buf: bytes) -> tuple[np.ndarray, dict]:
+    """PNG bytes -> (uint8 array (H, W, C), meta dict).
+
+    Palette images are expanded to RGB. Verifies the signature and
+    every chunk CRC; rejects interlaced and non-8-bit files with a
+    clear error (the supported profile is documented above)."""
+    if buf[:8] != _SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    color = depth = None
+    palette = None
+    idat = bytearray()
+    while pos < len(buf):
+        (length,) = struct.unpack(">I", buf[pos:pos + 4])
+        tag = buf[pos + 4:pos + 8]
+        payload = buf[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth} (8 only)")
+            if color not in _CHANNELS:
+                raise ValueError(f"unsupported colour type {color}")
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported compression/filter method")
+            if interlace != 0:
+                raise ValueError("Adam7 interlace not supported")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG: missing IHDR")
+    ch = _CHANNELS[color]
+    bpp = ch
+    stride = width * ch
+    data = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if len(data) != height * (stride + 1):
+        raise ValueError("PNG: scanline payload size mismatch")
+    data = data.reshape(height, stride + 1)
+    filters = data[:, 0]
+    rows = data[:, 1:]
+    out = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(height):
+        ft = int(filters[y])
+        row = rows[y]
+        if ft == 0:
+            cur = row.copy()
+        elif ft == 1:  # Sub: per-lane modular prefix sum
+            lanes = row.reshape(width, bpp)
+            cur = np.cumsum(lanes.astype(np.uint64), axis=0).astype(
+                np.uint8
+            ).reshape(stride)
+        elif ft == 2:  # Up
+            cur = row + prev
+        elif ft == 3:  # Average: left-recurrence walks pixels in the row
+            cur = np.empty(stride, np.uint8)
+            left = np.zeros(bpp, np.uint16)
+            for x in range(width):
+                s = slice(x * bpp, (x + 1) * bpp)
+                cur[s] = row[s] + (
+                    (left + prev[s]) // 2
+                ).astype(np.uint8)
+                left = cur[s].astype(np.uint16)
+            cur = cur
+        elif ft == 4:  # Paeth
+            cur = np.empty(stride, np.uint8)
+            left = np.zeros(bpp, np.uint8)
+            upleft = np.zeros(bpp, np.uint8)
+            for x in range(width):
+                s = slice(x * bpp, (x + 1) * bpp)
+                cur[s] = row[s] + _paeth(left, prev[s], upleft)
+                left = cur[s]
+                upleft = prev[s].copy()
+            cur = cur
+        else:
+            raise ValueError(f"PNG: bad filter type {ft} in row {y}")
+        out[y] = cur
+        prev = out[y]
+    img = out.reshape(height, width, ch)
+    meta = {"width": width, "height": height, "color_type": color,
+            "channels": 3 if color == 3 else ch}
+    if color == 3:
+        if palette is None:
+            raise ValueError("PNG: palette image without PLTE")
+        img = palette[img[:, :, 0]]
+    return img, meta
