@@ -121,3 +121,55 @@ def test_nodata_merge_latest_wins_holes_fill(ray_session):
     assert n_checked > 0
     # and the rule actually exercised both branches in this fixture
     assert (new == nodata).any() and (old == nodata).any()
+
+def test_raster_store_coverage_statistics(tmp_path, ray_session):
+    """Per-coverage manifest statistics (RasterFootprint/Overview/
+    Histogram roles): ingest emits mergeable partials; statistics()
+    and histogram() serve from the manifest with ZERO data reads
+    (asserted by deleting the data dir first); multiband chunks
+    histogram per band."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.fixtures import gen_raster_chunks_mb
+    from geowave_ray.pipelines.tiles import RasterStore
+
+    chunks = gen_raster_chunks_mb(24)
+    store = RasterStore(str(tmp_path / "rstore"))
+    # multiple small blocks so the manifest merge path actually merges
+    store.ingest(ray.data.from_arrow(chunks).repartition(5))
+
+    # brute-force expectations from the fixture table
+    ids = [int(c[1:]) for c in chunks.column("chunk_id").to_pylist()]
+    covs = [f"cov{i % 4}" for i in ids]
+    pix = [np.asarray(p.as_py()) for p in chunks.column("pixels")]
+    bands = chunks.column("bands").to_numpy()
+
+    shutil.rmtree(tmp_path / "rstore" / "data")  # stats must not read data
+    st = store.statistics().to_pandas().set_index("coverage")
+    hi = store.histogram().to_pandas()
+
+    for cov in sorted(set(covs)):
+        sel = [k for k, c in enumerate(covs) if c == cov]
+        allpx = np.concatenate([pix[k] for k in sel])
+        row = st.loc[cov]
+        assert row["n_chunks"] == len(sel)
+        assert row["px_count"] == sum(len(pix[k]) for k in sel)
+        assert row["px_sum"] == float(allpx.sum())
+        assert row["px_min"] == allpx.min() and row["px_max"] == allpx.max()
+        assert row["xmin"] == min(chunks.column("xmin")[k].as_py() for k in sel)
+        # per-band histogram vs brute force
+        for band in range(int(bands[sel[0]])):
+            want = np.zeros(97, np.int64)
+            for k in sel:
+                pb = pix[k].reshape(int(bands[k]), -1)[band]
+                want += np.bincount(
+                    np.clip(pb.astype(np.int64), 0, 96), minlength=97
+                )
+            got = hi[(hi.coverage == cov) & (hi.band == band)]
+            gv = np.zeros(97, np.int64)
+            gv[got["bin"].to_numpy()] = got["bin_count"].to_numpy()
+            assert np.array_equal(gv, want), (cov, band)
