@@ -122,7 +122,29 @@ def main(argv=None) -> int:
                      help="max records per poll (Kafka batchSize role)")
     pkc.add_argument("--max-polls", type=int, default=None)
 
+    psv = sub.add_parser(
+        "serve", help="JSON-over-HTTP service over a DataStore root "
+        "(services/rest role)"
+    )
+    psv.add_argument("store_root")
+    psv.add_argument("--port", type=int, default=8080)
+    psv.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
+    if args.cmd == "serve":
+        import time as _time
+
+        from .service import serve
+
+        _session(args.num_cpus)
+        srv, port = serve(args.store_root, port=args.port)
+        print(json.dumps({"listening": port}), flush=True)
+        try:
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.shutdown()
+        return 0
     if args.cmd == "explain":  # driver-side only: routing + footer math
         from .pipelines.planner import Catalog, Constraints, explain
 

@@ -736,6 +736,9 @@ class DataStore:
         # cannot be patched per-group — rebuild the statistics from the
         # rewritten footers (RecalculateStatsCommand discipline)
         self._rebuild_manifest(type_name)
+        # rewritten groups invalidate their secondary-index subtrees
+        for group in self._groups(type_name):
+            self._maintain_indexes(type_name, group)
         return deleted
 
     def _rebuild_manifest(self, type_name: str) -> None:
