@@ -4680,8 +4680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_expr": q_temporal_expr,        # temporal expr AST
         "hll_distinct": q_hll_distinct,          # HLL sketch
         "kafka_ingest": q_kafka_ingest,  # spool streaming ingest (Kafka role)
-        "bloom_membership": q_bloom_membership,  # Bloom filter
-        "value_histogram": q_value_histogram,    # FixedBinHistogram
+        "png_decode_stats": q_png_decode_stats,  # real PNG codec (NEW r5)
+        "raster_coverage_stats": q_raster_coverage_stats,  # manifest stats (NEW r5)
         "events_median": q_events_median,        # exact kth statistic
         "time_range_agg": q_time_range_agg,      # TimeRange agg
         "optimal_count": q_optimal_count,        # stats-backed count
@@ -4705,6 +4705,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bounded": q_knn_bounded,            # kNN + maxDistance
         "tile_pyramid": q_tile_pyramid,          # re-pyramid
         "cms_counts": q_cms_counts,              # Count-Min sketch
+        "bloom_membership": q_bloom_membership,  # Bloom filter
+        "value_histogram": q_value_histogram,    # FixedBinHistogram
         "gwql_delete": q_gwql_delete,            # GWQL DELETE
         "xz_encode": q_xz_encode,                # XZ-order extents
         # SFC / cell encoding
