@@ -4188,6 +4188,52 @@ def q_raster_coverage_hist(sf_dir: str):
     return ray.data.from_arrow(_raster_store(sf_dir).histogram())
 
 
+def q_wav_decode_stats(sf_dir: str):
+    """Real WAV/RIFF PCM decode (sources/wav.py — published RIFF/WAVE
+    format: chunk framing, fmt/data, 8/16/24-bit PCM, word-aligned
+    skips) as an actor-pool stage: per clip the decoded frame count,
+    channels, rate and sample sum/extremes. Fixture samples are closed
+    form in (clip_id, index) so the SQL oracle is analytic — a green
+    row proves the audio DECODER (multimodal audio role)."""
+    import ray.data
+
+    class WavStats:
+        def __init__(self):
+            from geowave_ray.sources.wav import decode
+
+            self.decode = decode
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nf, chs, rates, sums, mins, maxs = [], [], [], [], [], []
+            for v in batch.column("wav"):
+                s, meta = self.decode(v.as_py())
+                flat = s.reshape(-1).astype(np.int64)
+                nf.append(meta["n_frames"])
+                chs.append(meta["channels"])
+                rates.append(meta["rate"])
+                sums.append(int(flat.sum()))
+                mins.append(int(flat.min()))
+                maxs.append(int(flat.max()))
+            return pa.table(
+                {
+                    "clip_id": batch.column("clip_id"),
+                    "n_frames": pa.array(nf, pa.int64()),
+                    "channels": pa.array(chs, pa.int64()),
+                    "rate": pa.array(rates, pa.int64()),
+                    "s_sum": pa.array(sums, pa.int64()),
+                    "s_min": pa.array(mins, pa.int64()),
+                    "s_max": pa.array(maxs, pa.int64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/audio.parquet", columns=["clip_id", "wav"]
+    )
+    return ds.map_batches(
+        WavStats, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
 def q_png_decode_stats(sf_dir: str):
     """Real PNG decode (sources/png.py — PNG 1.2 spec: chunk CRCs,
     zlib scanlines, all five row filters, grey/RGB/RGBA) as an
@@ -4646,7 +4692,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geotag_derive": q_geotag_derive,        # format/geotag parse
         "cell_encode": q_cell_encode,            # tiered SFC encode
         "cell_hist": q_cell_hist,                # binned aggregation
-        "cell_rank": q_cell_rank,                # KDE percentile rank
         "pip_join": q_pip_join,                  # broadcast PIP join
         "pip_join_cogroup": q_pip_join_cogroup,  # large-large cogroup
         "pip_join_copart": q_pip_join_copart,    # zero-shuffle copart
@@ -4680,6 +4725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_expr": q_temporal_expr,        # temporal expr AST
         "hll_distinct": q_hll_distinct,          # HLL sketch
         "kafka_ingest": q_kafka_ingest,  # spool streaming ingest (Kafka role)
+        "wav_decode_stats": q_wav_decode_stats,  # real WAV PCM codec (NEW r5)
         "png_decode_stats": q_png_decode_stats,  # real PNG codec (NEW r5)
         "raster_coverage_stats": q_raster_coverage_stats,  # manifest stats (NEW r5)
         "events_median": q_events_median,        # exact kth statistic
@@ -4708,6 +4754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_membership": q_bloom_membership,  # Bloom filter
         "value_histogram": q_value_histogram,    # FixedBinHistogram
         "gwql_delete": q_gwql_delete,            # GWQL DELETE
+        "cell_rank": q_cell_rank,                # KDE percentile rank
         "xz_encode": q_xz_encode,                # XZ-order extents
         # SFC / cell encoding
         "s2_hist": q_s2_hist,
@@ -5067,6 +5114,7 @@ def oracle_sql() -> dict[str, str]:
     HEDGES = f"read_parquet('{fx}/holed_edges.parquet')"
     TSEGS = f"read_parquet('{fx}/track_segments.parquet')"
     IMAGES = f"read_parquet('{fx}/images.parquet')"
+    AUDIO = f"read_parquet('{fx}/audio.parquet')"
     CREGIONS = f"read_parquet('{fx}/concave_regions.parquet')"
     CEDGES = f"read_parquet('{fx}/concave_edges.parquet')"
 
@@ -7449,6 +7497,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(v AS BIGINT) AS bin,
                    CAST(count(*) AS BIGINT) AS bin_count
             FROM p GROUP BY coverage, bin
+        """,
+        # WAV codec: fixture samples are closed-form in (clip_id, idx) —
+        # 8-bit clips store (11i+idx)%256 unsigned (decoder re-centres
+        # by -128), wider clips store (11i+idx)%20001 - 10000.
+        "wav_decode_stats": f"""
+            WITH p AS (
+              SELECT clip_id, width, channels, n_frames,
+                     unnest(generate_series(0, n_frames*channels - 1)) AS idx
+              FROM {AUDIO}
+            ), v AS (
+              SELECT clip_id, channels, n_frames,
+                     CASE WHEN width = 1
+                          THEN (11*clip_id + idx) % 256 - 128
+                          ELSE (11*clip_id + idx) % 20001 - 10000 END AS s
+              FROM p
+            )
+            SELECT clip_id, any_value(n_frames) AS n_frames,
+                   any_value(channels) AS channels,
+                   CAST(16000 AS BIGINT) AS rate,
+                   CAST(sum(s) AS BIGINT) AS s_sum,
+                   CAST(min(s) AS BIGINT) AS s_min,
+                   CAST(max(s) AS BIGINT) AS s_max
+            FROM v GROUP BY clip_id
         """,
         # PNG codec: fixture pixels are (7*img_id + idx) % 251 over the
         # row-major sample index, so the decoded sums/min/max and the

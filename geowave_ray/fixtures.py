@@ -881,6 +881,42 @@ def gen_images(n_images: int) -> pa.Table:
     )
 
 
+def gen_audio(n_clips: int) -> pa.Table:
+    """WAV PCM clip fixtures for the multimodal audio decode: samples
+    are closed-form in the clip id and frame index, so a SQL oracle
+    reproduces decoded sums/extremes analytically. Widths cycle
+    8/16/24-bit, channels cycle mono/stereo."""
+    from .sources.wav import encode
+
+    ids, urls, blobs, widths, chans, frames = [], [], [], [], [], []
+    for i in range(n_clips):
+        width = [1, 2, 3][i % 3]
+        ch = 1 + (i % 2)
+        n = 400 + 100 * (i % 3)
+        idx = np.arange(n * ch, dtype=np.int64)
+        if width == 1:
+            # stored unsigned; decoder re-centres to value-128
+            s = ((11 * np.int64(i) + idx) % 256).astype(np.int64)
+        else:
+            s = (((11 * np.int64(i) + idx) % 20001) - 10000).astype(np.int64)
+        blobs.append(encode(s.reshape(n, ch), rate=16000, sample_width=width))
+        ids.append(i)
+        urls.append(f"audio://{i:06d}.wav")
+        widths.append(width)
+        chans.append(ch)
+        frames.append(n)
+    return pa.table(
+        {
+            "clip_id": pa.array(ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "wav": pa.array(blobs, pa.binary()),
+            "width": pa.array(widths, pa.int64()),
+            "channels": pa.array(chans, pa.int64()),
+            "n_frames": pa.array(frames, pa.int64()),
+        }
+    )
+
+
 def gen_avro_files(n_files: int) -> tuple[pa.Table, pa.Table]:
     """Avro object-container fixtures (bytes built by the module's own
     spec codec — ``sources/avro_io.py``; truth computed from the SOURCE
@@ -1620,6 +1656,9 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
     imf = os.path.join(out, "images.parquet")
     if not os.path.exists(imf):
         pq.write_table(gen_images(max(48, cfg["regions"] // 16)), imf)
+    auf = os.path.join(out, "audio.parquet")
+    if not os.path.exists(auf):
+        pq.write_table(gen_audio(max(48, cfg["regions"] // 16)), auf)
     avf = os.path.join(out, "avro_files.parquet")
     if not os.path.exists(avf):
         files, truth = gen_avro_files(max(40, cfg["regions"] // 16))

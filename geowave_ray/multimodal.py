@@ -55,11 +55,28 @@ class BinaryDecoder:
                 "payloads, or plug PIL / soundfile here — the batch "
                 "plumbing below is decoder-agnostic"
             )
-        if decoder not in ("fake", "png"):
+        if decoder not in ("fake", "png", "wav"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
+        if self.decoder == "wav":
+            # REAL decode (sources/wav.py): value-range histogram of
+            # the decoded PCM samples — bits-aware integer binning so
+            # the feature is exact for any sample width.
+            from .sources.wav import decode as wav_decode
+
+            s, meta = wav_decode(payload)
+            flat = s.reshape(-1)
+            if meta["format"] == "float":
+                bins = np.clip(((flat + 1.0) * 8).astype(np.int64), 0,
+                               self.dim - 1)
+            else:
+                half = 1 << (meta["bits"] - 1)
+                bins = ((flat.astype(np.int64) + half) * self.dim) >> meta["bits"]
+                bins = np.clip(bins, 0, self.dim - 1)
+            hist = np.bincount(bins, minlength=self.dim).astype(np.float64)
+            return hist / len(flat)
         if self.decoder == "png":
             # REAL decode (sources/png.py): per-pixel intensity
             # histogram of the decoded samples, normalized — same
