@@ -221,10 +221,54 @@ def _codec_rows(fixture_root: str) -> list:
             # must still read the files; tiny dirs, /tmp-scoped
             pass
 
+    def q_codec_png(sf_dir):
+        import ray.data
+
+        from geowave_ray.sources.png import decode
+
+        files = ray.data.read_parquet(
+            os.path.join(fixture_root, "codec_pngs.parquet")
+        )
+
+        def dec(b: pa.Table) -> pa.Table:
+            tot = 0.0
+            for v in b.column("png"):
+                img, _ = decode(v.as_py())
+                tot += float(img.sum(dtype=np.int64))
+            return pa.table({
+                "px_sum": pa.array([tot], pa.float64()),
+                "files": pa.array([b.num_rows], pa.int64()),
+            })
+
+        return files.map_batches(dec, batch_format="pyarrow", batch_size=4)
+
+    def q_codec_wav(sf_dir):
+        import ray.data
+
+        from geowave_ray.sources.wav import decode
+
+        files = ray.data.read_parquet(
+            os.path.join(fixture_root, "codec_wavs.parquet")
+        )
+
+        def dec(b: pa.Table) -> pa.Table:
+            tot = 0
+            for v in b.column("wav"):
+                s, _ = decode(v.as_py())
+                tot += int(s.sum(dtype=np.int64))
+            return pa.table({
+                "s_sum": pa.array([tot], pa.int64()),
+                "files": pa.array([b.num_rows], pa.int64()),
+            })
+
+        return files.map_batches(dec, batch_format="pyarrow", batch_size=4)
+
     return [
         ("codec_geotiff_decode", q_codec_geotiff),
         ("codec_avro_parse", q_codec_avro),
         ("codec_spool_consume", q_codec_spool),
+        ("codec_png_decode", q_codec_png),
+        ("codec_wav_decode", q_codec_wav),
     ]
 
 

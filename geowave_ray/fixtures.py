@@ -2011,6 +2011,28 @@ def gen_codec_avro(j: int, n_rec: int = 40_000) -> bytes:
     return write_container(recs, schema, codec="deflate" if j % 2 else "null")
 
 
+def gen_codec_png(j: int, side: int = 256) -> bytes:
+    """256x256 RGB PNG with cycling row filters — the png codec's
+    volume fixture (~196 KB of samples per file)."""
+    from .sources.png import encode
+
+    n = side * side * 3
+    px = ((7 * np.int64(j) + np.arange(n, dtype=np.int64)) % 251).astype(
+        np.uint8
+    )
+    return encode(px.reshape(side, side, 3), filter_type="cycle")
+
+
+def gen_codec_wav(j: int, n_frames: int = 60_000) -> bytes:
+    """Stereo 16-bit PCM clip (~240 KB) — the wav codec's volume
+    fixture."""
+    from .sources.wav import encode
+
+    idx = np.arange(n_frames * 2, dtype=np.int64)
+    s = ((11 * np.int64(j) + idx) % 20001) - 10000
+    return encode(s.reshape(n_frames, 2), rate=16000, sample_width=2)
+
+
 def _gen_codec_volume(out: str, n_files: int) -> None:
     """codec_geotiffs.parquet + codec_avro.parquet volume fixtures
     (one row per file; bytes column) — Ray-parallel generation."""
@@ -2053,6 +2075,14 @@ def _gen_codec_volume(out: str, n_files: int) -> None:
     if not os.path.isdir(av):
         write_dir(av, "ca{:05d}.avro", "avro", gen_codec_avro,
                   list(range(max(16, n_files // 2))), per_file=2)
+    pg = os.path.join(out, "codec_pngs.parquet")
+    if not os.path.isdir(pg):
+        write_dir(pg, "cp{:05d}.png", "png", gen_codec_png,
+                  list(range(n_files)), per_file=4)
+    wv = os.path.join(out, "codec_wavs.parquet")
+    if not os.path.isdir(wv):
+        write_dir(wv, "cw{:05d}.wav", "wav", gen_codec_wav,
+                  list(range(n_files)), per_file=4)
 
 
 def _fill_sf1_tables(out: str, cfg: dict) -> None:
