@@ -4358,6 +4358,67 @@ def q_gwql_geom_scalars(sf_dir: str):
     )
 
 
+def q_cql_math_functions(sf_dir: str):
+    """Transcendental tier of the OGC filter-function catalog inside
+    (E)CQL (GeoTools FilterFunction_exp/log/pow/sin/atan2/toDegrees/
+    toRadians reached through CQLQueryFilter). Arrow's kernels and
+    DuckDB's SQL functions both call the host libm, so every
+    comparison is bit-exact — no rounding tolerance anywhere."""
+    from geowave_ray.cql import parse_cql
+
+    expr = parse_cql(
+        "exp(toRadians(value)) > 100.0 AND sin(value) > 0.0 "
+        "OR log(max(value, 1.0)) < 0.5 AND atan2(value, 10.0) < 0.1 "
+        "OR toDegrees(toRadians(value)) >= 489.0 AND pow(value, 2) > 200000.0"
+    )
+    ds = _read_testdata(sf_dir, "events", columns=["event_id", "value"])
+    return ds.map_batches(
+        lambda b: expr.filter_batch(b).select(["event_id", "value"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
+def q_gwql_scalar_functions(sf_dir: str):
+    """Round-5 GWQL select-list scalar tier: transcendental math,
+    DATEFORMAT (FilterFunction_dateFormat role, strftime codes shared
+    with DuckDB) and STRLENGTH, kernels shared with the CQL function
+    library (core/store/.../gwql/function/ extension point)."""
+    from geowave_ray import gwql
+
+    events = _read_testdata(
+        sf_dir, "events", columns=["event_id", "ts", "event_type", "value"]
+    )
+    return gwql.execute(
+        "SELECT event_id, EXP(TORADIANS(value)) AS exp_rad, "
+        "LOG(value) AS ln_v, POW(value, 2.0) AS v_sq, "
+        "ATAN2(value, 3.0) AS at2, SIN(value) AS sin_v, "
+        "DATEFORMAT('%Y-%m-%d %H', ts) AS hour_str, "
+        "STRLENGTH(event_type) AS type_len FROM events",
+        {"events": events},
+    )
+
+
+def q_gwql_geom_structure(sf_dir: str):
+    """Geometry structure scalars in GWQL (JTS getNumPoints /
+    getNumGeometries / getGeometryType, the GeoTools
+    FilterFunction_numPoints / numGeometries / geometryType roles):
+    ring closing vertices count, so a k-vertex fixture ring reports
+    k+1 points — the SQL oracle derives it from the edge table."""
+    import ray.data
+
+    from geowave_ray import gwql
+
+    regions = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/regions.parquet", columns=["region_id", "geometry_wkb"]
+    )
+    return gwql.execute(
+        "SELECT region_id, NUMPOINTS(geometry_wkb) AS n_points, "
+        "NUMGEOMETRIES(geometry_wkb) AS n_geoms, "
+        "GEOMETRYTYPE(geometry_wkb) AS geom_type FROM regions",
+        {"regions": regions},
+    )
+
+
 def q_twkb_roundtrip(sf_dir: str):
     """TWKB binary geometry codec (``core/geotime/.../util/TWKBWriter
     .java`` / ``TWKBReader.java``, published TWKB spec): regions WKB
@@ -4899,6 +4960,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geom_measures": q_geom_measures,
         "cql_geom_functions": q_cql_geom_functions,  # geometry fns in CQL
         "gwql_geom_scalars": q_gwql_geom_scalars,  # geometry fns in GWQL
+        "cql_math_functions": q_cql_math_functions,  # transcendental fns in CQL
+        "gwql_scalar_functions": q_gwql_scalar_functions,  # math/date/str in GWQL
+        "gwql_geom_structure": q_gwql_geom_structure,  # numPoints/type in GWQL
         "png_decode_stats": q_png_decode_stats,  # real PNG codec decode
         "png_features": q_png_features,  # multimodal stage on real PNGs
         "raster_coverage_stats": q_raster_coverage_stats,  # manifest stats
@@ -7624,6 +7688,37 @@ def oracle_sql() -> dict[str, str]:
                    v.x0 + (CAST(cxn AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE))) / 10000.0 AS centroid_x,
                    v.y0 + (CAST(cyn AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE))) / 10000.0 AS centroid_y
             FROM s JOIN v USING (region_id)
+        """,
+        # Transcendental filter-function tier: Arrow and DuckDB both
+        # call the host libm, so comparisons are bit-exact (verified:
+        # sin/cos/tan/exp/ln/pow/atan2/asin/acos/atan and the
+        # degrees/radians linear maps agree to the last ulp).
+        "cql_math_functions": """
+            SELECT event_id, value FROM events
+            WHERE (exp(radians(value)) > 100.0 AND sin(value) > 0.0)
+               OR (ln(greatest(value, 1.0)) < 0.5 AND atan2(value, 10.0) < 0.1)
+               OR (degrees(radians(value)) >= 489.0 AND pow(value, 2) > 200000.0)
+        """,
+        "gwql_scalar_functions": """
+            SELECT event_id, exp(radians(value)) AS exp_rad,
+                   ln(value) AS ln_v, pow(value, 2.0) AS v_sq,
+                   atan2(value, 3.0) AS at2, sin(value) AS sin_v,
+                   strftime(ts, '%Y-%m-%d %H') AS hour_str,
+                   CAST(length(event_type) AS BIGINT) AS type_len
+            FROM events
+        """,
+        # numPoints counts the ring-closing vertex (JTS getNumPoints),
+        # so a region whose edge table has k directed edges reports
+        # k + 1 points; fixture regions are single-ring polygons.
+        "gwql_geom_structure": f"""
+            SELECT r.region_id,
+                   e.ne + 1 AS n_points,
+                   CAST(1 AS BIGINT) AS n_geoms,
+                   'Polygon' AS geom_type
+            FROM {REGIONS} r
+            JOIN (SELECT region_id, count(*) AS ne
+                  FROM {REDGES} GROUP BY region_id) e
+              ON r.region_id = e.region_id
         """,
         # GeomDistance: per probe the nearest region under true polygon
         # distance. Every per-pair value is the SAME IEEE expression

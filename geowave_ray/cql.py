@@ -474,6 +474,58 @@ def _fn_centroid_y(g):
     return pa.array(y0 + (cy / (3.0 * a2)) / 10000.0, pa.float64())
 
 
+def _geom_structure(g):
+    """Per-row WKB structure scalars (JTS Geometry.getNumPoints /
+    getNumGeometries / getGeometryType semantics: ring closing
+    vertices count; a MultiPolygon's point count sums its parts)."""
+    from .formats import wkb_decode
+
+    a = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+    n = len(a)
+    npts = np.empty(n, np.int64)
+    ngeo = np.empty(n, np.int64)
+    gtyp = np.empty(n, object)
+    for i in range(n):
+        t, c = wkb_decode(a[i].as_py())
+        gtyp[i] = t
+        if t == "Point":
+            npts[i], ngeo[i] = 1, 1
+        elif t == "LineString":
+            npts[i], ngeo[i] = len(c), 1
+        elif t == "Polygon":
+            npts[i], ngeo[i] = sum(len(r) for r in c), 1
+        elif t == "MultiPoint":
+            npts[i], ngeo[i] = len(c), len(c)
+        elif t == "MultiLineString":
+            npts[i], ngeo[i] = sum(len(p) for p in c), len(c)
+        else:  # MultiPolygon
+            npts[i] = sum(len(r) for p in c for r in p)
+            ngeo[i] = len(c)
+    return npts, ngeo, gtyp
+
+
+def _fn_num_points(g):
+    npts, _, _ = _geom_structure(g)
+    return pa.array(npts, pa.int64())
+
+
+def _fn_num_geometries(g):
+    _, ngeo, _ = _geom_structure(g)
+    return pa.array(ngeo, pa.int64())
+
+
+def _fn_geometry_type(g):
+    _, _, gtyp = _geom_structure(g)
+    return pa.array(list(gtyp), pa.string())
+
+
+def _fn_date_format(fmt, d):
+    """GeoTools FilterFunction_dateFormat(format, date) — strftime
+    codes; shared semantics with DuckDB's strftime for oracle parity."""
+    f = fmt.as_py() if isinstance(fmt, pa.Scalar) else str(fmt)
+    return pc.strftime(d, format=f)
+
+
 _CQL_FUNCS = {
     "strtolowercase": (1, pc.utf8_lower),
     "strtouppercase": (1, pc.utf8_upper),
@@ -490,6 +542,7 @@ _CQL_FUNCS = {
     "strreplace": (3, lambda s, f, r: pc.replace_substring(
         s, f.as_py() if isinstance(f, pa.Scalar) else str(f),
         r.as_py() if isinstance(r, pa.Scalar) else str(r))),
+    "strcapitalize": (1, pc.utf8_title),
     "abs": (1, pc.abs),
     "ceil": (1, pc.ceil),
     "floor": (1, pc.floor),
@@ -497,12 +550,34 @@ _CQL_FUNCS = {
     "min": (2, pc.min_element_wise),
     "max": (2, pc.max_element_wise),
     "sqrt": (1, pc.sqrt),
+    # transcendental tier (FilterFunction_exp/log/pow/sin/... —
+    # glibc-backed in both Arrow and DuckDB, so oracle bit-exact)
+    "exp": (1, pc.exp),
+    "log": (1, pc.ln),
+    "pow": (2, pc.power),
+    "sin": (1, pc.sin),
+    "cos": (1, pc.cos),
+    "tan": (1, pc.tan),
+    "asin": (1, pc.asin),
+    "acos": (1, pc.acos),
+    "atan": (1, pc.atan),
+    "atan2": (2, pc.atan2),
+    "todegrees": (1, lambda a: pc.multiply(
+        pc.cast(a, pa.float64()), 180.0 / np.pi)),
+    "toradians": (1, lambda a: pc.multiply(
+        pc.cast(a, pa.float64()), np.pi / 180.0)),
+    "dateformat": (2, _fn_date_format),
     # geometry scalars over a WKB column (FilterFunction_area /
     # FilterFunction_geomLength / getX(centroid()) / getY(centroid()))
     "area": (1, _fn_geom_area),
     "geomlength": (1, _fn_geom_length),
     "centroidx": (1, _fn_centroid_x),
     "centroidy": (1, _fn_centroid_y),
+    # geometry structure tier (FilterFunction_numPoints /
+    # numGeometries / geometryType)
+    "numpoints": (1, _fn_num_points),
+    "numgeometries": (1, _fn_num_geometries),
+    "geometrytype": (1, _fn_geometry_type),
 }
 
 _BOOL_FUNCS = {"strstartswith", "strendswith", "strmatches"}

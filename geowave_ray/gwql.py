@@ -57,7 +57,15 @@ _KEYWORDS = {
 }
 _AGGS = {"COUNT", "MIN", "MAX", "SUM", "BBOX"}
 _FUNCS = {"CONTAINS", "STRSTARTSWITH", "STRENDSWITH", "ABS", "CONCAT", "PIP"}
-_SCALAR_FUNCS = ("ABS", "CONCAT", "AREA", "GEOMLENGTH", "CENTROIDX", "CENTROIDY")
+_SCALAR_FUNCS = (
+    "ABS", "CONCAT", "AREA", "GEOMLENGTH", "CENTROIDX", "CENTROIDY",
+    # round-5 tier-2 catalog: geometry structure, transcendental math,
+    # date formatting — kernels shared with the CQL function library
+    "NUMPOINTS", "NUMGEOMETRIES", "GEOMETRYTYPE",
+    "EXP", "LOG", "POW", "SQRT", "SIN", "COS", "TAN",
+    "ASIN", "ACOS", "ATAN", "ATAN2", "TODEGREES", "TORADIANS",
+    "DATEFORMAT", "STRLENGTH",
+)
 # GWQLSpatialTemporalExtensions.java:27-77 — spatial predicate
 # functions, temporal predicate functions, temporal infix operators
 _SPATIAL_PREDS = {
@@ -141,6 +149,29 @@ class _Parser:
         t, v = self.next()
         if v is None or v.upper() != kw:
             raise ValueError(f"GWQL: expected {kw}, got {v!r}")
+
+    def _func_args(self):
+        """Argument list of a select-list scalar function, after the
+        opening paren: columns, literals, or NESTED scalar calls
+        (``EXP(TORADIANS(value))``) as ("call", FNAME, args) nodes."""
+        args = []
+        while True:
+            ta, va = self.next()
+            if (
+                ta == "word"
+                and va.upper() in _SCALAR_FUNCS
+                and self.peek() == ("op", "(")
+            ):
+                self.next()  # (
+                args.append(("call", va.upper(), self._func_args()))
+            else:
+                args.append((ta, va))
+            tn, vn = self.next()
+            if tn == "op" and vn == ",":
+                continue
+            if tn == "op" and vn == ")":
+                return args
+            raise ValueError("GWQL: expected , or ) in function args")
 
     # --- select list --------------------------------------------------
     def parse(self) -> Select:
@@ -226,16 +257,7 @@ class _Parser:
                 # CENTROIDX / CENTROIDY over a WKB column, kernels
                 # shared with the CQL filter-function library)
                 self.next()  # (
-                args = []
-                while True:
-                    ta, va = self.next()
-                    args.append((ta, va))
-                    tn, vn = self.next()
-                    if tn == "op" and vn == ",":
-                        continue
-                    if tn == "op" and vn == ")":
-                        break
-                    raise ValueError("GWQL: expected , or ) in function args")
+                args = self._func_args()
                 alias = v.lower()
                 t3, v3 = self.peek()
                 if v3 and v3.upper() == "AS":
@@ -710,6 +732,17 @@ def execute_stmt(
                         _, fname, args, alias = c
 
                         def val(a):
+                            if a[0] == "call":  # nested scalar call
+                                _, fn2, args2 = a
+                                from .cql import _CQL_FUNCS
+
+                                arity2, kern2 = _CQL_FUNCS[fn2.lower()]
+                                if len(args2) != arity2:
+                                    raise ValueError(
+                                        f"GWQL: {fn2} takes {arity2} "
+                                        f"argument(s), got {len(args2)}"
+                                    )
+                                return kern2(*[val(x) for x in args2])
                             ta, va = a
                             if ta == "word":
                                 return b.column(va)
@@ -717,15 +750,18 @@ def execute_stmt(
                                 return pa.scalar(float(va) if "." in va else int(va))
                             return pa.scalar(va)
 
+                        from .cql import _CQL_FUNCS
+
                         if fname == "ABS":
                             cols[alias] = pc.abs(val(args[0]))
-                        elif fname in ("AREA", "GEOMLENGTH", "CENTROIDX",
-                                       "CENTROIDY"):
-                            from .cql import _CQL_FUNCS
-
-                            cols[alias] = _CQL_FUNCS[fname.lower()][1](
-                                val(args[0])
-                            )
+                        elif fname.lower() in _CQL_FUNCS:
+                            arity, kern = _CQL_FUNCS[fname.lower()]
+                            if len(args) != arity:
+                                raise ValueError(
+                                    f"GWQL: {fname} takes {arity} "
+                                    f"argument(s), got {len(args)}"
+                                )
+                            cols[alias] = kern(*[val(a) for a in args])
                         else:  # CONCAT: string-cast every arg, join
                             parts = [
                                 x

@@ -298,3 +298,127 @@ def test_gwql_geometry_scalars():
     row = out.take_all()[0]
     assert row["area"] == 12.0 and row["perimeter"] == 14.0
     assert row["cx"] == 4.0 and row["cy"] == 2.5
+
+
+def test_cql_math_functions_bit_exact():
+    """Transcendental tier (exp/log/pow/trig/atan2/toDegrees): Arrow
+    kernels match python libm bit-for-bit, and comparisons compose."""
+    import math
+
+    from geowave_ray.cql import parse_cql
+
+    vals = [0.01, 0.7, 1.5, 3.9, 250.0]
+    t = pa.table({"id": pa.array(range(len(vals))), "v": pa.array(vals)})
+
+    def run(q):
+        return parse_cql(q).filter_batch(t).column("id").to_pylist()
+
+    assert run("sin(v) > 0.0") == [
+        i for i, x in enumerate(vals) if math.sin(x) > 0.0
+    ]
+    assert run("log(exp(v)) >= 1.5") == [
+        i for i, x in enumerate(vals) if math.log(math.exp(x)) >= 1.5
+    ]
+    assert run("pow(v, 3) > 3.0") == [
+        i for i, x in enumerate(vals) if x ** 3 > 3.0
+    ]
+    assert run("atan2(v, 2.0) < 0.3") == [
+        i for i, x in enumerate(vals) if math.atan2(x, 2.0) < 0.3
+    ]
+    assert run("toDegrees(v) >= 85.0") == [
+        i for i, x in enumerate(vals) if math.degrees(x) >= 85.0
+    ]
+    assert run("toRadians(toDegrees(v)) = v") == list(range(len(vals)))
+    assert run("acos(min(v, 1.0)) <= asin(1.0)") == list(range(len(vals)))
+
+
+def test_cql_strcapitalize_and_dateformat():
+    import numpy as np
+
+    from geowave_ray.cql import parse_cql
+
+    t = pa.table(
+        {
+            "id": pa.array([0, 1, 2]),
+            "name": pa.array(["hello world", "FOO BAR", "miXed caSe"]),
+            "ts": pa.array(
+                [
+                    np.datetime64("2024-03-05T07:08:09"),
+                    np.datetime64("2024-12-31T23:59:59"),
+                    np.datetime64("2025-01-01T00:00:00"),
+                ]
+            ),
+        }
+    )
+    e = parse_cql("strCapitalize(name) = 'Foo Bar'")
+    assert e.filter_batch(t).column("id").to_pylist() == [1]
+    e2 = parse_cql("dateFormat('%Y-%m', ts) = '2024-03'")
+    assert e2.filter_batch(t).column("id").to_pylist() == [0]
+    e3 = parse_cql("dateFormat('%H:%M:%S', ts) = '23:59:59'")
+    assert e3.filter_batch(t).column("id").to_pylist() == [1]
+
+
+def test_geometry_structure_functions():
+    """numPoints/numGeometries/geometryType follow JTS semantics
+    (closing vertices count; MultiPolygon sums parts) across every
+    WKB geometry type, including the multi types the parquet-fixture
+    oracle never exercises."""
+    from geowave_ray.cql import parse_cql
+    from geowave_ray.formats import wkb_encode
+
+    sq = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    tri = [(5.0, 5.0), (6.0, 5.0), (5.0, 6.0), (5.0, 5.0)]
+    geoms = [
+        wkb_encode(("Point", (2.0, 3.0))),
+        wkb_encode(("LineString", [(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)])),
+        wkb_encode(("Polygon", [sq])),
+        wkb_encode(("Polygon", [sq, tri])),  # shell + hole
+        wkb_encode(("MultiPolygon", [[sq], [tri]])),
+    ]
+    t = pa.table(
+        {"id": pa.array(range(5)), "g": pa.array(geoms, pa.binary())}
+    )
+
+    def vals(q):
+        return parse_cql(q).filter_batch(t).column("id").to_pylist()
+
+    assert vals("numPoints(g) = 1") == [0]
+    assert vals("numPoints(g) = 3") == [1]
+    assert vals("numPoints(g) = 5") == [2]
+    assert vals("numPoints(g) = 9") == [3, 4]  # 5+4 both ways
+    assert vals("numGeometries(g) = 2") == [4]
+    assert vals("geometryType(g) = 'MultiPolygon'") == [4]
+    assert vals("geometryType(g) = 'Polygon'") == [2, 3]
+
+
+def test_gwql_nested_scalar_calls(ray_session):
+    """Nested select-list calls: EXP(TORADIANS(v)) parses and the
+    composition matches python math exactly."""
+    import math
+
+    import ray.data
+
+    from geowave_ray import gwql
+
+    t = pa.table({"id": pa.array([0, 1]), "v": pa.array([45.0, 180.0])})
+    out = gwql.execute(
+        "SELECT id, EXP(TORADIANS(v)) AS ev, STRLENGTH(DATEFORMAT('%Y', ts)) AS yl "
+        "FROM t",
+        {
+            "t": ray.data.from_arrow(
+                t.append_column(
+                    "ts",
+                    pa.array(
+                        [
+                            __import__("numpy").datetime64("2024-01-02T03:04:05"),
+                            __import__("numpy").datetime64("2025-06-07T08:09:10"),
+                        ]
+                    ),
+                )
+            )
+        },
+    )
+    rows = sorted(out.take_all(), key=lambda r: r["id"])
+    assert rows[0]["ev"] == math.exp(math.radians(45.0))
+    assert rows[1]["ev"] == math.exp(math.radians(180.0))
+    assert rows[0]["yl"] == 4 and rows[1]["yl"] == 4
