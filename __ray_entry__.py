@@ -4419,6 +4419,28 @@ def q_gwql_geom_structure(sf_dir: str):
     )
 
 
+def q_gwql_scalar_where(sf_dir: str):
+    """Scalar catalog functions in the GWQL WHERE clause (round 5:
+    the same 39-function library the select list uses, on either side
+    of a comparison): geometry measures + structure + string length
+    compose with boolean algebra. Same quantized-shoelace area model
+    as ``cql_geom_functions``, so the SQL oracle is bit-exact."""
+    import ray.data
+
+    from geowave_ray import gwql
+
+    regions = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/regions.parquet",
+        columns=["region_id", "category", "geometry_wkb"],
+    )
+    return gwql.execute(
+        "SELECT region_id, category FROM regions "
+        "WHERE AREA(geometry_wkb) > 2.0 AND NUMPOINTS(geometry_wkb) >= 7 "
+        "OR GEOMLENGTH(geometry_wkb) < 1.0 AND STRLENGTH(category) = 4",
+        {"regions": regions},
+    )
+
+
 def q_twkb_roundtrip(sf_dir: str):
     """TWKB binary geometry codec (``core/geotime/.../util/TWKBWriter
     .java`` / ``TWKBReader.java``, published TWKB spec): regions WKB
@@ -4963,6 +4985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cql_math_functions": q_cql_math_functions,  # transcendental fns in CQL
         "gwql_scalar_functions": q_gwql_scalar_functions,  # math/date/str in GWQL
         "gwql_geom_structure": q_gwql_geom_structure,  # numPoints/type in GWQL
+        "gwql_scalar_where": q_gwql_scalar_where,  # scalar fns in WHERE
         "png_decode_stats": q_png_decode_stats,  # real PNG codec decode
         "png_features": q_png_features,  # multimodal stage on real PNGs
         "raster_coverage_stats": q_raster_coverage_stats,  # manifest stats
@@ -7719,6 +7742,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT region_id, count(*) AS ne
                   FROM {REDGES} GROUP BY region_id) e
               ON r.region_id = e.region_id
+        """,
+        # Scalar functions in the GWQL WHERE clause: area/perimeter via
+        # the same quantized-shoelace edge-table model, numPoints via
+        # edge count + 1, strLength via length().
+        "gwql_scalar_where": f"""
+            WITH v AS (
+              SELECT region_id, min(least(x1, x2)) AS x0,
+                     min(least(y1, y2)) AS y0
+              FROM {REDGES} GROUP BY region_id
+            ), q AS (
+              SELECT e.region_id,
+                     CAST(floor((e.x1 - v.x0) * 10000 + 0.5) AS BIGINT) AS qx1,
+                     CAST(floor((e.y1 - v.y0) * 10000 + 0.5) AS BIGINT) AS qy1,
+                     CAST(floor((e.x2 - v.x0) * 10000 + 0.5) AS BIGINT) AS qx2,
+                     CAST(floor((e.y2 - v.y0) * 10000 + 0.5) AS BIGINT) AS qy2,
+                     CAST(floor(sqrt((e.x2 - e.x1) * (e.x2 - e.x1)
+                                   + (e.y2 - e.y1) * (e.y2 - e.y1)) * 1000000 + 0.5)
+                          AS BIGINT) AS len_u
+              FROM {REDGES} e JOIN v USING (region_id)
+            ), s AS (
+              SELECT region_id,
+                     sum(qx1 * qy2 - qx2 * qy1) AS a2,
+                     sum(len_u) AS plen,
+                     count(*) AS ne
+              FROM q GROUP BY region_id
+            ), m AS (
+              SELECT region_id,
+                     CAST(a2 AS DOUBLE) / 200000000.0 AS area,
+                     CAST(plen AS DOUBLE) / 1000000.0 AS perimeter,
+                     ne
+              FROM s
+            )
+            SELECT r.region_id, r.category
+            FROM {REGIONS} r JOIN m ON r.region_id = m.region_id
+            WHERE m.area > 2.0 AND m.ne + 1 >= 7
+               OR m.perimeter < 1.0 AND length(r.category) = 4
         """,
         # GeomDistance: per probe the nearest region under true polygon
         # distance. Every per-pair value is the SAME IEEE expression

@@ -41,6 +41,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .expr import Expr, col, lit
@@ -115,6 +117,28 @@ def tokenize(s: str) -> list[tuple[str, str]]:
             w = m.group("word")
             out.append(("kw" if w.upper() in _KEYWORDS else "word", w))
     return out
+
+
+def _eval_scalar(a, b):
+    """Evaluate a scalar node against an Arrow batch: ("call", F,
+    args) recurses through the shared CQL kernel catalog; ("word", c)
+    is a column; anything else is a literal."""
+    if a[0] == "call":
+        _, fn, args = a
+        from .cql import _CQL_FUNCS
+
+        arity, kern = _CQL_FUNCS[fn.lower()]
+        if len(args) != arity:
+            raise ValueError(
+                f"GWQL: {fn} takes {arity} argument(s), got {len(args)}"
+            )
+        return kern(*[_eval_scalar(x, b) for x in args])
+    ta, va = a
+    if ta == "word":
+        return b.column(va)
+    if ta == "num":
+        return pa.scalar(float(va) if "." in va else int(va))
+    return pa.scalar(va)
 
 
 @dataclass
@@ -355,6 +379,16 @@ class _Parser:
             _FUNCS | _SPATIAL_PREDS | _TEMPORAL_PREDS
         ):
             return self._func_predicate()
+        if (
+            t == "word"
+            and v.upper() in _SCALAR_FUNCS
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1] == ("op", "(")
+        ):
+            # scalar function on the LHS of a WHERE comparison
+            # (WHERE AREA(geom) > 2.0, WHERE STRLENGTH(t) >= 5) —
+            # same catalog/evaluator as the select list
+            return self._scalar_comparison()
         t, name = self.next()
         left = col(name)
         t, op = self.next()
@@ -412,6 +446,35 @@ class _Parser:
         if op == ">=":
             return left >= val
         raise ValueError(f"GWQL: unknown operator {op!r}")
+
+    def _scalar_operand(self):
+        """One side of a scalar WHERE comparison: a nested call node,
+        a column token, or a literal token."""
+        ta, va = self.next()
+        if (
+            ta == "word"
+            and va.upper() in _SCALAR_FUNCS
+            and self.peek() == ("op", "(")
+        ):
+            self.next()  # (
+            return ("call", va.upper(), self._func_args())
+        return (ta, va)
+
+    def _scalar_comparison(self) -> Expr:
+        left = self._scalar_operand()
+        t2, op = self.next()
+        kernels = {
+            "=": pc.equal, "<>": pc.not_equal, "!=": pc.not_equal,
+            "<": pc.less, "<=": pc.less_equal,
+            ">": pc.greater, ">=": pc.greater_equal,
+        }
+        if t2 != "op" or op not in kernels:
+            raise ValueError(
+                f"GWQL: expected comparison after scalar function, got {op!r}"
+            )
+        right = self._scalar_operand()
+        k = kernels[op]
+        return Expr(lambda b: k(_eval_scalar(left, b), _eval_scalar(right, b)))
 
     def _func_predicate(self) -> Expr:
         _, fn = self.next()
@@ -732,23 +795,7 @@ def execute_stmt(
                         _, fname, args, alias = c
 
                         def val(a):
-                            if a[0] == "call":  # nested scalar call
-                                _, fn2, args2 = a
-                                from .cql import _CQL_FUNCS
-
-                                arity2, kern2 = _CQL_FUNCS[fn2.lower()]
-                                if len(args2) != arity2:
-                                    raise ValueError(
-                                        f"GWQL: {fn2} takes {arity2} "
-                                        f"argument(s), got {len(args2)}"
-                                    )
-                                return kern2(*[val(x) for x in args2])
-                            ta, va = a
-                            if ta == "word":
-                                return b.column(va)
-                            if ta == "num":
-                                return pa.scalar(float(va) if "." in va else int(va))
-                            return pa.scalar(va)
+                            return _eval_scalar(a, b)
 
                         from .cql import _CQL_FUNCS
 

@@ -422,3 +422,41 @@ def test_gwql_nested_scalar_calls(ray_session):
     assert rows[0]["ev"] == math.exp(math.radians(45.0))
     assert rows[1]["ev"] == math.exp(math.radians(180.0))
     assert rows[0]["yl"] == 4 and rows[1]["yl"] == 4
+
+
+def test_gwql_scalar_where(ray_session):
+    """Scalar catalog functions on the LHS (or both sides) of WHERE
+    comparisons: AREA/STRLENGTH/EXP/TORADIANS/SIN/COS compose with
+    AND/OR exactly like plain column comparisons."""
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from geowave_ray import gwql
+    from geowave_ray.geom import polygon_wkb
+
+    ring = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 3.0], [0.0, 3.0]])
+    t = pa.table(
+        {
+            "region_id": pa.array(["r1", "r2"]),
+            "geometry_wkb": pa.array(
+                [polygon_wkb(ring), polygon_wkb(ring * 0.1)], pa.binary()
+            ),
+            "v": pa.array([50.0, 1.0]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = gwql.execute(
+        "SELECT region_id FROM t WHERE AREA(geometry_wkb) > 2.0 "
+        "AND STRLENGTH(region_id) >= 2 OR EXP(TORADIANS(v)) < 1.1",
+        {"t": ds},
+    )
+    assert sorted(r["region_id"] for r in out.take_all()) == ["r1", "r2"]
+    out2 = gwql.execute(
+        "SELECT region_id FROM t WHERE SIN(v) < COS(v)", {"t": ds}
+    )
+    expect = [
+        r for r, x in (("r1", 50.0), ("r2", 1.0)) if math.sin(x) < math.cos(x)
+    ]
+    assert sorted(r["region_id"] for r in out2.take_all()) == expect
