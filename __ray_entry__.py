@@ -4311,6 +4311,60 @@ def q_png_features(sf_dir: str):
     return feats.map_batches(pivot, batch_format="pyarrow", batch_size=None)
 
 
+def q_image_decode_multi(sf_dir: str):
+    """Format-sniffing multimodal decode over a MIXED image column:
+    GIF (plain + four-pass interlaced, variable-width LSB LZW incl.
+    the 12-bit overflow clear — sources/gif.py) and BMP (8-bit
+    palette bottom-up + 24-bit top-down with 4-byte row padding —
+    sources/bmp.py), dispatched per payload by magic bytes
+    (BinaryDecoder.sniff). Fixture pixels are closed-form, so the SQL
+    oracle reproduces per-image decoded sums/extremes analytically —
+    a green row proves BOTH decoders and the sniffer end-to-end
+    (RasterDataAdapter ingest-decode role for web-crawl payloads)."""
+    import ray.data
+
+    class ImgStats:
+        def __init__(self):
+            from geowave_ray.multimodal import BinaryDecoder
+            from geowave_ray.sources.bmp import decode as bmp_decode
+            from geowave_ray.sources.gif import decode as gif_decode
+
+            self.sniff = BinaryDecoder.sniff
+            self.dec = {"gif": gif_decode, "bmp": bmp_decode}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            kinds, ws, hs, sums, mins, maxs = [], [], [], [], [], []
+            for v in batch.column("payload"):
+                buf = v.as_py()
+                kind = self.sniff(buf)
+                img, meta = self.dec[kind](buf)
+                flat = img.reshape(-1).astype(np.int64)
+                kinds.append(kind)
+                ws.append(meta["width"])
+                hs.append(meta["height"])
+                sums.append(int(flat.sum()))
+                mins.append(int(flat.min()))
+                maxs.append(int(flat.max()))
+            return pa.table(
+                {
+                    "img_id": batch.column("img_id"),
+                    "kind": pa.array(kinds, pa.string()),
+                    "width": pa.array(ws, pa.int64()),
+                    "height": pa.array(hs, pa.int64()),
+                    "px_sum": pa.array(sums, pa.int64()),
+                    "px_min": pa.array(mins, pa.int64()),
+                    "px_max": pa.array(maxs, pa.int64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/web_images.parquet", columns=["img_id", "payload"]
+    )
+    return ds.map_batches(
+        ImgStats, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
 def q_cql_geom_functions(sf_dir: str):
     """Geometry scalar functions inside (E)CQL filters (the GeoTools
     FilterFunction_area / FilterFunction_geomLength / getX(centroid())
@@ -4808,7 +4862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_expr": q_temporal_expr,        # temporal expr AST
         "hll_distinct": q_hll_distinct,          # HLL sketch
         "kafka_ingest": q_kafka_ingest,  # spool streaming ingest (Kafka role)
-        "wav_decode_stats": q_wav_decode_stats,  # real WAV PCM codec (NEW r5)
+        "image_decode_multi": q_image_decode_multi,  # GIF+BMP sniffing decode (NEW r5)
         "png_decode_stats": q_png_decode_stats,  # real PNG codec (NEW r5)
         "raster_coverage_stats": q_raster_coverage_stats,  # manifest stats (NEW r5)
         "events_median": q_events_median,        # exact kth statistic
@@ -4986,7 +5040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gwql_scalar_functions": q_gwql_scalar_functions,  # math/date/str in GWQL
         "gwql_geom_structure": q_gwql_geom_structure,  # numPoints/type in GWQL
         "gwql_scalar_where": q_gwql_scalar_where,  # scalar fns in WHERE
-        "png_decode_stats": q_png_decode_stats,  # real PNG codec decode
+        "wav_decode_stats": q_wav_decode_stats,  # real WAV PCM codec
         "png_features": q_png_features,  # multimodal stage on real PNGs
         "raster_coverage_stats": q_raster_coverage_stats,  # manifest stats
         "raster_coverage_hist": q_raster_coverage_hist,  # manifest histogram
@@ -5201,6 +5255,7 @@ def oracle_sql() -> dict[str, str]:
     HEDGES = f"read_parquet('{fx}/holed_edges.parquet')"
     TSEGS = f"read_parquet('{fx}/track_segments.parquet')"
     IMAGES = f"read_parquet('{fx}/images.parquet')"
+    WEB_IMAGES = f"read_parquet('{fx}/web_images.parquet')"
     AUDIO = f"read_parquet('{fx}/audio.parquet')"
     CREGIONS = f"read_parquet('{fx}/concave_regions.parquet')"
     CEDGES = f"read_parquet('{fx}/concave_edges.parquet')"
@@ -7625,6 +7680,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min((7*img_id + idx) % 251) AS BIGINT) AS px_min,
                    CAST(max((7*img_id + idx) % 251) AS BIGINT) AS px_max
             FROM px GROUP BY img_id
+        """,
+        # GIF/BMP sniffing decode: palette formats carry indices
+        # (5*img_id + k) % 256 through the palette [j, 2j%256, 5j%256];
+        # the 24-bit BMP carries samples (7*img_id + k) % 253 — every
+        # decoded sum/extreme is analytic, the oracle never touches the
+        # payload bytes, proving LZW/interlace/padding/BGR end-to-end.
+        "image_decode_multi": f"""
+            WITH px AS (
+              SELECT img_id, fmt, width, height,
+                     unnest(generate_series(
+                       0, width*height*(CASE WHEN fmt = 'bmp24' THEN 3 ELSE 1 END) - 1
+                     )) AS k
+              FROM {WEB_IMAGES}
+            ), v AS (
+              SELECT img_id, fmt, width, height,
+                     (5*img_id + k) % 256 AS pidx,
+                     (7*img_id + k) % 253 AS tcol
+              FROM px
+            ), s AS (
+              SELECT img_id, fmt, width, height,
+                CASE WHEN fmt = 'bmp24' THEN tcol
+                     ELSE pidx + (2*pidx) % 256 + (5*pidx) % 256 END AS sval,
+                CASE WHEN fmt = 'bmp24' THEN tcol
+                     ELSE least(pidx, (2*pidx) % 256, (5*pidx) % 256) END AS minv,
+                CASE WHEN fmt = 'bmp24' THEN tcol
+                     ELSE greatest(pidx, (2*pidx) % 256, (5*pidx) % 256) END AS maxv
+              FROM v
+            )
+            SELECT img_id,
+                   CASE WHEN any_value(fmt) LIKE 'gif%' THEN 'gif'
+                        ELSE 'bmp' END AS kind,
+                   any_value(width) AS width, any_value(height) AS height,
+                   CAST(sum(sval) AS BIGINT) AS px_sum,
+                   CAST(min(minv) AS BIGINT) AS px_min,
+                   CAST(max(maxv) AS BIGINT) AS px_max
+            FROM s GROUP BY img_id
         """,
         "png_features": f"""
             WITH px AS (

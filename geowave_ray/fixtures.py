@@ -881,6 +881,63 @@ def gen_images(n_images: int) -> pa.Table:
     )
 
 
+def gen_web_images(n_images: int) -> pa.Table:
+    """Mixed-container web-image fixtures (GIF plain/interlaced,
+    BMP 8-bit bottom-up, BMP 24-bit top-down) for the format-sniffing
+    multimodal decode stage. Pixels are closed-form so a SQL oracle
+    reproduces decoded sums analytically: palette formats carry
+    indices ``(5*img_id + k) % 256`` through the palette
+    ``[j, (2j)%256, (5j)%256]``; the 24-bit BMP carries samples
+    ``(7*img_id + k) % 253`` over the row-major (h, w, rgb) index.
+    A green oracle proves the DECODERS (sources/gif.py LZW +
+    interlace, sources/bmp.py padding + BGR/row order), not just the
+    plumbing."""
+    from .sources.bmp import encode as bmp_encode
+    from .sources.gif import encode as gif_encode
+
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    j = np.arange(256, dtype=np.int64)
+    pal[:, 0] = j
+    pal[:, 1] = (2 * j) % 256
+    pal[:, 2] = (5 * j) % 256
+    fmts = ["gif", "gif_i", "bmp8", "bmp24"]
+    ids, urls, blobs, fs, ws, hs = [], [], [], [], [], []
+    for i in range(n_images):
+        w = 20 + 4 * (i % 5)
+        h = 12 + 4 * (i % 3)
+        fmt = fmts[i % 4]
+        if fmt == "bmp24":
+            n = h * w * 3
+            px = ((7 * np.int64(i) + np.arange(n, dtype=np.int64)) % 253)
+            blob = bmp_encode(px.astype(np.uint8).reshape(h, w, 3),
+                              top_down=bool(i % 2))
+        else:
+            n = h * w
+            idx = ((5 * np.int64(i) + np.arange(n, dtype=np.int64)) % 256)
+            idx = idx.astype(np.uint8).reshape(h, w)
+            if fmt == "bmp8":
+                blob = bmp_encode(idx, palette=pal)
+            else:
+                blob = gif_encode(idx, pal, interlace=(fmt == "gif_i"),
+                                  transparent=(3 if i % 5 == 0 else None))
+        ids.append(i)
+        urls.append(f"img://{i:06d}.{fmt.split('_')[0]}")
+        blobs.append(blob)
+        fs.append(fmt)
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "img_id": pa.array(ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "fmt": pa.array(fs, pa.string()),
+            "payload": pa.array(blobs, pa.binary()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+        }
+    )
+
+
 def gen_audio(n_clips: int) -> pa.Table:
     """WAV PCM clip fixtures for the multimodal audio decode: samples
     are closed-form in the clip id and frame index, so a SQL oracle
@@ -1659,6 +1716,9 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
     auf = os.path.join(out, "audio.parquet")
     if not os.path.exists(auf):
         pq.write_table(gen_audio(max(48, cfg["regions"] // 16)), auf)
+    wim = os.path.join(out, "web_images.parquet")
+    if not os.path.exists(wim):
+        pq.write_table(gen_web_images(max(48, cfg["regions"] // 16)), wim)
     avf = os.path.join(out, "avro_files.parquet")
     if not os.path.exists(avf):
         files, truth = gen_avro_files(max(40, cfg["regions"] // 16))

@@ -50,43 +50,75 @@ class BinaryDecoder:
         self.dim = dim
         if decoder == "real":
             raise NotImplementedError(
-                "no external codec libs in this environment; use "
-                "decoder='png' (pure-Python sources/png.py) for PNG "
-                "payloads, or plug PIL / soundfile here — the batch "
-                "plumbing below is decoder-agnostic"
+                "no external codec libs in this environment; use the "
+                "pure-Python codecs — decoder='png'/'gif'/'bmp'/'wav', "
+                "or 'image' (magic-byte dispatch) — or plug PIL / "
+                "soundfile here: the batch plumbing is decoder-agnostic"
             )
-        if decoder not in ("fake", "png", "wav"):
+        if decoder not in ("fake", "png", "wav", "gif", "bmp", "image"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
 
+    @staticmethod
+    def sniff(payload: bytes) -> str:
+        """Container format from magic bytes (web-crawl payloads carry
+        no reliable content-type) — png/gif/bmp/wav or 'unknown'."""
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return "png"
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return "gif"
+        if payload[:2] == b"BM":
+            return "bmp"
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return "wav"
+        return "unknown"
+
+    def _decode_image(self, payload: bytes, kind: str) -> np.ndarray:
+        if kind == "png":
+            from .sources.png import decode
+        elif kind == "gif":
+            from .sources.gif import decode
+        else:
+            from .sources.bmp import decode
+        img, _meta = decode(payload)
+        flat = img.reshape(-1)
+        hist = np.bincount(flat >> 4, minlength=self.dim).astype(np.float64)
+        return hist / len(flat)
+
+    def _decode_wav(self, payload: bytes) -> np.ndarray:
+        # REAL decode (sources/wav.py): value-range histogram of
+        # the decoded PCM samples — bits-aware integer binning so
+        # the feature is exact for any sample width.
+        from .sources.wav import decode as wav_decode
+
+        s, meta = wav_decode(payload)
+        flat = s.reshape(-1)
+        if meta["format"] == "float":
+            bins = np.clip(((flat + 1.0) * 8).astype(np.int64), 0,
+                           self.dim - 1)
+        else:
+            half = 1 << (meta["bits"] - 1)
+            bins = ((flat.astype(np.int64) + half) * self.dim) >> meta["bits"]
+            bins = np.clip(bins, 0, self.dim - 1)
+        hist = np.bincount(bins, minlength=self.dim).astype(np.float64)
+        return hist / len(flat)
+
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if self.decoder == "wav":
-            # REAL decode (sources/wav.py): value-range histogram of
-            # the decoded PCM samples — bits-aware integer binning so
-            # the feature is exact for any sample width.
-            from .sources.wav import decode as wav_decode
-
-            s, meta = wav_decode(payload)
-            flat = s.reshape(-1)
-            if meta["format"] == "float":
-                bins = np.clip(((flat + 1.0) * 8).astype(np.int64), 0,
-                               self.dim - 1)
-            else:
-                half = 1 << (meta["bits"] - 1)
-                bins = ((flat.astype(np.int64) + half) * self.dim) >> meta["bits"]
-                bins = np.clip(bins, 0, self.dim - 1)
-            hist = np.bincount(bins, minlength=self.dim).astype(np.float64)
-            return hist / len(flat)
-        if self.decoder == "png":
-            # REAL decode (sources/png.py): per-pixel intensity
-            # histogram of the decoded samples, normalized — same
-            # feature layout as the fake path, real codec work.
-            from .sources.png import decode as png_decode
-
-            img, _meta = png_decode(payload)
-            flat = img.reshape(-1)
-            hist = np.bincount(flat >> 4, minlength=self.dim).astype(np.float64)
-            return hist / len(flat)
+            return self._decode_wav(payload)
+        if self.decoder in ("png", "gif", "bmp"):
+            # REAL decode (sources/{png,gif,bmp}.py): per-pixel
+            # intensity histogram of the decoded samples, normalized —
+            # same feature layout as the fake path, real codec work.
+            return self._decode_image(payload, self.decoder)
+        if self.decoder == "image":
+            # mixed-container column: dispatch per payload by magic
+            kind = self.sniff(payload)
+            if kind == "unknown":
+                return np.zeros(self.dim, dtype=np.float64)
+            if kind == "wav":
+                return self._decode_wav(payload)
+            return self._decode_image(payload, kind)
         arr = np.frombuffer(payload, dtype=np.uint8)
         if len(arr) == 0:
             return np.zeros(self.dim, dtype=np.float64)
