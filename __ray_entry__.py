@@ -4365,6 +4365,56 @@ def q_image_decode_multi(sf_dir: str):
     )
 
 
+def q_jpeg_decode_stats(sf_dir: str):
+    """Real baseline-JPEG decode (sources/jpeg.py — T.81 markers,
+    canonical Huffman tables read from DHT, dequant + IDCT, BT.601,
+    4:2:0/4:4:4 chroma) as an actor-pool stage: per image the decoded
+    dims/channels and pixel sum/min/max. Fixture images are flat 8x8
+    blocks with closed-form values (neutral chroma for colour), which
+    the DC-quantizer-8 pipeline reproduces BIT-EXACTLY, so the SQL
+    oracle recomputes every value analytically — a green row proves
+    the full entropy-decode -> IDCT -> colour-convert path
+    (RasterDataAdapter ingest-decode role; JPEG is the dominant
+    web-crawl image payload)."""
+    import ray.data
+
+    class JpegStats:
+        def __init__(self):
+            from geowave_ray.sources.jpeg import decode
+
+            self.decode = decode
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ws, hs, cs, sums, mins, maxs = [], [], [], [], [], []
+            for v in batch.column("payload"):
+                img, meta = self.decode(v.as_py())
+                flat = img.reshape(-1).astype(np.int64)
+                ws.append(meta["width"])
+                hs.append(meta["height"])
+                cs.append(meta["components"])
+                sums.append(int(flat.sum()))
+                mins.append(int(flat.min()))
+                maxs.append(int(flat.max()))
+            return pa.table(
+                {
+                    "img_id": batch.column("img_id"),
+                    "width": pa.array(ws, pa.int64()),
+                    "height": pa.array(hs, pa.int64()),
+                    "channels": pa.array(cs, pa.int64()),
+                    "px_sum": pa.array(sums, pa.int64()),
+                    "px_min": pa.array(mins, pa.int64()),
+                    "px_max": pa.array(maxs, pa.int64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/jpeg_images.parquet", columns=["img_id", "payload"]
+    )
+    return ds.map_batches(
+        JpegStats, batch_format="pyarrow", batch_size=32, concurrency=2
+    )
+
+
 def q_cql_geom_functions(sf_dir: str):
     """Geometry scalar functions inside (E)CQL filters (the GeoTools
     FilterFunction_area / FilterFunction_geomLength / getX(centroid())
@@ -4863,7 +4913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": q_hll_distinct,          # HLL sketch
         "kafka_ingest": q_kafka_ingest,  # spool streaming ingest (Kafka role)
         "image_decode_multi": q_image_decode_multi,  # GIF+BMP sniffing decode (NEW r5)
-        "png_decode_stats": q_png_decode_stats,  # real PNG codec (NEW r5)
+        "jpeg_decode_stats": q_jpeg_decode_stats,  # baseline JPEG codec (NEW r5)
         "raster_coverage_stats": q_raster_coverage_stats,  # manifest stats (NEW r5)
         "events_median": q_events_median,        # exact kth statistic
         "time_range_agg": q_time_range_agg,      # TimeRange agg
@@ -5041,6 +5091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gwql_geom_structure": q_gwql_geom_structure,  # numPoints/type in GWQL
         "gwql_scalar_where": q_gwql_scalar_where,  # scalar fns in WHERE
         "wav_decode_stats": q_wav_decode_stats,  # real WAV PCM codec
+        "png_decode_stats": q_png_decode_stats,  # real PNG codec decode
         "png_features": q_png_features,  # multimodal stage on real PNGs
         "raster_coverage_stats": q_raster_coverage_stats,  # manifest stats
         "raster_coverage_hist": q_raster_coverage_hist,  # manifest histogram
@@ -5256,6 +5307,7 @@ def oracle_sql() -> dict[str, str]:
     TSEGS = f"read_parquet('{fx}/track_segments.parquet')"
     IMAGES = f"read_parquet('{fx}/images.parquet')"
     WEB_IMAGES = f"read_parquet('{fx}/web_images.parquet')"
+    JPEG_IMAGES = f"read_parquet('{fx}/jpeg_images.parquet')"
     AUDIO = f"read_parquet('{fx}/audio.parquet')"
     CREGIONS = f"read_parquet('{fx}/concave_regions.parquet')"
     CEDGES = f"read_parquet('{fx}/concave_edges.parquet')"
@@ -7716,6 +7768,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(minv) AS BIGINT) AS px_min,
                    CAST(max(maxv) AS BIGINT) AS px_max
             FROM s GROUP BY img_id
+        """,
+        # baseline JPEG: images are flat 8x8 blocks with values
+        # (3*img_id + b) % 256 over the raster block index (colour
+        # uses neutral chroma so decoded R=G=B=Y), reproduced
+        # bit-exactly by the DC-quantizer-8 pipeline — sums/extremes
+        # are analytic over the block-index series.
+        "jpeg_decode_stats": f"""
+            WITH blk AS (
+              SELECT img_id, fmt, width, height,
+                     unnest(generate_series(
+                       0, (width // 8) * (height // 8) - 1)) AS b
+              FROM {JPEG_IMAGES}
+            ), v AS (
+              SELECT img_id, fmt, width, height,
+                     (3*img_id + b) % 256 AS val,
+                     CASE WHEN fmt = 'jpeg_gray' THEN 1 ELSE 3 END AS ch
+              FROM blk
+            )
+            SELECT img_id, any_value(width) AS width,
+                   any_value(height) AS height,
+                   CAST(any_value(ch) AS BIGINT) AS channels,
+                   CAST(sum(64 * ch * val) AS BIGINT) AS px_sum,
+                   CAST(min(val) AS BIGINT) AS px_min,
+                   CAST(max(val) AS BIGINT) AS px_max
+            FROM v GROUP BY img_id
         """,
         "png_features": f"""
             WITH px AS (

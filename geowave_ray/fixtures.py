@@ -938,6 +938,53 @@ def gen_web_images(n_images: int) -> pa.Table:
     )
 
 
+def gen_jpeg_images(n_images: int) -> pa.Table:
+    """Baseline-JPEG fixtures for the multimodal decode stage:
+    grayscale / YCbCr 4:2:0 / 4:4:4, each built from FLAT 8x8 blocks
+    whose values are the closed form ``(3*img_id + b) % 256`` over the
+    raster block index ``b`` (colour images use neutral chroma, i.e.
+    R=G=B=Y). With the encoder's DC quantizer of 8, flat blocks
+    survive DCT -> quantize -> IDCT bit-exactly, so a SQL oracle
+    reproduces decoded pixel sums/extremes analytically — a green
+    oracle proves the FULL entropy-decode + dequant + IDCT + colour
+    pipeline (sources/jpeg.py), not just the plumbing."""
+    from .sources.jpeg import encode as jpeg_encode
+
+    fmts = ["jpeg_gray", "jpeg_420", "jpeg_444"]
+    ids, urls, blobs, fs, ws, hs = [], [], [], [], [], []
+    for i in range(n_images):
+        w = 32 + 16 * (i % 3)
+        h = 16 + 16 * (i % 2)
+        fmt = fmts[i % 3]
+        nb = (h // 8) * (w // 8)
+        v = ((3 * np.int64(i) + np.arange(nb, dtype=np.int64)) % 256)
+        plane = v.astype(np.uint8).reshape(h // 8, w // 8)
+        plane = plane.repeat(8, axis=0).repeat(8, axis=1)
+        if fmt == "jpeg_gray":
+            blob = jpeg_encode(plane)
+        else:
+            rgb = np.stack([plane, plane, plane], axis=2)
+            blob = jpeg_encode(
+                rgb, subsampling="4:2:0" if fmt == "jpeg_420" else "4:4:4"
+            )
+        ids.append(i)
+        urls.append(f"img://{i:06d}.jpg")
+        blobs.append(blob)
+        fs.append(fmt)
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "img_id": pa.array(ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "fmt": pa.array(fs, pa.string()),
+            "payload": pa.array(blobs, pa.binary()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+        }
+    )
+
+
 def gen_audio(n_clips: int) -> pa.Table:
     """WAV PCM clip fixtures for the multimodal audio decode: samples
     are closed-form in the clip id and frame index, so a SQL oracle
@@ -1719,6 +1766,9 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
     wim = os.path.join(out, "web_images.parquet")
     if not os.path.exists(wim):
         pq.write_table(gen_web_images(max(48, cfg["regions"] // 16)), wim)
+    jim = os.path.join(out, "jpeg_images.parquet")
+    if not os.path.exists(jim):
+        pq.write_table(gen_jpeg_images(max(48, cfg["regions"] // 16)), jim)
     avf = os.path.join(out, "avro_files.parquet")
     if not os.path.exists(avf):
         files, truth = gen_avro_files(max(40, cfg["regions"] // 16))

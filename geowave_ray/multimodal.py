@@ -55,7 +55,8 @@ class BinaryDecoder:
                 "or 'image' (magic-byte dispatch) — or plug PIL / "
                 "soundfile here: the batch plumbing is decoder-agnostic"
             )
-        if decoder not in ("fake", "png", "wav", "gif", "bmp", "image"):
+        if decoder not in ("fake", "png", "wav", "gif", "bmp", "jpeg",
+                           "image"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
 
@@ -67,6 +68,8 @@ class BinaryDecoder:
             return "png"
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return "gif"
+        if payload[:3] == b"\xff\xd8\xff":
+            return "jpeg"
         if payload[:2] == b"BM":
             return "bmp"
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -78,6 +81,8 @@ class BinaryDecoder:
             from .sources.png import decode
         elif kind == "gif":
             from .sources.gif import decode
+        elif kind == "jpeg":
+            from .sources.jpeg import decode
         else:
             from .sources.bmp import decode
         img, _meta = decode(payload)
@@ -106,7 +111,7 @@ class BinaryDecoder:
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if self.decoder == "wav":
             return self._decode_wav(payload)
-        if self.decoder in ("png", "gif", "bmp"):
+        if self.decoder in ("png", "gif", "bmp", "jpeg"):
             # REAL decode (sources/{png,gif,bmp}.py): per-pixel
             # intensity histogram of the decoded samples, normalized —
             # same feature layout as the fake path, real codec work.
