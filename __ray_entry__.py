@@ -4415,6 +4415,27 @@ def q_jpeg_decode_stats(sf_dir: str):
     )
 
 
+def q_video_frame_stats(sf_dir: str):
+    """REAL video frame sampling (multimodal.sample_frames over
+    sources/avi.py AVI/MJPEG containers): probe the RIFF index, decode
+    every 2nd frame independently (Motion-JPEG has no inter-frame
+    state), one output row per sampled frame with decoded pixel
+    stats. Fixture frames are flat 8x8 blocks with closed-form
+    values, bit-exact through the JPEG pipeline, so the SQL oracle
+    reproduces every row analytically over a frames x blocks series —
+    a green row proves container parse + per-frame JPEG decode +
+    the flat-map sampling plumbing end-to-end."""
+    import ray.data
+
+    from geowave_ray.multimodal import sample_frames
+
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/videos.parquet", columns=["vid_id", "payload"]
+    )
+    return sample_frames(ds, col="payload", every_n=2, concurrency=2,
+                         batch_size=16)
+
+
 def q_cql_geom_functions(sf_dir: str):
     """Geometry scalar functions inside (E)CQL filters (the GeoTools
     FilterFunction_area / FilterFunction_geomLength / getX(centroid())
@@ -4909,7 +4930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "datastore_planned": q_datastore_planned,  # facade chooseBestIndex
         "docs_curate": q_docs_curate,  # composed curation chain
         "cql_spatial": q_cql_spatial,            # CQL spatial filter
-        "temporal_expr": q_temporal_expr,        # temporal expr AST
+        "video_frame_stats": q_video_frame_stats,  # AVI/MJPEG frame sampling (NEW r5)
         "hll_distinct": q_hll_distinct,          # HLL sketch
         "kafka_ingest": q_kafka_ingest,  # spool streaming ingest (Kafka role)
         "image_decode_multi": q_image_decode_multi,  # GIF+BMP sniffing decode (NEW r5)
@@ -5091,6 +5112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gwql_geom_structure": q_gwql_geom_structure,  # numPoints/type in GWQL
         "gwql_scalar_where": q_gwql_scalar_where,  # scalar fns in WHERE
         "wav_decode_stats": q_wav_decode_stats,  # real WAV PCM codec
+        "temporal_expr": q_temporal_expr,        # temporal expr AST
         "png_decode_stats": q_png_decode_stats,  # real PNG codec decode
         "png_features": q_png_features,  # multimodal stage on real PNGs
         "raster_coverage_stats": q_raster_coverage_stats,  # manifest stats
@@ -5308,6 +5330,7 @@ def oracle_sql() -> dict[str, str]:
     IMAGES = f"read_parquet('{fx}/images.parquet')"
     WEB_IMAGES = f"read_parquet('{fx}/web_images.parquet')"
     JPEG_IMAGES = f"read_parquet('{fx}/jpeg_images.parquet')"
+    VIDEOS = f"read_parquet('{fx}/videos.parquet')"
     AUDIO = f"read_parquet('{fx}/audio.parquet')"
     CREGIONS = f"read_parquet('{fx}/concave_regions.parquet')"
     CEDGES = f"read_parquet('{fx}/concave_edges.parquet')"
@@ -7768,6 +7791,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(minv) AS BIGINT) AS px_min,
                    CAST(max(maxv) AS BIGINT) AS px_max
             FROM s GROUP BY img_id
+        """,
+        # AVI/MJPEG frame sampling: greyscale frames of flat 8x8
+        # blocks valued (3*vid_id + 5*frame + b) % 256; every 2nd
+        # frame is sampled — rows and values are analytic over a
+        # frames x blocks double series.
+        "video_frame_stats": f"""
+            WITH fr AS (
+              SELECT vid_id, width, height,
+                     unnest(generate_series(0, n_frames - 1)) AS f
+              FROM {VIDEOS}
+            ), sampled AS (
+              SELECT * FROM fr WHERE f % 2 = 0
+            ), blk AS (
+              SELECT vid_id, f, width, height,
+                     unnest(generate_series(
+                       0, (width // 8) * (height // 8) - 1)) AS b
+              FROM sampled
+            ), v AS (
+              SELECT vid_id, f, width, height,
+                     (3*vid_id + 5*f + b) % 256 AS val
+              FROM blk
+            )
+            SELECT vid_id, f AS frame_idx,
+                   any_value(width) AS width, any_value(height) AS height,
+                   CAST(sum(64 * val) AS BIGINT) AS px_sum,
+                   CAST(min(val) AS BIGINT) AS px_min,
+                   CAST(max(val) AS BIGINT) AS px_max
+            FROM v GROUP BY vid_id, f
         """,
         # baseline JPEG: images are flat 8x8 blocks with values
         # (3*img_id + b) % 256 over the raster block index (colour

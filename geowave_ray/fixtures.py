@@ -985,6 +985,45 @@ def gen_jpeg_images(n_images: int) -> pa.Table:
     )
 
 
+def gen_videos(n_videos: int) -> pa.Table:
+    """AVI/MJPEG clip fixtures for the frame-sampling stage: greyscale
+    frames made of FLAT 8x8 blocks with values
+    ``(3*vid_id + 5*frame + b) % 256`` over the raster block index —
+    bit-exact through the JPEG pipeline (DC quantizer 8), so a SQL
+    oracle reproduces every sampled frame's pixel sum/extremes
+    analytically via a two-level series (frames x blocks)."""
+    from .sources.avi import encode as avi_encode
+
+    ids, urls, blobs, ws, hs, nfs = [], [], [], [], [], []
+    for i in range(n_videos):
+        w = 32 + 16 * (i % 2)
+        h = 16 + 8 * (i % 3)
+        nf = 3 + (i % 4)
+        frames = []
+        nb = (h // 8) * (w // 8)
+        for f in range(nf):
+            v = ((3 * np.int64(i) + 5 * np.int64(f)
+                  + np.arange(nb, dtype=np.int64)) % 256)
+            plane = v.astype(np.uint8).reshape(h // 8, w // 8)
+            frames.append(plane.repeat(8, axis=0).repeat(8, axis=1))
+        blobs.append(avi_encode(frames, fps=5))
+        ids.append(i)
+        urls.append(f"vid://{i:06d}.avi")
+        ws.append(w)
+        hs.append(h)
+        nfs.append(nf)
+    return pa.table(
+        {
+            "vid_id": pa.array(ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "payload": pa.array(blobs, pa.binary()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "n_frames": pa.array(nfs, pa.int64()),
+        }
+    )
+
+
 def gen_audio(n_clips: int) -> pa.Table:
     """WAV PCM clip fixtures for the multimodal audio decode: samples
     are closed-form in the clip id and frame index, so a SQL oracle
@@ -1769,6 +1808,9 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
     jim = os.path.join(out, "jpeg_images.parquet")
     if not os.path.exists(jim):
         pq.write_table(gen_jpeg_images(max(48, cfg["regions"] // 16)), jim)
+    vid = os.path.join(out, "videos.parquet")
+    if not os.path.exists(vid):
+        pq.write_table(gen_videos(max(32, cfg["regions"] // 32)), vid)
     avf = os.path.join(out, "avro_files.parquet")
     if not os.path.exists(avf):
         files, truth = gen_avro_files(max(40, cfg["regions"] // 16))
