@@ -242,6 +242,48 @@ def _codec_rows(fixture_root: str) -> list:
 
         return files.map_batches(dec, batch_format="pyarrow", batch_size=4)
 
+    def q_codec_jpeg(sf_dir):
+        import ray.data
+
+        from geowave_ray.sources.jpeg import decode
+
+        files = ray.data.read_parquet(
+            os.path.join(fixture_root, "codec_jpegs.parquet")
+        )
+
+        def dec(b: pa.Table) -> pa.Table:
+            tot = 0.0
+            for v in b.column("jpg"):
+                img, _ = decode(v.as_py())
+                tot += float(img.sum(dtype=np.int64))
+            return pa.table({
+                "px_sum": pa.array([tot], pa.float64()),
+                "files": pa.array([b.num_rows], pa.int64()),
+            })
+
+        return files.map_batches(dec, batch_format="pyarrow", batch_size=4)
+
+    def q_codec_gif(sf_dir):
+        import ray.data
+
+        from geowave_ray.sources.gif import decode
+
+        files = ray.data.read_parquet(
+            os.path.join(fixture_root, "codec_gifs.parquet")
+        )
+
+        def dec(b: pa.Table) -> pa.Table:
+            tot = 0.0
+            for v in b.column("gif"):
+                img, _ = decode(v.as_py())
+                tot += float(img.sum(dtype=np.int64))
+            return pa.table({
+                "px_sum": pa.array([tot], pa.float64()),
+                "files": pa.array([b.num_rows], pa.int64()),
+            })
+
+        return files.map_batches(dec, batch_format="pyarrow", batch_size=4)
+
     def q_codec_wav(sf_dir):
         import ray.data
 
@@ -268,6 +310,8 @@ def _codec_rows(fixture_root: str) -> list:
         ("codec_avro_parse", q_codec_avro),
         ("codec_spool_consume", q_codec_spool),
         ("codec_png_decode", q_codec_png),
+        ("codec_jpeg_decode", q_codec_jpeg),
+        ("codec_gif_decode", q_codec_gif),
         ("codec_wav_decode", q_codec_wav),
     ]
 

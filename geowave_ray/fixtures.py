@@ -2175,6 +2175,33 @@ def gen_codec_png(j: int, side: int = 256) -> bytes:
     return encode(px.reshape(side, side, 3), filter_type="cycle")
 
 
+def gen_codec_jpeg(j: int, side: int = 256) -> bytes:
+    """256x256 RGB 4:2:0 JPEG with textured content (sinusoid + hash
+    noise -> real AC coefficient work) — the jpeg codec's volume
+    fixture (~196 KB of decoded samples per file)."""
+    from .sources.jpeg import encode
+
+    xs = np.linspace(0, 8 * np.pi, side)
+    base = 127.0 + 80.0 * np.sin(xs + j)[None, :] * np.cos(xs * 0.6)[:, None]
+    noise = ((np.arange(side * side, dtype=np.int64) * 2654435761
+              + j) % 64).reshape(side, side) - 32
+    plane = np.clip(base + noise, 0, 255).astype(np.uint8)
+    rgb = np.stack([plane, plane[::-1], plane.T], axis=2)
+    return encode(np.ascontiguousarray(rgb), subsampling="4:2:0")
+
+
+def gen_codec_gif(j: int, side: int = 512) -> bytes:
+    """512x512 palette GIF (interlaced on odd files) with pseudo-random
+    indices — the gif codec's LZW volume fixture (~262 KB of pixels)."""
+    from .sources.gif import encode
+
+    idx = ((np.arange(side * side, dtype=np.int64) * 2654435761 + 17 * j)
+           % 256).astype(np.uint8).reshape(side, side)
+    pal = np.stack([np.arange(256), (np.arange(256) * 2) % 256,
+                    (np.arange(256) * 5) % 256], axis=1).astype(np.uint8)
+    return encode(idx, pal, interlace=bool(j % 2))
+
+
 def gen_codec_wav(j: int, n_frames: int = 60_000) -> bytes:
     """Stereo 16-bit PCM clip (~240 KB) — the wav codec's volume
     fixture."""
@@ -2234,6 +2261,14 @@ def _gen_codec_volume(out: str, n_files: int) -> None:
     wv = os.path.join(out, "codec_wavs.parquet")
     if not os.path.isdir(wv):
         write_dir(wv, "cw{:05d}.wav", "wav", gen_codec_wav,
+                  list(range(n_files)), per_file=4)
+    jp = os.path.join(out, "codec_jpegs.parquet")
+    if not os.path.isdir(jp):
+        write_dir(jp, "cj{:05d}.jpg", "jpg", gen_codec_jpeg,
+                  list(range(n_files)), per_file=4)
+    gf = os.path.join(out, "codec_gifs.parquet")
+    if not os.path.isdir(gf):
+        write_dir(gf, "cg{:05d}.gif", "gif", gen_codec_gif,
                   list(range(n_files)), per_file=4)
 
 

@@ -126,47 +126,83 @@ class _BitWriter:
 
 
 class _BitReader:
-    """MSB-first bit reading over a stuffed entropy-coded segment."""
+    """MSB-first bit reading over an entropy-coded segment.
+
+    The whole segment is unstuffed ONCE up front (0xFF00 -> 0xFF,
+    stop at the next real marker) into a flat byte buffer padded with
+    1-bits, so per-bit work is plain integer arithmetic — the shape a
+    hot decode loop needs."""
 
     def __init__(self, buf: bytes, pos: int):
-        self.buf = buf
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
+        out = bytearray()
+        n = len(buf)
+        while pos < n:
+            b = buf[pos]
+            if b == 0xFF:
+                nxt = buf[pos + 1] if pos + 1 < n else 0xD9
+                if nxt == 0x00:
+                    out.append(0xFF)
+                    pos += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    raise ValueError(
+                        "JPEG: restart markers inside scan are not "
+                        "supported")
+                break
+            out.append(b)
+            pos += 1
+        self.n_real_bits = 8 * len(out)
+        out += b"\xff\xff\xff\xff"  # virtual 1-padding (B.1.1.5 fill bits)
+        self.data = bytes(out)
+        self.bitpos = 0
 
-    def _fill(self) -> None:
-        b = self.buf[self.pos]
-        if b == 0xFF:
-            nxt = self.buf[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            else:
-                raise ValueError(
-                    f"JPEG: unexpected marker 0xFF{nxt:02X} inside scan "
-                    "(restart intervals are not supported)"
-                )
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+    def peek16(self) -> int:
+        i = self.bitpos >> 3
+        window = int.from_bytes(self.data[i:i + 3], "big")
+        return (window >> (8 - (self.bitpos & 7))) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.bitpos += n
+        if self.bitpos > self.n_real_bits + 7:
+            raise ValueError("JPEG: truncated entropy-coded segment")
 
     def take(self, n: int) -> int:
-        while self.nbits < n:
-            self._fill()
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
+        v = self.peek16() >> (16 - n)
+        self.skip(n)
         return v
 
 
-def _decode_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.take(1)
-        sym = table.get((code, length))
-        if sym is not None:
-            return sym
-    raise ValueError("JPEG: invalid Huffman code in scan")
+class _HuffLookup:
+    """Table-driven canonical-Huffman decode: peek ``maxlen`` bits,
+    one array lookup -> (symbol, code length)."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.maxlen = max((i + 1 for i in range(16) if bits[i]), default=1)
+        size = 1 << self.maxlen
+        self.syms = np.zeros(size, np.int16)
+        self.lens = np.zeros(size, np.int16)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                if length > self.maxlen:
+                    raise ValueError("JPEG: DHT code longer than declared")
+                lo = code << (self.maxlen - length)
+                hi = lo + (1 << (self.maxlen - length))
+                self.syms[lo:hi] = vals[k]
+                self.lens[lo:hi] = length
+                code += 1
+                k += 1
+            code <<= 1
+
+
+def _decode_symbol(r: _BitReader, table: _HuffLookup) -> int:
+    idx = r.peek16() >> (16 - table.maxlen)
+    ln = int(table.lens[idx])
+    if ln == 0:
+        raise ValueError("JPEG: invalid Huffman code in scan")
+    r.skip(ln)
+    return int(table.syms[idx])
 
 
 def _extend(v: int, t: int) -> int:
@@ -394,7 +430,7 @@ def decode(buf: bytes) -> tuple[np.ndarray, dict]:
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[int, dict[tuple[int, int], int]] = {}
+    htabs: dict[int, _HuffLookup] = {}
     sof = None
     scan_comps = None
     while pos < len(buf):
@@ -429,8 +465,7 @@ def decode(buf: bytes) -> tuple[np.ndarray, dict]:
                 bits = list(seg[p + 1:p + 17])
                 n = sum(bits)
                 vals = list(seg[p + 17:p + 17 + n])
-                codes = _build_codes(bits, vals)
-                htabs[tcth] = {(c, ln): sym for sym, (c, ln) in codes.items()}
+                htabs[tcth] = _HuffLookup(bits, vals)
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
