@@ -221,89 +221,54 @@ def _codec_rows(fixture_root: str) -> list:
             # must still read the files; tiny dirs, /tmp-scoped
             pass
 
-    def q_codec_png(sf_dir):
-        import ray.data
+    def _mk_codec_decode(parquet_name: str, col: str, import_decode):
+        """Shared shape for the per-file decode rows: read the volume
+        fixture dir, decode every payload in a map_batches task, emit
+        one (val_sum, files) row per batch (consumed by count)."""
 
+        def q(sf_dir):
+            import ray.data
+
+            decode = import_decode()
+            files = ray.data.read_parquet(
+                os.path.join(fixture_root, parquet_name)
+            )
+
+            def dec(b: pa.Table) -> pa.Table:
+                tot = 0.0
+                for v in b.column(col):
+                    arr, _ = decode(v.as_py())
+                    tot += float(arr.sum(dtype=np.int64))
+                return pa.table({
+                    "val_sum": pa.array([tot], pa.float64()),
+                    "files": pa.array([b.num_rows], pa.int64()),
+                })
+
+            return files.map_batches(dec, batch_format="pyarrow",
+                                     batch_size=4)
+
+        return q
+
+    def _png_decode():
         from geowave_ray.sources.png import decode
+        return decode
 
-        files = ray.data.read_parquet(
-            os.path.join(fixture_root, "codec_pngs.parquet")
-        )
-
-        def dec(b: pa.Table) -> pa.Table:
-            tot = 0.0
-            for v in b.column("png"):
-                img, _ = decode(v.as_py())
-                tot += float(img.sum(dtype=np.int64))
-            return pa.table({
-                "px_sum": pa.array([tot], pa.float64()),
-                "files": pa.array([b.num_rows], pa.int64()),
-            })
-
-        return files.map_batches(dec, batch_format="pyarrow", batch_size=4)
-
-    def q_codec_jpeg(sf_dir):
-        import ray.data
-
+    def _jpeg_decode():
         from geowave_ray.sources.jpeg import decode
+        return decode
 
-        files = ray.data.read_parquet(
-            os.path.join(fixture_root, "codec_jpegs.parquet")
-        )
-
-        def dec(b: pa.Table) -> pa.Table:
-            tot = 0.0
-            for v in b.column("jpg"):
-                img, _ = decode(v.as_py())
-                tot += float(img.sum(dtype=np.int64))
-            return pa.table({
-                "px_sum": pa.array([tot], pa.float64()),
-                "files": pa.array([b.num_rows], pa.int64()),
-            })
-
-        return files.map_batches(dec, batch_format="pyarrow", batch_size=4)
-
-    def q_codec_gif(sf_dir):
-        import ray.data
-
+    def _gif_decode():
         from geowave_ray.sources.gif import decode
+        return decode
 
-        files = ray.data.read_parquet(
-            os.path.join(fixture_root, "codec_gifs.parquet")
-        )
-
-        def dec(b: pa.Table) -> pa.Table:
-            tot = 0.0
-            for v in b.column("gif"):
-                img, _ = decode(v.as_py())
-                tot += float(img.sum(dtype=np.int64))
-            return pa.table({
-                "px_sum": pa.array([tot], pa.float64()),
-                "files": pa.array([b.num_rows], pa.int64()),
-            })
-
-        return files.map_batches(dec, batch_format="pyarrow", batch_size=4)
-
-    def q_codec_wav(sf_dir):
-        import ray.data
-
+    def _wav_decode():
         from geowave_ray.sources.wav import decode
+        return decode
 
-        files = ray.data.read_parquet(
-            os.path.join(fixture_root, "codec_wavs.parquet")
-        )
-
-        def dec(b: pa.Table) -> pa.Table:
-            tot = 0
-            for v in b.column("wav"):
-                s, _ = decode(v.as_py())
-                tot += int(s.sum(dtype=np.int64))
-            return pa.table({
-                "s_sum": pa.array([tot], pa.int64()),
-                "files": pa.array([b.num_rows], pa.int64()),
-            })
-
-        return files.map_batches(dec, batch_format="pyarrow", batch_size=4)
+    q_codec_png = _mk_codec_decode("codec_pngs.parquet", "png", _png_decode)
+    q_codec_jpeg = _mk_codec_decode("codec_jpegs.parquet", "jpg", _jpeg_decode)
+    q_codec_gif = _mk_codec_decode("codec_gifs.parquet", "gif", _gif_decode)
+    q_codec_wav = _mk_codec_decode("codec_wavs.parquet", "wav", _wav_decode)
 
     return [
         ("codec_geotiff_decode", q_codec_geotiff),

@@ -85,8 +85,17 @@ class BinaryDecoder:
             from .sources.gif import decode
         elif kind == "jpeg":
             from .sources.jpeg import decode
-        else:
+        elif kind == "avi":
+            # video payload in an image-feature column: first frame
+            from .sources.avi import decode_frame, probe
+
+            def decode(buf):  # noqa: ANN001 — local shim
+                meta = probe(buf)
+                return decode_frame(buf, meta, 0), meta
+        elif kind == "bmp":
             from .sources.bmp import decode
+        else:
+            raise ValueError(f"no image decoder for container {kind!r}")
         img, _meta = decode(payload)
         flat = img.reshape(-1)
         hist = np.bincount(flat >> 4, minlength=self.dim).astype(np.float64)
@@ -216,17 +225,19 @@ class FrameSampler:
     frame-sample pattern a 100 TB clip corpus needs: per-payload work
     is proportional to the SAMPLED frames, not the clip length."""
 
-    def __init__(self, col: str = "payload", every_n: int = 2):
+    def __init__(self, col: str = "payload", every_n: int = 2,
+                 id_col: str = "vid_id"):
         from .sources.avi import decode_frame, probe
 
         self.col = col
+        self.id_col = id_col
         self.every_n = every_n
         self.probe = probe
         self.decode_frame = decode_frame
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, fidx, ws, hs, sums, mins, maxs = [], [], [], [], [], [], []
-        vid_ids = batch.column("vid_id").to_pylist()
+        vid_ids = batch.column(self.id_col).to_pylist()
         for vid, v in zip(vid_ids, batch.column(self.col)):
             buf = v.as_py()
             meta = self.probe(buf)
@@ -242,7 +253,7 @@ class FrameSampler:
                 maxs.append(int(flat.max()))
         return pa.table(
             {
-                "vid_id": pa.array(ids, pa.int64()),
+                self.id_col: pa.array(ids, pa.int64()),
                 "frame_idx": pa.array(fidx, pa.int64()),
                 "width": pa.array(ws, pa.int64()),
                 "height": pa.array(hs, pa.int64()),
@@ -257,6 +268,7 @@ def sample_frames(
     ds: ray.data.Dataset,
     col: str = "payload",
     every_n: int = 2,
+    id_col: str = "vid_id",
     concurrency: int | tuple = 4,
     batch_size: int = 32,
 ) -> ray.data.Dataset:
@@ -264,7 +276,7 @@ def sample_frames(
     batches: clip payloads are wide)."""
     return ds.map_batches(
         FrameSampler,
-        fn_constructor_kwargs=dict(col=col, every_n=every_n),
+        fn_constructor_kwargs=dict(col=col, every_n=every_n, id_col=id_col),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -98,6 +98,8 @@ def _lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
 
 def _lzw_decompress(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
     """Inverse of :func:`_lzw_compress`; validates code stream shape."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"GIF LZW: bad minimum code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
@@ -300,6 +302,8 @@ def decode_all(buf: bytes, max_frames: int | None = None):
     gct = None
     if packed & 0x80:
         n = 1 << ((packed & 0x07) + 1)
+        if len(buf) < pos + 3 * n:
+            raise ValueError("GIF: truncated global colour table")
         gct = np.frombuffer(buf[pos:pos + 3 * n], np.uint8).reshape(n, 3)
         pos += 3 * n
     meta: dict = {"screen_width": sw, "screen_height": sh,
@@ -312,6 +316,8 @@ def decode_all(buf: bytes, max_frames: int | None = None):
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension
+            if pos >= len(buf):
+                raise ValueError("GIF: truncated extension block")
             label = buf[pos]
             pos += 1
             payload, pos = _read_sub_blocks(buf, pos)
@@ -328,8 +334,12 @@ def decode_all(buf: bytes, max_frames: int | None = None):
         table = gct
         if ipacked & 0x80:
             n = 1 << ((ipacked & 0x07) + 1)
+            if len(buf) < pos + 3 * n:
+                raise ValueError("GIF: truncated local colour table")
             table = np.frombuffer(buf[pos:pos + 3 * n], np.uint8).reshape(n, 3)
             pos += 3 * n
+        if pos >= len(buf):
+            raise ValueError("GIF: truncated image data")
         if table is None:
             raise ValueError("GIF: image without any colour table")
         mcs = buf[pos]

@@ -412,9 +412,11 @@ def _idct_dequant(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
     """(nblocks, 64) zigzag int32 -> (nblocks, 8, 8) uint8 samples."""
     nat = np.zeros_like(blocks)
     nat[:, _ZZ] = blocks
-    s = (nat * q[np.newaxis, :].astype(np.int64))[:, :64].astype(
-        np.float64
-    ).reshape(-1, 8, 8)
+    # q is zigzag-ordered (DQT storage); q[_ZZ_INV] is its natural
+    # (row-major) layout, matching nat — the same reorder the encoder
+    # applies before dividing
+    q_nat = q[_ZZ_INV].astype(np.int64)
+    s = (nat * q_nat[np.newaxis, :]).astype(np.float64).reshape(-1, 8, 8)
     x = np.einsum("xu,buv,yv->bxy", _T.T, s, _T.T)
     return np.clip(np.round(x + 128.0), 0, 255).astype(np.uint8)
 

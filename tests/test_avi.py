@@ -91,6 +91,43 @@ def test_rejections():
         avi.encode([])
 
 
+def test_avi_payload_in_image_feature_column(ray_session):
+    """A video clip inside a mixed 'image' column decodes its FIRST
+    frame's histogram instead of crashing the stage."""
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.multimodal import decode_features
+
+    clip = avi.encode([np.full((8, 8), 40, np.uint8),
+                       np.full((8, 8), 200, np.uint8)])
+    ds = ray.data.from_arrow(
+        pa.table({"url": pa.array(["v"]),
+                  "html": pa.array([clip], pa.binary())})
+    )
+    out = decode_features(ds, decoder="image", concurrency=1, batch_size=2)
+    (row,) = out.take_all()
+    feat = np.asarray(row["feature"])
+    assert feat[40 >> 4] == 1.0  # first frame only
+
+
+def test_frame_sampler_custom_id_col(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.multimodal import sample_frames
+
+    clip = avi.encode([np.full((8, 8), 16, np.uint8)] * 2)
+    ds = ray.data.from_arrow(
+        pa.table({"clip_id": pa.array([7], pa.int64()),
+                  "payload": pa.array([clip], pa.binary())})
+    )
+    out = sample_frames(ds, every_n=1, id_col="clip_id", concurrency=1)
+    rows = out.take_all()
+    assert [r["clip_id"] for r in rows] == [7, 7]
+    assert [r["frame_idx"] for r in rows] == [0, 1]
+
+
 def test_frame_sampler_stage(ray_session):
     import pyarrow as pa
     import ray.data

@@ -130,7 +130,26 @@ def test_gif_rejects_garbage():
     with pytest.raises(ValueError, match="bad signature"):
         gif.decode(b"NOTAGIF" * 4)
     with pytest.raises(ValueError):
-        gif.decode(_GIF_1PX[:20])  # truncated
+        gif.decode(_GIF_1PX[:20])  # truncated mid-descriptor
+    # bad LZW minimum code size must raise, not corrupt or IndexError
+    bad = bytearray(_GIF_1PX)
+    # tail layout: mcs, blocklen(2), 0x44, 0x01, terminator 0, ';'
+    mcs_at = len(_GIF_1PX) - 6
+    assert bad[mcs_at] == 2
+    for v in (1, 9, 12):
+        bad[mcs_at] = v
+        with pytest.raises(ValueError, match="code size"):
+            gif.decode(bytes(bad))
+    # truncation right after an extension introducer: ValueError, not
+    # IndexError (pipelines catch ValueError for bad payloads)
+    pal = np.array([[0, 0, 0], [255, 0, 0]], np.uint8)
+    buf = gif.encode(np.array([[1, 0]], np.uint8), pal)
+    gct_end = 13 + 3 * (1 << ((buf[10] & 0x07) + 1))
+    with pytest.raises(ValueError, match="truncated"):
+        gif.decode(buf[:gct_end] + b"\x21")
+    # truncated global colour table
+    with pytest.raises(ValueError, match="colour table"):
+        gif.decode(buf[:gct_end - 2])
 
 
 @pytest.mark.parametrize("interlace", [False, True])
