@@ -9,6 +9,8 @@ Commands:
     python -m geowave_ray.cli knn     <pages_dir> <knn_queries.parquet> [--k 10]
     python -m geowave_ray.cli gwql    "<SELECT ...>" --table name=path ...
     python -m geowave_ray.cli stats   <manifest_dir>
+    python -m geowave_ray.cli decode  <media.parquet> <out_dir> --col blob
+    python -m geowave_ray.cli sample-frames <videos.parquet> <out_dir>
 
 The CLI owns its Ray session (guarded init, shutdown at exit) —
 library code never does.
@@ -121,6 +123,31 @@ def main(argv=None) -> int:
     pkc.add_argument("--batch-size", type=int, default=None,
                      help="max records per poll (Kafka batchSize role)")
     pkc.add_argument("--max-polls", type=int, default=None)
+
+    pdc = sub.add_parser(
+        "decode", help="decode a binary media column (jpeg/png/gif/bmp/"
+        "wav sniffed per payload) into 16-bin feature vectors"
+    )
+    pdc.add_argument("table", help="parquet file/dir with a binary column")
+    pdc.add_argument("out_dir")
+    pdc.add_argument("--col", default="payload")
+    pdc.add_argument("--url-col", default="url",
+                     help="id/url column carried through to the output")
+    pdc.add_argument("--batch-size", type=int, default=256)
+    pdc.add_argument("--concurrency", type=int, default=2,
+                     help="decode actor pool size (leave CPUs free for "
+                     "the read/write operators)")
+
+    pfs = sub.add_parser(
+        "sample-frames", help="sample + decode every Nth frame of an "
+        "AVI/MJPEG video column into per-frame pixel stats"
+    )
+    pfs.add_argument("table")
+    pfs.add_argument("out_dir")
+    pfs.add_argument("--col", default="payload")
+    pfs.add_argument("--id-col", default="vid_id")
+    pfs.add_argument("--every-n", type=int, default=2)
+    pfs.add_argument("--concurrency", type=int, default=2)
 
     psv = sub.add_parser(
         "serve", help="JSON-over-HTTP service over a DataStore root "
@@ -242,6 +269,33 @@ def main(argv=None) -> int:
                 max_records_per_poll=args.batch_size, max_polls=args.max_polls,
             )
             print(json.dumps(res))
+        elif args.cmd == "decode":
+            from .multimodal import decode_features
+
+            ds = ray.data.read_parquet(args.table)
+            if args.url_col != "url":
+                ds = ds.rename_columns({args.url_col: "url"})
+            out = decode_features(
+                ds, col=args.col, decoder="image",
+                batch_size=args.batch_size,
+                concurrency=args.concurrency,
+            )
+            out.write_parquet(args.out_dir)
+            print(json.dumps(
+                {"rows": ray.data.read_parquet(args.out_dir).count(),
+                 "out": args.out_dir}))
+        elif args.cmd == "sample-frames":
+            from .multimodal import sample_frames
+
+            out = sample_frames(
+                ray.data.read_parquet(args.table), col=args.col,
+                id_col=args.id_col, every_n=args.every_n,
+                concurrency=args.concurrency,
+            )
+            out.write_parquet(args.out_dir)
+            print(json.dumps(
+                {"rows": ray.data.read_parquet(args.out_dir).count(),
+                 "out": args.out_dir}))
         elif args.cmd == "dedup":
             from .dedup import exact_dedup
 

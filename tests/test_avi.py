@@ -128,6 +128,51 @@ def test_frame_sampler_custom_id_col(ray_session):
     assert [r["frame_idx"] for r in rows] == [0, 1]
 
 
+def test_cli_decode_and_sample_frames(tmp_path, ray_session):
+    """The decode / sample-frames CLI verbs end-to-end over a mixed
+    media table and a video table."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geowave_ray.cli import main
+    from geowave_ray.sources.png import encode as png_encode
+
+    media = tmp_path / "media.parquet"
+    pq.write_table(
+        pa.table({
+            "item": pa.array(["p", "g"]),
+            "blob": pa.array(
+                [png_encode(np.full((8, 8), 32, np.uint8)),
+                 avi.encode([np.full((8, 8), 64, np.uint8)])],
+                pa.binary()),
+        }),
+        str(media),
+    )
+    out1 = tmp_path / "feats"
+    assert main(["decode", str(media), str(out1),
+                 "--col", "blob", "--url-col", "item"]) == 0
+    feats = pq.read_table(str(out1))
+    assert feats.num_rows == 2 and "feature" in feats.column_names
+
+    vids = tmp_path / "vids.parquet"
+    pq.write_table(
+        pa.table({
+            "vid_id": pa.array([1], pa.int64()),
+            "payload": pa.array(
+                [avi.encode([np.full((8, 8), 16, np.uint8)] * 4)],
+                pa.binary()),
+        }),
+        str(vids),
+    )
+    out2 = tmp_path / "frames"
+    assert main(["sample-frames", str(vids), str(out2),
+                 "--every-n", "2"]) == 0
+    fr = pq.read_table(str(out2))
+    assert sorted(fr.column("frame_idx").to_pylist()) == [0, 2]
+
+
 def test_frame_sampler_stage(ray_session):
     import pyarrow as pa
     import ray.data
