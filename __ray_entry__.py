@@ -4436,6 +4436,26 @@ def q_video_frame_stats(sf_dir: str):
                          batch_size=16)
 
 
+def q_html_extract_text(sf_dir: str):
+    """HTML -> plain-text extraction (the trafilatura/C4 boilerplate
+    -strip role, ahead of quality/dedup in a web-crawl pipeline):
+    script/style/comment subtrees dropped, block tags become
+    newlines, remaining tags stripped, entities decoded, whitespace
+    disciplined — one vectorized RE2 kernel per published step
+    (text.HTML_EXTRACT_STEPS). The oracle reruns the SAME step table
+    through DuckDB's independent RE2 engine, so text must match
+    byte-identically (the input_hint's byte-identical-extracted-text
+    invariant, realized as an operator)."""
+    import ray.data
+
+    from geowave_ray.text import extract_html_text
+
+    ds = ray.data.read_parquet(
+        f"{_fx(sf_dir)}/html_docs.parquet", columns=["doc_id", "html"]
+    )
+    return extract_html_text(ds, html_col="html", out_col="text")
+
+
 def q_cql_geom_functions(sf_dir: str):
     """Geometry scalar functions inside (E)CQL filters (the GeoTools
     FilterFunction_area / FilterFunction_geomLength / getX(centroid())
@@ -5023,6 +5043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist": q_url_blocklist,
         "url_split": q_url_split,
         "docs_normalize": q_docs_normalize,
+        "html_extract_text": q_html_extract_text,  # HTML -> text (trafilatura role)
         "events_median_by_type": q_events_median_by_type,
         # events / relational
         "events_window": q_events_window,
@@ -5311,6 +5332,26 @@ def _ivf_centroids_sql() -> str:
     return ",\n                ".join(
         f"({i}, {_sql_list(cent[i])})" for i in range(len(cent))
     )
+
+
+def _html_extract_sql(table_expr: str) -> str:
+    """Chained DuckDB regexp_replace generated from the engine's own
+    HTML_EXTRACT_STEPS table (single source of truth for the published
+    extraction transform)."""
+    from geowave_ray.text import HTML_EXTRACT_STEPS
+
+    def sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    e = "decode(html)"
+    for pat, repl in HTML_EXTRACT_STEPS:
+        e = f"regexp_replace({e}, '{sq(pat)}', '{sq(repl)}', 'g')"
+    e = f"regexp_replace({e}, '^\\s+|\\s+$', '', 'g')"
+    return f"""
+        SELECT doc_id, {e} AS text,
+               CAST(length({e}) AS BIGINT) AS n_chars
+        FROM {table_expr}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6848,6 +6889,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, quantile_disc(value, 0.5) AS q_value
             FROM events WHERE value IS NOT NULL GROUP BY event_type
         """,
+        # HTML -> text: the oracle reruns the ENGINE's published step
+        # table (text.HTML_EXTRACT_STEPS) through DuckDB's independent
+        # RE2 — byte-identical output proves the extraction chain.
+        "html_extract_text": _html_extract_sql(
+            f"read_parquet('{fx}/html_docs.parquet')"
+        ),
         "docs_normalize": r"""
             SELECT doc_id,
                    trim(regexp_replace(

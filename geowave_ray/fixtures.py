@@ -1024,6 +1024,37 @@ def gen_videos(n_videos: int) -> pa.Table:
     )
 
 
+def gen_html_docs(n_docs: int) -> pa.Table:
+    """Rich HTML fixtures for the text-extraction stage: scripts,
+    styles, comments, block tags, entities, line breaks — every
+    feature the published HTML_EXTRACT_STEPS chain handles. The
+    oracle reruns the SAME step table through DuckDB regexp_replace,
+    so no closed form is needed; two independent RE2 engines must
+    produce byte-identical text."""
+    ids, htmls = [], []
+    for i in range(n_docs):
+        pad = " ".join(f"w{(i * 7 + k) % 97}" for k in range(i % 13))
+        html = (
+            f"<html><head><title>T{i}</title>"
+            f"<style>body {{color: #{i % 10}}}</style>"
+            f"<script>var x = {i}; if (x < 10) {{ y(); }}</script></head>\n"
+            f"<body><h1>Doc {i}</h1><!-- hidden {i} -->"
+            f"<p>Paragraph one of doc {i} with &amp; and &lt;tags&gt;.</p>"
+            f"<div>Div text {i}<br>line two&nbsp;spaced {pad}</div>"
+            f"<ul><li>item a {i}</li><li>item b</li></ul>"
+            f"<blockquote>quote &quot;q{i}&quot; it&#39;s</blockquote>"
+            f"</body></html>"
+        )
+        ids.append(i)
+        htmls.append(html.encode("utf-8"))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "html": pa.array(htmls, pa.binary()),
+        }
+    )
+
+
 def gen_audio(n_clips: int) -> pa.Table:
     """WAV PCM clip fixtures for the multimodal audio decode: samples
     are closed-form in the clip id and frame index, so a SQL oracle
@@ -1811,6 +1842,9 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
     vid = os.path.join(out, "videos.parquet")
     if not os.path.exists(vid):
         pq.write_table(gen_videos(max(32, cfg["regions"] // 32)), vid)
+    hd = os.path.join(out, "html_docs.parquet")
+    if not os.path.exists(hd):
+        pq.write_table(gen_html_docs(max(200, cfg["regions"] // 4)), hd)
     avf = os.path.join(out, "avro_files.parquet")
     if not os.path.exists(avf):
         files, truth = gen_avro_files(max(40, cfg["regions"] // 16))

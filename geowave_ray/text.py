@@ -882,6 +882,66 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
 
+# the published transform chain for HTML -> text extraction (the
+# C4 / RefinedWeb boilerplate-strip role): each step is ONE global
+# RE2 replace, applied in this exact order on both the engine
+# (pyarrow.compute) and the oracle (DuckDB regexp_replace 'g'), so
+# outputs are byte-identical across the two independent regex engines
+HTML_EXTRACT_STEPS: list[tuple[str, str]] = [
+    # drop non-content subtrees wholesale (scripts, styles, comments)
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level closers/separators become newlines so paragraph
+    # structure survives tag stripping
+    (r"(?i)<(?:br|hr)\s*/?>", "\n"),
+    (r"(?i)</(?:p|div|h[1-6]|li|tr|table|section|article|blockquote)>",
+     "\n"),
+    # every remaining tag disappears
+    (r"(?s)<[^>]*>", " "),
+    # minimal entity set (the named entities every page uses)
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    # whitespace discipline: spaces/tabs collapse, newline runs
+    # collapse to one, ends trimmed
+    (r"[ \t\r\f]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n+", "\n"),
+]
+
+
+def extract_html_text_array(html: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Binary/string HTML column -> extracted plain text (vectorized:
+    one RE2 kernel per published step, no Python per row)."""
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    t = html.cast(pa.string()) if pa.types.is_binary(html.type) else html
+    t = pc.fill_null(t, "")
+    for pat, repl in HTML_EXTRACT_STEPS:
+        t = pc.replace_substring_regex(t, pat, repl)
+    return pc.utf8_trim_whitespace(t)
+
+
+def extract_html_text(ds, html_col: str = "html", out_col: str = "text"):
+    """HTML payload column -> extracted text column (the web-pipeline
+    extraction stage ahead of quality/dedup; trafilatura role).
+    Map-side only, zero shuffle."""
+
+    def ex(batch: pa.Table) -> pa.Table:
+        t = extract_html_text_array(batch.column(html_col))
+        out = batch.drop_columns([html_col])
+        out = out.append_column(out_col, t)
+        return out.append_column(
+            "n_chars", pc.cast(pc.utf8_length(t), pa.int64())
+        )
+
+    return ds.map_batches(ex, batch_format="pyarrow", batch_size=None)
+
+
 def normalize_text(ds, text_col: str = "text", lowercase: bool = False):
     """Text normalization (the cleaning pass ahead of hashing/dedup so
     byte-identical-modulo-whitespace pages collapse together): control

@@ -1949,3 +1949,47 @@ def test_enum_index_skips_unenumerated_and_misses(ray_session, tmp_path):
     import pyarrow.parquet as pq
     total = sum(pq.read_metadata(f).num_rows for f in files)
     assert total == 9
+
+
+def test_extract_html_text_golden():
+    """Hand-derived expected output: scripts/styles/comments dropped,
+    block closers and <br> become newlines, tags stripped, entities
+    decoded, whitespace disciplined."""
+    import pyarrow as pa
+
+    from geowave_ray.text import extract_html_text_array
+
+    h = (b"<html><head><style>x{}</style><script>if(1<2){}</script></head>"
+         b"<body><h1>Title</h1><!-- no -->"
+         b"<p>One &amp; two &lt;x&gt;.</p><div>A<br>B&nbsp;C</div>"
+         b"</body></html>")
+    out = extract_html_text_array(pa.array([h], pa.binary()))
+    assert out[0].as_py() == "Title\nOne & two <x>.\nA\nB C"
+    # string input, null handling, empty doc
+    out2 = extract_html_text_array(
+        pa.array(["<p>x</p>", None, ""], pa.string()))
+    assert out2.to_pylist() == ["x", "", ""]
+    # multiline script spanning rows of the document ((?s) dotall)
+    h3 = b"<script>\nvar a;\nvar b;\n</script><p>kept</p>"
+    assert extract_html_text_array(
+        pa.array([h3], pa.binary()))[0].as_py() == "kept"
+    # quote entities and blockquote closer
+    h4 = b"<blockquote>say &quot;hi&quot; it&#39;s</blockquote><p>end</p>"
+    assert extract_html_text_array(
+        pa.array([h4], pa.binary()))[0].as_py() == 'say "hi" it\'s\nend'
+
+
+def test_extract_html_text_stage(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.text import extract_html_text
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "html": pa.array([b"<p>a b</p>", b"<div>c</div>"], pa.binary()),
+    }))
+    rows = {r["doc_id"]: r for r in
+            extract_html_text(ds).take_all()}
+    assert rows[0]["text"] == "a b" and rows[0]["n_chars"] == 3
+    assert rows[1]["text"] == "c"
