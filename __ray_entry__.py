@@ -4436,6 +4436,24 @@ def q_video_frame_stats(sf_dir: str):
                          batch_size=16)
 
 
+def q_warc_parse(sf_dir: str):
+    """WARC (ISO 28500, the actual Common-Crawl container) format
+    -plugin parse — plain AND per-record-gzip layouts, warcinfo/
+    request records skipped, HTTP payloads split, WARC-Date decoded
+    to timestamps: (file_id, warc bytes) -> one row per response
+    record in the north-rule pages shape. Oracle is the generator's
+    flat truth table (sources/warc.py; whole-file ingest-plugin role
+    of AbstractStageWholeFileToAvro + format parse)."""
+    import ray.data
+
+    from geowave_ray.sources.warc import parse_warc_batch
+
+    ds = ray.data.read_parquet(f"{_fx(sf_dir)}/warc_files.parquet")
+    parsed = ds.map_batches(parse_warc_batch, batch_format="pyarrow",
+                            batch_size=16)
+    return parsed.drop_columns(["html"])
+
+
 def q_html_extract_text(sf_dir: str):
     """HTML -> plain-text extraction (the trafilatura/C4 boilerplate
     -strip role, ahead of quality/dedup in a web-crawl pipeline):
@@ -5044,6 +5062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_split": q_url_split,
         "docs_normalize": q_docs_normalize,
         "html_extract_text": q_html_extract_text,  # HTML -> text (trafilatura role)
+        "warc_parse": q_warc_parse,  # WARC container parse (Common Crawl role)
         "events_median_by_type": q_events_median_by_type,
         # events / relational
         "events_window": q_events_window,
@@ -6895,6 +6914,12 @@ def oracle_sql() -> dict[str, str]:
         "html_extract_text": _html_extract_sql(
             f"read_parquet('{fx}/html_docs.parquet')"
         ),
+        # WARC parse: generator truth table (shapefile-oracle pattern —
+        # the parser must invert the module's own spec writer exactly)
+        "warc_parse": f"""
+            SELECT file_id, rec_no, url, warc_ts, http_status, n_bytes
+            FROM read_parquet('{fx}/warc_truth.parquet')
+        """,
         "docs_normalize": r"""
             SELECT doc_id,
                    trim(regexp_replace(

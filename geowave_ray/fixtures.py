@@ -1024,6 +1024,66 @@ def gen_videos(n_videos: int) -> pa.Table:
     )
 
 
+def gen_warc_files(n_files: int) -> tuple[pa.Table, pa.Table]:
+    """Synthetic WARC files (bytes built by the module's own ISO-28500
+    writer; plain and per-record-gzip layouts alternate) + a flat
+    ground-truth table. Each file carries a warcinfo and a request
+    record (both skipped by the parser, like real crawl pipelines)
+    plus 2-4 response records with deterministic HTTP bodies."""
+    from .sources.warc import http_response, write_warc
+
+    f_id, f_warc = [], []
+    t_fid, t_rec, t_url, t_ts, t_status, t_nb = [], [], [], [], [], []
+    for j in range(n_files):
+        fid = f"warc{j:05d}"
+        recs = [
+            {"type": "warcinfo", "payload": b"software: geowave_ray\r\n"},
+            {"type": "request", "uri": f"https://w{j}.example/0",
+             "payload": b"GET / HTTP/1.1\r\n\r\n"},
+        ]
+        n_resp = 2 + (j % 3)
+        for r in range(n_resp):
+            body = (
+                f"<html><body>page {j}-{r} " + "x" * ((j * 7 + r * 13) % 200)
+                + "</body></html>"
+            ).encode()
+            status = 200 if (j + r) % 5 else 301
+            sec = (j * 61 + r * 7) % 86_400
+            date = (f"2024-03-{1 + j % 28:02d}T{sec // 3600:02d}:"
+                    f"{(sec // 60) % 60:02d}:{sec % 60:02d}Z")
+            url = f"https://w{j}.example/p/{r}"
+            recs.append({
+                "type": "response", "uri": url, "date": date,
+                "payload": http_response(body, status=status),
+                "content_type": "application/http; msgtype=response",
+            })
+            t_fid.append(fid)
+            t_rec.append(r)
+            t_url.append(url)
+            import datetime as _dt
+
+            t_ts.append(_dt.datetime(
+                2024, 3, 1 + j % 28, sec // 3600, (sec // 60) % 60,
+                sec % 60))
+            t_status.append(status)
+            t_nb.append(len(body))
+        f_id.append(fid)
+        f_warc.append(write_warc(recs, gzip_per_record=bool(j % 2)))
+    files = pa.table({
+        "file_id": pa.array(f_id, pa.string()),
+        "warc": pa.array(f_warc, pa.binary()),
+    })
+    truth = pa.table({
+        "file_id": pa.array(t_fid, pa.string()),
+        "rec_no": pa.array(t_rec, pa.int64()),
+        "url": pa.array(t_url, pa.string()),
+        "warc_ts": pa.array(t_ts, pa.timestamp("us")),
+        "http_status": pa.array(t_status, pa.int64()),
+        "n_bytes": pa.array(t_nb, pa.int64()),
+    })
+    return files, truth
+
+
 def gen_html_docs(n_docs: int) -> pa.Table:
     """Rich HTML fixtures for the text-extraction stage: scripts,
     styles, comments, block tags, entities, line breaks — every
@@ -1845,6 +1905,11 @@ def _fill_new_tables(out: str, cfg: dict) -> None:
     hd = os.path.join(out, "html_docs.parquet")
     if not os.path.exists(hd):
         pq.write_table(gen_html_docs(max(200, cfg["regions"] // 4)), hd)
+    wf = os.path.join(out, "warc_files.parquet")
+    if not os.path.exists(wf):
+        files, truth = gen_warc_files(max(40, cfg["regions"] // 16))
+        pq.write_table(files, wf)
+        pq.write_table(truth, os.path.join(out, "warc_truth.parquet"))
     avf = os.path.join(out, "avro_files.parquet")
     if not os.path.exists(avf):
         files, truth = gen_avro_files(max(40, cfg["regions"] // 16))
