@@ -4945,7 +4945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_region_join": q_line_region_join,  # line geometries
         "bbox_queries": q_bbox_queries,          # pruned range read
         "bbox_temporal": q_bbox_temporal,        # spatial-temporal idx
-        "subsample_cells": q_subsample_cells,    # resolution subsample
+        "html_extract_text": q_html_extract_text,  # HTML->text extraction (NEW r5)
         "visibility_select": q_visibility_select,  # visibility filter
         "bbox_utm_store": q_bbox_utm_store,  # UTM declared-CRS store
         "cql_functions": q_cql_functions,  # OGC filter-function library
@@ -5061,7 +5061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist": q_url_blocklist,
         "url_split": q_url_split,
         "docs_normalize": q_docs_normalize,
-        "html_extract_text": q_html_extract_text,  # HTML -> text (trafilatura role)
+        "subsample_cells": q_subsample_cells,    # resolution subsample
         "warc_parse": q_warc_parse,  # WARC container parse (Common Crawl role)
         "events_median_by_type": q_events_median_by_type,
         # events / relational

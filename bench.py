@@ -587,10 +587,11 @@ if __name__ == "__main__":
     elif SCALING_CHILD:
         sc = os.environ.get("GRAFT_SCALING_SF", "sf_scaling")
         res = run_bench(sc, headline_only=True)  # shuts Ray down
-        _init_ray()  # fresh session for the docs pipeline
-        from geowave_ray.fixtures import ensure_fixtures
+        if os.environ.get("GRAFT_SCALING_SKIP_DOCS", "") != "1":
+            _init_ray()  # fresh session for the docs pipeline
+            from geowave_ray.fixtures import ensure_fixtures
 
-        res.update(run_docs_scaling_child(ensure_fixtures(sc)))
+            res.update(run_docs_scaling_child(ensure_fixtures(sc)))
         import ray
 
         ray.shutdown()
