@@ -11,6 +11,7 @@ Commands:
     python -m geowave_ray.cli stats   <manifest_dir>
     python -m geowave_ray.cli decode  <media.parquet> <out_dir> --col blob
     python -m geowave_ray.cli sample-frames <videos.parquet> <out_dir>
+    python -m geowave_ray.cli ingest-warc <warcs.parquet> <store_dir>
 
 The CLI owns its Ray session (guarded init, shutdown at exit) —
 library code never does.
@@ -123,6 +124,15 @@ def main(argv=None) -> int:
     pkc.add_argument("--batch-size", type=int, default=None,
                      help="max records per poll (Kafka batchSize role)")
     pkc.add_argument("--max-polls", type=int, default=None)
+
+    pw = sub.add_parser(
+        "ingest-warc", help="WARC table -> parse -> HTML text extract "
+        "-> language-ID -> geotag -> spatial store (the Common-Crawl "
+        "ingest chain end-to-end)"
+    )
+    pw.add_argument("warc_table", help="parquet with (file_id, warc) rows")
+    pw.add_argument("out_dir")
+    pw.add_argument("--no-resume", action="store_true")
 
     pdc = sub.add_parser(
         "decode", help="decode a binary media column (jpeg/png/gif/bmp/"
@@ -268,6 +278,43 @@ def main(argv=None) -> int:
                 args.topic_dir, args.store_dir, parse, group=args.group,
                 max_records_per_poll=args.batch_size, max_polls=args.max_polls,
             )
+            print(json.dumps(res))
+        elif args.cmd == "ingest-warc":
+            import pyarrow as pa
+
+            from .pipelines.ingest import ingest_pages
+            from .sources.warc import parse_warc_batch
+            from .text import LangId, extract_html_text
+
+            class WithLang:
+                """Append a lang column (LangId over the extracted
+                text) so geotag's url+lang derivation applies."""
+
+                def __init__(self):
+                    self.lid = LangId()
+
+                def __call__(self, b: "pa.Table") -> "pa.Table":
+                    sub_t = pa.table({
+                        "doc_id": pa.array(range(b.num_rows), pa.int64()),
+                        "text": b.column("text"),
+                    })
+                    lang = self.lid(sub_t).column("lang_pred")
+                    return b.append_column("lang", lang)
+
+            ds = ray.data.read_parquet(args.warc_table)
+            pages_ds = ds.map_batches(
+                parse_warc_batch, batch_format="pyarrow", batch_size=16
+            )
+            pages_ds = extract_html_text(pages_ds, html_col="html",
+                                         out_col="text")
+            pages_ds = pages_ds.map_batches(
+                WithLang, batch_format="pyarrow", concurrency=2
+            )
+            staged = args.out_dir.rstrip("/") + "_staged_pages"
+            pages_ds.write_parquet(staged)
+            res = ingest_pages(staged, args.out_dir,
+                               resume=not args.no_resume)
+            res["staged_pages"] = staged
             print(json.dumps(res))
         elif args.cmd == "decode":
             from .multimodal import decode_features

@@ -121,3 +121,41 @@ def test_warc_to_pages_to_text_pipeline(ray_session):
     rows = sorted((r["url"], r["text"]) for r in texts.take_all())
     assert rows == [(f"https://p{j}.example/", f"doc {j} text")
                     for j in range(4)]
+
+
+def test_cli_ingest_warc_end_to_end(tmp_path, ray_session):
+    """The Common-Crawl chain through the CLI: WARC table -> parse ->
+    extract -> lang -> geotag -> bucketed store; then a bbox query
+    over the resulting store returns the ingested pages."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geowave_ray.cli import main
+
+    files = []
+    for j in range(6):
+        recs = [{"type": "response", "uri": f"https://w{j}.example/p",
+                 "date": "2024-06-01T00:00:00Z",
+                 "payload": warc.http_response(
+                     f"<html><body>the and of page {j}</body></html>".encode()
+                 )}]
+        files.append(warc.write_warc(recs, gzip_per_record=bool(j % 2)))
+    table = tmp_path / "warcs.parquet"
+    pq.write_table(pa.table({
+        "file_id": pa.array([f"f{j}" for j in range(6)]),
+        "warc": pa.array(files, pa.binary()),
+    }), str(table))
+    store = tmp_path / "store"
+    assert main(["ingest-warc", str(table), str(store)]) == 0
+    import glob
+
+    part_files = glob.glob(str(store / "group=*" / "cell_bucket=*" / "*.parquet"))
+    assert part_files
+    got = pa.concat_tables([pq.read_table(f) for f in part_files])
+    assert got.num_rows == 6
+    assert set(got.column("url").to_pylist()) == {
+        f"https://w{j}.example/p" for j in range(6)}
+    assert "cell_id" in got.column_names and "lang" in got.column_names
+    assert "lon" in got.column_names
