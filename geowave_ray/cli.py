@@ -310,7 +310,12 @@ def main(argv=None) -> int:
             pages_ds = pages_ds.map_batches(
                 WithLang, batch_format="pyarrow", concurrency=2
             )
+            import shutil
+
             staged = args.out_dir.rstrip("/") + "_staged_pages"
+            # fresh stage each run: appended uniquely-named files would
+            # duplicate pages AND renumber the store's resume groups
+            shutil.rmtree(staged, ignore_errors=True)
             pages_ds.write_parquet(staged)
             res = ingest_pages(staged, args.out_dir,
                                resume=not args.no_resume)
@@ -327,6 +332,9 @@ def main(argv=None) -> int:
                 batch_size=args.batch_size,
                 concurrency=args.concurrency,
             )
+            import shutil
+
+            shutil.rmtree(args.out_dir, ignore_errors=True)
             out.write_parquet(args.out_dir)
             print(json.dumps(
                 {"rows": ray.data.read_parquet(args.out_dir).count(),
@@ -339,6 +347,9 @@ def main(argv=None) -> int:
                 id_col=args.id_col, every_n=args.every_n,
                 concurrency=args.concurrency,
             )
+            import shutil
+
+            shutil.rmtree(args.out_dir, ignore_errors=True)
             out.write_parquet(args.out_dir)
             print(json.dumps(
                 {"rows": ray.data.read_parquet(args.out_dir).count(),

@@ -1030,6 +1030,8 @@ def gen_warc_files(n_files: int) -> tuple[pa.Table, pa.Table]:
     ground-truth table. Each file carries a warcinfo and a request
     record (both skipped by the parser, like real crawl pipelines)
     plus 2-4 response records with deterministic HTTP bodies."""
+    import datetime as _dt
+
     from .sources.warc import http_response, write_warc
 
     f_id, f_warc = [], []
@@ -1060,8 +1062,6 @@ def gen_warc_files(n_files: int) -> tuple[pa.Table, pa.Table]:
             t_fid.append(fid)
             t_rec.append(r)
             t_url.append(url)
-            import datetime as _dt
-
             t_ts.append(_dt.datetime(
                 2024, 3, 1 + j % 28, sec // 3600, (sec // 60) % 60,
                 sec % 60))

@@ -85,18 +85,36 @@ def write_warc(records: list[dict], gzip_per_record: bool = False) -> bytes:
 # ------------------------------------------------------------- reader
 
 
+_GZ_CHUNK = 1 << 20
+
+
 def _split_members(buf: bytes):
-    """Yield decompressed gzip members (or the whole buffer if plain)."""
+    """Yield decompressed gzip members (or the whole buffer if plain).
+
+    Feeds fixed-size slices of a memoryview and advances a consumed
+    -bytes offset, so a file with tens of thousands of members (a real
+    .warc.gz) costs O(file size), not O(members x file size) tail
+    copies."""
     if buf[:2] != b"\x1f\x8b":
         yield buf
         return
-    rest = buf
-    while rest[:2] == b"\x1f\x8b":
+    mv = memoryview(buf)
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        if buf[pos:pos + 2] != b"\x1f\x8b":
+            raise ValueError("WARC: trailing garbage after gzip members")
         do = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        yield do.decompress(rest) + do.flush()
-        rest = do.unused_data
-    if rest:
-        raise ValueError("WARC: trailing garbage after gzip members")
+        out = bytearray()
+        while not do.eof:
+            if pos >= n:
+                raise ValueError("WARC: truncated gzip member")
+            piece = mv[pos:pos + _GZ_CHUNK]
+            out += do.decompress(piece)
+            consumed = len(piece) - (len(do.unused_data) if do.eof else 0)
+            pos += consumed
+        out += do.flush()
+        yield bytes(out)
 
 
 def _parse_records(chunk: bytes):
@@ -159,10 +177,15 @@ def split_http_payload(payload: bytes) -> tuple[int, bytes]:
 
 
 def _warc_date_us(s: str) -> int:
-    """WARC-Date (ISO 8601 Zulu) -> microseconds since epoch."""
-    dt = datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ").replace(
-        tzinfo=timezone.utc)
-    return int(dt.timestamp() * 1_000_000)
+    """WARC-Date (ISO 8601 Zulu; WARC 1.1 allows fractional seconds)
+    -> microseconds since epoch."""
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1_000_000)
+        except ValueError:
+            continue
+    raise ValueError(f"WARC: bad WARC-Date {s!r}")
 
 
 def parse_warc_batch(batch: pa.Table, file_col: str = "warc",
@@ -180,6 +203,8 @@ def parse_warc_batch(batch: pa.Table, file_col: str = "warc",
         for headers, payload in read_warc(v.as_py()):
             if headers.get("warc-type") != "response":
                 continue
+            if "warc-date" not in headers:
+                raise ValueError("WARC: response record without WARC-Date")
             status, body = split_http_payload(payload)
             f_ids.append(fid)
             recs.append(rec_no)

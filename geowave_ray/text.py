@@ -899,13 +899,16 @@ HTML_EXTRACT_STEPS: list[tuple[str, str]] = [
      "\n"),
     # every remaining tag disappears
     (r"(?s)<[^>]*>", " "),
-    # minimal entity set (the named entities every page uses)
+    # minimal entity set (the named entities every page uses).
+    # ORDER MATTERS: &amp; must decode LAST, else escaped entities
+    # double-decode (&amp;lt; must yield the literal text "&lt;",
+    # not "<")
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
+    (r"&amp;", "&"),
     # whitespace discipline: spaces/tabs collapse, newline runs
     # collapse to one, ends trimmed
     (r"[ \t\r\f]+", " "),
@@ -919,11 +922,27 @@ def extract_html_text_array(html: pa.Array | pa.ChunkedArray) -> pa.Array:
     one RE2 kernel per published step, no Python per row)."""
     if isinstance(html, pa.ChunkedArray):
         html = html.combine_chunks()
-    t = html.cast(pa.string()) if pa.types.is_binary(html.type) else html
+    if pa.types.is_binary(html.type):
+        try:
+            t = html.cast(pa.string())
+        except pa.ArrowInvalid:
+            # real crawls carry Latin-1/Shift-JIS bodies: decode
+            # lossily rather than killing the whole batch (same
+            # 'replace' tolerance as the WARC header parser)
+            t = pa.array(
+                [v.as_py().decode("utf-8", "replace")
+                 if v.is_valid else None for v in html],
+                pa.string(),
+            )
+    else:
+        t = html
     t = pc.fill_null(t, "")
     for pat, repl in HTML_EXTRACT_STEPS:
         t = pc.replace_substring_regex(t, pat, repl)
-    return pc.utf8_trim_whitespace(t)
+    # trim with the SAME RE2 \s class the oracle uses (Arrow's
+    # utf8_trim_whitespace would also strip U+00A0 etc., silently
+    # breaking the byte-identical cross-engine invariant)
+    return pc.replace_substring_regex(t, r"^\s+|\s+$", "")
 
 
 def extract_html_text(ds, html_col: str = "html", out_col: str = "text"):

@@ -1993,3 +1993,38 @@ def test_extract_html_text_stage(ray_session):
             extract_html_text(ds).take_all()}
     assert rows[0]["text"] == "a b" and rows[0]["n_chars"] == 3
     assert rows[1]["text"] == "c"
+
+
+def test_extract_html_text_entity_order_and_tolerance():
+    """Escaped entities must NOT double-decode (&amp;lt; is the
+    literal text '&lt;'); raw NBSP survives identically on engine and
+    oracle (RE2 \\s trim parity); non-UTF-8 bodies decode lossily
+    instead of crashing the batch."""
+    import duckdb
+    import pyarrow as pa
+
+    from geowave_ray.text import extract_html_text_array
+
+    out = extract_html_text_array(
+        pa.array([b"<p>&amp;lt;b&amp;gt;</p>"], pa.binary()))
+    assert out[0].as_py() == "&lt;b&gt;"
+    # NBSP (U+00A0) raw bytes: both engines must keep it (only the
+    # &nbsp; ENTITY becomes a space)
+    nb = "<p> x </p>".encode()
+    eng = extract_html_text_array(pa.array([nb], pa.binary()))[0].as_py()
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "re_", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    sql = m._html_extract_sql("t")
+    ora = duckdb.sql(
+        f"WITH t AS (SELECT 0 AS doc_id, ?::BLOB AS html) {sql}",
+        params=[nb],
+    ).fetchone()[1]
+    assert eng == ora == " x "
+    # invalid UTF-8 byte -> lossy replacement, no ArrowInvalid
+    bad = b"<p>caf\xe9</p>"
+    out2 = extract_html_text_array(pa.array([bad], pa.binary()))
+    assert out2[0].as_py() == "caf�"

@@ -159,3 +159,33 @@ def test_cli_ingest_warc_end_to_end(tmp_path, ray_session):
         f"https://w{j}.example/p" for j in range(6)}
     assert "cell_id" in got.column_names and "lang" in got.column_names
     assert "lon" in got.column_names
+
+
+def test_warc_date_variants_and_missing():
+    import pyarrow as pa
+
+    # WARC 1.1 fractional seconds parse
+    assert warc._warc_date_us("2024-03-05T12:30:45.123Z") \
+        == warc._warc_date_us("2024-03-05T12:30:45Z") + 123000
+    with pytest.raises(ValueError, match="WARC-Date"):
+        warc._warc_date_us("not a date")
+    # response record without WARC-Date -> ValueError, not KeyError
+    rec = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    with pytest.raises(ValueError, match="WARC-Date"):
+        warc.parse_warc_batch(pa.table({
+            "file_id": pa.array(["f"]),
+            "warc": pa.array([rec], pa.binary()),
+        }))
+
+
+def test_gzip_many_members_linear():
+    """A file with many per-record gzip members parses correctly (the
+    member splitter walks a consumed-offset, no tail re-copies)."""
+    recs = [{"type": "response", "uri": f"https://m.example/{i}",
+             "date": "2024-01-01T00:00:00Z",
+             "payload": warc.http_response(f"body {i}".encode())}
+            for i in range(300)]
+    buf = warc.write_warc(recs, gzip_per_record=True)
+    parsed = warc.read_warc(buf)
+    assert len(parsed) == 300
+    assert parsed[299][1].endswith(b"body 299")
