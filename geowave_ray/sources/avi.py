@@ -92,7 +92,11 @@ def encode(frames: list[np.ndarray], fps: int = 10,
 
 
 def _walk(buf: bytes, pos: int, end: int):
-    """Yield (tag, payload_start, payload_len) for chunks in a range."""
+    """Yield (tag, payload_start, payload_len) for chunks in a range.
+
+    ``end`` is clamped to the real buffer (a declared LIST size larger
+    than the file must not walk past it)."""
+    end = min(end, len(buf))
     while pos + 8 <= end:
         tag = buf[pos:pos + 4]
         (n,) = struct.unpack_from("<I", buf, pos + 4)
@@ -115,6 +119,8 @@ def probe(buf: bytes) -> dict:
         if kind == b"hdrl":
             for t2, p2, n2 in _walk(buf, p + 4, p + n):
                 if t2 == b"avih":
+                    if n2 < 40 or len(buf) < p2 + 40:
+                        raise ValueError("AVI: truncated avih header")
                     us, _mbs, _pad, _flags, total = struct.unpack_from(
                         "<IIIII", buf, p2)
                     meta["us_per_frame"] = us

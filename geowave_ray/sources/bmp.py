@@ -90,6 +90,8 @@ def decode(buf: bytes) -> tuple[np.ndarray, dict]:
     are rejected with a clear error."""
     if buf[:2] != b"BM":
         raise ValueError("not a BMP: bad magic")
+    if len(buf) < 14 + 40:
+        raise ValueError("BMP: truncated header")
     _magic, _fsize, _r1, _r2, offset = struct.unpack_from(_FILE_HDR, buf, 0)
     hdr_size = struct.unpack_from("<I", buf, 14)[0]
     if hdr_size < 40:

@@ -438,12 +438,16 @@ def decode(buf: bytes) -> tuple[np.ndarray, dict]:
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
+        if pos + 2 > len(buf):
+            raise ValueError("JPEG: truncated marker")
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
+        if pos + 2 > len(buf):
+            raise ValueError("JPEG: truncated segment length")
         (seglen,) = struct.unpack_from(">H", buf, pos)
         seg = buf[pos + 2:pos + seglen]
         end = pos + seglen
@@ -470,6 +474,8 @@ def decode(buf: bytes) -> tuple[np.ndarray, dict]:
                 htabs[tcth] = _HuffLookup(bits, vals)
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise ValueError("JPEG: truncated SOF segment")
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")

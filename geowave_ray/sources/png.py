@@ -120,14 +120,20 @@ def decode(buf: bytes) -> tuple[np.ndarray, dict]:
     palette = None
     idat = bytearray()
     while pos < len(buf):
+        if len(buf) < pos + 8:
+            raise ValueError("PNG: truncated chunk header")
         (length,) = struct.unpack(">I", buf[pos:pos + 4])
         tag = buf[pos + 4:pos + 8]
+        if len(buf) < pos + 12 + length:
+            raise ValueError(f"PNG: truncated chunk {tag!r}")
         payload = buf[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack(">I", buf[pos + 8 + length:pos + 12 + length])
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
         pos += 12 + length
         if tag == b"IHDR":
+            if len(payload) != 13:
+                raise ValueError("PNG: bad IHDR length")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
@@ -150,7 +156,11 @@ def decode(buf: bytes) -> tuple[np.ndarray, dict]:
     ch = _CHANNELS[color]
     bpp = ch
     stride = width * ch
-    data = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG: corrupt IDAT stream: {e}") from None
+    data = np.frombuffer(raw, np.uint8)
     if len(data) != height * (stride + 1):
         raise ValueError("PNG: scanline payload size mismatch")
     data = data.reshape(height, stride + 1)

@@ -110,7 +110,10 @@ def _split_members(buf: bytes):
             if pos >= n:
                 raise ValueError("WARC: truncated gzip member")
             piece = mv[pos:pos + _GZ_CHUNK]
-            out += do.decompress(piece)
+            try:
+                out += do.decompress(piece)
+            except zlib.error as e:
+                raise ValueError(f"WARC: corrupt gzip member: {e}") from None
             consumed = len(piece) - (len(do.unused_data) if do.eof else 0)
             pos += consumed
         out += do.flush()

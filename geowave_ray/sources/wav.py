@@ -74,6 +74,8 @@ def decode(buf: bytes) -> tuple[np.ndarray, dict]:
         payload = buf[pos + 8:pos + 8 + length]
         pos += 8 + length + (length & 1)  # word alignment
         if tag == b"fmt ":
+            if len(payload) < 16:
+                raise ValueError("WAV: truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", payload[:16])
         elif tag == b"data":
             data = payload
