@@ -35,6 +35,8 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from ..util import decode_boundary
+
 MAGIC = b"Obj\x01"
 
 # ---------------------------------------------------------------------------
@@ -274,6 +276,7 @@ def write_container(
     return bytes(out)
 
 
+@decode_boundary("Avro")
 def read_container(data: bytes) -> tuple[list[dict], dict]:
     """Avro object-container bytes -> (records, schema)."""
     if data[:4] != MAGIC:
@@ -448,6 +451,7 @@ def stage_whole_files(files: list[tuple[str, bytes]], codec: str = "deflate") ->
     return write_container(recs, WHOLE_FILE_SCHEMA, codec=codec)
 
 
+@decode_boundary("Avro")
 def read_staged_files(data: bytes) -> pa.Table:
     """Staged container -> (path, payload) rows ready to fan out into
     any format plugin's parse_*_batch."""

@@ -42,6 +42,8 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from ..util import decode_boundary
+
 # TIFF field types -> (struct code, byte size)
 _TYPES = {
     1: ("B", 1),   # BYTE
@@ -222,6 +224,7 @@ def _undo_predictor(arr: np.ndarray, spp: int, rows: int, cols: int) -> np.ndarr
     return a.reshape(-1)
 
 
+@decode_boundary("TIFF")
 def parse_tiff(data: bytes) -> list[dict]:
     """All IFDs of a TIFF -> list of image dicts: ``pixels`` as a
     band-major ``(bands, height, width)`` float64 array plus raw tag

@@ -35,6 +35,8 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+from ..util import decode_boundary
+
 from ..formats import wkb_encode
 
 _SHAPE_NAMES = {
@@ -77,6 +79,7 @@ def _assemble_polygon(rings: list[np.ndarray]):
     return ("MultiPolygon", polys)
 
 
+@decode_boundary("SHP")
 def parse_shp(data: bytes) -> list:
     """.shp bytes -> list of (record_number, geometry-or-None)."""
     if len(data) < 100:
@@ -91,6 +94,12 @@ def parse_shp(data: bytes) -> list:
         rec_no, content_words = struct.unpack(">ii", data[off:off + 8])
         off += 8
         end = off + 2 * content_words
+        # corrupt lengths must neither walk backwards (infinite loop)
+        # nor past the buffer
+        if content_words < 2 or end > n:
+            raise ValueError(
+                f"SHP: record {rec_no} declares {content_words} words "
+                f"outside the {n}B buffer")
         (stype,) = struct.unpack("<i", data[off:off + 4])
         p = off + 4
         kind = _SHAPE_NAMES.get(stype)
@@ -130,9 +139,17 @@ def parse_shp(data: bytes) -> list:
     return out
 
 
+@decode_boundary("DBF")
 def parse_dbf(data: bytes) -> tuple[list[dict], list[bool]]:
     """.dbf bytes -> (attribute dicts, active flags) per record."""
     n_rec, hdr_size, rec_size = struct.unpack("<IHH", data[4:12])
+    # a hostile/corrupt header must not drive an unbounded record
+    # loop: the declared extent has to fit the actual buffer
+    if rec_size == 0 or hdr_size < 33 \
+            or n_rec * rec_size > max(0, len(data) - hdr_size) + rec_size:
+        raise ValueError(
+            f"DBF: header declares {n_rec} x {rec_size}B records beyond "
+            f"the {len(data)}B buffer")
     fields = []
     off = 32
     while off < hdr_size - 1 and data[off] != 0x0D:

@@ -43,6 +43,8 @@ Geometry values use the repo-internal representation from
 from __future__ import annotations
 
 import numpy as np
+
+from .util import decode_boundary
 import pyarrow as pa
 
 from .formats import wkb_decode, wkb_encode
@@ -231,6 +233,7 @@ class _Reader:
         return out
 
 
+@decode_boundary("TWKB")
 def decode(buf: bytes, return_meta: bool = False):
     """Decode TWKB bytes -> internal geometry value (rings re-closed).
     With ``return_meta``, also returns a dict with precision, flags,
@@ -406,6 +409,7 @@ def encode_compat(geom, max_precision: int = 7) -> bytes:
     return bytes(out)
 
 
+@decode_boundary("TWKB")
 def decode_compat(buf: bytes):
     """Decode the reference TWKB dialect (see :func:`encode_compat`).
     Rings arrive closed and stay closed in the internal value."""

@@ -57,3 +57,33 @@ def exchange_blocks() -> int:
     1.2k rows cost 10s of scheduling on <1s of compute). One block per
     core, floor 16."""
     return max(16, ncpus())
+
+
+def decode_boundary(kind: str):
+    """Decorator for binary-format parse entry points: converts the
+    residual low-level exceptions a truncated/corrupt buffer can
+    surface (struct.error, IndexError, zlib.error, numpy reshape
+    errors arriving as generic ValueError already pass through) into
+    the module-family's documented ValueError contract, keeping
+    semantic ValueErrors untouched. A malformed payload in a crawl
+    must fail a record with a catchable, uniform error — not kill the
+    batch with whatever slicing raised first."""
+    import functools
+    import struct as _struct
+    import zlib as _zlib
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*a, **kw):
+            try:
+                return fn(*a, **kw)
+            except (_struct.error, IndexError, _zlib.error, KeyError,
+                    OverflowError, MemoryError) as e:
+                raise ValueError(
+                    f"{kind}: truncated or corrupt input "
+                    f"({type(e).__name__}: {e})"
+                ) from None
+
+        return wrapped
+
+    return deco

@@ -114,3 +114,30 @@ def test_codec_garbage_never_indexerror(prefix, data):
             pass
         except Exception as e:  # noqa: BLE001 — the assertion target
             pytest.fail(f"{dec.__module__}: {type(e).__name__}: {e}")
+
+
+@given(prefix=st.sampled_from([b"", b"II*\x00", b"MM\x00*",
+                               b"\x00\x00\x27\x0a" + b"\x00" * 96,
+                               b"\x03", b"Obj\x01"]),
+       data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=80, deadline=None)
+def test_wire_parsers_garbage_never_indexerror(prefix, data):
+    """Same ValueError contract for the round-4 wire parsers
+    (TIFF/SHP/DBF/Avro/TWKB): truncated or hostile buffers — including
+    corrupt headers that declare absurd record counts or negative
+    record lengths — must fail each record cleanly, never hang or
+    leak struct/Index/Memory errors."""
+    from geowave_ray import twkb
+    from geowave_ray.sources.avro_io import read_container
+    from geowave_ray.sources.geotiff import parse_tiff
+    from geowave_ray.sources.shapefile import parse_dbf, parse_shp
+
+    buf = prefix + data
+    for dec in (parse_tiff, parse_shp, parse_dbf, read_container,
+                twkb.decode):
+        try:
+            dec(buf)
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001 — the assertion target
+            pytest.fail(f"{dec.__module__}: {type(e).__name__}: {e}")
