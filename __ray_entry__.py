@@ -1486,6 +1486,19 @@ def q_docs_token_stats(sf_dir: str):
     return ds.map_batches(token_stats_batch, batch_format="pyarrow", batch_size=None)
 
 
+def q_docs_chunk(sf_dir: str):
+    """Token-bounded document chunking with overlap (the pre-training
+    prep step between extraction and sequence packing): chunk i
+    covers whitespace tokens [i*56, i*56+64), short tail kept, no
+    chunk fully contained in its predecessor (text.chunk_documents —
+    map-side flat-map, zero shuffle). The oracle re-derives every
+    chunk via DuckDB list slicing over the same tokenization."""
+    from geowave_ray.text import chunk_documents
+
+    ds = _read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, max_tokens=64, overlap=8)
+
+
 def q_docs_bpe_tokens(sf_dir: str):
     from geowave_ray.text import bpe_token_count_batch
 
@@ -5063,6 +5076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalize": q_docs_normalize,
         "subsample_cells": q_subsample_cells,    # resolution subsample
         "warc_parse": q_warc_parse,  # WARC container parse (Common Crawl role)
+        "docs_chunk": q_docs_chunk,  # token-bounded chunking w/ overlap
         "events_median_by_type": q_events_median_by_type,
         # events / relational
         "events_window": q_events_window,
@@ -6574,6 +6588,28 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(str_split(text, ' '),
                        x -> x IN ('the','and','of','a','to','in','is','it'))) AS n_stopwords
             FROM documents
+        """,
+        # token-bounded chunking: ceil(max(nt-overlap,1)/step) chunks
+        # per doc, DuckDB 1-based-inclusive list slicing re-derives
+        # every chunk over the same single-space tokenization
+        "docs_chunk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(str_split(text, ' '), x -> x <> '') AS t
+              FROM documents
+            ), sized AS (
+              SELECT doc_id, t, len(t) AS nt FROM toks WHERE len(t) > 0
+            ), chunks AS (
+              SELECT doc_id, t, nt,
+                     unnest(generate_series(
+                       0, (greatest(nt - 8, 1) + 55) // 56 - 1)) AS ci
+              FROM sized
+            )
+            SELECT doc_id, ci AS chunk_idx,
+                   array_to_string(
+                     t[ci*56 + 1 : least(ci*56 + 64, nt)], ' ') AS chunk_text,
+                   CAST(least(ci*56 + 64, nt) - ci*56 AS BIGINT) AS n_tokens
+            FROM chunks
         """,
         "docs_bpe_tokens": """
             SELECT doc_id,

@@ -961,6 +961,63 @@ def extract_html_text(ds, html_col: str = "html", out_col: str = "text"):
     return ds.map_batches(ex, batch_format="pyarrow", batch_size=None)
 
 
+def chunk_documents(
+    ds,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split documents into token-bounded chunks with overlap — the
+    standard pre-training prep step between extraction and sequence
+    packing: chunk ``i`` covers whitespace tokens
+    ``[i*(max_tokens-overlap), i*(max_tokens-overlap)+max_tokens)``;
+    the last chunk keeps its tail short rather than re-padding, and a
+    chunk fully contained in the previous one is not emitted.
+    Map-side flat-map, zero shuffle: one split pass per batch, chunk
+    assembly via offsets into the flattened token array."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+
+    def fb(batch: pa.Table) -> pa.Table:
+        flat, doc_all, keep, n_docs = _split_tokens(batch.column(text_col))
+        doc_f = doc_all[keep]
+        toks = flat.filter(pa.array(keep))
+        n_tok = np.bincount(doc_f, minlength=n_docs)
+        ids = batch.column(id_col)
+        out_ids, out_idx, out_txt, out_n = [], [], [], []
+        # per-doc token spans in the flattened array
+        starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=starts[1:])
+        toks_py = toks.to_pylist()
+        for d in range(n_docs):
+            nt = int(n_tok[d])
+            base = int(starts[d])
+            # ceil(max(nt - overlap, 1) / step) chunks: the last chunk
+            # keeps a short tail, and no chunk is ever fully contained
+            # in its predecessor
+            n_chunks = -(-max(nt - overlap, 1) // step) if nt else 0
+            for ci in range(n_chunks):
+                lo = ci * step
+                hi = min(lo + max_tokens, nt)
+                piece = toks_py[base + lo:base + hi]
+                out_ids.append(ids[d].as_py())
+                out_idx.append(ci)
+                out_txt.append(" ".join(piece))
+                out_n.append(hi - lo)
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, ids.type),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "chunk_text": pa.array(out_txt, pa.string()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fb, batch_format="pyarrow", batch_size=None)
+
+
 def normalize_text(ds, text_col: str = "text", lowercase: bool = False):
     """Text normalization (the cleaning pass ahead of hashing/dedup so
     byte-identical-modulo-whitespace pages collapse together): control

@@ -2028,3 +2028,35 @@ def test_extract_html_text_entity_order_and_tolerance():
     bad = b"<p>caf\xe9</p>"
     out2 = extract_html_text_array(pa.array([bad], pa.binary()))
     assert out2[0].as_py() == "caf�"
+
+
+def test_chunk_documents_edges(ray_session):
+    """Chunk math: short docs -> one chunk; exact-boundary doc -> one
+    chunk (no empty tail); overlap tokens repeat across consecutive
+    chunks; empty docs emit nothing."""
+    import pyarrow as pa
+    import ray.data
+
+    from geowave_ray.text import chunk_documents
+
+    toks = [f"t{k}" for k in range(10)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            " ".join(toks),          # 10 tokens -> 2 chunks (max 8, ov 2)
+            "a b c",                 # 3 tokens -> 1 chunk
+            " ".join(toks[:8]),      # exactly max -> 1 chunk
+            "",                      # empty -> none
+        ]),
+    }))
+    out = chunk_documents(ds, max_tokens=8, overlap=2)
+    rows = sorted((r["doc_id"], r["chunk_idx"], r["chunk_text"],
+                   r["n_tokens"]) for r in out.take_all())
+    assert rows == [
+        (0, 0, " ".join(toks[:8]), 8),
+        (0, 1, " ".join(toks[6:10]), 4),   # starts at 8-2=6, tail kept
+        (1, 0, "a b c", 3),
+        (2, 0, " ".join(toks[:8]), 8),
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(ds, max_tokens=4, overlap=4)
