@@ -179,8 +179,10 @@ class _HuffLookup:
     def __init__(self, bits: list[int], vals: list[int]):
         self.maxlen = max((i + 1 for i in range(16) if bits[i]), default=1)
         size = 1 << self.maxlen
-        self.syms = np.zeros(size, np.int16)
-        self.lens = np.zeros(size, np.int16)
+        # plain Python lists: the per-symbol lookup is the hot loop,
+        # and list indexing beats numpy scalar reads ~10x there
+        self.syms = [0] * size
+        self.lens = [0] * size
         code = 0
         k = 0
         for length in range(1, 17):
@@ -189,8 +191,9 @@ class _HuffLookup:
                     raise ValueError("JPEG: DHT code longer than declared")
                 lo = code << (self.maxlen - length)
                 hi = lo + (1 << (self.maxlen - length))
-                self.syms[lo:hi] = vals[k]
-                self.lens[lo:hi] = length
+                for j in range(lo, hi):
+                    self.syms[j] = vals[k]
+                    self.lens[j] = length
                 code += 1
                 k += 1
             code <<= 1
@@ -198,11 +201,11 @@ class _HuffLookup:
 
 def _decode_symbol(r: _BitReader, table: _HuffLookup) -> int:
     idx = r.peek16() >> (16 - table.maxlen)
-    ln = int(table.lens[idx])
+    ln = table.lens[idx]
     if ln == 0:
         raise ValueError("JPEG: invalid Huffman code in scan")
     r.skip(ln)
-    return int(table.syms[idx])
+    return table.syms[idx]
 
 
 def _extend(v: int, t: int) -> int:
@@ -532,7 +535,9 @@ def decode(buf: bytes) -> tuple[np.ndarray, dict]:
                 bw = mcw * c["hx"]
                 for dy in range(c["vx"]):
                     for dx in range(c["hx"]):
-                        blk = np.zeros(64, np.int32)
+                        # plain-int list block (numpy scalar writes
+                        # would dominate the entropy loop)
+                        blk = [0] * 64
                         t = _decode_symbol(rdr, dct)
                         diff = _extend(rdr.take(t), t) if t else 0
                         preds[c["id"]] += diff

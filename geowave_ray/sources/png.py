@@ -180,26 +180,41 @@ def decode(buf: bytes) -> tuple[np.ndarray, dict]:
             ).reshape(stride)
         elif ft == 2:  # Up
             cur = row + prev
-        elif ft == 3:  # Average: left-recurrence walks pixels in the row
-            cur = np.empty(stride, np.uint8)
-            left = np.zeros(bpp, np.uint16)
-            for x in range(width):
-                s = slice(x * bpp, (x + 1) * bpp)
-                cur[s] = row[s] + (
-                    (left + prev[s]) // 2
-                ).astype(np.uint8)
-                left = cur[s].astype(np.uint16)
-            cur = cur
-        elif ft == 4:  # Paeth
-            cur = np.empty(stride, np.uint8)
-            left = np.zeros(bpp, np.uint8)
-            upleft = np.zeros(bpp, np.uint8)
-            for x in range(width):
-                s = slice(x * bpp, (x + 1) * bpp)
-                cur[s] = row[s] + _paeth(left, prev[s], upleft)
-                left = cur[s]
-                upleft = prev[s].copy()
-            cur = cur
+        elif ft == 3:  # Average: left-recurrence walks bytes in the row
+            # plain-int loop over a bytearray — numpy scalar indexing
+            # costs ~1 us/op, raw ints ~50 ns, so the inherently
+            # sequential filters run ~10x faster this way
+            out_b = bytearray(stride)
+            rb = row.tobytes()
+            pb = prev.tobytes()
+            for i in range(stride):
+                left = out_b[i - bpp] if i >= bpp else 0
+                out_b[i] = (rb[i] + ((left + pb[i]) >> 1)) & 0xFF
+            cur = np.frombuffer(bytes(out_b), np.uint8)
+        elif ft == 4:  # Paeth (same plain-int discipline)
+            out_b = bytearray(stride)
+            rb = row.tobytes()
+            pb = prev.tobytes()
+            for i in range(stride):
+                if i >= bpp:
+                    a = out_b[i - bpp]
+                    c = pb[i - bpp]
+                else:
+                    a = 0
+                    c = 0
+                b_up = pb[i]
+                p = a + b_up - c
+                pa_ = p - a if p >= a else a - p
+                pb_ = p - b_up if p >= b_up else b_up - p
+                pc_ = p - c if p >= c else c - p
+                if pa_ <= pb_ and pa_ <= pc_:
+                    pred = a
+                elif pb_ <= pc_:
+                    pred = b_up
+                else:
+                    pred = c
+                out_b[i] = (rb[i] + pred) & 0xFF
+            cur = np.frombuffer(bytes(out_b), np.uint8)
         else:
             raise ValueError(f"PNG: bad filter type {ft} in row {y}")
         out[y] = cur
